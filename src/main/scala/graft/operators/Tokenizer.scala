@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenization with the reference's exact semantics
+  * (reference `src/functions.cpp:39-46,77-84`):
+  *
+  *   1. split on whitespace (`fin >> word`);
+  *   2. inside each token delete every non-`[A-Za-z]` byte and lowercase the
+  *      survivors — survivors are JOINED, not re-split (`don't` → `dont`,
+  *      `Mr.` → `mr`, `x1y` → `xy`). ASCII-only, matching C-locale
+  *      `isalpha`: multi-byte UTF-8 (curly quotes etc.) is stripped;
+  *   3. drop tokens that are empty after cleaning.
+  *
+  * Everything is built-in Catalyst expressions (`split`/`explode`/
+  * `regexp_replace`/`lower`/`length`), so the whole chain runs inside one
+  * whole-stage-codegen span fused with the scan — the Spark analog of the
+  * reference's single streaming pass per file.
+  */
+object Tokenizer {
+
+  /** Clean one raw token: strip non-ASCII-letters, lowercase the rest. */
+  def cleanToken(tok: Column): Column =
+    lower(regexp_replace(tok, "[^A-Za-z]", ""))
+
+  /** `(…, textCol)` → `(…, word)`: one output row per surviving token.
+    * Carries `keepCols` through (typically the doc id).
+    */
+  def tokens(df: DataFrame, textCol: String, keepCols: Seq[String]): DataFrame = {
+    val keep = keepCols.map(col)
+    df.select(keep :+ explode(split(col(textCol), "\\s+")).as("tok"): _*)
+      .select(keep :+ cleanToken(col("tok")).as("word"): _*)
+      .filter(length(col("word")) > 0)
+  }
+
+  /** Distinct (doc, word) pairs — the reference's per-doc partial map
+    * (`src/functions.cpp:75-87`). Catalyst plans this as partial+final
+    * HashAggregate, i.e. the map-side combine happens before the shuffle,
+    * exactly like the reference's per-file `unordered_map` dedup.
+    */
+  def docWords(df: DataFrame, textCol: String, docIdCol: String): DataFrame =
+    tokens(df, textCol, Seq(docIdCol)).dropDuplicates(docIdCol, "word")
+}
