@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenizer
+
+/** SURVEY §2.3 declared query inventory — the reference's semantics
+  * (tokenize → clean → dedup → index) exposed as six queries over the
+  * driver `documents` Parquet table, each with a DuckDB-equivalent oracle.
+  *
+  * Column names are aligned 1:1 with the oracle SQL (the driver compare
+  * sorts columns by name before hashing).
+  */
+object ReferenceQueries {
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Raw (doc_id, word) token stream — reference O3-O5. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.tokens(documents(spark, dir), "text", Seq("doc_id"))
+
+  /** Distinct (doc_id, word) — reference O6 per-doc dedup. */
+  def docWords(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.docWords(documents(spark, dir), "text", "doc_id")
+
+  /** Q1: the inverted index itself — word → space-joined ascending distinct
+    * doc IDs (string-rendered for engine-agnostic comparison) + df.
+    */
+  def q1InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir)
+      .groupBy("word")
+      .agg(
+        array_join(sort_array(collect_set(col("doc_id"))), " ").as("postings"),
+        count(col("doc_id")).as("df"))
+
+  /** Q2: vocabulary size. */
+  def q2Vocabulary(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir).agg(countDistinct(col("word")).as("vocab"))
+
+  /** Q3: document frequency per word. */
+  def q3DocFrequency(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir).groupBy("word")
+      .agg(count(col("doc_id")).as("df"))
+
+  /** Q4: distinct-word histogram by first letter (exposes the 26-bucket
+    * skew the reference hardcodes — reference O9).
+    */
+  def q4LetterHistogram(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir)
+      .select(substring(col("word"), 1, 1).as("letter"), col("word"))
+      .distinct()
+      .groupBy("letter")
+      .agg(count(lit(1)).as("words"))
+
+  /** Q5: top-100 words by (df desc, word asc) — reference O12 ordering. */
+  def q5TopKByDf(spark: SparkSession, dir: String): DataFrame =
+    q3DocFrequency(spark, dir)
+      .orderBy(col("df").desc, col("word").asc)
+      .limit(100)
+
+  /** Q6: per-document token statistics (total + unique tokens). */
+  def q6DocTokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("tokens"),
+        countDistinct(col("word")).as("uniques"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_inverted_index" -> q1InvertedIndex _,
+    "q2_vocabulary" -> q2Vocabulary _,
+    "q3_doc_frequency" -> q3DocFrequency _,
+    "q4_letter_histogram" -> q4LetterHistogram _,
+    "q5_topk_df" -> q5TopKByDf _,
+    "q6_doc_token_stats" -> q6DocTokenStats _)
+
+  /** DuckDB-dialect tokenizer CTEs shared by the oracles below. `toks` is
+    * the raw token stream, `dw` the per-doc distinct words — both with the
+    * reference's exact clean/lower/join semantics.
+    */
+  private val TokCte =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         lower(regexp_replace(unnest(string_split_regex(text, '\s+')), '[^A-Za-z]', '', 'g')) AS word
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, word FROM raw WHERE length(word) > 0
+      |), dw AS (
+      |  SELECT DISTINCT doc_id, word FROM toks
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_inverted_index" ->
+      s"""$TokCte
+         |SELECT word,
+         |       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings,
+         |       count(*) AS df
+         |FROM dw GROUP BY word""".stripMargin,
+    "q2_vocabulary" ->
+      s"$TokCte SELECT count(DISTINCT word) AS vocab FROM dw",
+    "q3_doc_frequency" ->
+      s"$TokCte SELECT word, count(*) AS df FROM dw GROUP BY word",
+    "q4_letter_histogram" ->
+      s"""$TokCte
+         |SELECT substr(word, 1, 1) AS letter, count(DISTINCT word) AS words
+         |FROM dw GROUP BY letter""".stripMargin,
+    "q5_topk_df" ->
+      s"""$TokCte
+         |SELECT word, count(*) AS df FROM dw GROUP BY word
+         |ORDER BY df DESC, word ASC LIMIT 100""".stripMargin,
+    "q6_doc_token_stats" ->
+      s"""$TokCte
+         |SELECT doc_id, count(*) AS tokens, count(DISTINCT word) AS uniques
+         |FROM toks GROUP BY doc_id""".stripMargin)
+}
