@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Relational query pack over the TPC-H-ish driver tables — the extended
+  * analytics surface of SURVEY §2.2 (joins, windows, grouping sets, set
+  * ops, scalar functions, as-of and range joins), each with a DuckDB
+  * oracle.
+  *
+  * Determinism contract with the oracle: every floating aggregate is cast
+  * to DECIMAL *before* aggregation (exact, order-independent arithmetic —
+  * a parallel double sum is order-dependent and would flake the hash
+  * compare) and cast back to DOUBLE for output; both engines perform the
+  * identical exact-decimal → double conversion.
+  *
+  * Scale notes are per-query in the Scaladoc.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries TIMESTAMP(NANOS) which Spark's parquet reader rejects;
+    * read the raw INT64 nanos (legacy conf) and floor-convert to micros —
+    * the identical truncation DuckDB's `epoch_us` applies, keeping the
+    * oracle comparison exact.
+    */
+  private[queries] def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact decimal sum emitted as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  // --------------------------------------------------------------------
+  // q10: TPC-H Q1-shaped pricing summary — multi-aggregate hash agg with a
+  // pushed-down timestamp filter. Scale: partial aggregation on 2-value
+  // group keys makes the shuffle tiny regardless of input size; the filter
+  // reaches the parquet scan (PushedFilters).
+  def q10PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("cnt"))
+
+  // q11: revenue by nation — lineitem ⋈ orders (big-big, shuffled on the
+  // join key) with customer/nation/region broadcast. Scale: dims stay
+  // broadcast-sized at any SF (nation/region are fixed); the one real
+  // shuffle is lineitem⋈orders on orderkey, AQE-handled.
+  def q11RevenueByNation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // q12: left-semi join — customers having at least one open ('O') order.
+  // Scale: semi-join never duplicates the left side; Catalyst picks
+  // broadcast or shuffled-hash based on size.
+  def q12SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey", "c_name")
+
+  // q13: left-anti join — customers with no orders at all.
+  def q13AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  // q14: window top-N — top-3 orders per customer by (totalprice desc,
+  // orderkey asc). Scale: single hash exchange on o_custkey + in-partition
+  // sort; rank filter prunes before any further stage.
+  def q14WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("rk"),
+        col("o_totalprice").cast("decimal(18,4)").cast("double").as("totalprice"))
+  }
+
+  // q15: rollup over (returnflag, linestatus) — grouping sets with 'ALL'
+  // labels derived from grouping() so the oracle compare has no NULL
+  // ambiguity.
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  // q16: relational set ops — nations that have customers vs suppliers,
+  // via EXCEPT / INTERSECT (distinct semantics), tagged and unioned.
+  def q16SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val custN = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    val suppN = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct()
+    custN.except(suppN).withColumn("side", lit("customer_only"))
+      .unionByName(suppN.except(custN).withColumn("side", lit("supplier_only")))
+      .unionByName(custN.intersect(suppN).withColumn("side", lit("both")))
+  }
+
+  // q17: scalar-function surface — date parts, string ops, modular math.
+  // All built-in codegen'd expressions; whole query is one narrow stage.
+  def q17ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("pri4"),
+        length(col("o_orderstatus")).as("st_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        pmod(col("o_orderkey"), lit(7)).as("bucket7"),
+        greatest(col("o_totalprice").cast("decimal(18,4)"), lit(1000).cast("decimal(18,4)"))
+          .cast("double").as("price_floor"))
+
+  // q18: as-of join — for each click event, the most recent prior-or-equal
+  // purchase by the same user (AsOfJoin operator: union+window, one shuffle
+  // on user_id, no cross product; see operators/AsOfJoin.scala).
+  def q18AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    // dedupe purchases to one per (user, ts) with max event_id so the
+    // as-of pick is total-ordered
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    AsOfJoin(clicks, purchases, "user_id", "ts", "pts", Seq("purchase_id"))
+      .select(
+        col("click_id"),
+        col("user_id"),
+        col("asof_purchase_id").as("purchase_id"))
+  }
+
+  // q19: range join — bucket events into value tiers via a broadcast
+  // non-equi join against a 3-row bounds table. Scale: the small side is
+  // constant-sized → BroadcastNestedLoopJoin is the right physical plan.
+  def q19RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      (Double.NegativeInfinity, 10.0, "low"),
+      (10.0, 100.0, "mid"),
+      (100.0, Double.PositiveInfinity, "high")).toDF("lo", "hi", "tier")
+    events(spark, dir)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("event_type"), col("tier"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+  }
+
+  // q50: tumbling 1-hour event-time windows per event_type — the batch
+  // expression of the Structured Streaming windowed agg (streaming/
+  // IncrementalIndex uses the same plan shape with a watermark).
+  def q50HourlyWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  // q51: gap-based sessionization (30-min inactivity) as a batch window
+  // computation: lag + running sum of session-start flags. One shuffle on
+  // user_id; the same semantics as the streaming state operator.
+  def q51Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+          1).otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_pricing_summary" -> q10PricingSummary _,
+    "q11_revenue_by_nation" -> q11RevenueByNation _,
+    "q12_semi_join" -> q12SemiJoin _,
+    "q13_anti_join" -> q13AntiJoin _,
+    "q14_window_topn" -> q14WindowTopN _,
+    "q15_rollup" -> q15Rollup _,
+    "q16_setops" -> q16SetOps _,
+    "q17_scalar_funcs" -> q17ScalarFuncs _,
+    "q18_asof_join" -> q18AsOf _,
+    "q19_range_join" -> q19RangeJoin _,
+    "q50_hourly_windows" -> q50HourlyWindows _,
+    "q51_sessions" -> q51Sessions _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_revenue_by_nation" ->
+      """SELECT n_name, r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q14_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rk,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q15_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q16_setops" ->
+      """WITH custn AS (
+        |  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), suppn AS (
+        |  SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |)
+        |SELECT n_name, 'customer_only' AS side FROM (SELECT n_name FROM custn EXCEPT SELECT n_name FROM suppn)
+        |UNION ALL
+        |SELECT n_name, 'supplier_only' AS side FROM (SELECT n_name FROM suppn EXCEPT SELECT n_name FROM custn)
+        |UNION ALL
+        |SELECT n_name, 'both' AS side FROM (SELECT n_name FROM custn INTERSECT SELECT n_name FROM suppn)""".stripMargin,
+    "q17_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  upper(substr(o_orderpriority, 1, 4)) AS pri4,
+        |  CAST(length(o_orderstatus) AS INT) AS st_len,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  o_orderkey % 7 AS bucket7,
+        |  CAST(greatest(CAST(o_totalprice AS DECIMAL(18,4)), CAST(1000 AS DECIMAL(18,4))) AS DOUBLE) AS price_floor
+        |FROM orders""".stripMargin,
+    "q18_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT c.click_id, c.user_id, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin,
+    "q19_range_join" ->
+      """WITH tiers(lo, hi, tier) AS (
+        |  VALUES (CAST('-inf' AS DOUBLE), 10.0, 'low'),
+        |         (10.0, 100.0, 'mid'),
+        |         (100.0, CAST('inf' AS DOUBLE), 'high')
+        |)
+        |SELECT event_type, tier, count(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY event_type, tier""".stripMargin,
+    "q50_hourly_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q51_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |SELECT user_id, SUM(new_session) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY user_id""".stripMargin)
+}
