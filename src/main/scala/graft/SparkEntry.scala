@@ -8,9 +8,11 @@ object SparkEntry {
     ReferenceQueries.q1InvertedIndex(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ RelationalQueries.queries
+    ReferenceQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql
+    ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql
 }

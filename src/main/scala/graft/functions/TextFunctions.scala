@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text/vector primitives shared by the dedup, similarity and
+  * text-analysis operators. Everything here is built-in Catalyst
+  * expressions (codegen'd, no UDFs), and every hash is MD5 — the one hash
+  * both the engine and the DuckDB oracle compute bit-identically, which is
+  * what makes the dedup pipelines oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Lowercased alnum word array: split on whitespace, strip non-[a-z0-9]
+    * per token (joined, not re-split — reference tokenizer semantics,
+    * `/root/reference/src/functions.cpp:39-46`), drop empties.
+    */
+  def wordsArr(text: Column): Column =
+    filter(
+      transform(split(lower(text), "\\s+"), t => regexp_replace(t, "[^a-z0-9]", "")),
+      w => length(w) > 0)
+
+  /** Whitespace-collapsed, trimmed, lowercased normal form of a document. */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Word n-gram shingles (space-joined) from a word array; documents with
+    * fewer than n words fall back to a single whole-document shingle.
+    */
+  def shingles(words: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))
+    when(size(words) >= n, grams).otherwise(array(concat_ws(" ", array_join(words, " "))))
+  }
+
+  /** MinHash value for seed `j`: lexicographic min of md5("<j>|<shingle>")
+    * over the shingle set. Fixed-width lowercase hex, so string min ==
+    * numeric min — and identical in DuckDB.
+    */
+  def minhash(shingleSet: Column, j: Int): Column =
+    array_min(transform(shingleSet, s => md5(concat(lit(s"$j|"), s))))
+
+  /** Dot product of two double arrays (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double array. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cast a float array to double (exact) for stable arithmetic. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Similarity search over an embedding column (`Array[Float]`): exact
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the 100 TB scale path.
+  * Extended surface (no analog in the reference).
+  */
+object Similarity {
+
+  /** Normalize the raw float embedding into a double array column `v`. */
+  def prepared(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+
+  /** Exact pairwise cosine for every (query × corpus) pair above
+    * `minCos`. Brute force — O(|Q|·|C|) — correct at any scale only when
+    * one side is small (it is broadcast). Use [[annLsh]] when both sides
+    * are large.
+    */
+  def bruteForcePairs(
+      queries: DataFrame, corpus: DataFrame, idCol: String, minCos: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col("v").as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col("v").as("cv"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "cand_id", "cos")
+  }
+
+  /** Exact top-k neighbors per query by (cosine desc, cand_id asc).
+    * Ranking uses the 6dp-rounded cosine so the order is stable across
+    * engines computing the same value to within 1e-12.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, k: Int): DataFrame = {
+    val pairs = bruteForcePairs(queries, corpus, idCol, minCos = -1.0)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-0.5, 0.5), derived from md5 — no RNG state, so the
+    * signature of a vector is reproducible across runs and engines.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-plane-$plane-$dim".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** Random-hyperplane LSH bucketing: `numPlanes`-bit signature per vector
+    * (bit p = sign of dot(v, plane_p)). Vectors sharing a bucket are
+    * near-duplicates with high probability; search joins on the bucket id —
+    * an equality join on a 2^numPlanes-ary key, the scale path for ANN.
+    */
+  def lshBuckets(vectors: DataFrame, idCol: String, dim: Int, numPlanes: Int): DataFrame = {
+    val planes: Seq[Seq[Double]] =
+      (0 until numPlanes).map(p => (0 until dim).map(d => planeComponent(p, d)))
+    val sigBits = (0 until numPlanes).map { p =>
+      val planeArr = array(planes(p).map(lit): _*)
+      when(dot(col("v"), planeArr) > 0, 1L << p).otherwise(0L)
+    }
+    vectors.withColumn("bucket", sigBits.reduce(_ + _))
+  }
+
+  /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
+    * the bucket. Recall < 1 by construction (measured in the spec against
+    * [[bruteForceTopK]]); cost drops from |Q|·|C| to the bucket co-occurrence
+    * size. Multi-probe: vectors are also matched on buckets differing in one
+    * bit to lift recall.
+    */
+  def annLsh(
+      vectors: DataFrame, idCol: String, dim: Int, numPlanes: Int, k: Int): DataFrame = {
+    val bucketed = lshBuckets(vectors, idCol, dim, numPlanes)
+    // probe buckets: own bucket + each one-bit flip
+    val probes = bucketed.select(
+      col(idCol).as("query_id"), col("v").as("qv"),
+      explode(array((lit(col("bucket")) +:
+        (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*))
+        .as("probe"))
+    val cands = bucketed.select(col(idCol).as("cand_id"), col("v").as("cv"), col("bucket").as("probe"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(cands, Seq("probe"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos")
+  }
+}

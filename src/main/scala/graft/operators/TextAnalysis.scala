@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-hit heuristic), quality scoring, token counting, document
+  * fingerprinting. All built-in expressions — one narrow codegen'd
+  * projection per document, no shuffle — so they run at scan speed on
+  * 100 TB. Extended surface (no analog in the reference).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deterministic and oracle-expressible; languages scored in
+    * alphabetical order with strict-greater argmax so ties resolve to the
+    * alphabetically first language.
+    */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"))
+
+  private def hits(words: Column, list: Seq[String]): Column =
+    size(filter(words, w => w.isin(list.map(lit): _*)))
+
+  /** Per-document language prediction: argmax of stopword hits, ties to
+    * the alphabetically first language, no hits at all → "und".
+    * Emits (…, s_de, s_en, s_es, s_fr, pred_lang).
+    */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = wordsArr(col(textCol))
+    val scored = docs.select(
+      col(idCol) +: StopWords.map { case (l, list) => hits(w, list).as(s"s_$l") }: _*)
+    // strict-greater fold in alphabetical order == argmax with alpha tiebreak
+    val best = StopWords.map(_._1).tail.foldLeft(
+      (lit(StopWords.head._1), col(s"s_${StopWords.head._1}"))) {
+      case ((bl, bs), l) =>
+        (when(col(s"s_$l") > bs, lit(l)).otherwise(bl),
+          greatest(bs, col(s"s_$l")))
+    }
+    scored.withColumn(
+      "pred_lang",
+      when(best._2 === 0, lit("und")).otherwise(best._1))
+  }
+
+  /** Quality metrics per document:
+    *   - n_ws_tokens: whitespace tokens
+    *   - n_words: alnum-cleaned surviving tokens
+    *   - punct_ratio: chars outside [A-Za-z0-9 \s] over all chars (6dp)
+    *   - stopword_ratio: English stopword hits over words (6dp)
+    *   - mean_word_len: mean cleaned-word length (6dp)
+    *   - quality_score: 1 if (3 <= mean_word_len <= 10 and stopword_ratio
+    *     >= 0.01 and punct_ratio <= 0.3) else 0 — a C4-style boolean gate
+    */
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = wordsArr(col(textCol))
+    val en = StopWords.toMap.apply("en")
+    docs.select(
+      col(idCol),
+      size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).as("n_ws_tokens"),
+      size(w).as("n_words"),
+      round(
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("double") /
+          length(col(textCol)), 6).as("punct_ratio"),
+      round(hits(w, en).cast("double") / greatest(size(w), lit(1)), 6).as("stopword_ratio"),
+      round(
+        aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
+          greatest(size(w), lit(1)), 6).as("mean_word_len"))
+      .withColumn(
+        "quality_score",
+        when(
+          col("mean_word_len").between(3.0, 10.0) &&
+            col("stopword_ratio") >= 0.01 && col("punct_ratio") <= 0.3, 1).otherwise(0))
+  }
+
+  /** Token counts per document: whitespace tokens, alpha runs, digit runs,
+    * and a BPE-ish segmentation count (letter runs + digit runs + each
+    * non-alnum non-space char).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).as("n_ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+")).as("n_alpha_runs"),
+      regexp_count(col(textCol), lit("[0-9]+")).as("n_digit_runs"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpeish"))
+
+  /** Document fingerprints: md5 of the normalized text (exact dedup key)
+    * and the min shingle hash (a 1-hash MinHash — content-locality key).
+    */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = wordsArr(col(textCol))
+    docs.select(
+      col(idCol),
+      md5(normText(col(textCol))).as("fp_md5"),
+      array_min(transform(array_distinct(shingles(w, 3)), s => md5(s))).as("fp_shingle"))
+  }
+}

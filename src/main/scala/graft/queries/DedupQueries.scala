@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Deduplication query pack over `documents` (q30-q33): exact hash dedup,
+  * MinHash+LSH near-dup with exact-Jaccard verification, shared-shingle
+  * n-gram Jaccard, and 16-bit SimHash signatures. The md5-based hashing
+  * makes every stage bit-reproducible in the DuckDB oracle.
+  */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** q31: MinHash (4 hashes) + LSH (4 bands × 1 row) candidates, verified
+    * with exact Jaccard over the shingle sets. Emits every verified
+    * candidate pair — LSH equality implies a shared shingle, so J > 0.
+    */
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sigs = Dedup.minhashSignatures(d, "text", "doc_id", numHashes = 4)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", rowsPerBand = 1)
+    Dedup.jaccardVerify(cand, Dedup.shinglePairs(d, "text", "doc_id"), "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
+    "q31_minhash_lsh" -> (q31MinhashLsh _),
+    "q32_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", threshold = 0.05)),
+    "q33_simhash" -> ((s, dir) => Dedup.simhash16(docs(s, dir), "text", "doc_id")))
+
+  /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
+    * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.
+    */
+  private val ShingleCte =
+    """WITH wd AS (
+      |  SELECT doc_id,
+      |         list_filter(
+      |           list_transform(string_split_regex(lower(text), '\s+'),
+      |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+      |           x -> length(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |           unnest(CASE WHEN len(w) >= 3
+      |                  THEN list_transform(range(1, len(w) - 1),
+      |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |                  ELSE [array_to_string(w, ' ')] END) AS sh
+      |    FROM wd))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q31_minhash_lsh" ->
+      s"""$ShingleCte,
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+         |  GROUP BY doc_id, j),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mh a JOIN mh b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT i.id_a, i.id_b,
+         |       round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.id_a
+         |JOIN sizes sb ON sb.doc_id = i.id_b""".stripMargin,
+    "q32_ngram_jaccard" ->
+      s"""$ShingleCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT * FROM (
+         |  SELECT i.id_a, i.id_b,
+         |         round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b)
+         |WHERE jaccard >= 0.05""".stripMargin,
+    "q33_simhash" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(w) AS w FROM wd)),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(w), i + 1, 1)) - 1) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id, SUM(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin)
+}

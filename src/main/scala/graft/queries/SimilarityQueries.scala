@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Similarity-search query pack over `embeddings` (q34, q40, q41):
+  * embedding-cosine near-dup pairs, exact brute-force kNN, and the LSH
+  * ANN variant (approximate — no SQL oracle, checked by the recall spec).
+  */
+object SimilarityQueries {
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prepared(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+
+  /** q34: embedding near-dup — unordered pairs with 6dp cosine >= 0.45. */
+  def q34EmbedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.bruteForcePairs(v, v, "vec_id", minCos = 0.45)
+      .filter(col("query_id") < col("cand_id"))
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"), col("cos"))
+  }
+
+  /** q40: exact top-5 neighbors for the first ten vectors. */
+  def q40KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
+  }
+
+  /** q41: LSH ANN top-3 for every vector (approximate — rows-only check;
+    * recall vs q40 is asserted in SimilaritySpec).
+    */
+  def q41AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annLsh(vectors(spark, dir), "vec_id", dim = 64, numPlanes = 8, k = 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_embed_pairs" -> (q34EmbedPairs _),
+    "q40_knn_brute" -> (q40KnnBrute _),
+    "q41_ann_lsh" -> (q41AnnLsh _))
+
+  /** DuckDB cosine with explicit sequential arithmetic matching
+    * TextFunctions.cosine (double-cast floats, left-to-right fold).
+    */
+  private val CosCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_embed_pairs" ->
+      s"""$CosCte
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    "q40_knn_brute" ->
+      s"""$CosCte
+         |SELECT query_id, rank, cand_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+         |         row_number() OVER (
+         |           PARTITION BY q.vec_id
+         |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rank <= 5""".stripMargin)
+}

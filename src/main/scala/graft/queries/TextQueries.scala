@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.TextAnalysis
+
+/** Text-analysis query pack over `documents` (q20-q23): language ID,
+  * quality scoring, token counting, fingerprinting — each an oracle-checked
+  * view of a TextAnalysis operator.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Shared DuckDB word-array CTE — the SQL twin of TextFunctions.wordsArr. */
+  private val WordsCte =
+    """WITH wd AS (
+      |  SELECT doc_id, text,
+      |         list_filter(
+      |           list_transform(string_split_regex(lower(text), '\s+'),
+      |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+      |           x -> length(x) > 0) AS w
+      |  FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "text", "doc_id")),
+    "q21_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "text", "doc_id")),
+    "q22_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text", "doc_id")),
+    "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_lang_id" ->
+      s"""$WordsCte, scored AS (
+         |  SELECT doc_id,
+         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ein','zu','ist'], x))) AS s_de,
+         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+         |    len(list_filter(w, x -> list_contains(['el','la','los','de','y','un','una'], x))) AS s_es,
+         |    len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une'], x))) AS s_fr
+         |  FROM wd)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |       WHEN s_en > s_de THEN 'en'
+         |       ELSE 'de' END AS pred_lang
+         |FROM scored""".stripMargin,
+    "q21_quality" ->
+      s"""$WordsCte
+         |SELECT doc_id,
+         |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_ws_tokens,
+         |  len(w) AS n_words,
+         |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |        / length(text), 6) AS punct_ratio,
+         |  round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+         |        / greatest(len(w), 1), 6) AS stopword_ratio,
+         |  round(list_sum(list_transform(w, x -> length(x))) * 1.0
+         |        / greatest(len(w), 1), 6) AS mean_word_len,
+         |  CASE WHEN round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 6)
+         |              BETWEEN 3.0 AND 10.0
+         |         AND round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+         |              / greatest(len(w), 1), 6) >= 0.01
+         |         AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |              / length(text), 6) <= 0.3
+         |       THEN 1 ELSE 0 END AS quality_score
+         |FROM wd""".stripMargin,
+    "q22_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_runs,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin,
+    "q23_fingerprints" ->
+      s"""$WordsCte
+         |SELECT doc_id,
+         |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+         |  CASE WHEN len(w) >= 3
+         |       THEN list_min(list_transform(range(1, len(w) - 1),
+         |                     i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+         |       ELSE md5(array_to_string(w, ' ')) END AS fp_shingle
+         |FROM wd""".stripMargin)
+}
