@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("picks the latest right row at or before the left time, per key") {
+    val trades = Seq(
+      ("A", 10L, "t1"), ("A", 20L, "t2"), ("B", 15L, "t3"))
+      .toDF("sym", "t", "trade")
+    val quotes = Seq(
+      ("A", 5L, 100.0), ("A", 10L, 101.0), ("A", 19L, 102.0),
+      ("B", 16L, 200.0))
+      .toDF("sym", "qt", "px")
+    val got = AsOfJoin(trades, quotes, "sym", "t", "qt", Seq("px"))
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    // t1 at t=10: quote at exactly 10 is visible (<= semantics)
+    assert(got("t1").contains(101.0))
+    // t2 at t=20: latest is the t=19 quote
+    assert(got("t2").contains(102.0))
+    // t3 at t=15: B's only quote is at 16 → no match
+    assert(got("t3").isEmpty)
+  }
+}

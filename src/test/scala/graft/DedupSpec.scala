@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized duplicates") {
+    val d = docs(
+      1L -> "The quick   brown fox",
+      2L -> "  the QUICK brown\tfox ",
+      3L -> "something else entirely")
+    val got = Dedup.exact(d, "text", "doc_id")
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds near-duplicates and skips disjoint docs") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g z", // shares 5 of the shingles
+      3L -> "q r s t u v w x")
+    val got = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    // 6 shingles each, 5 shared → J = 5 / 7
+    assert(math.abs(got.head._3 - 5.0 / 7.0) < 1e-6)
+  }
+
+  test("minhash LSH surfaces identical docs as candidates with J=1") {
+    val d = docs(
+      1L -> "one two three four five six",
+      2L -> "one two three four five six",
+      3L -> "totally different words here now")
+    val sigs = Dedup.minhashSignatures(d, "text", "doc_id", numHashes = 4)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", rowsPerBand = 1)
+    val verified = Dedup
+      .jaccardVerify(cand, Dedup.shinglePairs(d, "text", "doc_id"), "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verified == Set((1L, 2L, 1.0)))
+  }
+
+  test("simhash is identical for identical content and signatures fit in 16 bits") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha  BETA gamma delta!",
+      3L -> "epsilon zeta eta theta")
+    val sigs = Dedup.simhash16(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L)) // same cleaned word set
+    assert(sigs.values.forall(s => s >= 0 && s < (1 << 16)))
+  }
+
+  test("simhash banded pairs == brute-force pairs at distance <= 3") {
+    val d = docs((1L to 20L).map(i =>
+      i -> s"word$i common shared tokens across documents number $i"): _*)
+    val sigs = Dedup.simhash16(d, "text", "doc_id")
+    val banded = Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = sigs.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(banded == brute)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f)),  // closest to 1
+      (3L, Array(0.0f, 1.0f)),  // orthogonal to 1
+      (4L, Array(-1.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val v = Similarity.prepared(vecs, "vec_id", "embedding")
+    val got = Similarity
+      .bruteForceTopK(v.filter(col("vec_id") === 1), v, "vec_id", k = 3)
+      .orderBy("rank")
+      .select("cand_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+
+  test("ANN results carry exact cosines and reach useful recall on sf0.001") {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v = Similarity.prepared(raw, "vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(v, v, "vec_id", k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annLsh(v, "vec_id", dim = 64, numPlanes = 8, k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    info(f"ANN recall@3 = $recall%.3f (|brute|=${brute.size}, |ann|=${ann.size})")
+    assert(recall > 0.02, "multi-probe LSH should beat random bucketing")
+    // every ANN pair's cosine must equal the exact cosine (re-rank is exact)
+    val annCos = Similarity.annLsh(v, "vec_id", dim = 64, numPlanes = 8, k = 3)
+      .select("query_id", "cand_id", "cos").as[(Long, Long, Double)].collect()
+    val exact = Similarity.bruteForcePairs(v, v, "vec_id", minCos = -1.0)
+      .select("query_id", "cand_id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    annCos.foreach { case (q, c, cos) => assert(exact((q, c)) == cos) }
+  }
+}
