@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Tokenizer
+
+/** Structured Streaming surface: the reference is batch-only
+  * (`/root/reference/src/main.cpp:30-59` runs once and exits), so these are
+  * the extended-engine streaming twins of the batch operators — built so
+  * the SAME logical transformations run incrementally:
+  *
+  *   - [[incrementalDocWords]]: the reference's tokenize→clean→dedup map
+  *     phase over an unbounded `(doc_id, text)` stream — Tokenizer is pure
+  *     built-in expressions, so it is streaming-safe as-is;
+  *   - [[eventWindowCounts]]: watermarked tumbling-window aggregation, the
+  *     streaming twin of batch q50;
+  *   - [[sessionize]]: gap-based sessions via flatMapGroupsWithState with
+  *     event-time timeout, the streaming twin of batch q51.
+  */
+object StreamingOps {
+
+  /** Tokenize an unbounded `(doc_id, text)` stream into distinct
+    * `(doc_id, word)` pairs. `dropDuplicates` keeps per-key state; with a
+    * watermark on an attached event-time column Spark bounds that state —
+    * at 100 TB/day the watermark is what makes the state finite.
+    */
+  def incrementalDocWords(docs: DataFrame): DataFrame =
+    Tokenizer.tokens(docs, "text", Seq("doc_id")).dropDuplicates("doc_id", "word")
+
+  /** Tumbling 1-hour event-time counts per event_type with a watermark —
+    * append-mode-safe (finalized windows only). Identical plan shape to
+    * RelationalQueries.q50HourlyWindows.
+    */
+  def eventWindowCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"))
+
+  case class Event(user_id: Long, ts: Timestamp)
+  case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
+  case class SessionState(start: Long, lastSeen: Long, n: Int)
+
+  /** Gap-based sessionization (30-min inactivity) with event-time timeout.
+    * State per user is O(1) (start, lastSeen, count) — the custom-state
+    * pattern (KeyValueGroupedDataset.flatMapGroupsWithState) that covers
+    * what windowed aggs can't express. Emits an update per batch and a
+    * final closed record on timeout.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.start, s.n, closed = true))
+          } else {
+            val sorted = batch.map(_.ts.getTime).toSeq.sorted
+            var closedOut = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+                case Some(s) =>
+                  closedOut ::= SessionUpdate(userId, s.start, s.n, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closedOut.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, SessionUpdate}
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("incremental doc-words dedups within a streamed micro-batch") {
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.incrementalDocWords(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("docwords").outputMode("append").start()
+    try {
+      ms.addData((1L, "The the THE cat"), (2L, "dog dog"))
+      q.processAllAvailable()
+      val got = spark.table("docwords").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "the"), (1L, "cat"), (2L, "dog")))
+    } finally q.stop()
+  }
+
+  test("windowed counts finalize once the watermark passes") {
+    val ms = MemoryStream[(Timestamp, String)](spark)
+    val q = StreamingOps.eventWindowCounts(ms.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("wincounts").outputMode("append").start()
+    try {
+      ms.addData((ts("10:05"), "a"), (ts("10:20"), "a"), (ts("10:40"), "b"))
+      q.processAllAvailable()
+      // append mode: the 10:00 window is still open
+      assert(spark.table("wincounts").count() == 0)
+      ms.addData((ts("12:00"), "z")) // watermark → 11:50, closes 10:00 and 11:00 windows
+      q.processAllAvailable()
+      val got = spark.table("wincounts")
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, c) => (w.toString.substring(11, 16), t, c) }.toSet
+      assert(got == Set(("10:00", "a", 2L), ("10:00", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on inactivity gap") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingOps.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      ms.addData(Event(1L, ts("10:00")), Event(1L, ts("10:10")))
+      q.processAllAvailable()
+      ms.addData(Event(1L, ts("11:30"))) // > 30 min gap → closes first session
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[SessionUpdate].collect().filter(_.closed)
+      assert(closed.exists(s =>
+        s.user_id == 1L && s.n_events == 2 &&
+          s.session_start == ts("10:00").getTime))
+    } finally q.stop()
+  }
+}
