@@ -19,16 +19,30 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** (id, words[]) with shingle set attached. */
+  /** (id, shingle set). The word array is materialized into its own
+    * projection first: `shingles` references it O(n) times via
+    * `element_at`, and an inlined `wordsArr` expression would be
+    * re-evaluated (regex included) on every access — higher-order-function
+    * lambdas defeat common-subexpression elimination.
+    */
   private def withShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(
-      col(idCol),
-      array_distinct(shingles(wordsArr(col(textCol)), n)).as("sh_set"))
+    docs
+      .select(col(idCol), wordsArr(col(textCol)).as("w"))
+      .select(col(idCol), array_distinct(shingles(col("w"), n)).as("sh_set"))
 
-  /** Distinct (id, shingle) pairs. */
+  /** Distinct (id, shingle) pairs.
+    *
+    * Plan-shape note: the shingle array is exploded as an EXPRESSION on
+    * top of the materialized word array, not first aliased to a column.
+    * Exploding an aliased attribute triggers InferFiltersFromGenerate,
+    * which synthesizes `size(...) > 0` with the whole (CodegenFallback)
+    * expression chain inlined several times and pushes it into the scan —
+    * measured ~8x slower than this shape at sf0.1.
+    */
   def shinglePairs(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    withShingles(docs, textCol, idCol, n)
-      .select(col(idCol), explode(col("sh_set")).as("sh"))
+    docs
+      .select(col(idCol), wordsArr(col(textCol)).as("w"))
+      .select(col(idCol), explode(array_distinct(shingles(col("w"), n))).as("sh"))
 
   /** Exact dedup: group documents by the md5 of their whitespace-normalized
     * text; one row per distinct content with the keeper (min id) and copy
@@ -74,9 +88,12 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for a set of candidate pairs, via shared-shingle counts
-    * (|A∩B| from a shingle equi-join restricted to the candidates, sizes
-    * from a per-doc count). Emits (id_a, id_b, jaccard) rounded to 6dp.
+  /** Exact Jaccard for a (small, LSH-pruned) set of candidate pairs:
+    * |A∩B| via joining the candidates to both shingle sets. Correct join
+    * order depends on candidate volume — this candidate-first shape is
+    * right when LSH prunes hard (its contract with rowsPerBand >= 2);
+    * [[ngramJaccard]] uses the self-join-first shape for the exhaustive
+    * case. Emits (id_a, id_b, jaccard) rounded to 6dp.
     */
   def jaccardVerify(
       candidates: DataFrame,
@@ -106,12 +123,24 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = shinglePairs(docs, textCol, idCol, shingleN)
-    val cand = sh.select(col(idCol).as("id_a"), col("sh"))
+    // persisted: referenced three times (both join sides + sizes); without
+    // it the shingle expression pipeline is re-evaluated per reference
+    val sh = shinglePairs(docs, textCol, idCol, shingleN).persist()
+    val sizes = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n"))
+    // one self-join pass: per-shingle fan-out is C(df, 2), aggregated
+    // straight into shared-shingle counts — no separate candidate stage
+    sh.select(col(idCol).as("id_a"), col("sh"))
       .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    jaccardVerify(cand, sh, idCol).filter(col("jaccard") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 16-bit SimHash over the document's distinct words. Bit i of a word is

@@ -31,9 +31,12 @@ object TextAnalysis {
     * Emits (…, s_de, s_en, s_es, s_fr, pred_lang).
     */
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = wordsArr(col(textCol))
-    val scored = docs.select(
-      col(idCol) +: StopWords.map { case (l, list) => hits(w, list).as(s"s_$l") }: _*)
+    // materialize the word array once — four stopword scans reuse it
+    val w = col("__w")
+    val scored = docs
+      .select(col(idCol), wordsArr(col(textCol)).as("__w"))
+      .select(
+        col(idCol) +: StopWords.map { case (l, list) => hits(w, list).as(s"s_$l") }: _*)
     // strict-greater fold in alphabetical order == argmax with alpha tiebreak
     val best = StopWords.map(_._1).tail.foldLeft(
       (lit(StopWords.head._1), col(s"s_${StopWords.head._1}"))) {
@@ -56,9 +59,10 @@ object TextAnalysis {
     *     >= 0.01 and punct_ratio <= 0.3) else 0 — a C4-style boolean gate
     */
   def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = wordsArr(col(textCol))
+    // materialize the word array once — several metrics reuse it
+    val w = col("__w")
     val en = StopWords.toMap.apply("en")
-    docs.select(
+    docs.select(col(idCol), col(textCol), wordsArr(col(textCol)).as("__w")).select(
       col(idCol),
       size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).as("n_ws_tokens"),
       size(w).as("n_words"),
@@ -92,11 +96,12 @@ object TextAnalysis {
   /** Document fingerprints: md5 of the normalized text (exact dedup key)
     * and the min shingle hash (a 1-hash MinHash — content-locality key).
     */
-  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = wordsArr(col(textCol))
-    docs.select(
-      col(idCol),
-      md5(normText(col(textCol))).as("fp_md5"),
-      array_min(transform(array_distinct(shingles(w, 3)), s => md5(s))).as("fp_shingle"))
-  }
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(textCol), wordsArr(col(textCol)).as("__w"))
+      .select(
+        col(idCol),
+        md5(normText(col(textCol))).as("fp_md5"),
+        array_min(transform(array_distinct(shingles(col("__w"), 3)), s => md5(s)))
+          .as("fp_shingle"))
 }
