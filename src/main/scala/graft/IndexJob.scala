@@ -17,10 +17,14 @@ import graft.sources.Corpus
   */
 object IndexJob {
 
-  /** Build the index DataFrame `(word, postings, df, letter)` for a corpus. */
+  /** Build the index DataFrame `(word, postings, df, letter)` for a corpus.
+    * Raw tokens feed the aggregation directly — collect_set dedups, so the
+    * plan has ONE exchange (word agg), not two (see
+    * InvertedIndex.buildFromTokens).
+    */
   def index(spark: SparkSession, manifestPath: String, baseDir: String): DataFrame = {
     val docs = Corpus.read(spark, manifestPath, baseDir)
-    InvertedIndex.build(Tokenizer.docWords(docs, "line", "doc_id"))
+    InvertedIndex.buildFromTokens(Tokenizer.tokens(docs, "line", Seq("doc_id")))
   }
 
   /** Build and write `a.txt`…`z.txt` under `outDir` (golden-compatible). */

@@ -26,13 +26,18 @@ object ReferenceQueries {
 
   /** Q1: the inverted index itself — word → space-joined ascending distinct
     * doc IDs (string-rendered for engine-agnostic comparison) + df.
+    * Aggregates the RAW token stream: collect_set dedups, so no separate
+    * dropDuplicates exchange (one shuffle total — the map-side partial
+    * collect_set is the reference's per-doc partial_map dedup).
     */
   def q1InvertedIndex(spark: SparkSession, dir: String): DataFrame =
-    docWords(spark, dir)
+    tokens(spark, dir)
       .groupBy("word")
-      .agg(
-        array_join(sort_array(collect_set(col("doc_id"))), " ").as("postings"),
-        count(col("doc_id")).as("df"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+      .select(
+        col("word"),
+        array_join(col("p"), " ").as("postings"),
+        size(col("p")).cast("long").as("df"))
 
   /** Q2: vocabulary size. */
   def q2Vocabulary(spark: SparkSession, dir: String): DataFrame =
