@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  /** Clean one raw token: strip non-ASCII-letters, lowercase the rest. */
+  /** Clean one raw token: strip non-ASCII-letters, lowercase the rest.
+    * Backed by the native codegen'd [[graft.functions.AsciiCleanLower]]
+    * expression (single byte-loop pass; no regex in the hot path —
+    * semantics golden-tested against the reference corpus).
+    */
   def cleanToken(tok: Column): Column =
-    lower(regexp_replace(tok, "[^A-Za-z]", ""))
+    graft.functions.AsciiCleanLower(tok)
 
   /** `(…, textCol)` → `(…, word)`: one output row per surviving token.
     * Carries `keepCols` through (typically the doc id).

@@ -1,0 +1,63 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{AsciiCleanLower, CompressedPostingsAgg, PostingsCodec}
+
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("ascii_clean_lower matches the regex formulation on random strings") {
+    val rnd = new Random(42)
+    val samples = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(0x3000).toChar).mkString
+    } :+ "" :+ "don't Mr. x1y“curly”"
+    val df = samples.toDF("t")
+    val rows = df.select(
+      AsciiCleanLower(col("t")).as("native"),
+      lower(regexp_replace(col("t"), "[^A-Za-z]", "")).as("regex"))
+      .as[(String, String)].collect()
+    rows.zip(samples).foreach { case ((native, regex), in) =>
+      assert(native == regex, s"input: ${in.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("ascii_clean_lower reference semantics: join survivors, strip non-ASCII") {
+    val got = Seq("don't", "Mr.", "x1y", "“curly”", "abc", "123", "")
+      .toDF("t").select(AsciiCleanLower(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("dont", "mr", "xy", "curly", "abc", "", ""))
+  }
+
+  test("ascii_clean_lower is SQL-registered via GraftFunctions") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT ascii_clean_lower('Hello, Wörld!') AS w")
+      .as[String].collect().head
+    assert(got == "hellowrld")
+  }
+
+  test("postings codec round-trips and compresses") {
+    val rnd = new Random(7)
+    (1 to 100).foreach { _ =>
+      val ids = (1 to rnd.nextInt(200))
+        .map(_ => math.abs(rnd.nextLong()) % (1L << 40))
+        .distinct.sorted.toArray
+      val enc = PostingsCodec.encode(ids)
+      assert(PostingsCodec.decode(enc).toSeq == ids.toSeq)
+    }
+    // dense postings compress far below 8 bytes/id
+    val dense = (1000000L to 1010000L).toArray
+    assert(PostingsCodec.encode(dense).length < dense.length * 2 + 10)
+  }
+
+  test("compressed postings aggregator equals collect_set") {
+    val pairs = Seq((1L, "a"), (2L, "a"), (2L, "a"), (5L, "a"), (3L, "b"))
+      .toDF("doc_id", "word")
+    val agg = udaf(CompressedPostingsAgg)
+    val got = pairs.groupBy("word")
+      .agg(agg(col("doc_id")).as("post"))
+      .as[(String, Array[Byte])].collect()
+      .map { case (w, b) => w -> PostingsCodec.decode(b).toSeq }.toMap
+    assert(got == Map("a" -> Seq(1L, 2L, 5L), "b" -> Seq(3L)))
+  }
+}
