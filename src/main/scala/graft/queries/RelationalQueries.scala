@@ -218,7 +218,42 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  // q52: running-total window frame — cumulative spend per customer in
+  // order-date order (rowsBetween unbounded preceding → current). One
+  // shuffle on o_custkey; frame evaluation is streaming within the sorted
+  // partition.
+  def q52RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("cum_spend"))
+  }
+
+  // q53: full-outer join — per-nation customer vs supplier counts, nations
+  // with only one side present kept with zero on the other.
+  def q53FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val cn = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("cn_name")).agg(count(lit(1)).as("c_cnt"))
+    val sn = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("sn_name")).agg(count(lit(1)).as("s_cnt"))
+    cn.join(sn, col("cn_name") === col("sn_name"), "full_outer")
+      .select(
+        coalesce(col("cn_name"), col("sn_name")).as("n_name"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_running_total" -> q52RunningTotal _,
+    "q53_full_outer" -> q53FullOuter _,
     "q10_pricing_summary" -> q10PricingSummary _,
     "q11_revenue_by_nation" -> q11RevenueByNation _,
     "q12_semi_join" -> q12SemiJoin _,
@@ -233,6 +268,23 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q52_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_spend
+        |FROM orders""".stripMargin,
+    "q53_full_outer" ->
+      """WITH cn AS (
+        |  SELECT n_name AS cn_name, count(*) AS c_cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+        |sn AS (
+        |  SELECT n_name AS sn_name, count(*) AS s_cnt
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1)
+        |SELECT coalesce(cn_name, sn_name) AS n_name,
+        |       coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
+        |FROM cn FULL OUTER JOIN sn ON cn_name = sn_name""".stripMargin,
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
