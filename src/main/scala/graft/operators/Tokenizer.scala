@@ -30,8 +30,21 @@ object Tokenizer {
 
   /** `(…, textCol)` → `(…, word)`: one output row per surviving token.
     * Carries `keepCols` through (typically the doc id).
+    *
+    * Backed by the native [[graft.functions.Tokenize]] Generator — the
+    * whole split→clean→filter chain in one byte pass (no regex, no
+    * intermediate token array). The composed-built-ins formulation is
+    * kept as [[tokensComposed]] for reference/differential testing.
     */
   def tokens(df: DataFrame, textCol: String, keepCols: Seq[String]): DataFrame = {
+    val keep = keepCols.map(col)
+    df.select(keep :+ graft.functions.Tokenize(col(textCol)).as("word"): _*)
+  }
+
+  /** Built-ins-only formulation of [[tokens]] (explode+regex split+clean):
+    * semantically identical; used to differential-test the native path.
+    */
+  def tokensComposed(df: DataFrame, textCol: String, keepCols: Seq[String]): DataFrame = {
     val keep = keepCols.map(col)
     df.select(keep :+ explode(split(col(textCol), "\\s+")).as("tok"): _*)
       .select(keep :+ cleanToken(col("tok")).as("word"): _*)

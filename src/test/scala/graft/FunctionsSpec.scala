@@ -60,4 +60,18 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .map { case (w, b) => w -> PostingsCodec.decode(b).toSeq }.toMap
     assert(got == Map("a" -> Seq(1L, 2L, 5L), "b" -> Seq(3L)))
   }
+
+  test("native Tokenize generator matches the composed built-ins") {
+    val rnd = new Random(13)
+    val samples = ((1 to 100).map { _ =>
+      (1 to rnd.nextInt(60)).map(_ => rnd.nextInt(0x300).toChar).mkString
+    } :+ "" :+ " don't  Mr.\tx1y “curly” 123 ABC  ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = samples.toDF("doc_id", "text")
+    val native = graft.operators.Tokenizer.tokens(df, "text", Seq("doc_id"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val composed = graft.operators.Tokenizer.tokensComposed(df, "text", Seq("doc_id"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(native == composed)
+  }
 }
