@@ -72,6 +72,56 @@ object Similarity {
     vectors.withColumn("bucket", sigBits.reduce(_ + _))
   }
 
+  /** IVF (inverted-file) cell assignment: each vector goes to its nearest
+    * of `k` deterministic seed centroids (the k lowest-id vectors — no RNG,
+    * no iterative training, so assignment is reproducible). The seed
+    * centroids are collected to the driver (k × dim doubles — broadcast-
+    * sized at any corpus scale) and inlined as literals, making the
+    * assignment a narrow codegen-able projection with no join.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, k: Int): DataFrame = {
+    val seeds: Array[Array[Double]] = vectors
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    // argmin over (negated cosine, cell id) structs — array_min orders
+    // lexicographically, so ties resolve to the lowest cell id
+    val scored = array(seeds.indices.map { i =>
+      val c = array(seeds(i).map(lit): _*)
+      struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
+    }: _*)
+    vectors.withColumn("cell", array_min(scored).getField("cell"))
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` nearest cells per query, exact
+    * cosine re-rank within the probed cells. The search join is an
+    * equality join on the cell id — the 100 TB path: cost scales with
+    * cell occupancy × probes, not corpus size.
+    */
+  def ivfTopK(
+      vectors: DataFrame, idCol: String, k: Int,
+      cells: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, idCol, cells)
+    val seeds: Array[Array[Double]] = vectors
+      .orderBy(col(idCol).asc).limit(cells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val scored = array(seeds.indices.map { i =>
+      val c = array(seeds(i).map(lit): _*)
+      struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
+    }: _*)
+    val probes = vectors
+      .withColumn("probe", explode(slice(array_sort(scored), 1, nProbe).getField("cell")))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("probe"))
+    val cands = assigned.select(col(idCol).as("cand_id"), col("v").as("cv"), col("cell").as("probe"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(cands, Seq("probe"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos")
+  }
+
   /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
     * the bucket. Recall < 1 by construction (measured in the spec against
     * [[bruteForceTopK]]); cost drops from |Q|·|C| to the bucket co-occurrence

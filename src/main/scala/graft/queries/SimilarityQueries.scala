@@ -34,10 +34,17 @@ object SimilarityQueries {
   def q41AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(vectors(spark, dir), "vec_id", dim = 64, numPlanes = 8, k = 3)
 
+  /** q42: IVF ANN top-3 (approximate — rows-only check; recall asserted
+    * in OperatorsSpec against exact kNN).
+    */
+  def q42AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(vectors(spark, dir), "vec_id", k = 3, cells = 8, nProbe = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q40_knn_brute" -> (q40KnnBrute _),
-    "q41_ann_lsh" -> (q41AnnLsh _))
+    "q41_ann_lsh" -> (q41AnnLsh _),
+    "q42_ann_ivf" -> (q42AnnIvf _))
 
   /** DuckDB cosine with explicit sequential arithmetic matching
     * TextFunctions.cosine (double-cast floats, left-to-right fold).

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, SkewJoin}
+import graft.sources.Tables
+
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("IVF assignment is deterministic and ivfTopK reaches useful recall") {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v = Similarity.prepared(raw, "vec_id", "embedding")
+    val a1 = Similarity.ivfAssign(v, "vec_id", k = 8)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val a2 = Similarity.ivfAssign(v.repartition(5), "vec_id", k = 8)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(a1 == a2, "cell assignment must not depend on partitioning")
+    assert(a1.values.toSet.size > 1, "vectors should spread across cells")
+
+    val brute = Similarity.bruteForceTopK(v, v, "vec_id", k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(v, "vec_id", k = 3, cells = 8, nProbe = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@3 = $recall%.3f (nProbe=3/8 cells)")
+    assert(recall > 0.2)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) "rare" else "hot", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("rare", 2.0), ("absent", 3.0)).toDF("k", "w")
+    val plain = big.join(small, "k").select("k", "v", "w")
+      .as[(String, Int, Double)].collect().sorted.toSeq
+    val salted = SkewJoin.saltedJoin(big, small, "k", saltFactor = 8)
+      .select("k", "v", "w").as[(String, Int, Double)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("csv/json/parquet round-trip through the Tables facade") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0))
+      .toDF("id", "name", "score")
+    val base = Files.createTempDirectory("graft-tables").toString
+    Tables.writeParquet(df, s"$base/p", partitionBy = Seq("name"))
+    Tables.writeCsv(df, s"$base/c")
+    Tables.writeJson(df, s"$base/j")
+    val p = Tables.parquet(spark, s"$base/p").select("id", "name", "score")
+    val c = Tables.csv(spark, s"$base/c", df.schema)
+    val j = Tables.json(spark, s"$base/j", df.schema)
+    val want = df.as[(Long, String, Double)].collect().sorted.toSeq
+    for (r <- Seq(p, c, j))
+      assert(r.as[(Long, String, Double)].collect().sorted.toSeq == want)
+  }
+}
