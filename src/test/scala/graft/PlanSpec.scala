@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the performance properties the engine
+  * relies on at scale (filter pushdown, column pruning, broadcast
+  * placement, shuffle counts) asserted against the actual planned
+  * output, so a refactor that silently loses one fails CI.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "(?<!Broadcast)(?<!Reused)Exchange hashpartitioning".r.findAllIn(p).size
+
+  test("q10: timestamp filter reaches the parquet scan, columns pruned") {
+    val p = plan("q10_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q11: all four dimension joins broadcast; single agg shuffle") {
+    val p = plan("q11_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("q1: inverted index plans exactly one shuffle (collect_set dedups)") {
+    val p = plan("q1_inverted_index")
+    assert(shuffles(p) == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("q12/q13: semi and anti joins stay semi/anti (no row duplication)") {
+    assert(plan("q12_semi_join").contains("LeftSemi"))
+    assert(plan("q13_anti_join").contains("LeftAnti"))
+  }
+
+  test("q22: text analysis reads only the needed columns") {
+    val p = plan("q22_token_counts")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("whole-stage codegen covers the executed pricing-summary stages") {
+    val df = SparkEntry.queries("q10_pricing_summary")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes stages with codegen wrappers
+    // codegen'd spans print with the "*(id)" star prefix in the final plan
+    assert("\\*\\(\\d+\\) HashAggregate".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined)
+  }
+}
