@@ -72,7 +72,17 @@ object ReferenceQueries {
         count(lit(1)).as("tokens"),
         countDistinct(col("word")).as("uniques"))
 
+  /** Q7: sketched vocabulary — HyperLogLog++ distinct-word estimate, the
+    * constant-memory alternative to Q2 at corpus scale (rows-only check:
+    * sketch estimates are implementation-specific across engines; the
+    * spec asserts the estimate lands within the configured error of Q2).
+    */
+  def q7ApproxVocabulary(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir).agg(
+      approx_count_distinct(col("word"), rsd = 0.02).as("approx_vocab"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_approx_vocab" -> q7ApproxVocabulary _,
     "q1_inverted_index" -> q1InvertedIndex _,
     "q2_vocabulary" -> q2Vocabulary _,
     "q3_doc_frequency" -> q3DocFrequency _,

@@ -40,6 +40,13 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"))
 
+  /** Stream-static enrichment: left-join the unbounded stream against a
+    * broadcast dimension — the standard lookup pattern; the static side
+    * is re-broadcast per micro-batch, the stream side never shuffles.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
   case class SessionState(start: Long, lastSeen: Long, n: Int)

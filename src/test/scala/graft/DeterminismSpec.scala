@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The M×R-grid analog for the query surface: results must be identical
+  * across shuffle-partition counts (the driver's oracle compare assumes
+  * it; all orderings carry total tie-breaks and all aggregates are
+  * order-independent).
+  */
+class DeterminismSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Queries = Seq(
+    "q1_inverted_index", "q14_window_topn", "q31_minhash_lsh",
+    "q50_hourly_windows", "q40_knn_brute", "q33_simhash")
+
+  test("query results are identical across shuffle-partition counts") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String): Map[String, Set[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      Queries.map { q =>
+        q -> SparkEntry.queries(q)(spark, sfDir).collect()
+          .map(_.toString).toSet
+      }.toMap
+    }
+    try {
+      val a = run("3")
+      val b = run("13")
+      Queries.foreach { q => assert(a(q) == b(q), s"$q differs across partition counts") }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("approx vocabulary lands within the configured error of the exact count") {
+    val approx = ReferenceQueriesApproxHelper.approx(spark, sfDir)
+    val exact = ReferenceQueriesApproxHelper.exact(spark, sfDir)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+}
+
+object ReferenceQueriesApproxHelper {
+  import org.apache.spark.sql.SparkSession
+  def approx(spark: SparkSession, dir: String): Long =
+    graft.queries.ReferenceQueries.q7ApproxVocabulary(spark, dir)
+      .collect().head.getLong(0)
+  def exact(spark: SparkSession, dir: String): Long =
+    graft.queries.ReferenceQueries.q2Vocabulary(spark, dir)
+      .collect().head.getLong(0)
+}

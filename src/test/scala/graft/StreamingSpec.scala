@@ -57,4 +57,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
           s.session_start == ts("10:00").getTime))
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcasts the dimension per micro-batch") {
+    val ms = MemoryStream[(Long, String)](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps.enrich(ms.toDF.toDF("user_id", "event"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      ms.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(got == Set((1L, "click", Some("gold")), (3L, "view", None)))
+    } finally q.stop()
+  }
 }
