@@ -21,10 +21,15 @@ object Bench {
     "q11_revenue_by_nation",
     "q14_window_topn",
     "q18_asof_join",
+    "q20_lang_id",
     "q22_token_counts",
+    "q30_exact_dedup",
     "q31_minhash_lsh",
+    "q33_simhash",
     "q40_knn_brute",
-    "q50_hourly_windows")
+    "q42_ann_ivf",
+    "q50_hourly_windows",
+    "q52_running_total")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

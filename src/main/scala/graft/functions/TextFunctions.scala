@@ -41,9 +41,12 @@ object TextFunctions {
   def minhash(shingleSet: Column, j: Int): Column =
     array_min(transform(shingleSet, s => md5(concat(lit(s"$j|"), s))))
 
-  /** Dot product of two double arrays (sequential fold — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double arrays — native codegen'd expression with
+    * sequential accumulation (bit-equal to the
+    * `aggregate(zip_with(...))` fold it replaces, ~200x faster; see
+    * [[VectorDot]]).
+    */
+  def dot(a: Column, b: Column): Column = VectorDot(a, b)
 
   /** L2 norm of a double array. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
