@@ -30,19 +30,50 @@ object Dedup {
       .select(col(idCol), wordsArr(col(textCol)).as("w"))
       .select(col(idCol), array_distinct(shingles(col("w"), n)).as("sh_set"))
 
-  /** Distinct (id, shingle) pairs.
+  /** Distinct (id, shingle) pairs via the native
+    * [[graft.functions.WordNgrams]] Generator — one byte pass per
+    * document with in-generator dedup, replacing the interpreted
+    * higher-order-function chain (split→transform→filter→shingle→
+    * distinct→explode).
     *
-    * Plan-shape note: the shingle array is exploded as an EXPRESSION on
-    * top of the materialized word array, not first aliased to a column.
-    * Exploding an aliased attribute triggers InferFiltersFromGenerate,
-    * which synthesizes `size(...) > 0` with the whole (CodegenFallback)
-    * expression chain inlined several times and pushes it into the scan —
-    * measured ~8x slower than this shape at sf0.1.
+    * ASCII contract: lowercasing is byte-wise, so the two exotic Unicode
+    * one-to-ASCII lowercase mappings (U+0130, U+212A) are dropped rather
+    * than folded; identical to the column formulation on all ASCII and
+    * all ordinary multi-byte input.
     */
   def shinglePairs(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    docs
-      .select(col(idCol), wordsArr(col(textCol)).as("w"))
-      .select(col(idCol), explode(array_distinct(shingles(col("w"), n))).as("sh"))
+    docs.select(col(idCol), graft.functions.WordNgrams(col(textCol), n).as("sh"))
+
+  /** MinHash + banded LSH candidates straight from the long-format
+    * shingle table — the scale path used by q31: signatures come from a
+    * `groupBy(id, seed) → min(md5)` aggregation (map-side combinable; no
+    * per-row array state), bands pair consecutive seeds (r=2), and the
+    * candidate join is on (band, digest). Results are identical to
+    * [[minhashSignatures]]+[[lshCandidates]] with rowsPerBand=2.
+    */
+  def minhashLshCandidates(
+      shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    require(numHashes % 2 == 0, "r=2 banding needs an even hash count")
+    val mh = shingles
+      .select(col(idCol), col("sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh")))).as("mh"))
+    // persisted: the self-join (and a potential broadcast) would otherwise
+    // re-run the whole signature pipeline once per side
+    val bands = mh
+      .withColumn("band", (col("j") / 2).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws("|",
+        min(when(col("j") % 2 === 0, col("mh"))),
+        min(when(col("j") % 2 === 1, col("mh"))))).as("digest"))
+      .persist()
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("digest"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("digest"))
+    a.join(b, Seq("band", "digest"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 
   /** Exact dedup: group documents by the md5 of their whitespace-normalized
     * text; one row per distinct content with the keeper (min id) and copy

@@ -23,13 +23,14 @@ object DedupQueries {
     */
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    // the shingle expression pipeline is the expensive narrow stage and is
-    // referenced by signatures AND both sides of the verify join — persist
-    // so it is computed once (at cluster scale: a checkpoint/persisted
-    // intermediate table, standard for multi-pass dedup)
+    // the shingle table feeds the signature aggregation AND both sides of
+    // the verify join — persist so the generator pass runs once (at
+    // cluster scale: a persisted/checkpointed intermediate, standard for
+    // multi-pass dedup)
     val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
-    val sigs = Dedup.minhashSignatures(d, "text", "doc_id", numHashes = 8).persist()
-    val cand = Dedup.lshCandidates(sigs, "doc_id", rowsPerBand = 2)
+    // candidates are tiny; persisting stops the verify join (and its
+    // broadcast planning) from re-running the LSH pipeline per reference
+    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8).persist()
     Dedup.jaccardVerify(cand, sh, "doc_id")
   }
 
