@@ -251,9 +251,31 @@ object RelationalQueries {
         coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
   }
 
+  // q54: arg-max aggregation — each user's latest event (max_by on the
+  // event-time; deterministic because (ts, event_id) is unique per user).
+  def q54LastEvent(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), col("ts")).as("last_event_id"),
+        unix_micros(max(col("ts"))).as("last_ts_us"))
+
+  // q55: semi-structured scalar functions — parse the JSON props column
+  // and aggregate the extracted field. get_json_object is codegen'd; no
+  // UDF, the JSON never leaves the projection.
+  def q55JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_running_total" -> q52RunningTotal _,
     "q53_full_outer" -> q53FullOuter _,
+    "q54_last_event" -> q54LastEvent _,
+    "q55_json_extract" -> q55JsonExtract _,
     "q10_pricing_summary" -> q10PricingSummary _,
     "q11_revenue_by_nation" -> q11RevenueByNation _,
     "q12_semi_join" -> q12SemiJoin _,
@@ -268,6 +290,16 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q54_last_event" ->
+      """SELECT user_id,
+        |       arg_max(event_id, ts) AS last_event_id,
+        |       epoch_us(max(ts)) AS last_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q55_json_extract" ->
+      """SELECT event_type,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q52_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
