@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AsciiCleanLower].getName, "ascii_clean_lower"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AsciiCleanLower(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyAsciiCleanLower)
   }
 }
 

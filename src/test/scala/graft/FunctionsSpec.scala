@@ -74,4 +74,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSeq.sorted
     assert(native == composed)
   }
+
+  test("SimplifyAsciiCleanLower removes redundant applications") {
+    import graft.plans.SimplifyAsciiCleanLower
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ SimplifyAsciiCleanLower
+    try {
+      val df = spark.read.parquet(s"$sfDir/documents.parquet").limit(5)
+        .select(AsciiCleanLower(lower(AsciiCleanLower(col("text")))).as("w"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert("ascii_clean_lower".r.findAllIn(optimized).size == 1, optimized)
+      assert("(?<!_)lower\\(".r.findFirstIn(optimized).isEmpty, optimized)
+      val direct = spark.read.parquet(s"$sfDir/documents.parquet").limit(5)
+        .select(AsciiCleanLower(col("text")).as("w"))
+      assert(df.as[String].collect().toSeq == direct.as[String].collect().toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
