@@ -22,11 +22,42 @@ object TextQueries {
       |           x -> length(x) > 0) AS w
       |  FROM documents)""".stripMargin
 
+  /** q24: winnowing near-copy pairs (rows-only: the rolling hash is not
+    * SQL-expressible; the winnowing guarantee and normalization
+    * invariance are spec-asserted in FunctionsSpec). Standard corpus
+    * recipe: drop boilerplate fingerprints (document frequency > 20 —
+    * they indicate common phrasing, not copying, and unbound the join
+    * fan-out), then keep pairs whose CONTAINMENT (shared / smaller
+    * fingerprint set) >= 0.6. On a corpus without real near-copies the
+    * result is correctly empty.
+    */
+  def q24WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.Winnow(col("text"), 5, 4).as("fp"))
+      .persist()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+    val kept = fps.join(rare.select("fp"), Seq("fp")).persist()
+    val sizes = kept.groupBy(col("doc_id").as("id")).agg(count(lit(1)).as("n"))
+    kept.select(col("doc_id").as("id_a"), col("fp"))
+      .join(kept.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= 0.6)
+      .select("id_a", "id_b", "shared", "containment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "text", "doc_id")),
     "q21_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "text", "doc_id")),
     "q22_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text", "doc_id")),
-    "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")))
+    "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")),
+    "q24_winnow_pairs" -> (q24WinnowPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_lang_id" ->

@@ -90,4 +90,33 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       assert(df.as[String].collect().toSeq == direct.as[String].collect().toSeq)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("winnowing fingerprints: shared substrings share fingerprints") {
+    import graft.functions.Winnow
+    val k = 5; val w = 4
+    def fp(s: String): Set[Long] =
+      Winnow.fingerprints(s.getBytes("UTF-8"), k, w).toSet
+    val core = "the quick brown fox jumps over the lazy dog repeatedly"
+    val a = fp("PREFIX AAA " + core + " SUFFIX one")
+    val b = fp("other start " + core + " different end")
+    // winnowing guarantee: a shared substring of length >= w + k - 1
+    // yields at least one shared fingerprint
+    assert(a.intersect(b).nonEmpty)
+    assert(fp(core) == fp("  " + core.toUpperCase + "!!"), "normalization-invariant")
+    assert(fp("abc") == fp("abc"), "tiny docs still fingerprint")
+    assert(fp("") .isEmpty)
+    // disjoint content should (overwhelmingly) not collide
+    assert(fp("completely unrelated words here")
+      .intersect(fp("zzz qqq xxx vvv uuu")).isEmpty)
+  }
+
+  test("winnow generator emits distinct fingerprints per document") {
+    import graft.functions.Winnow
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+      .select(col("doc_id"), Winnow(col("text"), 5, 4).as("fp"))
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach(v => assert(v.distinct.length == v.length))
+  }
 }
