@@ -271,11 +271,26 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
 
+  // q56: CUBE over (returnflag, linestatus) — all four grouping sets with
+  // 'ALL' labels (completes the grouping-sets surface next to q15 rollup).
+  def q56Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+        col("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_running_total" -> q52RunningTotal _,
     "q53_full_outer" -> q53FullOuter _,
     "q54_last_event" -> q54LastEvent _,
     "q55_json_extract" -> q55JsonExtract _,
+    "q56_cube" -> q56Cube _,
     "q10_pricing_summary" -> q10PricingSummary _,
     "q11_revenue_by_nation" -> q11RevenueByNation _,
     "q12_semi_join" -> q12SemiJoin _,
@@ -290,6 +305,13 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q56_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q54_last_event" ->
       """SELECT user_id,
         |       arg_max(event_id, ts) AS last_event_id,
