@@ -32,19 +32,32 @@ object Similarity {
       .select("query_id", "cand_id", "cos")
   }
 
+  /** Bounded top-k per query via [[graft.functions.TopKAgg]]: map-side
+    * partial top-k, so only k rows per query per partition cross the
+    * shuffle — identical results to the
+    * `row_number().over(window) <= k` formulation, which would shuffle
+    * and sort EVERY candidate row.
+    */
+  private def topKPerQuery(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg(k))
+    pairs
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("cand_id")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("cand_id"),
+        col("t._1").as("cos"))
+  }
+
   /** Exact top-k neighbors per query by (cosine desc, cand_id asc).
     * Ranking uses the 6dp-rounded cosine so the order is stable across
     * engines computing the same value to within 1e-12.
     */
   def bruteForceTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, k: Int): DataFrame = {
-    val pairs = bruteForcePairs(queries, corpus, idCol, minCos = -1.0)
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cos")
-  }
+      queries: DataFrame, corpus: DataFrame, idCol: String, k: Int): DataFrame =
+    topKPerQuery(bruteForcePairs(queries, corpus, idCol, minCos = -1.0), k)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-0.5, 0.5), derived from md5 — no RNG state, so the
@@ -112,14 +125,11 @@ object Similarity {
       .withColumn("probe", explode(slice(array_sort(scored), 1, nProbe).getField("cell")))
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("probe"))
     val cands = assigned.select(col(idCol).as("cand_id"), col("v").as("cv"), col("cell").as("probe"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    probes.join(cands, Seq("probe"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cos")
+    topKPerQuery(
+      probes.join(cands, Seq("probe"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos")),
+      k)
   }
 
   /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
@@ -138,13 +148,10 @@ object Similarity {
         (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*))
         .as("probe"))
     val cands = bucketed.select(col(idCol).as("cand_id"), col("v").as("cv"), col("bucket").as("probe"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    probes.join(cands, Seq("probe"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cos")
+    topKPerQuery(
+      probes.join(cands, Seq("probe"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos")),
+      k)
   }
 }
