@@ -49,6 +49,43 @@ object TextAnalysis {
       when(best._2 === 0, lit("und")).otherwise(best._1))
   }
 
+  /** Character-n-gram profiles for [[langIdNgram]] — tiny discriminative
+    * trigram sets per language (deterministic, oracle-expressible via
+    * occurrence counting).
+    */
+  val Trigrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "ich", "der", "und", "ein"),
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "es" -> Seq("que", "los", "cio", "ent", "ada"),
+    "fr" -> Seq("les", "ent", "que", "eur", "ion"))
+
+  private def occurrences(text: Column, pat: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) /
+      pat.length).cast("int")
+
+  /** Per-document language prediction from character-trigram occurrence
+    * counts over the normalized text — the n-gram flavor of [[langId]]
+    * (same argmax/tie rules: alphabetical-first, zero hits → "und").
+    */
+  def langIdNgram(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = col("__norm")
+    val scored = docs
+      .select(col(idCol), normText(col(textCol)).as("__norm"))
+      .select(
+        col(idCol) +: Trigrams.map { case (l, grams) =>
+          grams.map(g => occurrences(norm, g)).reduce(_ + _).as(s"t_$l")
+        }: _*)
+    val best = Trigrams.map(_._1).tail.foldLeft(
+      (lit(Trigrams.head._1), col(s"t_${Trigrams.head._1}"))) {
+      case ((bl, bs), l) =>
+        (when(col(s"t_$l") > bs, lit(l)).otherwise(bl),
+          greatest(bs, col(s"t_$l")))
+    }
+    scored.withColumn(
+      "pred_lang",
+      when(best._2 === 0, lit("und")).otherwise(best._1))
+  }
+
   /** Quality metrics per document:
     *   - n_ws_tokens: whitespace tokens
     *   - n_words: alnum-cleaned surviving tokens

@@ -57,9 +57,44 @@ object TextQueries {
     "q21_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "text", "doc_id")),
     "q22_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text", "doc_id")),
     "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")),
-    "q24_winnow_pairs" -> (q24WinnowPairs _))
+    "q24_winnow_pairs" -> (q24WinnowPairs _),
+    "q25_lang_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(docs(s, dir), "text", "doc_id")))
 
   val oracleSql: Map[String, String] = Map(
+    "q25_lang_ngram" ->
+      """WITH nm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST((length(n) - length(replace(n,'sch',''))) / 3
+        |       + (length(n) - length(replace(n,'ich',''))) / 3
+        |       + (length(n) - length(replace(n,'der',''))) / 3
+        |       + (length(n) - length(replace(n,'und',''))) / 3
+        |       + (length(n) - length(replace(n,'ein',''))) / 3 AS INT) AS t_de,
+        |    CAST((length(n) - length(replace(n,'the',''))) / 3
+        |       + (length(n) - length(replace(n,'ing',''))) / 3
+        |       + (length(n) - length(replace(n,'and',''))) / 3
+        |       + (length(n) - length(replace(n,'ion',''))) / 3
+        |       + (length(n) - length(replace(n,'ent',''))) / 3 AS INT) AS t_en,
+        |    CAST((length(n) - length(replace(n,'que',''))) / 3
+        |       + (length(n) - length(replace(n,'los',''))) / 3
+        |       + (length(n) - length(replace(n,'cio',''))) / 3
+        |       + (length(n) - length(replace(n,'ent',''))) / 3
+        |       + (length(n) - length(replace(n,'ada',''))) / 3 AS INT) AS t_es,
+        |    CAST((length(n) - length(replace(n,'les',''))) / 3
+        |       + (length(n) - length(replace(n,'ent',''))) / 3
+        |       + (length(n) - length(replace(n,'que',''))) / 3
+        |       + (length(n) - length(replace(n,'eur',''))) / 3
+        |       + (length(n) - length(replace(n,'ion',''))) / 3 AS INT) AS t_fr
+        |  FROM nm)
+        |SELECT doc_id, t_de, t_en, t_es, t_fr,
+        |  CASE WHEN t_de = 0 AND t_en = 0 AND t_es = 0 AND t_fr = 0 THEN 'und'
+        |       WHEN t_fr > greatest(t_de, t_en, t_es) THEN 'fr'
+        |       WHEN t_es > greatest(t_de, t_en) THEN 'es'
+        |       WHEN t_en > t_de THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM scored""".stripMargin,
     "q20_lang_id" ->
       s"""$WordsCte, scored AS (
          |  SELECT doc_id,

@@ -71,4 +71,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(got == Set((1L, "click", Some("gold")), (3L, "view", None)))
     } finally q.stop()
   }
+
+  test("incremental index maintains postings across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[(Long, String)](spark)
+    // complete-mode word aggregation over the streamed doc-words — the
+    // incremental maintenance of the reference's batch index
+    val index = StreamingOps.incrementalDocWords(ms.toDF.toDF("doc_id", "text"))
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+    val q = index.writeStream.format("memory").queryName("incindex")
+      .outputMode("complete").start()
+    try {
+      ms.addData((1L, "cat dog"), (2L, "dog fish"))
+      q.processAllAvailable()
+      def postings(): Map[String, Seq[Long]] =
+        spark.table("incindex").as[(String, Seq[Long])].collect().toMap
+      assert(postings() == Map(
+        "cat" -> Seq(1L), "dog" -> Seq(1L, 2L), "fish" -> Seq(2L)))
+      ms.addData((3L, "dog CAT!"))
+      q.processAllAvailable()
+      assert(postings() == Map(
+        "cat" -> Seq(1L, 3L), "dog" -> Seq(1L, 2L, 3L), "fish" -> Seq(2L)))
+    } finally q.stop()
+  }
 }
