@@ -65,9 +65,23 @@ object Bench {
         name -> (if (n < 0) -1.0 else sec)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // apples-to-apples vs BASELINE.md: end-to-end index build of the
+    // reference's own 355-doc corpus (its checker budget is 200 s)
+    val refManifest = "/root/reference/checker/test.txt"
+    val refResults =
+      if (new java.io.File(refManifest).isFile) {
+        val out = java.nio.file.Files.createTempDirectory("graft-bench-index").toString
+        val t0 = System.nanoTime()
+        val ok = try { IndexJob.run(spark, refManifest, "/root/reference/checker", out); true }
+          catch { case _: Throwable => false }
+        Seq("index_reference_corpus" ->
+          (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+      } else Nil
+
+    val all = results ++ refResults
+    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
