@@ -40,8 +40,26 @@ object SimilarityQueries {
   def q42AnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(vectors(spark, dir), "vec_id", k = 3, cells = 8, nProbe = 3)
 
+  /** q35: embedding near-dup via LSH buckets — the 100 TB path for q34:
+    * candidate pairs share a hyperplane bucket (equality join, no cross
+    * product), then the exact cosine threshold is applied. A subset of
+    * q34's exact answer (recall asserted in SimilaritySpec); rows-only —
+    * the md5-derived planes are not SQL-expressible.
+    */
+  def q35EmbedDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = Similarity.lshBuckets(vectors(spark, dir), "vec_id", dim = 64, numPlanes = 8)
+    b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+      .join(b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.TextFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_pairs" -> (q34EmbedPairs _),
+    "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _))
