@@ -99,7 +99,7 @@ object Similarity {
     // argmin over (negated cosine, cell id) structs — array_min orders
     // lexicographically, so ties resolve to the lowest cell id
     val scored = array(seeds.indices.map { i =>
-      val c = array(seeds(i).map(lit): _*)
+      val c = array(seeds(i).toIndexedSeq.map(lit): _*)
       struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
     }: _*)
     vectors.withColumn("cell", array_min(scored).getField("cell"))
@@ -118,7 +118,7 @@ object Similarity {
       .orderBy(col(idCol).asc).limit(cells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     val scored = array(seeds.indices.map { i =>
-      val c = array(seeds(i).map(lit): _*)
+      val c = array(seeds(i).toIndexedSeq.map(lit): _*)
       struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
     }: _*)
     val probes = vectors

@@ -59,7 +59,7 @@ object Corpus {
     */
   def readDocuments(spark: SparkSession, manifest: DataFrame): DataFrame = {
     val paths = manifest.select("path").collect().map(_.getString(0))
-    val lines = spark.read.text(paths: _*)
+    val lines = spark.read.text(paths.toIndexedSeq: _*)
       .select(input_file_name().as("file"), col("value").as("line"))
     // input_file_name() yields an absolute file: URI; normalize both sides to
     // an absolute path before joining.
