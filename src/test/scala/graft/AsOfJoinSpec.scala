@@ -24,4 +24,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     // t3 at t=15: B's only quote is at 16 → no match
     assert(got("t3").isEmpty)
   }
+
+  test("matches a brute-force reference on random series") {
+    val rnd = new scala.util.Random(99)
+    val left = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i * 10.0))
+      // dedupe (key, time) so the as-of pick is well-defined
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val l = left.toDF("k", "t", "lid")
+    val r = right.toDF("k", "qt", "px")
+    val got = AsOfJoin(l, r, "k", "t", "qt", Seq("px"))
+      .select("lid", "asof_px").as[(Long, Option[Double])].collect().toMap
+    left.foreach { case (k, t, lid) =>
+      val expected = right.filter(x => x._1 == k && x._2 <= t)
+        .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+      assert(got(lid) == expected, s"key=$k t=$t lid=$lid")
+    }
+  }
 }

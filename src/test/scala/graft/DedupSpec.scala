@@ -70,4 +70,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } yield (a, b)).toSet
     assert(banded == brute)
   }
+
+  test("long-format LSH candidates equal the array-format path (r=2)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = Dedup.shinglePairs(d, "text", "doc_id")
+    val longFmt = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8)
+      .as[(Long, Long)].collect().toSet
+    val sigs = Dedup.minhashSignatures(d, "text", "doc_id", numHashes = 8)
+    val arrayFmt = Dedup.lshCandidates(sigs, "doc_id", rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(longFmt == arrayFmt)
+  }
 }
