@@ -29,6 +29,7 @@ object Bench {
     "q40_knn_brute",
     "q42_ann_ivf",
     "q50_hourly_windows",
+    "q70_curation",
     "q52_running_total")
 
   def main(args: Array[String]): Unit = {

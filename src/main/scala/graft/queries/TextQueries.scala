@@ -58,9 +58,46 @@ object TextQueries {
     "q22_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text", "doc_id")),
     "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")),
     "q24_winnow_pairs" -> (q24WinnowPairs _),
-    "q25_lang_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(docs(s, dir), "text", "doc_id")))
+    "q25_lang_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(docs(s, dir), "text", "doc_id")),
+    "q70_curation" -> ((s, dir) =>
+      graft.operators.Curation.curate(docs(s, dir), "text", "doc_id", Seq("en", "de"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q70_curation" ->
+      s"""$WordsCte, keepers AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |        FROM documents)
+         |  GROUP BY fp
+         |), metrics AS (
+         |  SELECT doc_id,
+         |    len(w) AS n_words,
+         |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+         |          / length(text), 6) AS punct_ratio,
+         |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+         |          / greatest(len(w), 1), 6) AS stopword_ratio,
+         |    round(list_sum(list_transform(w, x -> length(x))) * 1.0
+         |          / greatest(len(w), 1), 6) AS mean_word_len,
+         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ein','zu','ist'], x))) AS s_de,
+         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+         |    len(list_filter(w, x -> list_contains(['el','la','los','de','y','un','una'], x))) AS s_es,
+         |    len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une'], x))) AS s_fr
+         |  FROM wd)
+         |SELECT m.doc_id, m.n_words,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |       WHEN s_en > s_de THEN 'en'
+         |       ELSE 'de' END AS pred_lang
+         |FROM metrics m JOIN keepers k ON m.doc_id = k.doc_id
+         |WHERE m.mean_word_len BETWEEN 3.0 AND 10.0
+         |  AND m.stopword_ratio >= 0.01
+         |  AND m.punct_ratio <= 0.3
+         |  AND (CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |            WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |            WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |            WHEN s_en > s_de THEN 'en'
+         |            ELSE 'de' END) IN ('en', 'de')""".stripMargin,
     "q25_lang_ngram" ->
       """WITH nm AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
