@@ -31,12 +31,8 @@ object Curation {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val deduped = withFp.join(keepers, Seq(idCol), "left_semi")
-    val quality = TextAnalysis.quality(deduped, textCol, idCol)
-      .filter(col("quality_score") === 1)
-      .select(col(idCol), col("n_words"))
-    val lang = TextAnalysis.langId(deduped, textCol, idCol)
-      .filter(col("pred_lang").isin(langs: _*))
-      .select(col(idCol), col("pred_lang"))
-    quality.join(lang, Seq(idCol))
+    TextAnalysis.documentProfile(deduped, textCol, idCol)
+      .filter(col("quality_score") === 1 && col("pred_lang").isin(langs: _*))
+      .select(col(idCol), col("n_words"), col("pred_lang"))
   }
 }

@@ -130,6 +130,44 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[0-9]+")).as("n_digit_runs"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpeish"))
 
+  /** One-pass combined profile: quality metrics AND language scores from
+    * a single materialized word array — the curation pipeline's narrow
+    * stage (each standalone operator re-derives the array; composing them
+    * would double the scan-side work).
+    */
+  def documentProfile(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = col("__w")
+    val en = StopWords.toMap.apply("en")
+    val scored = docs
+      .select(col(idCol), col(textCol), wordsArr(col(textCol)).as("__w"))
+      .select(
+        Seq(
+          col(idCol),
+          size(w).as("n_words"),
+          round(
+            (length(col(textCol)) -
+              length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("double") /
+              length(col(textCol)), 6).as("punct_ratio"),
+          round(hits(w, en).cast("double") / greatest(size(w), lit(1)), 6).as("stopword_ratio"),
+          round(
+            aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
+              greatest(size(w), lit(1)), 6).as("mean_word_len")) ++
+          StopWords.map { case (l, list) => hits(w, list).as(s"s_$l") }: _*)
+    val best = StopWords.map(_._1).tail.foldLeft(
+      (lit(StopWords.head._1), col(s"s_${StopWords.head._1}"))) {
+      case ((bl, bs), l) =>
+        (when(col(s"s_$l") > bs, lit(l)).otherwise(bl),
+          greatest(bs, col(s"s_$l")))
+    }
+    scored
+      .withColumn("pred_lang", when(best._2 === 0, lit("und")).otherwise(best._1))
+      .withColumn(
+        "quality_score",
+        when(
+          col("mean_word_len").between(3.0, 10.0) &&
+            col("stopword_ratio") >= 0.01 && col("punct_ratio") <= 0.3, 1).otherwise(0))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact dedup key)
     * and the min shingle hash (a 1-hash MinHash — content-locality key).
     */
