@@ -81,4 +81,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(longFmt == arrayFmt)
   }
+
+  test("full MinHash pipeline finds seeded near-duplicates in real text") {
+    // take real paragraphs from the reference corpus, seed mutated copies
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/checker/test_in/moby_dick/Moby_Dick_Chapter_100_cleaned.txt"))
+    val paras = src.split("\\n\\n").map(_.trim).filter(_.length > 200).take(20)
+    val rnd = new scala.util.Random(5)
+    val originals = paras.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val mutated = paras.zipWithIndex.map { case (t, i) =>
+      val words = t.split("\\s+")
+      val k = math.max(1, words.length / 20) // mutate ~5% of words
+      val idxs = Seq.fill(k)(rnd.nextInt(words.length)).toSet
+      val m = words.zipWithIndex
+        .map { case (w, j) => if (idxs(j)) "MUTATED" else w }.mkString(" ")
+      ((i + 1000).toLong, m)
+    }
+    val d = (originals ++ mutated).toSeq.toDF("doc_id", "text")
+    val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
+    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8)
+    val verified = Dedup.jaccardVerify(cand, sh, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = originals.indices.map(i => (i.toLong, (i + 1000).toLong)).toSet
+    val found = expected.intersect(verified)
+    info(s"found ${found.size}/${expected.size} seeded near-dup pairs")
+    // r=2 banding: P(candidate) = 1-(1-J^2)^4, J~0.8-0.9 -> ~97-99%
+    assert(found.size >= expected.size * 7 / 10)
+    // and no original-original false positives at this threshold
+    val falsePos = verified.filter { case (a, b) => a < 1000 && b < 1000 }
+    assert(falsePos.isEmpty, s"unexpected high-jaccard pairs: $falsePos")
+  }
 }
