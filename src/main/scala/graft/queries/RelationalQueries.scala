@@ -285,12 +285,24 @@ object RelationalQueries {
         when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
         col("cnt"))
 
+  // q57: pivot — events-per-type counts widened to columns per user.
+  // The pivot value list is explicit (deterministic column set; an
+  // inferred list would need an extra distinct pass over the data).
+  def q57Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_running_total" -> q52RunningTotal _,
     "q53_full_outer" -> q53FullOuter _,
     "q54_last_event" -> q54LastEvent _,
     "q55_json_extract" -> q55JsonExtract _,
     "q56_cube" -> q56Cube _,
+    "q57_pivot" -> q57Pivot _,
     "q10_pricing_summary" -> q10PricingSummary _,
     "q11_revenue_by_nation" -> q11RevenueByNation _,
     "q12_semi_join" -> q12SemiJoin _,
@@ -305,6 +317,14 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q57_pivot" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
     "q56_cube" ->
       """SELECT
         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
