@@ -41,7 +41,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,6 +53,10 @@ object Bench {
       Headline.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          // queries persist() intermediates they reference more than once;
+          // the runner owns the cache lifecycle — drop them per query so
+          // storage memory never accumulates across the session
+          spark.catalog.clearCache()
         }
       }
     spark.read.parquet(s"$sfDir/nation.parquet").count()
@@ -63,6 +66,7 @@ object Bench {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // per-query cache ownership (see warmup)
         name -> (if (n < 0) -1.0 else sec)
       }
     }

@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Arithmetic is the identical left-to-right accumulation
   * (`acc += a(i)*b(i)` ascending), so results are bit-equal to the HOF
-  * fold and the oracle comparisons are unaffected.
+  * fold and the oracle comparisons are unaffected. Mismatched-length
+  * arrays yield NULL — the same answer the `zip_with` fold gives (its
+  * shorter-side padding makes the products NULL), never a silently
+  * truncated partial dot product.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -33,11 +37,21 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
         s"$prettyName requires ARRAY<DOUBLE> arguments, got ${l.sql}, ${r.sql}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VectorDot.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorDot.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
@@ -47,10 +61,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 object VectorDot {
 
   /** Sequential-accumulation dot product; called from interpreted eval
-    * and generated code alike.
+    * and generated code alike. Precondition (enforced by the expression's
+    * null guard): equal lengths.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -45,27 +45,35 @@ object Dedup {
     docs.select(col(idCol), graft.functions.WordNgrams(col(textCol), n).as("sh"))
 
   /** MinHash + banded LSH candidates straight from the long-format
-    * shingle table — the scale path used by q31: signatures come from a
-    * `groupBy(id, seed) → min(md5)` aggregation (map-side combinable; no
-    * per-row array state), bands pair consecutive seeds (r=2), and the
-    * candidate join is on (band, digest). Results are identical to
+    * shingle table — the scale path used by q31: ONE aggregation computes
+    * every signature slot as a column (`min(md5(j || '|' || sh))` per
+    * seed j — map-side combinable, no row explosion), bands pair
+    * consecutive seeds (r=2) in a narrow projection over the wide
+    * signature row, and the candidate join is on (band, digest). An
+    * earlier long-format plan (explode ×numHashes → groupBy(id, seed) →
+    * second groupBy(id, band)) shuffled numHashes× the shingle table and
+    * shuffled again for banding; this shape shuffles the shingle table
+    * once and derives bands for free. Results are identical to
     * [[minhashSignatures]]+[[lshCandidates]] with rowsPerBand=2.
     */
   def minhashLshCandidates(
       shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes % 2 == 0, "r=2 banding needs an even hash count")
-    val mh = shingles
-      .select(col(idCol), col("sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh")))).as("mh"))
-    // persisted: the self-join (and a potential broadcast) would otherwise
-    // re-run the whole signature pipeline once per side
+    val sigCols = (0 until numHashes).map { j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j")
+    }
+    val mh = shingles.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until numHashes / 2).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("digest"))
+    }
+    // persisted: the self-join would otherwise re-run the signature
+    // aggregation once per side; tiny (numHashes/2 rows per document).
+    // Cache lifecycle is owned by the caller/runner (clearCache per query).
     val bands = mh
-      .withColumn("band", (col("j") / 2).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws("|",
-        min(when(col("j") % 2 === 0, col("mh"))),
-        min(when(col("j") % 2 === 1, col("mh"))))).as("digest"))
+      .select(col(idCol), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.digest").as("digest"))
       .persist()
     val a = bands.select(col(idCol).as("id_a"), col("band"), col("digest"))
     val b = bands.select(col(idCol).as("id_b"), col("band"), col("digest"))

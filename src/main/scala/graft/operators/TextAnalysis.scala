@@ -89,7 +89,9 @@ object TextAnalysis {
   /** Quality metrics per document:
     *   - n_ws_tokens: whitespace tokens
     *   - n_words: alnum-cleaned surviving tokens
-    *   - punct_ratio: chars outside [A-Za-z0-9 \s] over all chars (6dp)
+    *   - punct_ratio: chars outside [A-Za-z0-9 \s] over all chars (6dp;
+    *     empty text → 0, guarded denominator — matches the oracle, where
+    *     a bare division by zero would yield NULL)
     *   - stopword_ratio: English stopword hits over words (6dp)
     *   - mean_word_len: mean cleaned-word length (6dp)
     *   - quality_score: 1 if (3 <= mean_word_len <= 10 and stopword_ratio
@@ -106,7 +108,7 @@ object TextAnalysis {
       round(
         (length(col(textCol)) -
           length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("double") /
-          length(col(textCol)), 6).as("punct_ratio"),
+          greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
       round(hits(w, en).cast("double") / greatest(size(w), lit(1)), 6).as("stopword_ratio"),
       round(
         aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
@@ -147,7 +149,7 @@ object TextAnalysis {
           round(
             (length(col(textCol)) -
               length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("double") /
-              length(col(textCol)), 6).as("punct_ratio"),
+              greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
           round(hits(w, en).cast("double") / greatest(size(w), lit(1)), 6).as("stopword_ratio"),
           round(
             aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /

@@ -127,6 +127,6 @@ object DedupQueries {
         |                  THEN 1 ELSE -1 END) AS v
         |  FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
         |  GROUP BY doc_id, i)
-        |SELECT doc_id, SUM(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin)
 }

@@ -319,11 +319,11 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q57_pivot" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
     "q56_cube" ->
       """SELECT
@@ -339,7 +339,7 @@ object RelationalQueries {
         |FROM events GROUP BY user_id""".stripMargin,
     "q55_json_extract" ->
       """SELECT event_type,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q52_running_total" ->
@@ -456,6 +456,6 @@ object RelationalQueries {
         |  FROM (SELECT user_id, ts,
         |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
-        |SELECT user_id, SUM(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id""".stripMargin)
 }

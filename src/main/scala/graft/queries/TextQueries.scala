@@ -73,7 +73,7 @@ object TextQueries {
          |  SELECT doc_id,
          |    len(w) AS n_words,
          |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
-         |          / length(text), 6) AS punct_ratio,
+         |          / greatest(length(text), 1), 6) AS punct_ratio,
          |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
          |          / greatest(len(w), 1), 6) AS stopword_ratio,
          |    round(list_sum(list_transform(w, x -> length(x))) * 1.0
@@ -153,7 +153,7 @@ object TextQueries {
          |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_ws_tokens,
          |  len(w) AS n_words,
          |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
-         |        / length(text), 6) AS punct_ratio,
+         |        / greatest(length(text), 1), 6) AS punct_ratio,
          |  round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
          |        / greatest(len(w), 1), 6) AS stopword_ratio,
          |  round(list_sum(list_transform(w, x -> length(x))) * 1.0
@@ -163,7 +163,7 @@ object TextQueries {
          |         AND round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
          |              / greatest(len(w), 1), 6) >= 0.01
          |         AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
-         |              / length(text), 6) <= 0.3
+         |              / greatest(length(text), 1), 6) <= 0.3
          |       THEN 1 ELSE 0 END AS quality_score
          |FROM wd""".stripMargin,
     "q22_token_counts" ->
