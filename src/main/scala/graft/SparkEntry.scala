@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      SearchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      SearchQueries.oracleSql
 }

@@ -35,4 +35,25 @@ object Curation {
       .filter(col("quality_score") === 1 && col("pred_lang").isin(langs: _*))
       .select(col(idCol), col("n_words"), col("pred_lang"))
   }
+
+  /** Deterministic held-out split: route each row to a named fraction of
+    * the corpus by the md5 of its id — the standard reproducible
+    * train/val/test assignment for a training pipeline (stable under
+    * re-runs, re-partitioning, and incremental appends, unlike sampling).
+    *
+    * `cuts` maps each split name to the EXCLUSIVE upper bound of its
+    * bucket range as a 2-hex-digit string, in ascending order; ids whose
+    * `md5` prefix falls below the first bound get the first name, and so
+    * on; the remainder gets `rest`. Fixed-width lowercase hex compares
+    * stably in any engine. Pure per-row projection — no shuffle, no state.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      cuts: Seq[(String, String)], rest: String): DataFrame = {
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 2)
+    val assigned = cuts.foldRight(lit(rest)) { case ((name, bound), tail) =>
+      when(prefix < bound, name).otherwise(tail)
+    }
+    df.withColumn("split", assigned)
+  }
 }

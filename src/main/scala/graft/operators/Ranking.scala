@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Search-side ranking over the corpus — the query layer the reference's
+  * index exists to serve (the reference builds the index, reference
+  * `src/functions.cpp:104-164`, but ships no scoring; this is the standard
+  * IR surface a user of an indexer runs next): TF-IDF weighting, Okapi
+  * BM25 scoring, a positional index, and position-join phrase matching.
+  *
+  * Tokenization here is the text-pipeline alphabet (`[a-z0-9]` per
+  * whitespace token, [[TextFunctions.wordsArr]]) shared with the dedup and
+  * text-analysis operators.
+  *
+  * Determinism contract (oracle hash-compare): every score is
+  * integer-derived (tf/df/dl/N are longs) combined with double `ln` and
+  * division, then `round(..., 6)` on both engines; no cross-row double
+  * summation anywhere (BM25 is emitted per (doc, term) — a per-doc total
+  * would sum doubles in partition order).
+  *
+  * Scale notes are per-operator; the common shape is: one map-side
+  * combinable `groupBy(doc, word)` over the token stream (the only big
+  * shuffle), vocabulary-sized statistics tables broadcast back onto it.
+  */
+object Ranking {
+
+  /** (doc, pos, word) token stream with 0-based positions within the
+    * cleaned word sequence. One generator projection — no shuffle.
+    */
+  def tokensWithPos(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      posexplode(TextFunctions.wordsArr(col(textCol)))).toDF(idCol, "pos", "word")
+
+  /** Raw (doc, word) token occurrences (with repetition). */
+  private def tokens(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.wordsArr(col(textCol))).as("word"))
+
+  /** TF-IDF per (doc, word): `tf * ln(N / df)`, rounded to 6dp.
+    *
+    * Scale: term frequencies come from ONE hash aggregation over the token
+    * stream (partial+final, map-side combined); document frequencies are a
+    * second aggregation over the already-collapsed (doc, word) table —
+    * vocabulary-sized, so the df table and the one-row corpus count join
+    * back via broadcast. No shuffle touches the full token stream twice.
+    */
+  def tfidf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = tokens(docs, textCol, idCol)
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .select(
+        col(idCol), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+  }
+
+  /** Okapi BM25, emitted per (doc, query term):
+    *
+    *   idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *   s(d, t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *
+    * with `dl/avgdl` computed as the integer-derived `dl * N / sum(dl)`.
+    * N and avgdl are over documents with at least one token.
+    *
+    * Scale: the token stream is filtered to the query terms BEFORE its
+    * aggregation, so the per-term tf table is query-sized; document
+    * lengths are one map-side-combinable count per doc (no shuffle of
+    * token text, only of (doc, count) pairs); global stats are a one-row
+    * broadcast. Works unchanged whether `terms` is 3 words or 10k.
+    */
+  def bm25(
+      docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs, textCol, idCol)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf: Column =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm: Column =
+      col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))
+    tf.join(broadcast(df), "word")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol), col("word"), col("tf"), col("df"), col("dl"),
+        round(idf * col("tf") * (k1 + 1) / norm, 6).as("bm25"))
+  }
+
+  /** Positional inverted index: word → (doc, ascending 0-based positions),
+    * positions space-joined for engine-agnostic comparison.
+    *
+    * Scale: one hash aggregation on (word, doc) over the positional token
+    * stream; `collect_list` state is bounded by per-doc term frequency
+    * (not corpus size). The downstream phrase join consumes the SAME
+    * (word, doc, pos) stream directly rather than this rendered form.
+    */
+  def positionalIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    tokensWithPos(docs, textCol, idCol)
+      .groupBy(col("word"), col(idCol))
+      .agg(array_join(array_sort(collect_list(col("pos"))), " ").as("positions"))
+
+  /** Phrase occurrence counts per document via the positional-join plan a
+    * distributed search engine runs: each phrase term's postings are
+    * filtered from the positional token stream, their positions shifted
+    * back by the term's offset, and consecutive terms equi-joined on
+    * (doc, start position) — occurrences survive all joins.
+    *
+    * Scale: each side of every join is one term's postings (corpus
+    * frequency of that term, NOT corpus size); joins are equi-joins on
+    * (doc, pos) so they shuffle only those postings. For a phrase of p
+    * terms that's p-1 postings-sized joins — the standard document-at-a-
+    * time alternative would re-read whole documents instead.
+    */
+  def phraseCount(
+      docs: DataFrame, textCol: String, idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val tp = tokensWithPos(docs, textCol, idCol)
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      tp.filter(col("word") === w).select(col(idCol), (col("pos") - i).as("p0"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq(idCol, "p0")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -296,7 +296,44 @@ object RelationalQueries {
       .na.fill(0L)
       .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
 
+  // q58: exact quantiles — linearly-interpolated percentiles of extended
+  // price per returnflag (Spark `percentile` == DuckDB `quantile_cont`,
+  // both h = (n-1)p interpolation). Exact ordering of doubles is
+  // deterministic; only the interpolation produces non-input values, and
+  // those are rounded to 6dp on both sides. Scale note: exact percentile
+  // collects per-group sorted state — right for low-cardinality groups
+  // like this; the high-cardinality scale path is approx_percentile
+  // (t-digest sketch, mergeable map-side), asserted against this exact
+  // result in the spec rather than the oracle.
+  def q58Quantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("cnt"))
+
+  // q59: string-distance scalar surface — Levenshtein edit distance over
+  // all nation-name pairs (the fuzzy-match primitive for entity
+  // resolution). The pair space is dimension-sized so the cross join is
+  // broadcast; at corpus scale fuzzy matching goes through a blocking
+  // join (LSH/prefix) first, same shape as the dedup candidate pipeline.
+  def q59EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val a = nation.select(col("n_nationkey").as("k_a"), col("n_name").as("name_a"))
+    val b = nation.select(col("n_nationkey").as("k_b"), col("n_name").as("name_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("k_a") < col("k_b"))
+      .select(
+        col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_quantiles" -> q58Quantiles _,
+    "q59_edit_distance" -> q59EditDistance _,
     "q52_running_total" -> q52RunningTotal _,
     "q53_full_outer" -> q53FullOuter _,
     "q54_last_event" -> q54LastEvent _,
@@ -317,6 +354,18 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q58_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q59_edit_distance" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |       levenshtein(a.n_name, b.n_name) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""".stripMargin,
     "q57_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

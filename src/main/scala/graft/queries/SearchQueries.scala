@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Ranking
+
+/** Search/ranking query pack over `documents` (q8/q9/q26/q27): the IR
+  * query layer served by the inverted index the reference builds — TF-IDF
+  * weights, per-term Okapi BM25, a positional index, and positional-join
+  * phrase search. Every query is oracle-checked; scores follow the 6dp
+  * rounding + integer-derived-arithmetic determinism contract (see
+  * [[graft.operators.Ranking]]).
+  */
+object SearchQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** BM25 query terms — high-df corpus words chosen so every sf matches. */
+  private val Bm25Terms = Seq("hash", "join", "scan")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
+    "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
+    "q26_phrase_count" -> ((s, dir) =>
+      Ranking.phraseCount(docs(s, dir), "text", "doc_id", Seq("hash", "join"))),
+    "q27_positional_index" -> ((s, dir) =>
+      Ranking.positionalIndex(docs(s, dir), "text", "doc_id")))
+
+  /** DuckDB word-array CTE — the SQL twin of TextFunctions.wordsArr (the
+    * text-pipeline `[a-z0-9]` alphabet, same as TextQueries.WordsCte).
+    */
+  private val WordsCte =
+    """WITH wd AS (
+      |  SELECT doc_id, text,
+      |         list_filter(
+      |           list_transform(string_split_regex(lower(text), '\s+'),
+      |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+      |           x -> length(x) > 0) AS w
+      |  FROM documents)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q8_tfidf" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
+         |       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 6) AS tfidf
+         |FROM tf JOIN dfx USING (word) CROSS JOIN n""".stripMargin,
+    "q9_bm25" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM wd WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+         |       WHERE word IN ('hash', 'join', 'scan') GROUP BY doc_id, word),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+         |SELECT tf.doc_id, tf.word, tf.tf, dfx.df, dl.dl,
+         |       round(ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |             * tf.tf * (1.2 + 1.0)
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |             6) AS bm25
+         |FROM tf JOIN dfx USING (word) JOIN dl USING (doc_id) CROSS JOIN stats""".stripMargin,
+    "q26_phrase_count" ->
+      s"""$WordsCte
+         |SELECT doc_id, n FROM (
+         |  SELECT doc_id,
+         |         len(list_filter(range(1, len(w)),
+         |                         i -> w[i] = 'hash' AND w[i+1] = 'join')) AS n
+         |  FROM wd)
+         |WHERE n > 0""".stripMargin,
+    "q27_positional_index" ->
+      s"""$WordsCte,
+         |dw2 AS (SELECT doc_id, w, unnest(list_distinct(w)) AS word
+         |        FROM wd WHERE len(w) > 0)
+         |SELECT word, doc_id,
+         |       array_to_string(
+         |         list_transform(
+         |           list_filter(range(0, len(w)), i -> w[i+1] = word),
+         |           i -> CAST(i AS VARCHAR)), ' ') AS positions
+         |FROM dw2""".stripMargin)
+}

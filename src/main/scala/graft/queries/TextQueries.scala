@@ -60,9 +60,22 @@ object TextQueries {
     "q24_winnow_pairs" -> (q24WinnowPairs _),
     "q25_lang_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(docs(s, dir), "text", "doc_id")),
     "q70_curation" -> ((s, dir) =>
-      graft.operators.Curation.curate(docs(s, dir), "text", "doc_id", Seq("en", "de"))))
+      graft.operators.Curation.curate(docs(s, dir), "text", "doc_id", Seq("en", "de"))),
+    // q71: deterministic train/val/test assignment by md5(doc_id) prefix —
+    // ~10.2% test (md5 prefix 00-19), ~10.2% val (1a-33), rest train.
+    // Reproducible under re-runs/repartitioning, unlike sampling.
+    "q71_hash_split" -> ((s, dir) =>
+      graft.operators.Curation.hashSplit(
+        docs(s, dir).select("doc_id"), "doc_id",
+        Seq("test" -> "1a", "val" -> "34"), "train")))
 
   val oracleSql: Map[String, String] = Map(
+    "q71_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+        |            ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
     "q70_curation" ->
       s"""$WordsCte, keepers AS (
          |  SELECT min(doc_id) AS doc_id

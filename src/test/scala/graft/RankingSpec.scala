@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Ranking}
+
+/** Search/ranking layer: TF-IDF, BM25, positional index, phrase joins,
+  * and the deterministic hash split — invariants beyond the DuckDB
+  * oracle comparison (which covers exact values at sf0.01).
+  */
+class RankingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hash join beats nested loop join"),
+    (2L, "sort merge join"),
+    (3L, "table scan only"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("tfidf: rare terms outweigh common ones; df/tf counted exactly") {
+    val out = Ranking.tfidf(docs, "text", "doc_id")
+      .select("doc_id", "word", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    // 'join' appears twice in doc 1, df=2 across the corpus
+    assert(byKey((1L, "join"))._3 == 2 && byKey((1L, "join"))._4 == 2)
+    // 'scan' (df=1) must outscore 'join' (df=2) at equal tf
+    assert(byKey((3L, "scan"))._5 > byKey((2L, "join"))._5)
+    // a term in every non-empty doc would have idf ln(4/3) > 0 (N counts
+    // the empty doc too — df can never reach N when a doc has no tokens)
+    assert(out.forall(_._5 > 0))
+  }
+
+  test("bm25: higher tf ranks higher for same term; dl normalization applies") {
+    val out = Ranking.bm25(docs, "text", "doc_id", Seq("join", "scan"))
+      .select("doc_id", "word", "bm25").as[(Long, String, Double)].collect()
+    val score = out.map(r => (r._1, r._2) -> r._3).toMap
+    // doc 1 has tf=2 for 'join', doc 2 tf=1 — but doc 1 is longer (6 words
+    // vs 3), so assert the tf effect dominates here (it does: 2.2/1.9 > 1)
+    assert(score((1L, "join")) > score((2L, "join")))
+    assert(score.keySet == Set((1L, "join"), (2L, "join"), (3L, "scan")))
+  }
+
+  test("positional index emits ascending 0-based positions") {
+    val out = Ranking.positionalIndex(docs, "text", "doc_id")
+      .select("word", "doc_id", "positions").as[(String, Long, String)].collect()
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("join", 1L)) == "1 5")
+    assert(m(("hash", 1L)) == "0")
+    assert(!m.keySet.exists(_._2 == 4L), "empty doc contributes nothing")
+  }
+
+  test("phrase join counts overlapping occurrences and crosses no docs") {
+    val d = Seq(
+      (1L, "a b a b a"), // 'a b' starts at 0 and 2
+      (2L, "a a b"), // one occurrence
+      (3L, "b a")).toDF("doc_id", "text") // none
+    val out = Ranking.phraseCount(d, "text", "doc_id", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("three-term phrase requires full adjacency") {
+    val d = Seq(
+      (1L, "x y z tail"),
+      (2L, "x y q z")).toDF("doc_id", "text")
+    val out = Ranking.phraseCount(d, "text", "doc_id", Seq("x", "y", "z"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("hash split is deterministic, partition-invariant, and exhaustive") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val cuts = Seq("test" -> "1a", "val" -> "34")
+    val s1 = Curation.hashSplit(ids, "doc_id", cuts, "train")
+      .as[(Long, String)].collect().toMap
+    val s2 = Curation.hashSplit(ids.repartition(7), "doc_id", cuts, "train")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2, "assignment must not depend on partitioning")
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    // 26/256 ≈ 10.2% per held-out split; generous tolerance on 2000 ids
+    assert(math.abs(frac("test") - 0.102) < 0.03, s"test frac ${frac("test")}")
+    assert(math.abs(frac("val") - 0.102) < 0.03, s"val frac ${frac("val")}")
+    assert(frac("train") > 0.7)
+  }
+
+  test("approx_percentile tracks the exact q58 percentiles") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, p) =>
+      assert(math.abs(approx(k) - p) / p < 0.05, s"$k: approx ${approx(k)} vs $p")
+    }
+  }
+}
