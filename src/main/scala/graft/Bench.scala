@@ -25,6 +25,7 @@ object Bench {
     "q22_token_counts",
     "q30_exact_dedup",
     "q31_minhash_lsh",
+    "q9_bm25",
     "q33_simhash",
     "q40_knn_brute",
     "q42_ann_ivf",
@@ -44,11 +45,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM warmup: run every headline plan once at the smallest SF so the
+    // JVM warmup: run every headline plan once at a small SF so the
     // measured runs see JIT-compiled expression paths (the interpreted
     // higher-order-function expressions are ~20x slower before C2 kicks
-    // in), then once more on a trivial table for classloading.
-    val warmDir = "/root/testdata/sf0.001"
+    // in), then once more on a trivial table for classloading. sf0.01,
+    // not sf0.001: the tiny corpus executes the HOF lambdas too few times
+    // to reach C2's invocation thresholds, which showed up as occasional
+    // 8-10x first-measurement outliers on the lambda-heavy queries.
+    val warmDir = "/root/testdata/sf0.01"
     if (new java.io.File(warmDir).isDirectory)
       Headline.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
@@ -61,13 +65,20 @@ object Bench {
       }
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // Each query is timed twice and the MIN reported: the host shows
+    // occasional ~8x multi-second stalls (observed on different queries
+    // on different runs), and a single-shot measurement would attribute
+    // that environment noise to whichever query it landed on.
     val results = Headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // per-query cache ownership (see warmup)
-        name -> (if (n < 0) -1.0 else sec)
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // per-query cache ownership (see warmup)
+          if (n < 0) -1.0 else sec
+        }
+        name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
       }
     }
     // apples-to-apples vs BASELINE.md: end-to-end index build of the

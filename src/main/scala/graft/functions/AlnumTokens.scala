@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native positional token Generator for the text-pipeline alphabet:
+  * every whitespace-delimited token cleaned to lowercase `[a-z0-9]`
+  * (joined, not re-split), emitted WITH repetition as `(pos, word)` rows,
+  * `pos` 0-based over the surviving words — exactly
+  * `posexplode(TextFunctions.wordsArr(text))`, in one byte pass.
+  *
+  * The HOF formulation it replaces (split→transform→filter→posexplode) is
+  * CodegenFallback-interpreted and was the dominant cost of the ranking
+  * queries (tf and dl both re-evaluated it). Shares
+  * [[WordNgrams.cleanWords]] so the ranking, dedup and fingerprint
+  * pipelines tokenize identically.
+  */
+case class AlnumTokens(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(
+    StructField("pos", IntegerType, nullable = false) ::
+      StructField("word", StringType, nullable = false) :: Nil)
+
+  override def prettyName: String = "alnum_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val line = child.eval(input).asInstanceOf[UTF8String]
+    if (line == null) Nil
+    else {
+      val words = WordNgrams.cleanWords(line.getBytes)
+      val out = new Array[InternalRow](words.length)
+      var i = 0
+      while (i < words.length) {
+        out(i) = InternalRow(i, UTF8String.fromString(words(i)))
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AlnumTokens =
+    copy(child = newChild)
+}
+
+object AlnumTokens {
+  def apply(c: Column): Column = Bridge.column(AlnumTokens(Bridge.expression(c)))
+}

@@ -25,12 +25,15 @@ object Curation {
       textCol: String,
       idCol: String,
       langs: Seq[String]): DataFrame = {
-    val withFp = docs.withColumn("fp", md5(normText(col(textCol))))
-    val keepers = withFp
+    // fingerprint only the narrow (fp, id) projection that feeds the
+    // keeper aggregation — the semi-join is keyed on the id, so the big
+    // side never evaluates the normalize+md5 pass at all
+    val keepers = docs
+      .select(md5(normText(col(textCol))).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val deduped = withFp.join(keepers, Seq(idCol), "left_semi")
+    val deduped = docs.join(keepers, Seq(idCol), "left_semi")
     TextAnalysis.documentProfile(deduped, textCol, idCol)
       .filter(col("quality_score") === 1 && col("pred_lang").isin(langs: _*))
       .select(col(idCol), col("n_words"), col("pred_lang"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
 
 /** Search-side ranking over the corpus — the query layer the reference's
   * index exists to serve (the reference builds the index, reference
@@ -27,16 +26,18 @@ import graft.functions.TextFunctions
 object Ranking {
 
   /** (doc, pos, word) token stream with 0-based positions within the
-    * cleaned word sequence. One generator projection — no shuffle.
+    * cleaned word sequence. One generator projection — no shuffle. Native
+    * [[graft.functions.AlnumTokens]] byte pass; semantically
+    * `posexplode(TextFunctions.wordsArr(text))` (differential-tested).
     */
   def tokensWithPos(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(
       col(idCol),
-      posexplode(TextFunctions.wordsArr(col(textCol)))).toDF(idCol, "pos", "word")
+      graft.functions.AlnumTokens(col(textCol)).as(Seq("pos", "word")))
 
   /** Raw (doc, word) token occurrences (with repetition). */
   private def tokens(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), explode(TextFunctions.wordsArr(col(textCol))).as("word"))
+    tokensWithPos(docs, textCol, idCol).drop("pos")
 
   /** TF-IDF per (doc, word): `tf * ln(N / df)`, rounded to 6dp.
     *

@@ -109,11 +109,17 @@ object Similarity {
     * cosine re-rank within the probed cells. The search join is an
     * equality join on the cell id — the 100 TB path: cost scales with
     * cell occupancy × probes, not corpus size.
+    *
+    * The per-row centroid scoring (`cells` cosines per vector — the
+    * dominant compute) runs ONCE: the sorted score array yields both the
+    * home cell (element 1 — identical to [[ivfAssign]]'s `array_min`,
+    * same tie rule) and the probe list, and the scored table is persisted
+    * so the self-join's two sides don't re-score. Cache lifecycle is
+    * owned by the caller/runner (clearCache per query).
     */
   def ivfTopK(
       vectors: DataFrame, idCol: String, k: Int,
       cells: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssign(vectors, idCol, cells)
     val seeds: Array[Array[Double]] = vectors
       .orderBy(col(idCol).asc).limit(cells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -121,10 +127,15 @@ object Similarity {
       val c = array(seeds(i).toIndexedSeq.map(lit): _*)
       struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
     }: _*)
-    val probes = vectors
-      .withColumn("probe", explode(slice(array_sort(scored), 1, nProbe).getField("cell")))
-      .select(col(idCol).as("query_id"), col("v").as("qv"), col("probe"))
-    val cands = assigned.select(col(idCol).as("cand_id"), col("v").as("cv"), col("cell").as("probe"))
+    val base = vectors
+      .withColumn("probes", slice(array_sort(scored), 1, nProbe).getField("cell"))
+      .persist()
+    val cands = base.select(
+      col(idCol).as("cand_id"), col("v").as("cv"),
+      element_at(col("probes"), 1).as("probe"))
+    val probes = base.select(
+      col(idCol).as("query_id"), col("v").as("qv"),
+      explode(col("probes")).as("probe"))
     topKPerQuery(
       probes.join(cands, Seq("probe"))
         .filter(col("query_id") =!= col("cand_id"))
@@ -140,7 +151,9 @@ object Similarity {
     */
   def annLsh(
       vectors: DataFrame, idCol: String, dim: Int, numPlanes: Int, k: Int): DataFrame = {
-    val bucketed = lshBuckets(vectors, idCol, dim, numPlanes)
+    // persisted: the probe/candidate self-join would otherwise evaluate
+    // the numPlanes signature dots twice per vector; runner owns the cache
+    val bucketed = lshBuckets(vectors, idCol, dim, numPlanes).persist()
     // probe buckets: own bucket + each one-bit flip
     val probes = bucketed.select(
       col(idCol).as("query_id"), col("v").as("qv"),

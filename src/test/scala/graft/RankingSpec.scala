@@ -84,6 +84,19 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(frac("train") > 0.7)
   }
 
+  test("native AlnumTokens matches the posexplode(wordsArr) formulation") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val native = Ranking.tokensWithPos(real, "text", "doc_id")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val hof = real.select(
+      col("doc_id"),
+      posexplode(graft.functions.TextFunctions.wordsArr(col("text"))))
+      .toDF("doc_id", "pos", "word")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(native == hof)
+    assert(native.nonEmpty)
+  }
+
   test("approx_percentile tracks the exact q58 percentiles") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
