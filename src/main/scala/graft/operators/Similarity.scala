@@ -143,6 +143,27 @@ object Similarity {
       k)
   }
 
+  /** Per-group centroid of an embedding column with DETERMINISTIC
+    * distributed summation: each component is quantized to fixed-point
+    * (round(x * 1e6) as a long) before the sum, so the aggregation is
+    * exact integer arithmetic — partition- and order-invariant, unlike a
+    * raw double sum — and the centroid is the quantized mean rounded to
+    * 6dp. Scale: posexplode + one hash aggregation on (group, dim);
+    * map-side combine collapses to |groups| × dim rows before the
+    * shuffle regardless of corpus size.
+    */
+  def labelCentroids(vectors: DataFrame, groupCol: String): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(
+        sum(round(col("x") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(
+        col(groupCol), col("dim"),
+        round(col("s") / 1e6 / col("n"), 6).as("centroid"),
+        col("n"))
+
   /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
     * the bucket. Recall < 1 by construction (measured in the spec against
     * [[bruteForceTopK]]); cost drops from |Q|·|C| to the bucket co-occurrence

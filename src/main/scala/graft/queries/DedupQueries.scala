@@ -34,12 +34,24 @@ object DedupQueries {
     Dedup.jaccardVerify(cand, sh, "doc_id")
   }
 
+  /** q36: SimHash near-dup pairs within Hamming distance 3, candidates
+    * from the 4-bit band equi-join (pigeonhole — no cross product in the
+    * engine; the oracle, at fixture scale, can afford the naive
+    * all-pairs formulation). Signatures are persisted: both band-join
+    * sides read them, and the signature build is two aggregations deep.
+    */
+  def q36SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.simhash16(docs(spark, dir), "text", "doc_id").persist()
+    Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", threshold = 0.05)),
-    "q33_simhash" -> ((s, dir) => Dedup.simhash16(docs(s, dir), "text", "doc_id")))
+    "q33_simhash" -> ((s, dir) => Dedup.simhash16(docs(s, dir), "text", "doc_id")),
+    "q36_simhash_pairs" -> (q36SimhashPairs _))
 
   /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
     * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.
@@ -111,6 +123,30 @@ object DedupQueries {
          |  JOIN sizes sa ON sa.doc_id = i.id_a
          |  JOIN sizes sb ON sb.doc_id = i.id_b)
          |WHERE jaccard >= 0.05""".stripMargin,
+    "q36_simhash_pairs" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(w) AS w FROM wd)),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(w), i + 1, 1)) - 1) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM words CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
     "q33_simhash" ->
       """WITH wd AS (
         |  SELECT doc_id,

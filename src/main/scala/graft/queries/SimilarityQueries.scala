@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
-/** Similarity-search query pack over `embeddings` (q34, q40, q41):
-  * embedding-cosine near-dup pairs, exact brute-force kNN, and the LSH
-  * ANN variant (approximate — no SQL oracle, checked by the recall spec).
+/** Similarity-search query pack over `embeddings` (q34/q35, q40-q43):
+  * embedding-cosine near-dup pairs (exact + LSH), exact brute-force kNN,
+  * LSH and IVF ANN variants (approximate — no SQL oracle, checked by the
+  * recall specs), and deterministic per-label centroids.
   */
 object SimilarityQueries {
 
@@ -57,12 +58,26 @@ object SimilarityQueries {
       .distinct()
   }
 
+  /** q43: per-label embedding centroid via fixed-point (1e-6 quantized)
+    * integer summation — the deterministic distributed mean (see
+    * [[Similarity.labelCentroids]]); the raw-double formulation would be
+    * partition-order dependent and unverifiable against any oracle.
+    */
+  def q43LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(
+          col("label"),
+          graft.functions.TextFunctions.toDouble(col("embedding")).as("v")),
+      "label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
     "q41_ann_lsh" -> (q41AnnLsh _),
-    "q42_ann_ivf" -> (q42AnnIvf _))
+    "q42_ann_ivf" -> (q42AnnIvf _),
+    "q43_label_centroids" -> (q43LabelCentroids _))
 
   /** DuckDB cosine with explicit sequential arithmetic matching
     * TextFunctions.cosine (double-cast floats, left-to-right fold).
@@ -79,6 +94,16 @@ object SimilarityQueries {
          |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.45""".stripMargin,
+    "q43_label_centroids" ->
+      """WITH comp AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |       round(SUM(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6)
+        |         AS centroid,
+        |       count(*) AS n
+        |FROM comp GROUP BY label, dim""".stripMargin,
     "q40_knn_brute" ->
       s"""$CosCte
          |SELECT query_id, rank, cand_id, cos FROM (
