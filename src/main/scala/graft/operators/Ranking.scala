@@ -48,9 +48,15 @@ object Ranking {
     * back via broadcast. No shuffle touches the full token stream twice.
     */
   def tfidf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // persisted: df is derived FROM the tf table, and without
+    // materialization Catalyst prunes the df branch into a structurally
+    // different subtree (no exchange reuse) that re-scans and re-tokenizes
+    // the whole corpus. The tf table is the term index itself — the thing
+    // a 100 TB pipeline materializes anyway. Runner owns the cache.
     val tf = tokens(docs, textCol, idCol)
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), "word")
@@ -68,28 +74,38 @@ object Ranking {
     * with `dl/avgdl` computed as the integer-derived `dl * N / sum(dl)`.
     * N and avgdl are over documents with at least one token.
     *
-    * Scale: the token stream is filtered to the query terms BEFORE its
-    * aggregation, so the per-term tf table is query-sized; document
-    * lengths are one map-side-combinable count per doc (no shuffle of
-    * token text, only of (doc, count) pairs); global stats are a one-row
-    * broadcast. Works unchanged whether `terms` is 3 words or 10k.
+    * Scale: ONE pass over the token stream computes the document length
+    * AND every query term's tf as columns of a single map-side-combinable
+    * aggregation (only (doc, dl, tf…) rows cross the shuffle — never
+    * token text); the per-term rows are then unpivoted from that
+    * doc-sized table, and global stats / df are tiny derived aggregates
+    * broadcast back. The per-doc table is persisted — three downstream
+    * consumers (tf rows, df, corpus stats), one computation.
     */
   def bm25(
       docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokens(docs, textCol, idCol)
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = toks.filter(col("word").isin(terms: _*))
-      .groupBy(col(idCol), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"_tf$i")
+    }
+    val perDoc = tokens(docs, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .persist()
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = perDoc
+      .select(col(idCol), col("dl"), explode(array(terms.zipWithIndex.map {
+        case (t, i) => struct(lit(t).as("word"), col(s"_tf$i").as("tf"))
+      }: _*)).as("wt"))
+      .select(col(idCol), col("dl"), col("wt.word").as("word"), col("wt.tf").as("tf"))
+      .filter(col("tf") > 0)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val idf: Column =
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val norm: Column =
       col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))
     tf.join(broadcast(df), "word")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(
         col(idCol), col("word"), col("tf"), col("df"), col("dl"),

@@ -41,6 +41,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("q8: tfidf df joins back via broadcast; df reads the cached tf table") {
+    val df = SparkEntry.queries("q8_tfidf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, s"df join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // df must be derived from the materialized tf table, not from a
+    // second scan+tokenize of the corpus. (Tokenize-occurrence counting
+    // on the plan STRING is meaningless — every InMemoryRelation reprints
+    // its cached subtree — so assert the cache reads instead.)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both tf and df sides must read the cached tf table:\n$p")
+  }
+
+  test("q26: phrase search plans equi-joins only (no cross product)") {
+    val p = plan("q26_phrase_count")
+    assert(!p.contains("CartesianProduct"), s"phrase join must stay equi:\n$p")
+    assert(p.contains("alnum_tokens"), "native tokenizer must be in the plan")
+  }
+
+  test("q43: centroid aggregation is partial+final (map-side combine)") {
+    val p = plan("q43_label_centroids")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+    assert(shuffles(p) == 1, s"one exchange on (label, dim), plan:\n$p")
+  }
+
   test("whole-stage codegen covers the executed pricing-summary stages") {
     val df = SparkEntry.queries("q10_pricing_summary")(spark, sfDir)
     df.collect() // materialize so AQE finalizes stages with codegen wrappers
