@@ -3,32 +3,61 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.AsciiCleanLower
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{AlnumTokens, AsciiCleanLower, Tokenize, VectorDot, Winnow, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * Catalyst expressions so SQL users get them too.
+  * Catalyst expressions so SQL users get them too —
+  *
+  *   - `ascii_clean_lower(s)`: the reference tokenizer's clean+lowercase;
+  *   - `vector_dot(a, b)`: codegen'd double-array dot product;
+  *   - `tokenize(s)`: generator, letters-only reference tokens;
+  *   - `alnum_tokens(s)`: generator, positional `[a-z0-9]` tokens;
+  *   - `word_ngrams(s, n)`: generator, distinct word n-gram shingles;
+  *   - `winnow(s, k, w)`: generator, winnowed fingerprints;
+  *
+  * (generators are used via LATERAL VIEW / table-generating positions).
+  * Literal integer arguments are required where noted — they are plan-
+  * construction parameters, not per-row inputs.
   *
   * Cluster use: `--conf spark.sql.extensions=graft.GraftExtensions`.
   * Programmatic use on an existing session: [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("ascii_clean_lower"),
-      new ExpressionInfo(classOf[AsciiCleanLower].getName, "ascii_clean_lower"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        AsciiCleanLower(exprs.head)))
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[AsciiCleanLower].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.SimplifyAsciiCleanLower)
   }
 }
 
 object GraftFunctions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal INT, got $other")
+  }
+
+  /** name → expression builder for every registered native function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ascii_clean_lower" -> ((es: Seq[Expression]) => AsciiCleanLower(es.head)),
+    "vector_dot" -> ((es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    "tokenize" -> ((es: Seq[Expression]) => Tokenize(es.head)),
+    "alnum_tokens" -> ((es: Seq[Expression]) => AlnumTokens(es.head)),
+    "word_ngrams" -> ((es: Seq[Expression]) =>
+      WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"))),
+    "winnow" -> ((es: Seq[Expression]) =>
+      Winnow(es(0), litInt(es(1), "winnow", "k"), litInt(es(2), "winnow", "w"))))
+
   /** Register the engine's SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ascii_clean_lower",
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        AsciiCleanLower(exprs.head),
-      "built-in")
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -25,6 +25,40 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(sqlResult == dfResult)
   }
 
+  test("registered generators and vector_dot work through spark.sql") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings")
+
+    // alnum_tokens generator: positional tokens match the operator path
+    val sqlToks = spark.sql(
+      """SELECT doc_id, pos, word
+        |FROM documents LATERAL VIEW alnum_tokens(text) t AS pos, word""".stripMargin)
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val opToks = graft.operators.Ranking.tokensWithPos(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(sqlToks == opToks && sqlToks.nonEmpty)
+
+    // word_ngrams + winnow generators parse and emit
+    assert(spark.sql(
+      """SELECT count(*) FROM documents
+        |LATERAL VIEW word_ngrams(text, 3) s AS sh""".stripMargin)
+      .as[Long].head() > 0)
+    assert(spark.sql(
+      """SELECT count(*) FROM documents
+        |LATERAL VIEW winnow(text, 5, 4) f AS fp""".stripMargin)
+      .as[Long].head() > 0)
+
+    // vector_dot: self dot product is the squared L2 norm, positive
+    val dots = spark.sql(
+      """SELECT vec_id,
+        |       vector_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                  CAST(embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM embeddings LIMIT 10""".stripMargin).as[(Long, Double)].collect()
+    assert(dots.length == 10 && dots.forall(_._2 > 0))
+  }
+
   test("LSH embedding near-dup pairs are a subset of the exact pairs") {
     val exact = graft.queries.SimilarityQueries.q34EmbedPairs(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
