@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink facade — the engine's IO surface beyond the reference's
-  * plain-text scan (SURVEY §2.2 "scans/sources/sinks"): parquet, CSV,
-  * JSON, and text, with explicit-schema reads (schema inference is a
-  * full extra pass at 100 TB — always pass the schema in production) and
-  * partitioned columnar writes.
+  * plain-text scan (SURVEY §2.2 "scans/sources/sinks"): parquet, ORC,
+  * CSV, JSON, and text, with explicit-schema reads (schema inference is
+  * a full extra pass at 100 TB — always pass the schema in production)
+  * and partitioned columnar writes.
   */
 object Tables {
 
@@ -25,6 +25,12 @@ object Tables {
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** ORC — Spark's other built-in columnar format (predicate pushdown and
+    * column pruning like parquet).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned parquet write — the standard large-output layout:
     * `partitionBy` gives partition pruning to downstream readers.
     */
@@ -38,4 +44,9 @@ object Tables {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

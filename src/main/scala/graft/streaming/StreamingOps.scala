@@ -40,6 +40,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"))
 
+  /** Exact dedup on ingest: drop every document whose normalized-content
+    * md5 fingerprint has already been seen — ACROSS micro-batches
+    * (streaming `dropDuplicates` keeps the seen-fingerprint set as
+    * operator state), so a continuously-arriving corpus is deduplicated
+    * the same way batch q30 dedups a static one. State is one 128-bit
+    * hash per distinct content; for unbounded retention attach an
+    * event-time column and use `withWatermark` +
+    * `dropDuplicatesWithinWatermark` to bound it.
+    */
+  def dedupOnIngest(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", md5(graft.functions.TextFunctions.normText(col(textCol))))
+      .dropDuplicates("fp")
+
   /** Stream-static enrichment: left-join the unbounded stream against a
     * broadcast dimension — the standard lookup pattern; the static side
     * is re-broadcast per micro-batch, the stream side never shuffles.

@@ -46,11 +46,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     Tables.writeParquet(df, s"$base/p", partitionBy = Seq("name"))
     Tables.writeCsv(df, s"$base/c")
     Tables.writeJson(df, s"$base/j")
+    Tables.writeOrc(df, s"$base/o")
     val p = Tables.parquet(spark, s"$base/p").select("id", "name", "score")
     val c = Tables.csv(spark, s"$base/c", df.schema)
     val j = Tables.json(spark, s"$base/j", df.schema)
+    val o = Tables.orc(spark, s"$base/o")
     val want = df.as[(Long, String, Double)].collect().sorted.toSeq
-    for (r <- Seq(p, c, j))
+    for (r <- Seq(p, c, j, o))
       assert(r.as[(Long, String, Double)].collect().sorted.toSeq == want)
   }
 }

@@ -24,6 +24,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("ingest dedup drops content duplicates across micro-batches") {
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.dedupOnIngest(ms.toDF.toDF("doc_id", "text"), "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ingestdedup").outputMode("append").start()
+    try {
+      ms.addData((1L, "the cat sat"), (2L, "a dog"))
+      q.processAllAvailable()
+      // duplicate content arrives in a LATER batch (whitespace-normalized
+      // match) plus one genuinely new doc
+      ms.addData((3L, "the  cat   sat"), (4L, "something new"))
+      q.processAllAvailable()
+      val got = spark.table("ingestdedup").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L), s"doc 3 is a cross-batch duplicate, got $got")
+    } finally q.stop()
+  }
+
   test("windowed counts finalize once the watermark passes") {
     val ms = MemoryStream[(Timestamp, String)](spark)
     val q = StreamingOps.eventWindowCounts(ms.toDF.toDF("ts", "event_type"))
