@@ -296,6 +296,24 @@ object RelationalQueries {
       .na.fill(0L)
       .toDF("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error")
 
+  // q28: scalar-aggregate subquery shape — customers whose total spend
+  // exceeds the all-customer average. The average compare is done in
+  // exact decimal integer form (spend × n > total) so no double rounding
+  // can flip boundary rows; the one-row global aggregate joins back via
+  // broadcast (the physical plan of a scalar subquery).
+  def q28BigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend_d"))
+    val tot = spend.agg(
+      sum(col("spend_d")).as("tot"), count(lit(1)).as("n_cust"))
+    spend.crossJoin(broadcast(tot))
+      .filter(col("spend_d") * col("n_cust") > col("tot"))
+      .select(
+        col("o_custkey").as("c_custkey"),
+        col("spend_d").cast("double").as("spend"))
+  }
+
   // q58: exact quantiles — linearly-interpolated percentiles of extended
   // price per returnflag (Spark `percentile` == DuckDB `quantile_cont`,
   // both h = (n-1)p interpolation). Exact ordering of doubles is
@@ -332,6 +350,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_big_spenders" -> q28BigSpenders _,
     "q58_quantiles" -> q58Quantiles _,
     "q59_edit_distance" -> q59EditDistance _,
     "q52_running_total" -> q52RunningTotal _,
@@ -354,6 +373,15 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q28_big_spenders" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_d
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT SUM(spend_d) AS tot, count(*) AS n_cust FROM spend)
+        |SELECT c_custkey, CAST(spend_d AS DOUBLE) AS spend
+        |FROM spend CROSS JOIN tot
+        |WHERE spend_d * n_cust > tot""".stripMargin,
     "q58_quantiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

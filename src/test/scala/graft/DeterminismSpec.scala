@@ -11,7 +11,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
 
   private val Queries = Seq(
     "q1_inverted_index", "q14_window_topn", "q31_minhash_lsh",
-    "q50_hourly_windows", "q40_knn_brute", "q33_simhash")
+    "q50_hourly_windows", "q40_knn_brute", "q33_simhash",
+    "q8_tfidf", "q9_bm25", "q26_phrase_count", "q43_label_centroids",
+    "q58_quantiles", "q71_hash_split")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
