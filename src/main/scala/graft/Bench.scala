@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** One per engine area; names must exist in SparkEntry.queries. */
-  private val Headline = Seq(
+  /** One per engine area; names must exist in SparkEntry.queries
+    * (spec-guarded — a missing name would be silently skipped here).
+    */
+  private[graft] val Headline = Seq(
     "q1_inverted_index",
     "q10_pricing_summary",
     "q11_revenue_by_nation",

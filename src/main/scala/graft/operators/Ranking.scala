@@ -112,6 +112,25 @@ object Ranking {
         round(idf * col("tf") * (k1 + 1) / norm, 6).as("bm25"))
   }
 
+  /** Keyword extraction: the top `k` terms per document by
+    * (tfidf desc, word asc) — the standard per-doc tag/keyword op over
+    * the [[tfidf]] table. Ranking uses the 6dp-rounded score, so order
+    * is stable across engines computing the value to within 1e-12.
+    *
+    * Scale: one window exchange on the doc id over the (already
+    * aggregated) tf table — rank pruning happens before anything else
+    * consumes the result.
+    */
+  def keywords(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tfidf(docs, textCol, idCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("word"), col("tfidf"))
+  }
+
   /** Positional inverted index: word → (doc, ascending 0-based positions),
     * positions space-joined for engine-agnostic comparison.
     *

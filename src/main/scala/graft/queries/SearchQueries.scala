@@ -3,11 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Ranking
 
-/** Search/ranking query pack over `documents` (q8/q9/q26/q27): the IR
-  * query layer served by the inverted index the reference builds — TF-IDF
-  * weights, per-term Okapi BM25, a positional index, and positional-join
-  * phrase search. Every query is oracle-checked; scores follow the 6dp
-  * rounding + integer-derived-arithmetic determinism contract (see
+/** Search/ranking query pack over `documents` (q8/q9/q26/q27/q29): the
+  * IR query layer served by the inverted index the reference builds —
+  * TF-IDF weights, per-term Okapi BM25, a positional index,
+  * positional-join phrase search, and top-k keyword extraction. Every
+  * query is oracle-checked; scores follow the 6dp rounding +
+  * integer-derived-arithmetic determinism contract (see
   * [[graft.operators.Ranking]]).
   */
 object SearchQueries {
@@ -23,6 +24,8 @@ object SearchQueries {
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
       Ranking.phraseCount(docs(s, dir), "text", "doc_id", Seq("hash", "join"))),
+    "q29_keywords" -> ((s, dir) =>
+      Ranking.keywords(docs(s, dir), "text", "doc_id", k = 3)),
     "q27_positional_index" -> ((s, dir) =>
       Ranking.positionalIndex(docs(s, dir), "text", "doc_id")))
 
@@ -62,6 +65,22 @@ object SearchQueries {
          |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
          |             6) AS bm25
          |FROM tf JOIN dfx USING (word) JOIN dl USING (doc_id) CROSS JOIN stats""".stripMargin,
+    "q29_keywords" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word,
+         |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 6) AS tfidf
+         |  FROM tf JOIN dfx USING (word) CROSS JOIN n)
+         |SELECT doc_id, rk, word, tfidf FROM (
+         |  SELECT doc_id, word, tfidf,
+         |         row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3""".stripMargin,
     "q26_phrase_count" ->
       s"""$WordsCte
          |SELECT doc_id, n FROM (

@@ -69,6 +69,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(p) == 1, s"one exchange on (label, dim), plan:\n$p")
   }
 
+  test("every Bench headline name resolves to a registered query") {
+    val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"Bench would silently skip: $missing")
+  }
+
   test("whole-stage codegen covers the executed pricing-summary stages") {
     val df = SparkEntry.queries("q10_pricing_summary")(spark, sfDir)
     df.collect() // materialize so AQE finalizes stages with codegen wrappers
