@@ -22,14 +22,19 @@ object TextQueries {
       |           x -> length(x) > 0) AS w
       |  FROM documents)""".stripMargin
 
-  /** q24: winnowing near-copy pairs (rows-only: the rolling hash is not
-    * SQL-expressible; the winnowing guarantee and normalization
-    * invariance are spec-asserted in FunctionsSpec). Standard corpus
-    * recipe: drop boilerplate fingerprints (document frequency > 20 —
-    * they indicate common phrasing, not copying, and unbound the join
-    * fan-out), then keep pairs whose CONTAINMENT (shared / smaller
-    * fingerprint set) >= 0.6. On a corpus without real near-copies the
-    * result is correctly empty.
+  /** q24: winnowing near-copy pairs. Standard corpus recipe: drop
+    * boilerplate fingerprints (document frequency > 20 — they indicate
+    * common phrasing, not copying, and unbound the join fan-out), then
+    * keep pairs whose CONTAINMENT (shared / smaller fingerprint set)
+    * >= 0.6. On a corpus without real near-copies the result is
+    * correctly empty.
+    *
+    * Oracle-checked: the Long-wraparound rolling hash IS SQL-expressible
+    * — each k-gram hash is the closed-form fold `Σ b·Base^j mod 2^64`
+    * (HUGEINT headroom; intermediate wraps distribute over the modulus),
+    * converted to SIGNED before the window minima because the Scala
+    * comparisons are signed-Long, and only the distinct min VALUES
+    * survive so the rightmost-tie rule needs no SQL analog.
     */
   def q24WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -70,6 +75,46 @@ object TextQueries {
         Seq("test" -> "1a", "val" -> "34"), "train")))
 
   val oracleSql: Map[String, String] = Map(
+    "q24_winnow_pairs" ->
+      """WITH nm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, length(s) AS n,
+        |         list_transform(range(1, length(s) + 1),
+        |                        i -> CAST(ord(substr(s, i, 1)) AS HUGEINT)) AS b
+        |  FROM nm WHERE length(s) > 0),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      CASE WHEN n >= 5 THEN
+        |        list_transform(range(1, n - 3), p ->
+        |          list_reduce(b[p:p+4],
+        |            (acc, x) -> (acc * 1000003 + x) % 18446744073709551616))
+        |      ELSE [list_reduce(b,
+        |            (acc, x) -> (acc * 1000003 + x) % 18446744073709551616)]
+        |      END,
+        |      u -> CAST(CASE WHEN u >= 9223372036854775808
+        |                THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS h
+        |  FROM ch),
+        |wins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+        |         ELSE list_transform(range(1, len(h) - 2), s -> list_min(h[s:s+3])) END AS w
+        |  FROM hs),
+        |fp AS (SELECT DISTINCT doc_id, unnest(w) AS fp FROM wins),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20),
+        |kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |       round(shared * 1.0 / least(sa.n, sb.n), 6) AS containment
+        |FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+        |           JOIN sizes sb ON sb.doc_id = pairs.id_b
+        |WHERE round(shared * 1.0 / least(sa.n, sb.n), 6) >= 0.6""".stripMargin,
     "q71_hash_split" ->
       """SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
