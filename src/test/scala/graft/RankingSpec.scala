@@ -84,6 +84,17 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(frac("train") > 0.7)
   }
 
+  test("AlnumTokens edge cases: empty, whitespace-only, unicode, digits") {
+    val d = Seq(
+      (1L, ""), (2L, "   \t\n "), (3L, "héllo wörld"), (4L, "a1b2 3,4!"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Ranking.tokensWithPos(d, "text", "doc_id")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // multi-byte chars are stripped byte-wise (ASCII-only alphabet, same
+    // as the regex formulation on lowered text); empty/ws/null emit nothing
+    assert(out == Seq((3L, 0, "hllo"), (3L, 1, "wrld"), (4L, 0, "a1b2"), (4L, 1, "34")))
+  }
+
   test("native AlnumTokens matches the posexplode(wordsArr) formulation") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val native = Ranking.tokensWithPos(real, "text", "doc_id")
