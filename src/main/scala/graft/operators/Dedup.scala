@@ -182,39 +182,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash over the document's distinct words. Bit i of a word is
-    * the low bit of hex digit i+1 of md5(word); the signature bit is set
-    * when the sum of (±1) votes is positive. Pure built-in expressions,
-    * identical in the SQL oracle.
+  /** Width-parameterized SimHash (1 <= bits <= 64) over the document's
+    * distinct words. Bit i of a word is the low bit of hex digit
+    * (i mod 32)+1 of the word's block digest — block 0 is md5(word)
+    * (bit-compatible with the original 16-bit formulation and its SQL
+    * oracle), block 1 (bits 32-63) is md5("1|word"). The signature bit
+    * is set when the sum of (±1) votes across the doc's words is
+    * positive.
+    *
+    * Plan: ONE map-side-combinable aggregation — every bit's vote total
+    * is a conditional-sum column, and the signature is a bitwise-OR fold
+    * over the vote row. (The earlier long-format plan exploded ×bits and
+    * shuffled twice.) The fixture queries use 16 bits for oracle parity;
+    * production corpora use 64 — pair volume is governed by width, see
+    * SCALE.md.
     */
-  def simhash16(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, "simhash supports 1..64 bits")
     val words = docs
       .select(col(idCol), explode(array_distinct(wordsArr(col(textCol)))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val bitVotes = words
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(15))).as("i"))
-      .withColumn(
-        "vote",
-        expr("CASE WHEN (instr('0123456789abcdef', substring(h, i + 1, 1)) - 1) % 2 = 1 " +
-          "THEN 1 ELSE -1 END"))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum(col("vote")).as("v"))
-    bitVotes
-      .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
+    val blocks = (bits + 31) / 32
+    val withH = words.select(
+      col(idCol) +: (0 until blocks).map { bk =>
+        (if (bk == 0) md5(col("w")) else md5(concat(lit(s"$bk|"), col("w")))).as(s"h$bk")
+      }: _*)
+    val voteCols = (0 until bits).map { i =>
+      sum(when(
+        expr(s"(instr('0123456789abcdef', substring(h${i / 32}, ${i % 32 + 1}, 1)) - 1) % 2 = 1"),
+        1).otherwise(-1)).as(s"v$i")
+    }
+    val votes = withH.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until bits)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    votes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** 16-bit SimHash — the oracle-parity width used by q33/q36. */
+  def simhash16(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhash(docs, textCol, idCol, bits = 16)
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, candidate-
-    * generated by banding the 16 bits into 4-bit chunks (pigeonhole: any
-    * pair within distance 3 agrees on at least one of 4 chunks — an
-    * equality join, never a cross product).
+    * generated by banding the `bits`-wide signature into maxDist+1
+    * chunks (pigeonhole: any pair within distance maxDist agrees on at
+    * least one chunk — an equality join, never a cross product).
+    * 16 bits / maxDist 3 → four 4-bit chunks (the fixture scheme);
+    * 64 bits / maxDist 7 → eight 8-bit chunks (the production scheme).
     */
-  def simhashPairs(sigs: DataFrame, idCol: String, maxDist: Int): DataFrame = {
-    require(maxDist <= 3, "4-band scheme guarantees recall only for distance <= 3")
+  def simhashPairs(
+      sigs: DataFrame, idCol: String, maxDist: Int, bits: Int = 16): DataFrame = {
+    val chunks = maxDist + 1
+    require(bits % chunks == 0,
+      s"chunk count ${chunks} (maxDist+1) must divide the signature width $bits")
+    val width = bits / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = sigs.select(
       col(idCol), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("chunk", expr("(simhash >> (b * 4)) & 15"))
+      explode(sequence(lit(0), lit(chunks - 1))).as("b"))
+      .withColumn("chunk", expr(s"(simhash >> (b * $width)) & $mask"))
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("b"), col("chunk"))
     val bd = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("b"), col("chunk"))
     a.join(bd, Seq("b", "chunk"))

@@ -82,6 +82,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(longFmt == arrayFmt)
   }
 
+  test("64-bit simhash separates near-dups from unrelated docs; banded pairs find them") {
+    val base = "the quick brown fox jumps over a lazy dog while rain falls on " +
+      "the old stone bridge near the quiet village market square at dawn"
+    val d = docs(
+      1L -> base,
+      2L -> (base + " extra token"), // near-dup: one word added
+      3L -> "entirely unrelated content about spark catalyst optimizer rules and shuffles galore")
+    val sigs = Dedup.simhash(d, "text", "doc_id", bits = 64)
+    val m = sigs.select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) <= 7, s"near-dups far apart: ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) > 7, s"unrelated docs too close: ${ham(m(1L), m(3L))}")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", maxDist = 7, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("wide simhash at 16 bits equals the oracle-parity simhash16") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Dedup.simhash16(real, "text", "doc_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Dedup.simhash(real, "text", "doc_id", bits = 16)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("full MinHash pipeline finds seeded near-duplicates in real text") {
     // take real paragraphs from the reference corpus, seed mutated copies
     val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
