@@ -182,6 +182,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-duplicate pair graph
+    * (`id_a`, `id_b`): label every member with the MINIMUM id reachable
+    * from it — the cluster formation step that turns candidate pairs
+    * into dedup groups (keep one doc per component). Deterministic.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min of its own and its neighbors' labels), the standard
+    * large-scale CC formulation when no graph library is present —
+    * converges within the component diameter, checked per round with an
+    * early exit. The driver-side loop is coordination only (one count
+    * per round); all data movement is hash equi-joins on node ids.
+    * Iteration count for a D-diameter graph is O(D) — near-dup clusters
+    * are shallow in practice (they are quasi-cliques).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("comp").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist()
+      val changed = updated
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") < col("prev"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("id"), col("comp"))
+  }
+
   /** Width-parameterized SimHash (1 <= bits <= 64) over the document's
     * distinct words. Bit i of a word is the low bit of hex digit
     * (i mod 32)+1 of the word's block digest — block 0 is md5(word)

@@ -45,7 +45,19 @@ object DedupQueries {
     Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
   }
 
+  /** q37: near-duplicate clusters — connected components (min-id label)
+    * over the q32 shared-shingle Jaccard pair graph; the "turn pairs
+    * into dedup groups" step. The oracle computes the same transitive
+    * closure with a recursive CTE.
+    */
+  def q37DupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccard(docs(spark, dir), "text", "doc_id", threshold = 0.05)
+        .select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_dup_clusters" -> (q37DupClusters _),
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_ngram_jaccard" -> ((s, dir) =>
@@ -74,6 +86,34 @@ object DedupQueries {
       |    FROM wd))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q37_dup_clusters" ->
+      s"""${ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT i.id_a, i.id_b,
+         |           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |    FROM inter i
+         |    JOIN sizes sa ON sa.doc_id = i.id_a
+         |    JOIN sizes sb ON sb.doc_id = i.id_b)
+         |  WHERE jaccard >= 0.05),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keeper, count(*) AS n_copies

@@ -82,6 +82,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(longFmt == arrayFmt)
   }
 
+  test("connected components labels chains and leaves islands separate") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L), (9L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("64-bit simhash separates near-dups from unrelated docs; banded pairs find them") {
     val base = "the quick brown fox jumps over a lazy dog while rain falls on " +
       "the old stone bridge near the quiet village market square at dawn"
