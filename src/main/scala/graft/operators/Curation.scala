@@ -39,6 +39,24 @@ object Curation {
       .select(col(idCol), col("n_words"), col("pred_lang"))
   }
 
+  /** Cap the number of rows kept per group (e.g. documents per source
+    * domain — bounding over-represented sources is a standard corpus
+    * curation step). The kept subset is a deterministic pseudo-random
+    * choice: rows rank by md5 of their id (id tie-break) within the
+    * group, so the selection is stable under re-runs and re-partitioning
+    * yet uncorrelated with id order. One window exchange on the group
+    * key; rank pruning happens before anything downstream.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Deterministic held-out split: route each row to a named fraction of
     * the corpus by the md5 of its id — the standard reproducible
     * train/val/test assignment for a training pipeline (stable under

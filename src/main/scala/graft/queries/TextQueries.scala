@@ -72,7 +72,12 @@ object TextQueries {
     "q71_hash_split" -> ((s, dir) =>
       graft.operators.Curation.hashSplit(
         docs(s, dir).select("doc_id"), "doc_id",
-        Seq("test" -> "1a", "val" -> "34"), "train")))
+        Seq("test" -> "1a", "val" -> "34"), "train")),
+    // q72: cap documents per source (deterministic md5-ranked choice) —
+    // the over-represented-domain bound of a corpus curation pipeline.
+    "q72_cap_per_source" -> ((s, dir) =>
+      graft.operators.Curation.capPerGroup(
+        docs(s, dir).select("doc_id", "source"), "source", "doc_id", k = 15)))
 
   val oracleSql: Map[String, String] = Map(
     "q24_winnow_pairs" ->
@@ -115,6 +120,14 @@ object TextQueries {
         |FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
         |           JOIN sizes sb ON sb.doc_id = pairs.id_b
         |WHERE round(shared * 1.0 / least(sa.n, sb.n), 6) >= 0.6""".stripMargin,
+    "q72_cap_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
     "q71_hash_split" ->
       """SELECT doc_id,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
