@@ -6,8 +6,9 @@ import graft.operators.Similarity
 
 /** Similarity-search query pack over `embeddings` (q34/q35, q40-q43):
   * embedding-cosine near-dup pairs (exact + LSH), exact brute-force kNN,
-  * LSH and IVF ANN variants (approximate — no SQL oracle, checked by the
-  * recall specs), and deterministic per-label centroids.
+  * LSH and IVF ANN variants, and deterministic per-label centroids.
+  * Every query is oracle-checked — the ANN variants are approximate
+  * only vs the exact answer (recall specs), not nondeterministic.
   */
 object SimilarityQueries {
 
@@ -29,14 +30,19 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
   }
 
-  /** q41: LSH ANN top-3 for every vector (approximate — rows-only check;
-    * recall vs q40 is asserted in SimilaritySpec).
+  /** q41: LSH ANN top-3 for every vector. Oracle-checked: buckets,
+    * one-bit multi-probe and the (cos desc, id asc) top-k are all
+    * deterministic mirrors (recall vs exact q40 is still asserted in
+    * SimilaritySpec — approximation is vs the EXACT answer, not
+    * nondeterminism).
     */
   def q41AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(vectors(spark, dir), "vec_id", dim = 64, numPlanes = 8, k = 3)
 
-  /** q42: IVF ANN top-3 (approximate — rows-only check; recall asserted
-    * in OperatorsSpec against exact kNN).
+  /** q42: IVF ANN top-3. Oracle-checked: the oracle reconstructs the
+    * lowest-id seed centroids, mirrors the sequential-fold cosine for
+    * cell assignment/probing bit-for-bit, and re-ranks identically
+    * (recall vs exact kNN still asserted in OperatorsSpec).
     */
   def q42AnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(vectors(spark, dir), "vec_id", k = 3, cells = 8, nProbe = 3)
@@ -89,22 +95,81 @@ object SimilarityQueries {
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
 
+  /** Hyperplane bucket CTEs (after CosCte): the oracle recomputes the
+    * engine's md5-seeded plane constants and mirrors VectorDot's
+    * sequential fold bit-for-bit (verified value-for-value at sf0.01).
+    */
+  private val BucketsCte =
+    """pl AS (
+      |  SELECT p, list_transform(range(0, 64), d ->
+      |    CAST(('0x' || substr(md5('graft-plane-' || p || '-' || d), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 - 0.5) AS plane
+      |  FROM (SELECT unnest(range(0, 8)) AS p)),
+      |dots AS (
+      |  SELECT e.vec_id, pl.p,
+      |         list_reduce(list_transform(range(1, 65), i -> e.v[i] * pl.plane[i]),
+      |                     (a, x) -> a + x) AS dot
+      |  FROM e CROSS JOIN pl),
+      |buckets AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q41_ann_lsh" ->
+      s"""$CosCte,
+         |$BucketsCte,
+         |probes AS (
+         |  SELECT vec_id AS query_id, bucket AS probe FROM buckets
+         |  UNION
+         |  SELECT vec_id, xor(bucket, 1 << p)
+         |  FROM buckets CROSS JOIN (SELECT unnest(range(0, 8)) AS p)),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+         |  FROM probes p JOIN buckets c ON c.bucket = p.probe AND c.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |            JOIN e ec ON ec.vec_id = cand.cand_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, cand_id, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "q42_ann_ivf" ->
+      s"""$CosCte,
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |sc AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN seeds s),
+         |rc AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc),
+         |assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cell AS probe FROM rc WHERE r <= 3),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |            JOIN e ec ON ec.vec_id = cand.cand_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, cand_id, cos FROM ranked WHERE rank <= 3""".stripMargin,
     "q35_embed_dup_lsh" ->
       s"""$CosCte,
-         |pl AS (
-         |  SELECT p, list_transform(range(0, 64), d ->
-         |    CAST(('0x' || substr(md5('graft-plane-' || p || '-' || d), 1, 8)) AS BIGINT)
-         |      / 4294967296.0 - 0.5) AS plane
-         |  FROM (SELECT unnest(range(0, 8)) AS p)),
-         |dots AS (
-         |  SELECT e.vec_id, pl.p,
-         |         list_reduce(list_transform(range(1, 65), i -> e.v[i] * pl.plane[i]),
-         |                     (a, x) -> a + x) AS dot
-         |  FROM e CROSS JOIN pl),
-         |buckets AS (
-         |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM dots GROUP BY vec_id)
+         |$BucketsCte
          |SELECT DISTINCT id_a, id_b, cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
