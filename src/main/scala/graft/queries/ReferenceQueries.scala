@@ -81,8 +81,31 @@ object ReferenceQueries {
     docWords(spark, dir).agg(
       approx_count_distinct(col("word"), rsd = 0.02).as("approx_vocab"))
 
+  /** Q73: KMV (k-minimum-values) vocabulary estimate — the DETERMINISTIC
+    * cardinality sketch next to Q7's HLL: take the k smallest md5(word)
+    * values; estimate = (k-1) / (max-of-k as a [0,1) fraction). Because
+    * the "randomness" is md5, the sketch is reproducible in any engine —
+    * the only oracle-checkable way to verify sketch logic. Scale: the
+    * global k-smallest is `TakeOrdered` (k per partition, driver merge
+    * of k·partitions values) — never a full sort.
+    */
+  def q73KmvVocab(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val kmv = docWords(spark, dir)
+      .select(md5(col("word")).as("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+    kmv.agg(max(col("h")).as("hmax"), count(lit(1)).as("k_actual"))
+      .select(
+        col("k_actual"),
+        round(
+          (col("k_actual") - 1).cast("double") /
+            (conv(substring(col("hmax"), 1, 8), 16, 10).cast("double") / 4294967296.0),
+          6).as("est_vocab"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_approx_vocab" -> q7ApproxVocabulary _,
+    "q73_kmv_vocab" -> q73KmvVocab _,
     "q1_inverted_index" -> q1InvertedIndex _,
     "q2_vocabulary" -> q2Vocabulary _,
     "q3_doc_frequency" -> q3DocFrequency _,
@@ -106,6 +129,15 @@ object ReferenceQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q73_kmv_vocab" ->
+      s"""$TokCte,
+         |kmv AS (
+         |  SELECT DISTINCT md5(word) AS h FROM dw ORDER BY h ASC LIMIT 16)
+         |SELECT count(*) AS k_actual,
+         |       round((count(*) - 1) * 1.0 /
+         |             (CAST(('0x' || substr(max(h), 1, 8)) AS BIGINT) / 4294967296.0),
+         |             6) AS est_vocab
+         |FROM kmv""".stripMargin,
     "q1_inverted_index" ->
       s"""$TokCte
          |SELECT word,
