@@ -271,6 +271,22 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
 
+  // q74: semi-structured VARIANT surface (Spark 4) — props parsed ONCE
+  // into the binary variant encoding, fields then extracted with typed
+  // variant_get. Same answer as q55's per-path get_json_object, but the
+  // parse cost is paid once per row regardless of how many fields are
+  // read — the right shape when extracting many fields at 100 TB.
+  def q74VariantJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_with_k"))
+
   // q56: CUBE over (returnflag, linestatus) — all four grouping sets with
   // 'ALL' labels (completes the grouping-sets surface next to q15 rollup).
   def q56Cube(spark: SparkSession, dir: String): DataFrame =
@@ -350,6 +366,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_variant_json" -> q74VariantJson _,
     "q28_big_spenders" -> q28BigSpenders _,
     "q58_quantiles" -> q58Quantiles _,
     "q59_edit_distance" -> q59EditDistance _,
@@ -373,6 +390,12 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _)
 
   val oracleSql: Map[String, String] = Map(
+    "q74_variant_json" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |       count(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q28_big_spenders" ->
       """WITH spend AS (
         |  SELECT o_custkey AS c_custkey,
