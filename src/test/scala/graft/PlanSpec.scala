@@ -69,6 +69,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(p) == 1, s"one exchange on (label, dim), plan:\n$p")
   }
 
+  test("q73: global k-smallest plans as TakeOrdered, never a full sort") {
+    val p = plan("q73_kmv_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
