@@ -25,10 +25,10 @@ import graft.functions.{AlnumTokens, AsciiCleanLower, Tokenize, VectorDot, Winno
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.all.foreach { case (name, builder) =>
+    GraftFunctions.all.foreach { case (name, className, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[AsciiCleanLower].getName, name),
+        new ExpressionInfo(className, name),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.SimplifyAsciiCleanLower)
@@ -43,20 +43,27 @@ object GraftFunctions {
       s"$fn: $arg must be a literal INT, got $other")
   }
 
-  /** name → expression builder for every registered native function. */
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "ascii_clean_lower" -> ((es: Seq[Expression]) => AsciiCleanLower(es.head)),
-    "vector_dot" -> ((es: Seq[Expression]) => VectorDot(es(0), es(1))),
-    "tokenize" -> ((es: Seq[Expression]) => Tokenize(es.head)),
-    "alnum_tokens" -> ((es: Seq[Expression]) => AlnumTokens(es.head)),
-    "word_ngrams" -> ((es: Seq[Expression]) =>
-      WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"))),
-    "winnow" -> ((es: Seq[Expression]) =>
-      Winnow(es(0), litInt(es(1), "winnow", "k"), litInt(es(2), "winnow", "w"))))
+  /** (name, expression class, builder) for every registered native
+    * function — the class name feeds DESCRIBE FUNCTION metadata.
+    */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("ascii_clean_lower", classOf[AsciiCleanLower].getName,
+      (es: Seq[Expression]) => AsciiCleanLower(es.head)),
+    ("vector_dot", classOf[VectorDot].getName,
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    ("tokenize", classOf[Tokenize].getName,
+      (es: Seq[Expression]) => Tokenize(es.head)),
+    ("alnum_tokens", classOf[AlnumTokens].getName,
+      (es: Seq[Expression]) => AlnumTokens(es.head)),
+    ("word_ngrams", classOf[WordNgrams].getName,
+      (es: Seq[Expression]) => WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"))),
+    ("winnow", classOf[Winnow].getName,
+      (es: Seq[Expression]) =>
+        Winnow(es(0), litInt(es(1), "winnow", "k"), litInt(es(2), "winnow", "w"))))
 
   /** Register the engine's SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, builder) =>
+    all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }

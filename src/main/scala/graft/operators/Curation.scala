@@ -71,6 +71,13 @@ object Curation {
   def hashSplit(
       df: DataFrame, idCol: String,
       cuts: Seq[(String, String)], rest: String): DataFrame = {
+    cuts.foreach { case (name, bound) =>
+      require(bound.matches("[0-9a-f]{2}"),
+        s"hashSplit bound for '$name' must be 2 lowercase hex digits, got '$bound'")
+    }
+    require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,
+      s"hashSplit bounds must be strictly ascending (later cuts would be " +
+        s"unreachable): ${cuts.map(_._2)}")
     val prefix = substring(md5(col(idCol).cast("string")), 1, 2)
     val assigned = cuts.foldRight(lit(rest)) { case ((name, bound), tail) =>
       when(prefix < bound, name).otherwise(tail)

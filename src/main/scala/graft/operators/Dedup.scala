@@ -194,9 +194,11 @@ object Dedup {
     * early exit. The driver-side loop is coordination only (one count
     * per round); all data movement is hash equi-joins on node ids.
     * Iteration count for a D-diameter graph is O(D) — near-dup clusters
-    * are shallow in practice (they are quasi-cliques).
+    * are shallow in practice (they are quasi-cliques). If the label set
+    * is still changing after `maxIter` rounds the method THROWS rather
+    * than silently returning partially-propagated (wrong) labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -226,6 +228,12 @@ object Dedup {
       labels = updated
       converged = !changed
       i += 1
+    }
+    if (!converged) {
+      labels.unpersist(); edges.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise maxIter")
     }
     labels.select(col("id"), col("comp"))
   }

@@ -86,6 +86,9 @@ object Ranking {
       docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.size == terms.size,
+      "bm25 query terms must be distinct — a repeated term would double " +
+        "its df and duplicate its output rows")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("word") === t, 1L).otherwise(0L)).as(s"_tf$i")
     }

@@ -108,13 +108,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("wide simhash at 16 bits equals the oracle-parity simhash16") {
+  test("wide simhash matches an independent long-format vote formulation") {
+    // independent reference: the ORIGINAL explode-by-bit two-aggregation
+    // plan (replaced in the operator by the one-shuffle conditional-sum
+    // plan) — differential-tests the rewrite on real corpus text
+    import graft.functions.TextFunctions.wordsArr
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
-    val a = Dedup.simhash16(real, "text", "doc_id")
+    val longFormat = real
+      .select(col("doc_id"), explode(array_distinct(wordsArr(col("text")))).as("w"))
+      .withColumn("h", md5(col("w")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("i"))
+      .withColumn("vote",
+        expr("CASE WHEN (instr('0123456789abcdef', substring(h, i + 1, 1)) - 1) % 2 = 1 " +
+          "THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
       .as[(Long, Long)].collect().sorted.toSeq
-    val b = Dedup.simhash(real, "text", "doc_id", bits = 16)
+    val wide = Dedup.simhash(real, "text", "doc_id", bits = 16)
       .as[(Long, Long)].collect().sorted.toSeq
-    assert(a == b && a.nonEmpty)
+    assert(wide == longFormat && wide.nonEmpty)
   }
 
   test("full MinHash pipeline finds seeded near-duplicates in real text") {

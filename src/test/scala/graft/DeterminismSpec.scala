@@ -18,6 +18,11 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String): Map[String, Set[String]] = {
+      // queries persist() intermediates; without clearing, the second run
+      // would silently substitute the FIRST run's cached tables (same
+      // canonical plan) instead of re-executing at the new partition
+      // count — making the invariance assertion vacuous
+      spark.catalog.clearCache()
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       Queries.map { q =>
         q -> SparkEntry.queries(q)(spark, sfDir).collect()
