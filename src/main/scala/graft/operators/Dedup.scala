@@ -197,16 +197,23 @@ object Dedup {
     * are shallow in practice (they are quasi-cliques). If the label set
     * is still changing after `maxIter` rounds the method THROWS rather
     * than silently returning partially-propagated (wrong) labels.
+    *
+    * Each round's result is eagerly `localCheckpoint`ed — the MANDATORY
+    * move for iterative DataFrame algorithms: without it every round's
+    * logical plan embeds the previous round's, growing the plan
+    * exponentially until planning itself OOMs (observed on a 300-node
+    * chain). On a cluster with unreliable executors, substitute a
+    * reliable `checkpoint` directory for the same truncation.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist()
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -214,23 +221,33 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("comp").as("ncomp"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint(true) // referenced twice by the doubling self-join
+      // pointer doubling: also take the label OF the current label (labels
+      // point at node ids, so the label table is its own lookup table) —
+      // halves every label-chain per round, so convergence is O(log D)
+      // instead of O(D) on long chains
+      val updated = propagated
+        .join(
+          propagated.select(col("id").as("comp"), col("comp").as("gcomp")),
+          Seq("comp"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       val changed = updated
         .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") < col("prev"))
         .limit(1).count() > 0
-      labels.unpersist()
       labels = updated
       converged = !changed
       i += 1
     }
     if (!converged) {
-      labels.unpersist(); edges.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise maxIter")

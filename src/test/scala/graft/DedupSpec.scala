@@ -91,6 +91,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("connected components converges in O(log D) rounds on a long chain") {
+    // a 100-diameter chain would need ~100 rounds of plain propagation;
+    // pointer doubling must finish well inside maxIter = 12
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 100L).forall(got(_) == 1L))
+  }
+
   test("64-bit simhash separates near-dups from unrelated docs; banded pairs find them") {
     val base = "the quick brown fox jumps over a lazy dog while rain falls on " +
       "the old stone bridge near the quiet village market square at dawn"
