@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time one named query from [[SparkEntry.queries]] repeatedly
-  * in a single JVM — `runMain graft.BenchOne <name> <sfDir> [reps]`.
-  * Prints one line per rep so warmup vs steady-state and run-to-run
-  * variance are visible (Bench measures each query once per round).
+  * in a single JVM — `runMain graft.BenchOne <name> <sfDir> [reps]` —
+  * or sweep EVERY registered query once with `<name> = ALL` (the
+  * 10x-scale smoke pass: catches queries that are correct at oracle
+  * scale but pathological one scale up). Prints one line per run so
+  * warmup vs steady-state and run-to-run variance are visible.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -20,13 +22,21 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
+    def time(q: String, label: String): Unit = {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val n = try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          println(s"[benchone] $q $label: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+          spark.catalog.clearCache()
+          return
+        }
+      println(f"[benchone] $q $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
       spark.catalog.clearCache()
     }
+    if (name == "ALL")
+      SparkEntry.queries.keys.toSeq.sorted.foreach(q => time(q, "sweep"))
+    else
+      (1 to reps).foreach(i => time(name, s"rep $i"))
     spark.stop()
   }
 }
