@@ -22,21 +22,30 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
     def time(q: String, label: String): Unit = {
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(q)(spark, sfDir).count()
-        catch { case e: Throwable =>
+      try {
+        val n = SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"[benchone] $q $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      } catch {
+        // NonFatal only: an OOM or similar must abort the sweep — timings
+        // from a corrupted JVM would be meaningless
+        case scala.util.control.NonFatal(e) =>
+          failures += 1
           println(s"[benchone] $q $label: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
-          spark.catalog.clearCache()
-          return
-        }
-      println(f"[benchone] $q $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      spark.catalog.clearCache()
+      } finally spark.catalog.clearCache()
     }
     if (name == "ALL")
       SparkEntry.queries.keys.toSeq.sorted.foreach(q => time(q, "sweep"))
-    else
+    else {
+      require(SparkEntry.queries.contains(name), s"unknown query: $name")
       (1 to reps).foreach(i => time(name, s"rep $i"))
+    }
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"[benchone] $failures quer${if (failures == 1) "y" else "ies"} FAILED")
+      sys.exit(1)
+    }
   }
 }

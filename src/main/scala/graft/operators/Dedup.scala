@@ -206,6 +206,11 @@ object Dedup {
     * reliable `checkpoint` directory for the same truncation.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, "connectedComponents needs at least one round")
+    // checkpoint blocks live OUTSIDE the CacheManager (clearCache never
+    // frees them), so every superseded round is released explicitly via
+    // Bridge.freeLocalCheckpoint
+    import org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -243,15 +248,19 @@ object Dedup {
         .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") < col("prev"))
         .limit(1).count() > 0
+      freeLocalCheckpoint(propagated)
+      freeLocalCheckpoint(labels)
       labels = updated
       converged = !changed
       i += 1
     }
     if (!converged) {
+      freeLocalCheckpoint(labels); freeLocalCheckpoint(edges)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise maxIter")
     }
+    freeLocalCheckpoint(edges)
     labels.select(col("id"), col("comp"))
   }
 
