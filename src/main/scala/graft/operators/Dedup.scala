@@ -155,16 +155,27 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard above a threshold, candidate-generated by the
     * shared-shingle equi-join (any pair with J > 0 shares a shingle, so
-    * this is exact, not approximate). Scale guard: shingles occurring in
-    * more than `maxShingleDf` documents can be dropped by callers to bound
-    * the per-key join fan-out (stop-shingle removal).
+    * this is exact, not approximate). Scale guard: `maxShingleDf` drops
+    * shingles occurring in more than that many documents BEFORE the
+    * self-join (stop-shingle removal) — the per-shingle fan-out is
+    * C(df, 2), so one boilerplate shingle shared by 1M docs would emit
+    * 5·10^11 candidate rows. With a cap the result is exact over the
+    * retained shingle sets (sizes are computed post-cap on both sides of
+    * the ratio); pairs sharing ONLY ultra-common shingles are dropped —
+    * the standard corpus-dedup trade.
     */
   def ngramJaccard(
       docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     // persisted: referenced three times (both join sides + sizes); without
     // it the shingle expression pipeline is re-evaluated per reference
-    val sh = shinglePairs(docs, textCol, idCol, shingleN).persist()
+    val shAll = shinglePairs(docs, textCol, idCol, shingleN)
+    val sh = maxShingleDf.fold(shAll) { cap =>
+      val keep = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      shAll.join(keep, Seq("sh"), "left_semi")
+    }.persist()
     val sizes = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n"))
     // one self-join pass: per-shingle fan-out is C(df, 2), aggregated
     // straight into shared-shingle counts — no separate candidate stage
@@ -180,6 +191,21 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end near-dup removal: keep only each cluster's keeper (the
+    * MINIMUM id = the component label) plus every document in no cluster
+    * at all. Composition of [[connectedComponents]] with a left-anti
+    * join: drop rows whose id appears in the label table with a label
+    * other than itself. The anti-join's right side is the (tiny relative
+    * to the corpus) near-dup node set.
+    */
+  def keepClusterKeepers(
+      docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected near-duplicate pair graph

@@ -91,6 +91,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("stop-shingle cap bounds fan-out and only drops common-shingle-only pairs") {
+    // docs 1/2 share a rare 3-gram; docs 3/4 share ONLY the boilerplate
+    // 3-gram that appears in every doc
+    val boiler = "lorem ipsum dolor"
+    val d = docs(
+      1L -> s"$boiler alpha beta gamma",
+      2L -> s"$boiler alpha beta gamma",
+      3L -> s"$boiler one two three",
+      4L -> s"$boiler four five six")
+    val uncapped = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.01,
+      maxShingleDf = Some(3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((3L, 4L)), "boilerplate links 3-4 without the cap")
+    assert(capped.contains((1L, 2L)), "rare-shingle pairs must survive the cap")
+    assert(!capped.contains((3L, 4L)), "common-shingle-only pairs drop under the cap")
+  }
+
+  test("keepClusterKeepers drops every non-keeper and nothing else") {
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepClusterKeepers(d, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("connected components converges in O(log D) rounds on a long chain") {
     // a 100-diameter chain would need ~100 rounds of plain propagation;
     // pointer doubling must finish well inside maxIter = 12
