@@ -34,12 +34,21 @@ object TextFunctions {
     when(size(words) >= n, grams).otherwise(array(concat_ws(" ", array_join(words, " "))))
   }
 
-  /** MinHash value for seed `j`: lexicographic min of md5("<j>|<shingle>")
-    * over the shingle set. Fixed-width lowercase hex, so string min ==
-    * numeric min — and identical in DuckDB.
+  /** MinHash value for slot `j`: lexicographic min, over the shingle set,
+    * of 4 hex chars sliced out of the shingle's digest — slot j reads
+    * digest block j/8 at offset (j%8)*4. Block 0 is md5(shingle); block k
+    * is md5("<k>|<shingle>") (the same block scheme as the wide SimHash).
+    * One digest serves 8 slots, so an 8-hash signature costs ONE md5 per
+    * shingle instead of eight — the dominant cost of MinHash at corpus
+    * scale. Fixed-width lowercase hex, so string min == numeric min — and
+    * `min(substr(md5(sh), j*4+1, 4))` is verbatim-mirrorable in DuckDB.
     */
-  def minhash(shingleSet: Column, j: Int): Column =
-    array_min(transform(shingleSet, s => md5(concat(lit(s"$j|"), s))))
+  def minhash(shingleSet: Column, j: Int): Column = {
+    val block = j / 8
+    val pos = (j % 8) * 4 + 1
+    array_min(transform(shingleSet, s =>
+      substring(if (block == 0) md5(s) else md5(concat(lit(s"$block|"), s)), pos, 4)))
+  }
 
   /** Dot product of two double arrays — native codegen'd expression with
     * sequential accumulation (bit-equal to the

@@ -46,23 +46,36 @@ object Dedup {
 
   /** MinHash + banded LSH candidates straight from the long-format
     * shingle table — the scale path used by q31: ONE aggregation computes
-    * every signature slot as a column (`min(md5(j || '|' || sh))` per
-    * seed j — map-side combinable, no row explosion), bands pair
-    * consecutive seeds (r=2) in a narrow projection over the wide
-    * signature row, and the candidate join is on (band, digest). An
-    * earlier long-format plan (explode ×numHashes → groupBy(id, seed) →
-    * second groupBy(id, band)) shuffled numHashes× the shingle table and
-    * shuffled again for banding; this shape shuffles the shingle table
-    * once and derives bands for free. Results are identical to
-    * [[minhashSignatures]]+[[lshCandidates]] with rowsPerBand=2.
+    * every signature slot as a column (map-side combinable, no row
+    * explosion), bands pair consecutive slots (r=2) in a narrow
+    * projection over the wide signature row, and the candidate join is on
+    * (band, digest). An earlier long-format plan (explode ×numHashes →
+    * groupBy(id, seed) → second groupBy(id, band)) shuffled numHashes×
+    * the shingle table and shuffled again for banding; this shape
+    * shuffles the shingle table once and derives bands for free.
+    *
+    * Hashing cost: slot j is 4 hex chars SLICED out of one digest per
+    * 8 slots (`min(substr(md5(sh), j*4+1, 4))`, extra blocks seeded
+    * "<k>|" — see [[graft.functions.TextFunctions.minhash]]), so the
+    * default 8-hash signature computes ONE md5 per (doc, shingle) row
+    * where the seed-per-slot formulation computed eight. At 100 TB the
+    * digest work on this aggregation's map side dominates the whole
+    * near-dup pass, so this is an 8× cut of the dominant stage. Results
+    * are identical to [[minhashSignatures]]+[[lshCandidates]] with
+    * rowsPerBand=2.
     */
   def minhashLshCandidates(
       shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes % 2 == 0, "r=2 banding needs an even hash count")
+    val blocks = (numHashes + 7) / 8
+    val withH = shingles.select(
+      col(idCol) +: (0 until blocks).map { bk =>
+        (if (bk == 0) md5(col("sh")) else md5(concat(lit(s"$bk|"), col("sh")))).as(s"h$bk")
+      }: _*)
     val sigCols = (0 until numHashes).map { j =>
-      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j")
+      min(substring(col(s"h${j / 8}"), (j % 8) * 4 + 1, 4)).as(s"mh$j")
     }
-    val mh = shingles.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val mh = withH.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until numHashes / 2).map { b =>
       struct(
         lit(b).as("band"),

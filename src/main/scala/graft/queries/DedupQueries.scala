@@ -121,7 +121,7 @@ object DedupQueries {
     "q31_minhash_lsh" ->
       s"""$ShingleCte,
          |mh AS (
-         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh
+         |  SELECT doc_id, j, min(substr(md5(sh), CAST(j * 4 + 1 AS INT), 4)) AS mh
          |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
          |  GROUP BY doc_id, j),
          |bands AS (
