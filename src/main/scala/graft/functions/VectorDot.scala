@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two `ARRAY<DOUBLE>` columns.
+/** Native dot product over two `ARRAY<DOUBLE|FLOAT>` columns.
   *
   * Why a custom expression: the built-in formulation
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is a higher-order-function
@@ -16,31 +16,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * and it sits inside similarity joins that evaluate millions of pairs.
   * This expression is one codegen'd primitive loop (~100ns/pair).
   *
-  * Arithmetic is the identical left-to-right accumulation
-  * (`acc += a(i)*b(i)` ascending), so results are bit-equal to the HOF
-  * fold and the oracle comparisons are unaffected. Mismatched-length
-  * arrays yield NULL — the same answer the `zip_with` fold gives (its
-  * shorter-side padding makes the products NULL), never a silently
-  * truncated partial dot product.
+  * Float inputs are widened per element inside the loop (exact — every
+  * float is representable as a double), so raw `ARRAY<FLOAT>` embedding
+  * columns never need an interpreted `transform(_.cast)` projection and
+  * stay half-width in broadcasts and caches. Arithmetic is the identical
+  * left-to-right accumulation (`acc += a(i)*b(i)` ascending), so results
+  * are bit-equal to the HOF fold over pre-widened arrays and the oracle
+  * comparisons are unaffected. Mismatched-length arrays yield NULL — the
+  * same answer the `zip_with` fold gives (its shorter-side padding makes
+  * the products NULL), never a silently truncated partial dot product.
+  *
+  * Foldable when both children are foldable, so norms of literal seed
+  * centroids (`sqrt(vector_dot(c, c))` in the IVF scorer) constant-fold
+  * at optimization time instead of re-evaluating per row per cell.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+  private lazy val aFloat = elemType(left) == FloatType
+  private lazy val bFloat = elemType(right) == FloatType
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if (lt == DoubleType || lt == FloatType) &&
+            (rt == DoubleType || rt == FloatType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires ARRAY<DOUBLE> arguments, got ${l.sql}, ${r.sql}")
+        s"$prettyName requires ARRAY<DOUBLE|FLOAT> arguments, got ${l.sql}, ${r.sql}")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null else VectorDot.dot(x, y)
+    if (x.numElements() != y.numElements()) null
+    else VectorDot.dot(x, y, aFloat, bFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,7 +67,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.VectorDot.dot($a, $b);
+         |  ${ev.value} = graft.functions.VectorDot.dot($a, $b, $aFloat, $bFloat);
          |}
        """.stripMargin)
 
@@ -62,15 +80,23 @@ object VectorDot {
 
   /** Sequential-accumulation dot product; called from interpreted eval
     * and generated code alike. Precondition (enforced by the expression's
-    * null guard): equal lengths.
+    * null guard): equal lengths. The per-side float flags are compile-time
+    * constants in generated code, so the JIT specializes the loop.
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
     acc
   }
+
+  def dot(a: ArrayData, b: ArrayData): Double = dot(a, b, aFloat = false, bFloat = false)
 
   def apply(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))

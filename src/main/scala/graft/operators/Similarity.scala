@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -12,9 +12,25 @@ import graft.functions.TextFunctions._
   */
 object Similarity {
 
-  /** Normalize the raw float embedding into a double array column `v`. */
+  /** Embedding table prepared for similarity search: the raw (float)
+    * vector as `v` plus its precomputed L2 norm as `nv`. The vector is
+    * NOT widened to double — [[graft.functions.VectorDot]] reads float
+    * arrays natively with exact per-element widening, so keeping the
+    * float representation halves the bytes every broadcast / cache /
+    * shuffle of the corpus moves, and the norm column turns every
+    * per-pair cosine downstream into ONE dot product instead of three
+    * (the two norm dots are per-row, computed here exactly once).
+    */
   def prepared(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    vectors.select(
+      col(idCol), col(vecCol).as("v"), l2norm(col(vecCol)).as("nv"))
+
+  /** Cosine from a precomputed-norm pair: dot(a,b)/(na*nb) — identical
+    * operand values and order as `cosine(a, b)`, so results stay
+    * bit-equal to the unfactored form (and the DuckDB oracle).
+    */
+  private def cosPre(a: Column, na: Column, b: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
 
   /** Exact pairwise cosine for every (query × corpus) pair above
     * `minCos`. Brute force — O(|Q|·|C|) — correct at any scale only when
@@ -23,11 +39,13 @@ object Similarity {
     */
   def bruteForcePairs(
       queries: DataFrame, corpus: DataFrame, idCol: String, minCos: Double): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col("v").as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col("v").as("cv"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col("v").as("qv"), col("nv").as("qn"))
+    val c = corpus.select(
+      col(idCol).as("cand_id"), col("v").as("cv"), col("nv").as("cn"))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", cosPre(col("qv"), col("qn"), col("cv"), col("cn")))
       .filter(col("cos") >= minCos)
       .select("query_id", "cand_id", "cos")
   }
@@ -93,17 +111,36 @@ object Similarity {
     * assignment a narrow codegen-able projection with no join.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, k: Int): DataFrame = {
-    val seeds: Array[Array[Double]] = vectors
-      .orderBy(col(idCol).asc).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val seeds = collectSeeds(vectors, idCol, k)
     // argmin over (negated cosine, cell id) structs — array_min orders
     // lexicographically, so ties resolve to the lowest cell id
-    val scored = array(seeds.indices.map { i =>
-      val c = array(seeds(i).toIndexedSeq.map(lit): _*)
-      struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
-    }: _*)
-    vectors.withColumn("cell", array_min(scored).getField("cell"))
+    vectors.withColumn("cell", array_min(seedScores(seeds)).getField("cell"))
   }
+
+  /** The k lowest-id vectors as driver-side double arrays (k × dim
+    * doubles — broadcast-sized at any corpus scale), float-widened
+    * exactly when the stored embedding is float.
+    */
+  private def collectSeeds(
+      vectors: DataFrame, idCol: String, k: Int): Array[Array[Double]] =
+    vectors.orderBy(col(idCol).asc).limit(k)
+      .select(col("v").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Per-cell (negcos, cell) structs for the current row's vector. The
+    * seed norm `l2norm(c)` is a literal-only subtree — VectorDot is
+    * foldable — so Catalyst constant-folds it once per plan; the row
+    * norm comes from the precomputed `nv` column. Net per-row cost is
+    * exactly one dot product per cell, operand-order-identical to the
+    * unfactored `cosine(v, c)`.
+    */
+  private def seedScores(seeds: Array[Array[Double]]): Column =
+    array(seeds.indices.map { i =>
+      val c = array(seeds(i).toIndexedSeq.map(lit): _*)
+      struct(
+        (lit(0.0) - dot(col("v"), c) / (col("nv") * l2norm(c))).as("negcos"),
+        lit(i).as("cell"))
+    }: _*)
 
   /** IVF ANN top-k: probe the `nProbe` nearest cells per query, exact
     * cosine re-rank within the probed cells. The search join is an
@@ -120,26 +157,21 @@ object Similarity {
   def ivfTopK(
       vectors: DataFrame, idCol: String, k: Int,
       cells: Int, nProbe: Int): DataFrame = {
-    val seeds: Array[Array[Double]] = vectors
-      .orderBy(col(idCol).asc).limit(cells)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    val scored = array(seeds.indices.map { i =>
-      val c = array(seeds(i).toIndexedSeq.map(lit): _*)
-      struct((lit(0.0) - cosine(col("v"), c)).as("negcos"), lit(i).as("cell"))
-    }: _*)
+    val seeds = collectSeeds(vectors, idCol, cells)
     val base = vectors
-      .withColumn("probes", slice(array_sort(scored), 1, nProbe).getField("cell"))
+      .withColumn("probes", slice(array_sort(seedScores(seeds)), 1, nProbe).getField("cell"))
       .persist()
     val cands = base.select(
-      col(idCol).as("cand_id"), col("v").as("cv"),
+      col(idCol).as("cand_id"), col("v").as("cv"), col("nv").as("cn"),
       element_at(col("probes"), 1).as("probe"))
     val probes = base.select(
-      col(idCol).as("query_id"), col("v").as("qv"),
+      col(idCol).as("query_id"), col("v").as("qv"), col("nv").as("qn"),
       explode(col("probes")).as("probe"))
     topKPerQuery(
       probes.join(cands, Seq("probe"))
         .filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos")),
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qv"), col("qn"), col("cv"), col("cn")).as("cos")),
       k)
   }
 
@@ -177,15 +209,18 @@ object Similarity {
     val bucketed = lshBuckets(vectors, idCol, dim, numPlanes).persist()
     // probe buckets: own bucket + each one-bit flip
     val probes = bucketed.select(
-      col(idCol).as("query_id"), col("v").as("qv"),
+      col(idCol).as("query_id"), col("v").as("qv"), col("nv").as("qn"),
       explode(array((lit(col("bucket")) +:
         (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*))
         .as("probe"))
-    val cands = bucketed.select(col(idCol).as("cand_id"), col("v").as("cv"), col("bucket").as("probe"))
+    val cands = bucketed.select(
+      col(idCol).as("cand_id"), col("v").as("cv"), col("nv").as("cn"),
+      col("bucket").as("probe"))
     topKPerQuery(
       probes.join(cands, Seq("probe"))
         .filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 6).as("cos")),
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qv"), col("qn"), col("cv"), col("cn")).as("cos")),
       k)
   }
 }

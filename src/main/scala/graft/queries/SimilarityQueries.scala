@@ -58,11 +58,17 @@ object SimilarityQueries {
     */
   def q35EmbedDupLsh(spark: SparkSession, dir: String): DataFrame = {
     val b = Similarity.lshBuckets(vectors(spark, dir), "vec_id", dim = 64, numPlanes = 8)
-    b.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-      .join(b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket")), Seq("bucket"))
+    // dot/(na*nb) with the precomputed norms from prepared(): identical
+    // operand values and order as the unfactored cosine — bit-equal, one
+    // dot per candidate pair instead of three
+    b.select(col("vec_id").as("id_a"), col("v").as("va"), col("nv").as("na"), col("bucket"))
+      .join(
+        b.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nv").as("nb"), col("bucket")),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(graft.functions.TextFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(graft.functions.TextFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .filter(col("cos") >= 0.30)
       .distinct()
   }
