@@ -56,8 +56,23 @@ object DedupQueries {
         .select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
 
+  /** q38: dedup APPLIED — the corpus with every near-dup cluster reduced
+    * to its keeper (min id), non-clustered docs untouched. q37's labels
+    * plus the left-anti join ([[Dedup.keepClusterKeepers]]); the oracle
+    * recomputes the same transitive closure and anti-joins.
+    */
+  def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.keepClusterKeepers(
+      d,
+      Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
+        .select(col("id_a"), col("id_b")),
+      "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_dup_clusters" -> (q37DupClusters _),
+    "q38_dedup_apply" -> (q38DedupApply _),
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_ngram_jaccard" -> ((s, dir) =>
@@ -85,35 +100,48 @@ object DedupQueries {
       |                  ELSE [array_to_string(w, ' ')] END) AS sh
       |    FROM wd))""".stripMargin
 
+  /** Transitive-closure CTE chain (shingles → Jaccard pairs → reachability)
+    * shared by q37 (cluster labels) and q38 (labels applied as a dedup).
+    */
+  private val ClusterCte: String =
+    s"""${ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.id_a
+       |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+       |  GROUP BY c.id_a, c.id_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |prs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT i.id_a, i.id_b,
+       |           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+       |    FROM inter i
+       |    JOIN sizes sa ON sa.doc_id = i.id_a
+       |    JOIN sizes sb ON sb.doc_id = i.id_b)
+       |  WHERE jaccard >= 0.05),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION SELECT id_b, id_a FROM prs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q37_dup_clusters" ->
-      s"""${ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh s1 ON s1.doc_id = c.id_a
-         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
-         |  GROUP BY c.id_a, c.id_b),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |prs AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT i.id_a, i.id_b,
-         |           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
-         |    FROM inter i
-         |    JOIN sizes sa ON sa.doc_id = i.id_a
-         |    JOIN sizes sb ON sb.doc_id = i.id_b)
-         |  WHERE jaccard >= 0.05),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION SELECT id_b, id_a FROM prs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      s"""$ClusterCte
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "q38_dedup_apply" ->
+      s"""$ClusterCte,
+         |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM labels l WHERE l.id = d.doc_id AND l.id <> l.comp)""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keeper, count(*) AS n_copies

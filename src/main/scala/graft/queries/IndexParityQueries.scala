@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.{CompressedPostingsAgg, PostingsCodec}
+import graft.streaming.StreamingOps
+
+/** Alternate-path builds of the q1 inverted index, each oracle-checked
+  * against q1's OWN DuckDB SQL — so the driver's hard correctness gate
+  * covers the streaming surface and the compressed-postings scale path,
+  * not just their unit specs:
+  *
+  *   - q75: the index computed INCREMENTALLY — documents arrive over
+  *     several micro-batches through [[StreamingOps.incrementalDocWords]]
+  *     (stateful streaming dedup), and the accumulated pair stream is
+  *     folded into the index. Batch/streaming parity is the core
+  *     guarantee of the streaming surface; this query makes the driver
+  *     verify it.
+  *   - q76: the index aggregated through [[CompressedPostingsAgg]]
+  *     (delta-varint postings bytes, the bounded-state alternative to
+  *     `collect_set` at 100 TB) and decoded back — proving the codec
+  *     round-trips the real corpus end-to-end.
+  */
+object IndexParityQueries {
+
+  /** Render distinct (doc_id, word) pairs into q1's exact output schema:
+    * word, space-joined ascending postings string, df.
+    */
+  private def indexFromPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+      .select(
+        col("word"),
+        array_join(col("p"), " ").as("postings"),
+        size(col("p")).cast("long").as("df"))
+
+  /** q75: feed the corpus through a MemoryStream in `numBatches`
+    * micro-batches (ordered by doc_id, so the split is deterministic),
+    * run the streaming tokenize→clean→dedup with its cross-batch state,
+    * and index the accumulated pairs. MemoryStream + the driver-side
+    * feed loop are the test-harness SOURCE only (production reads Kafka/
+    * files via readStream); the operator under test is the unbounded
+    * [[StreamingOps.incrementalDocWords]] plan itself.
+    */
+  def q75IncrementalIndex(
+      spark: SparkSession, dir: String, numBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q75_docwords"
+    spark.catalog.dropTempView(sink) // re-runnable within one session
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.incrementalDocWords(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val per = math.max(1, (docs.length + numBatches - 1) / numBatches)
+      docs.grouped(per).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable() // barrier => each group is its own micro-batch
+      }
+    } finally q.stop()
+    indexFromPairs(spark.table(sink))
+  }
+
+  /** q76: per-word postings encoded to delta-varint bytes inside the
+    * typed Aggregator (bounded, compact aggregation state), then decoded
+    * back to the q1 rendering. The decode is a typed map — it exists to
+    * PROVE the round-trip; a real index sink would store the bytes.
+    */
+  def q76CompressedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ReferenceQueries.docWords(spark, dir)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapValues(_._1)
+      .agg(CompressedPostingsAgg.toColumn.name("enc"))
+      .map { case (word, enc) =>
+        val ids = PostingsCodec.decode(enc)
+        (word, ids.mkString(" "), ids.length.toLong)
+      }
+      .toDF("word", "postings", "df")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_incremental_index" -> ((s, dir) => q75IncrementalIndex(s, dir)),
+    "q76_compressed_index" -> (q76CompressedIndex _))
+
+  /** Both queries must equal q1 exactly — they share its oracle SQL. */
+  val oracleSql: Map[String, String] = Map(
+    "q75_incremental_index" -> ReferenceQueries.oracleSql("q1_inverted_index"),
+    "q76_compressed_index" -> ReferenceQueries.oracleSql("q1_inverted_index"))
+}
