@@ -61,8 +61,10 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
           // queries persist() intermediates they reference more than once;
           // the runner owns the cache lifecycle — drop them per query so
-          // storage memory never accumulates across the session
+          // storage memory never accumulates across the session (incl.
+          // localCheckpoint blocks, which clearCache cannot reach)
           spark.catalog.clearCache()
+          org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
         }
       }
     spark.read.parquet(s"$sfDir/nation.parquet").count()
@@ -78,6 +80,7 @@ object Bench {
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           val sec = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache() // per-query cache ownership (see warmup)
+          org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
           if (n < 0) -1.0 else sec
         }
         name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)

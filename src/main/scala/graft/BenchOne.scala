@@ -34,7 +34,10 @@ object BenchOne {
         case scala.util.control.NonFatal(e) =>
           failures += 1
           println(s"[benchone] $q $label: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
-      } finally spark.catalog.clearCache()
+      } finally {
+        spark.catalog.clearCache()
+        org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      }
     }
     if (name == "ALL")
       SparkEntry.queries.keys.toSeq.sorted.foreach(q => time(q, "sweep"))

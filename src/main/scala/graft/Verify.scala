@@ -22,8 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() shared intermediates; the runner owns the cache
-      // lifecycle — release them once the query's terminal write is done
+      // lifecycle — release them once the query's terminal write is done.
+      // freeAllPersistedRdds additionally drops localCheckpoint blocks
+      // (connected components), which clearCache cannot reach.
       spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -52,9 +52,10 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    val rk = "__graft_cap_rk" // collision-safe: output schema == input schema
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
   }
 
   /** Deterministic held-out split: route each row to a named fraction of
@@ -78,6 +79,11 @@ object Curation {
     require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,
       s"hashSplit bounds must be strictly ascending (later cuts would be " +
         s"unreachable): ${cuts.map(_._2)}")
+    // 'split' is the documented OUTPUT column; refuse to silently clobber
+    // a pre-existing one rather than guess which the caller wanted
+    require(!df.columns.contains("split"),
+      "hashSplit emits a 'split' column but the input already has one — " +
+        "rename or drop it first")
     val prefix = substring(md5(col(idCol).cast("string")), 1, 2)
     val assigned = cuts.foldRight(lit(rest)) { case ((name, bound), tail) =>
       when(prefix < bound, name).otherwise(tail)

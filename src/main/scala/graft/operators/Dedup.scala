@@ -175,7 +175,13 @@ object Dedup {
     * 5·10^11 candidate rows. With a cap the result is exact over the
     * retained shingle sets (sizes are computed post-cap on both sides of
     * the ratio); pairs sharing ONLY ultra-common shingles are dropped —
-    * the standard corpus-dedup trade.
+    * the standard corpus-dedup trade. NOTE the score under a cap is
+    * Jaccard over the RETAINED shingle sets, not true Jaccard: sizes are
+    * computed post-cap, so the denominator shrinks too, and a pair can
+    * score ABOVE a threshold its true Jaccard is below (promotion, not
+    * just lost recall). Compute sizes pre-cap if subset semantics are
+    * wanted; the retained-set score is what near-dup pipelines normally
+    * use (boilerplate should not count toward similarity either way).
     */
   def ngramJaccard(
       docs: DataFrame, textCol: String, idCol: String,
@@ -243,6 +249,12 @@ object Dedup {
     * exponentially until planning itself OOMs (observed on a 300-node
     * chain). On a cluster with unreliable executors, substitute a
     * reliable `checkpoint` directory for the same truncation.
+    *
+    * Ownership of the RETURNED labels' checkpoint blocks passes to the
+    * caller: free them once results are materialized, either directly
+    * (`Bridge.freeLocalCheckpoint(labels)`) or via the runner-level
+    * `Bridge.freeAllPersistedRdds` that Verify/Bench/BenchOne call after
+    * every query — `clearCache()` alone cannot reach checkpoint blocks.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, "connectedComponents needs at least one round")

@@ -316,7 +316,13 @@ object RelationalQueries {
   // exceeds the all-customer average. The average compare is done in
   // exact decimal integer form (spend × n > total) so no double rounding
   // can flip boundary rows; the one-row global aggregate joins back via
-  // broadcast (the physical plan of a scalar subquery).
+  // broadcast (the physical plan of a scalar subquery). Precision bound:
+  // the product is decimal(18,4) × decimal(12,0) → decimal(31,4), under
+  // Spark's 38-digit cap, so it stays EXACT while any one customer's
+  // spend < 10^14 and customer count < 10^12 (raw sum(decimal) precision
+  // would be 28, and 28-digit × bigint exceeds the cap and silently
+  // loses precision where DuckDB's hugeint-backed decimals don't). The
+  // down-cast overflows loudly, never silently.
   def q28BigSpenders(spark: SparkSession, dir: String): DataFrame = {
     val spend = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -324,7 +330,9 @@ object RelationalQueries {
     val tot = spend.agg(
       sum(col("spend_d")).as("tot"), count(lit(1)).as("n_cust"))
     spend.crossJoin(broadcast(tot))
-      .filter(col("spend_d") * col("n_cust") > col("tot"))
+      .filter(
+        col("spend_d").cast("decimal(18,4)") * col("n_cust").cast("decimal(12,0)")
+          > col("tot"))
       .select(
         col("o_custkey").as("c_custkey"),
         col("spend_d").cast("double").as("spend"))
@@ -404,7 +412,7 @@ object RelationalQueries {
         |tot AS (SELECT SUM(spend_d) AS tot, count(*) AS n_cust FROM spend)
         |SELECT c_custkey, CAST(spend_d AS DOUBLE) AS spend
         |FROM spend CROSS JOIN tot
-        |WHERE spend_d * n_cust > tot""".stripMargin,
+        |WHERE CAST(spend_d AS DECIMAL(18,4)) * CAST(n_cust AS DECIMAL(12,0)) > tot""".stripMargin,
     "q58_quantiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -49,10 +49,15 @@ object StreamingOps {
     * event-time column and use `withWatermark` +
     * `dropDuplicatesWithinWatermark` to bound it.
     */
-  def dedupOnIngest(docs: DataFrame, textCol: String): DataFrame =
+  def dedupOnIngest(docs: DataFrame, textCol: String): DataFrame = {
+    // collision-safe internal name, dropped before returning — the output
+    // schema is exactly the input schema, and a user 'fp' column survives
+    val fp = "__graft_ingest_fp"
     docs
-      .withColumn("fp", md5(graft.functions.TextFunctions.normText(col(textCol))))
-      .dropDuplicates("fp")
+      .withColumn(fp, md5(graft.functions.TextFunctions.normText(col(textCol))))
+      .dropDuplicates(fp)
+      .drop(fp)
+  }
 
   /** Stream-static enrichment: left-join the unbounded stream against a
     * broadcast dimension — the standard lookup pattern; the static side

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.LogicalRDD
@@ -18,8 +18,32 @@ object Bridge {
     * `spark.catalog.clearCache()` never releases them; iterative
     * algorithms that checkpoint per round must drop superseded rounds
     * explicitly or dead label tables accumulate for the session's life.
+    *
+    * CONTRACT: the argument must be the checkpointed Dataset ITSELF (its
+    * plan root a single `LogicalRDD`) and the caller its sole owner —
+    * checkpoint blocks cannot be recomputed, so unpersisting a
+    * checkpointed table that a derived plan merely references would
+    * irrecoverably destroy a shared input. Enforced: any other plan
+    * shape throws instead of guessing.
     */
   def freeLocalCheckpoint(ds: Dataset[_]): Unit =
-    ds.queryExecution.logical.collect { case lr: LogicalRDD => lr.rdd }
+    ds.queryExecution.logical match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case other => throw new IllegalArgumentException(
+        "freeLocalCheckpoint requires the checkpointed Dataset itself " +
+          s"(plan root LogicalRDD), got ${other.nodeName} — freeing " +
+          "LogicalRDDs reachable from a derived plan could destroy " +
+          "unrecomputable inputs shared with other plans")
+    }
+
+  /** Free EVERY persisted RDD in the session — `persist()`ed plans and
+    * `localCheckpoint` blocks alike (the latter live outside the
+    * CacheManager, so `clearCache()` alone leaks them). For runners
+    * (Verify/Bench/BenchOne) that own the cache lifecycle: call AFTER a
+    * query's results are fully materialized, never mid-plan — local-
+    * checkpoint blocks cannot be recomputed once dropped.
+    */
+  def freeAllPersistedRdds(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 }
