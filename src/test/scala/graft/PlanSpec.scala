@@ -74,6 +74,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
+  test("near-dup candidate generation never plans a cross product") {
+    // every candidate generator is a key-equality join (LSH band, shared
+    // shingle, SimHash chunk, hyperplane bucket, winnow fingerprint) —
+    // the property that makes these run at 100 TB. A refactor that
+    // degrades one to CartesianProduct/BroadcastNestedLoopJoin would
+    // still pass correctness at fixture scale; catch it here.
+    for (q <- Seq("q31_minhash_lsh", "q32_ngram_jaccard", "q35_embed_dup_lsh",
+        "q36_simhash_pairs", "q24_winnow_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a broadcast nested-loop join:\n$p")
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    }
+  }
+
+  test("q19: the constant-sized tier table is the broadcast side") {
+    val p = plan("q19_range_join")
+    // a range (non-equi) join against a 3-row bounds table SHOULD be a
+    // broadcast nested-loop — what must never happen is the big events
+    // side being built/broadcast, or a shuffle appearing before the join
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"tier table must be the broadcast build side:\n$p")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
