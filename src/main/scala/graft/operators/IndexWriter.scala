@@ -53,7 +53,14 @@ object IndexWriter {
   }
 
   /** Move `letter=x/part-*` → `outDir/x.txt`; touch empty files for the
-    * letters with no words. Constant work (26 renames) at any scale.
+    * letters with no words. Constant file COUNT (26) at any scale, but
+    * the bytes stream through the driver's filesystem: the right call
+    * for the reference checker's byte-exact `<letter>.txt` contract at
+    * fixture scale. At 100× the artifact contract should change instead:
+    * keep the directory-per-letter layout as the published output (zero
+    * extra IO), or use filesystem-level concat (HDFS `concat`, S3
+    * multipart compose) so no payload ever moves through one machine.
+    * See SCALE.md "Inverted index".
     */
   private def finalizeLetterFiles(tmpDir: String, outDir: String): Unit = {
     val out = Paths.get(outDir)

@@ -82,6 +82,20 @@ object RelationalQueries {
         "left_semi")
       .select("c_custkey", "c_name")
 
+  // q39: explicitly-salted skew join — orders⋈customer through
+  // SkewJoin.saltedJoin (hot keys fan out over 8 salt sub-keys), folded
+  // to a per-segment aggregate. Salting is join-semantics-neutral, so
+  // the oracle is the PLAIN join — the driver check proves the salted
+  // plan changes the shuffle layout and nothing else.
+  def q39SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedJoin(
+      t(spark, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+      t(spark, dir, "customer"),
+      "c_custkey",
+      saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+
   // q13: left-anti join — customers with no orders at all.
   def q13AntiJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
@@ -378,6 +392,7 @@ object RelationalQueries {
     "q28_big_spenders" -> q28BigSpenders _,
     "q58_quantiles" -> q58Quantiles _,
     "q59_edit_distance" -> q59EditDistance _,
+    "q39_salted_join" -> q39SaltedJoin _,
     "q52_running_total" -> q52RunningTotal _,
     "q53_full_outer" -> q53FullOuter _,
     "q54_last_event" -> q54LastEvent _,
@@ -425,6 +440,11 @@ object RelationalQueries {
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         |       levenshtein(a.n_name, b.n_name) AS dist
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""".stripMargin,
+    "q39_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
     "q57_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
