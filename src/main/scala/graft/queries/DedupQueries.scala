@@ -45,6 +45,59 @@ object DedupQueries {
     Dedup.simhashPairs(sigs, "doc_id", maxDist = 3)
   }
 
+  /** q77: PRODUCTION-width SimHash near-dup pairs — 64-bit signatures,
+    * Hamming distance <= 7, candidates from the 8-bit×8-chunk pigeonhole
+    * band join. SCALE.md names this as the width real corpora run (the
+    * 16-bit q33/q36 width exists for small-vocab fixture realism);
+    * registering it makes the driver verify the wide path end-to-end —
+    * two md5 blocks per word, 64 vote columns, signed-long signature —
+    * not just the spec. The oracle mirrors the block scheme and, at
+    * fixture scale, can afford the naive all-pairs Hamming filter.
+    */
+  def q77Simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.simhash(docs(spark, dir), "text", "doc_id", bits = 64).persist()
+    Dedup.simhashPairs(sigs, "doc_id", maxDist = 7, bits = 64)
+  }
+
+  /** q78: benchmark decontamination — flag every corpus document sharing
+    * at least one word 3-gram with the "benchmark" probe set (fixture:
+    * doc_id < 20), with the shared-shingle count as evidence. The
+    * standard pre-training hygiene step (eval-set leakage detection),
+    * and the same key-equality join shape as all candidate generation:
+    * at 100 TB the benchmark shingle set is benchmark-sized (tiny) and
+    * broadcasts; the corpus side streams — no shuffle of the corpus.
+    * Real deployments use longer n-grams (8-13); the plan is identical.
+    */
+  def q78Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
+    val bench = sh.filter(col("doc_id") < 20).select("sh").distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(bench, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** q79: repeated-n-gram ratio — 1 − distinct/total word 3-grams per
+    * document, the classic generation-loop / boilerplate quality signal
+    * (high ratio = the document repeats itself). Narrow projection +
+    * one aggregation; ratio is integer-derived and 6dp-rounded on both
+    * engines.
+    */
+  def q79Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wordsArr
+    val d = docs(spark, dir)
+    val tot = d.select(
+      col("doc_id"),
+      greatest(size(wordsArr(col("text"))) - 2, lit(1)).cast("long").as("total"))
+    val dist = Dedup.shinglePairs(d, "text", "doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("distinct_grams"))
+    tot.join(dist, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("distinct_grams") * lit(1.0) / col("total"), 6)
+          .as("rep_ratio"))
+  }
+
   /** q37: near-duplicate clusters — connected components (min-id label)
     * over the q32 shared-shingle Jaccard pair graph; the "turn pairs
     * into dedup groups" step. The oracle computes the same transitive
@@ -78,7 +131,10 @@ object DedupQueries {
     "q32_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", threshold = 0.05)),
     "q33_simhash" -> ((s, dir) => Dedup.simhash16(docs(s, dir), "text", "doc_id")),
-    "q36_simhash_pairs" -> (q36SimhashPairs _))
+    "q36_simhash_pairs" -> (q36SimhashPairs _),
+    "q77_simhash64_pairs" -> (q77Simhash64Pairs _),
+    "q78_decontaminate" -> (q78Decontaminate _),
+    "q79_repetition" -> (q79Repetition _))
 
   /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
     * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.
@@ -215,6 +271,52 @@ object DedupQueries {
         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3""".stripMargin,
+    "q77_simhash64_pairs" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(w) AS w FROM wd)),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN (strpos('0123456789abcdef',
+        |               substr(CASE WHEN i < 32 THEN md5(w) ELSE md5('1|' || w) END,
+        |                      (i % 32) + 1, 1)) - 1) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY doc_id, i),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v <= 0 THEN 0
+        |                       WHEN i = 63 THEN -9223372036854775807 - 1
+        |                       ELSE (1::BIGINT << i) END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 7""".stripMargin,
+    "q78_decontaminate" ->
+      s"""$ShingleCte,
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id >= 20
+         |GROUP BY s.doc_id""".stripMargin,
+    "q79_repetition" ->
+      s"""$ShingleCte,
+         |tot AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS total
+         |  FROM wd),
+         |dg AS (SELECT doc_id, count(*) AS distinct_grams FROM sh GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       round(1.0 - d.distinct_grams * 1.0 / t.total, 6) AS rep_ratio
+         |FROM tot t JOIN dg d ON d.doc_id = t.doc_id""".stripMargin,
     "q33_simhash" ->
       """WITH wd AS (
         |  SELECT doc_id,
