@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native positional token Generator for the text-pipeline alphabet:
@@ -56,4 +56,52 @@ case class AlnumTokens(child: Expression)
 
 object AlnumTokens {
   def apply(c: Column): Column = Bridge.column(AlnumTokens(Bridge.expression(c)))
+}
+
+/** Count of surviving cleaned words under the SAME byte-wise tokenization
+  * as [[AlnumTokens]]/[[WordNgrams.cleanWords]] — a word counts iff it has
+  * at least one `[A-Za-z0-9]` byte between whitespace boundaries. One byte
+  * pass, no allocation. Exists so ratio queries (q79) can derive their
+  * denominator from the same tokenizer as their [[WordNgrams]] numerator:
+  * mixing in the Catalyst regex tokenizer (Unicode-aware lowercasing)
+  * diverges on the documented exotic mappings (U+0130, U+212A) and could
+  * make a distinct/total ratio exceed 1.
+  */
+case class AlnumWordCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "alnum_word_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[UTF8String].getBytes
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i <= in.length) {
+      val b = if (i < in.length) in(i) else ' '.toByte
+      if (b == ' ' || (b >= 9 && b <= 13)) {
+        if (inWord) { count += 1; inWord = false }
+      } else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+          (b >= 'A' && b <= 'Z')) {
+        inWord = true
+      }
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AlnumWordCount =
+    copy(child = newChild)
+}
+
+object AlnumWordCount {
+  def apply(c: Column): Column =
+    Bridge.column(AlnumWordCount(Bridge.expression(c)))
 }

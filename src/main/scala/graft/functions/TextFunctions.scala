@@ -35,19 +35,23 @@ object TextFunctions {
   }
 
   /** MinHash value for slot `j`: lexicographic min, over the shingle set,
-    * of 4 hex chars sliced out of the shingle's digest — slot j reads
-    * digest block j/8 at offset (j%8)*4. Block 0 is md5(shingle); block k
-    * is md5("<k>|<shingle>") (the same block scheme as the wide SimHash).
-    * One digest serves 8 slots, so an 8-hash signature costs ONE md5 per
-    * shingle instead of eight — the dominant cost of MinHash at corpus
-    * scale. Fixed-width lowercase hex, so string min == numeric min — and
-    * `min(substr(md5(sh), j*4+1, 4))` is verbatim-mirrorable in DuckDB.
+    * of 8 hex chars (32 bits) sliced out of the shingle's digest — slot j
+    * reads digest block j/4 at offset (j%4)*8. Block 0 is md5(shingle);
+    * block k is md5("<k>|<shingle>") (the same block scheme as the wide
+    * SimHash). One digest serves 4 slots, so an 8-hash signature costs TWO
+    * md5s per shingle instead of eight — the dominant cost of MinHash at
+    * corpus scale. Slot width matters: a 16-bit slot saturates once a
+    * document has ~2^16 shingles (the slot minimum concentrates near 0 and
+    * unrelated documents collide on band digests), so 32 bits is the
+    * narrowest width safe for large-document corpora — saturation moves to
+    * ~4B shingles per document. Fixed-width lowercase hex, so string min ==
+    * numeric min — and the slicing is verbatim-mirrorable in DuckDB.
     */
   def minhash(shingleSet: Column, j: Int): Column = {
-    val block = j / 8
-    val pos = (j % 8) * 4 + 1
+    val block = j / 4
+    val pos = (j % 4) * 8 + 1
     array_min(transform(shingleSet, s =>
-      substring(if (block == 0) md5(s) else md5(concat(lit(s"$block|"), s)), pos, 4)))
+      substring(if (block == 0) md5(s) else md5(concat(lit(s"$block|"), s)), pos, 8)))
   }
 
   /** Dot product of two double arrays — native codegen'd expression with

@@ -54,26 +54,29 @@ object Dedup {
     * the shingle table and shuffled again for banding; this shape
     * shuffles the shingle table once and derives bands for free.
     *
-    * Hashing cost: slot j is 4 hex chars SLICED out of one digest per
-    * 8 slots (`min(substr(md5(sh), j*4+1, 4))`, extra blocks seeded
-    * "<k>|" — see [[graft.functions.TextFunctions.minhash]]), so the
-    * default 8-hash signature computes ONE md5 per (doc, shingle) row
-    * where the seed-per-slot formulation computed eight. At 100 TB the
-    * digest work on this aggregation's map side dominates the whole
-    * near-dup pass, so this is an 8× cut of the dominant stage. Results
-    * are identical to [[minhashSignatures]]+[[lshCandidates]] with
-    * rowsPerBand=2.
+    * Hashing cost: slot j is 8 hex chars (32 bits) SLICED out of one
+    * digest per 4 slots (extra blocks seeded "<k>|" — see
+    * [[graft.functions.TextFunctions.minhash]]), so the default 8-hash
+    * signature computes TWO md5s per (doc, shingle) row where the
+    * seed-per-slot formulation computed eight. At 100 TB the digest work
+    * on this aggregation's map side dominates the whole near-dup pass, so
+    * this is a 4× cut of the dominant stage. Slot width is 32 bits, not
+    * 16: a 16-bit slot minimum concentrates near 0 once a document has
+    * ~2^16 shingles, inflating band-digest collisions between unrelated
+    * large documents; 32-bit slots keep the collision bias negligible up
+    * to ~4B shingles per document. Results are identical to
+    * [[minhashSignatures]]+[[lshCandidates]] with rowsPerBand=2.
     */
   def minhashLshCandidates(
       shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes % 2 == 0, "r=2 banding needs an even hash count")
-    val blocks = (numHashes + 7) / 8
+    val blocks = (numHashes + 3) / 4
     val withH = shingles.select(
       col(idCol) +: (0 until blocks).map { bk =>
         (if (bk == 0) md5(col("sh")) else md5(concat(lit(s"$bk|"), col("sh")))).as(s"h$bk")
       }: _*)
     val sigCols = (0 until numHashes).map { j =>
-      min(substring(col(s"h${j / 8}"), (j % 8) * 4 + 1, 4)).as(s"mh$j")
+      min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
     }
     val mh = withH.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until numHashes / 2).map { b =>

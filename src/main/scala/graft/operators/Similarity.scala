@@ -36,6 +36,12 @@ object Similarity {
     * `minCos`. Brute force — O(|Q|·|C|) — correct at any scale only when
     * one side is small (it is broadcast). Use [[annLsh]] when both sides
     * are large.
+    *
+    * Input contract (also [[lshBuckets]]/[[ivfAssign]]/[[ivfTopK]]/
+    * [[annLsh]]): both sides must come from [[prepared]] — columns `v`
+    * (float vector) and `nv` (precomputed L2 norm) are required; a frame
+    * with only a raw vector column fails analysis with an
+    * unresolved-column error on `nv`.
     */
   def bruteForcePairs(
       queries: DataFrame, corpus: DataFrame, idCol: String, minCos: Double): DataFrame = {

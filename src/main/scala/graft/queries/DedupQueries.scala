@@ -81,14 +81,18 @@ object DedupQueries {
     * document, the classic generation-loop / boilerplate quality signal
     * (high ratio = the document repeats itself). Narrow projection +
     * one aggregation; ratio is integer-derived and 6dp-rounded on both
-    * engines.
+    * engines. Numerator AND denominator derive from the same byte-wise
+    * tokenizer ([[graft.functions.AlnumWordCount]] /
+    * [[graft.functions.WordNgrams]]), so the ratio stays in [0, 1] on
+    * every input — the ASCII-contract caveat on
+    * [[Dedup.shinglePairs]] applies to this query as a whole.
     */
   def q79Repetition(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.wordsArr
     val d = docs(spark, dir)
     val tot = d.select(
       col("doc_id"),
-      greatest(size(wordsArr(col("text"))) - 2, lit(1)).cast("long").as("total"))
+      greatest(graft.functions.AlnumWordCount(col("text")) - 2, lit(1))
+        .cast("long").as("total"))
     val dist = Dedup.shinglePairs(d, "text", "doc_id")
       .groupBy("doc_id").agg(count(lit(1)).as("distinct_grams"))
     tot.join(dist, Seq("doc_id"))
@@ -205,7 +209,9 @@ object DedupQueries {
     "q31_minhash_lsh" ->
       s"""$ShingleCte,
          |mh AS (
-         |  SELECT doc_id, j, min(substr(md5(sh), CAST(j * 4 + 1 AS INT), 4)) AS mh
+         |  SELECT doc_id, j,
+         |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+         |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
          |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
          |  GROUP BY doc_id, j),
          |bands AS (

@@ -47,6 +47,21 @@ object SimilarityQueries {
   def q42AnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(vectors(spark, dir), "vec_id", k = 3, cells = 8, nProbe = 3)
 
+  /** q80: IVF ANN at its PRODUCTION parameterization — `cells = ⌈√N⌉`
+    * (the occupancy-balancing rule SCALE.md states: per-cell candidate
+    * count and cell count grow together as √N, so probe cost per query is
+    * O(√N·nProbe) instead of q42's O(N/8) at the 8-cell fixture
+    * constant). N comes from one metadata-cheap `count()` of the
+    * embeddings table; the oracle derives the same ⌈√N⌉ with
+    * `count(*) OVER ()`, so the seed set — and therefore every
+    * assignment, probe and ranked result — is recomputed identically.
+    */
+  def q80AnnIvfScaled(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cells = math.ceil(math.sqrt(v.count().toDouble)).toInt
+    Similarity.ivfTopK(v, "vec_id", k = 3, cells = cells, nProbe = 3)
+  }
+
   /** q35: embedding near-dup via LSH buckets — the 100 TB path for q34:
     * candidate pairs share a hyperplane bucket (equality join, no cross
     * product), then the exact cosine threshold is applied. A subset of
@@ -92,6 +107,7 @@ object SimilarityQueries {
     "q40_knn_brute" -> (q40KnnBrute _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
+    "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
     "q43_label_centroids" -> (q43LabelCentroids _))
 
   /** DuckDB cosine with explicit sequential arithmetic matching
@@ -132,6 +148,40 @@ object SimilarityQueries {
          |cand AS (
          |  SELECT DISTINCT p.query_id, c.vec_id AS cand_id
          |  FROM probes p JOIN buckets c ON c.bucket = p.probe AND c.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |            JOIN e ec ON ec.vec_id = cand.cand_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, cand_id, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    "q80_ann_ivf_scaled" ->
+      s"""$CosCte,
+         |seeds AS (
+         |  SELECT cell, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v,
+         |           count(*) OVER () AS n
+         |    FROM e)
+         |  WHERE cell < CAST(ceil(sqrt(n)) AS INT)),
+         |sc AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN seeds s),
+         |rc AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc),
+         |assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cell AS probe FROM rc WHERE r <= 3),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id <> p.query_id),
          |scored AS (
          |  SELECT query_id, cand_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
          |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id

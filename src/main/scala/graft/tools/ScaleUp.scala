@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic N× scale-up of a driver fixture directory, used for
   * scaling smoke tests beyond the largest shipped SF
-  * (`runMain graft.tools.ScaleUp <srcDir> <outDir> [factor]`).
+  * (`runMain graft.tools.ScaleUp <srcDir> <outDir> [factor] [tables]`,
+  * `tables` a comma-separated subset to build — e.g.
+  * `documents,embeddings` for a dedup-only sweep decade).
   *
   * Replica k (k = 0 is the original, untouched) shifts every entity key
   * by k·10^9 so referential joins (orders⋈lineitem, customer, part,
@@ -37,6 +39,8 @@ object ScaleUp {
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     require(factor >= 1, "factor must be >= 1")
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,8 +94,10 @@ object ScaleUp {
         }))
 
     jobs.foreach { case (name, build) =>
-      build().write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scaleup] $name done")
+      if (only.forall(_.contains(name))) {
+        build().write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scaleup] $name done")
+      }
     }
     spark.stop()
   }

@@ -42,6 +42,13 @@ object Bridge {
     * (Verify/Bench/BenchOne) that own the cache lifecycle: call AFTER a
     * query's results are fully materialized, never mid-plan — local-
     * checkpoint blocks cannot be recomputed once dropped.
+    *
+    * SCOPE: this unpersists every persisted RDD in the SparkContext,
+    * including ones persisted by code outside the caller's ownership. It
+    * must only run on sessions whose caches are WHOLLY runner-owned (the
+    * dedicated Verify/Bench JVMs); never call it on a shared session
+    * (notebook, concurrently-running suite) — it is runner-infrastructure,
+    * not a library API.
     */
   def freeAllPersistedRdds(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values

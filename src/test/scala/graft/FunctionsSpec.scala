@@ -61,6 +61,35 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> Seq(1L, 2L, 5L), "b" -> Seq(3L)))
   }
 
+  test("postings aggregation state stays O(compressed) on a million-posting word") {
+    // a stop-word-scale group: 1M distinct IDs arriving UNSORTED (worst
+    // case for the staging tail), split across two partial buffers that
+    // are then merged — the full partial-agg + shuffle-merge lifecycle
+    val n = 1000000
+    val rnd = new Random(99)
+    val ids = rnd.shuffle((0 until n).toVector).map(_.toLong)
+    val (left, right) = ids.splitAt(n / 2)
+    var b1 = CompressedPostingsAgg.zero
+    var peak = 0L
+    left.foreach { id =>
+      b1 = CompressedPostingsAgg.reduce(b1, id)
+      if ((id & 0xfff) == 0) peak = math.max(peak, b1.stateBytes)
+    }
+    var b2 = CompressedPostingsAgg.zero
+    right.foreach { id => b2 = CompressedPostingsAgg.reduce(b2, id) }
+    peak = math.max(peak, b1.stateBytes + b2.stateBytes)
+    val merged = CompressedPostingsAgg.merge(b1, b2)
+    peak = math.max(peak, merged.stateBytes)
+    val out = CompressedPostingsAgg.finish(merged)
+    // correctness: exactly the sorted distinct set, dense deltas
+    assert(PostingsCodec.decode(out).toSeq == (0L until n.toLong))
+    // boundedness: collect_set state is >= 8 bytes/ID (16 MB boxed-set
+    // reality is far higher); the compressed ladder must stay well under
+    // half that — in practice ~2-3 bytes/ID for shuffled dense IDs
+    assert(peak < 4L * n, s"peak state $peak bytes >= ${4L * n}")
+    assert(out.length < 2 * n, s"final encoding ${out.length} bytes")
+  }
+
   test("native Tokenize generator matches the composed built-ins") {
     val rnd = new Random(13)
     val samples = ((1 to 100).map { _ =>

@@ -102,6 +102,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"tier table must be the broadcast build side:\n$p")
   }
 
+  test("q39: salted join partitions on (key, __salt) — the salt spread is real") {
+    // with broadcast off, the join must materialize as a shuffle whose
+    // hash partitioning includes the salt column: that is the property
+    // that fans a hot key over saltFactor tasks. A refactor that drops
+    // __salt from the join keys would still pass q39's oracle (salting is
+    // semantics-neutral), so the oracle can never catch this regression.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q39_salted_join")
+      val exchanges =
+        "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+      assert(exchanges.exists(e => e.contains("c_custkey") && e.contains("__salt")),
+        s"no exchange hash-partitions on (c_custkey, __salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
