@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * in a single JVM — `runMain graft.BenchOne <name> <sfDir> [reps]` —
   * or sweep EVERY registered query once with `<name> = ALL` (the
   * 10x-scale smoke pass: catches queries that are correct at oracle
-  * scale but pathological one scale up). Prints one line per run so
-  * warmup vs steady-state and run-to-run variance are visible.
+  * scale but pathological one scale up). `<name>` may also be a
+  * comma-separated list: each named query runs `reps` times and a
+  * per-query `min=` summary line prints at the end (the steady-state
+  * numbers SCALE.md commits). Prints one line per run so warmup vs
+  * steady-state and run-to-run variance are visible.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -23,11 +26,14 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
+    val mins = collection.mutable.LinkedHashMap.empty[String, Double]
     def time(q: String, label: String): Unit = {
       val t0 = System.nanoTime()
       try {
         val n = SparkEntry.queries(q)(spark, sfDir).count()
-        println(f"[benchone] $q $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        val sec = (System.nanoTime() - t0) / 1e9
+        mins(q) = math.min(mins.getOrElse(q, Double.MaxValue), sec)
+        println(f"[benchone] $q $label: $sec%.3f s ($n rows)")
       } catch {
         // NonFatal only: an OOM or similar must abort the sweep — timings
         // from a corrupted JVM would be meaningless
@@ -42,8 +48,12 @@ object BenchOne {
     if (name == "ALL")
       SparkEntry.queries.keys.toSeq.sorted.foreach(q => time(q, "sweep"))
     else {
-      require(SparkEntry.queries.contains(name), s"unknown query: $name")
-      (1 to reps).foreach(i => time(name, s"rep $i"))
+      val names = name.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      names.foreach(q =>
+        require(SparkEntry.queries.contains(q), s"unknown query: $q"))
+      names.foreach(q => (1 to reps).foreach(i => time(q, s"rep $i")))
+      names.foreach(q =>
+        mins.get(q).foreach(m => println(f"[benchone] $q min=$m%.3f s")))
     }
     spark.stop()
     if (failures > 0) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AlnumTokens, AsciiCleanLower, Tokenize, VectorDot, Winnow, WordNgrams}
+import graft.functions.{AlnumTokens, AlnumWordCount, AsciiCleanLower, Tokenize, VectorDot, Winnow, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so SQL users get them too —
@@ -13,6 +13,7 @@ import graft.functions.{AlnumTokens, AsciiCleanLower, Tokenize, VectorDot, Winno
   *   - `vector_dot(a, b)`: codegen'd double-array dot product;
   *   - `tokenize(s)`: generator, letters-only reference tokens;
   *   - `alnum_tokens(s)`: generator, positional `[a-z0-9]` tokens;
+  *   - `alnum_word_count(s)`: scalar count of the same token stream;
   *   - `word_ngrams(s, n)`: generator, distinct word n-gram shingles;
   *   - `winnow(s, k, w)`: generator, winnowed fingerprints;
   *
@@ -55,6 +56,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => Tokenize(es.head)),
     ("alnum_tokens", classOf[AlnumTokens].getName,
       (es: Seq[Expression]) => AlnumTokens(es.head)),
+    ("alnum_word_count", classOf[AlnumWordCount].getName,
+      (es: Seq[Expression]) => AlnumWordCount(es.head)),
     ("word_ngrams", classOf[WordNgrams].getName,
       (es: Seq[Expression]) => WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"))),
     ("winnow", classOf[Winnow].getName,

@@ -127,7 +127,7 @@ object Similarity {
     * doubles — broadcast-sized at any corpus scale), float-widened
     * exactly when the stored embedding is float.
     */
-  private def collectSeeds(
+  private[graft] def collectSeeds(
       vectors: DataFrame, idCol: String, k: Int): Array[Array[Double]] =
     vectors.orderBy(col(idCol).asc).limit(k)
       .select(col("v").cast("array<double>")).collect()
@@ -140,7 +140,7 @@ object Similarity {
     * exactly one dot product per cell, operand-order-identical to the
     * unfactored `cosine(v, c)`.
     */
-  private def seedScores(seeds: Array[Array[Double]]): Column =
+  private[graft] def seedScores(seeds: Array[Array[Double]]): Column =
     array(seeds.indices.map { i =>
       val c = array(seeds(i).toIndexedSeq.map(lit): _*)
       struct(
@@ -154,18 +154,23 @@ object Similarity {
     * cell occupancy × probes, not corpus size.
     *
     * The per-row centroid scoring (`cells` cosines per vector — the
-    * dominant compute) runs ONCE: the sorted score array yields both the
-    * home cell (element 1 — identical to [[ivfAssign]]'s `array_min`,
-    * same tie rule) and the probe list, and the scored table is persisted
-    * so the self-join's two sides don't re-score. Cache lifecycle is
-    * owned by the caller/runner (clearCache per query).
+    * dominant compute) runs ONCE, inside the fused native
+    * [[graft.functions.IvfProbes]] expression (bit-identical to the
+    * composed `array_sort(array(struct...))` formulation — differential
+    * spec — but a primitive loop instead of a `cells`-struct expression
+    * tree, which at `cells ≈ √N` dominated the whole query). Its probe
+    * array yields both the home cell (element 1 — identical to
+    * [[ivfAssign]]'s `array_min`, same tie rule) and the probe list, and
+    * the scored table is persisted so the self-join's two sides don't
+    * re-score. Cache lifecycle is owned by the caller/runner (clearCache
+    * per query).
     */
   def ivfTopK(
       vectors: DataFrame, idCol: String, k: Int,
       cells: Int, nProbe: Int): DataFrame = {
     val seeds = collectSeeds(vectors, idCol, cells)
     val base = vectors
-      .withColumn("probes", slice(array_sort(seedScores(seeds)), 1, nProbe).getField("cell"))
+      .withColumn("probes", graft.functions.IvfProbes(col("v"), col("nv"), seeds, nProbe))
       .persist()
     val cands = base.select(
       col(idCol).as("cand_id"), col("v").as("cv"), col("nv").as("cn"),

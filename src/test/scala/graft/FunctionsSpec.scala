@@ -61,6 +61,26 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> Seq(1L, 2L, 5L), "b" -> Seq(3L)))
   }
 
+  test("alnum_word_count matches the generator and the HOF tokenizer on ASCII") {
+    import graft.functions.{AlnumWordCount, TextFunctions}
+    val rnd = new Random(21)
+    // ASCII-only samples: the byte-wise and regex tokenizers agree by
+    // contract on all ASCII input (divergence is limited to the two
+    // exotic Unicode lowercase mappings documented on shinglePairs)
+    val samples = ((1 to 200).map { _ =>
+      (1 to rnd.nextInt(60)).map(_ => rnd.nextInt(0x80).toChar).mkString
+    } :+ "" :+ " don't  Mr.\tx1y 123 ABC  " :+ "!!! ??? ...").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val rows = samples.toDF("id", "text")
+      .select(
+        AlnumWordCount(col("text")).as("native"),
+        size(TextFunctions.wordsArr(col("text"))).as("hof"))
+      .as[(Int, Int)].collect()
+    rows.zip(samples).foreach { case ((native, hof), (_, in)) =>
+      assert(native == hof, s"input: ${in.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("postings aggregation state stays O(compressed) on a million-posting word") {
     // a stop-word-scale group: 1M distinct IDs arriving UNSORTED (worst
     // case for the staging tail), split across two partial buffers that

@@ -22,6 +22,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(2L, 3L, 4L))
   }
 
+  test("IvfProbes matches the composed array_sort formulation bit-for-bit") {
+    // the fused native scorer must select the SAME probe cells in the
+    // SAME order as slice(array_sort(array(struct(negcos, cell))), 1, n)
+    // — same dots, same constant-folded seed norms, same (negcos, cell)
+    // tie rule — on real fixture vectors, at an odd cell count, and for
+    // nProbe larger than the cell count (truncation edge)
+    val v = Similarity.prepared(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
+    for ((cells, nProbe) <- Seq((23, 3), (7, 11))) {
+      val seeds = Similarity.collectSeeds(v, "vec_id", cells)
+      val composed = v.select(
+        col("vec_id"),
+        slice(array_sort(Similarity.seedScores(seeds)), 1, nProbe)
+          .getField("cell").as("p"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1)
+      val native = v.select(
+        col("vec_id"),
+        graft.functions.IvfProbes(col("v"), col("nv"), seeds, nProbe).as("p"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1)
+      assert(native.length == composed.length)
+      native.zip(composed).foreach { case ((idN, pN), (idC, pC)) =>
+        assert(idN == idC && pN == pC, s"cells=$cells nProbe=$nProbe id=$idN: $pN vs $pC")
+      }
+    }
+  }
+
   test("ANN results carry exact cosines and reach useful recall on sf0.001") {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val v = Similarity.prepared(raw, "vec_id", "embedding")
