@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AlnumTokens, AlnumWordCount, AsciiCleanLower, Tokenize, VectorDot, Winnow, WordNgrams}
+import graft.functions.{AlnumTokens, AlnumWordCount, AsciiCleanLower, QuantizeInt8, Tokenize, TokenChunks, VectorDot, Winnow, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so SQL users get them too —
@@ -16,6 +16,9 @@ import graft.functions.{AlnumTokens, AlnumWordCount, AsciiCleanLower, Tokenize, 
   *   - `alnum_word_count(s)`: scalar count of the same token stream;
   *   - `word_ngrams(s, n)`: generator, distinct word n-gram shingles;
   *   - `winnow(s, k, w)`: generator, winnowed fingerprints;
+  *   - `token_chunks(s, size, stride)`: generator, overlapping token
+  *     windows with per-chunk md5 fingerprints;
+  *   - `quantize_int8(v)`: per-vector int8 quantization stats struct;
   *
   * (generators are used via LATERAL VIEW / table-generating positions).
   * Literal integer arguments are required where noted — they are plan-
@@ -62,7 +65,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"))),
     ("winnow", classOf[Winnow].getName,
       (es: Seq[Expression]) =>
-        Winnow(es(0), litInt(es(1), "winnow", "k"), litInt(es(2), "winnow", "w"))))
+        Winnow(es(0), litInt(es(1), "winnow", "k"), litInt(es(2), "winnow", "w"))),
+    ("token_chunks", classOf[TokenChunks].getName,
+      (es: Seq[Expression]) =>
+        TokenChunks(es(0), litInt(es(1), "token_chunks", "size"),
+          litInt(es(2), "token_chunks", "stride"))),
+    ("quantize_int8", classOf[QuantizeInt8].getName,
+      (es: Seq[Expression]) => QuantizeInt8(es.head)))
 
   /** Register the engine's SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -56,6 +56,46 @@ object Curation {
     df.withColumn(rk, row_number().over(w))
       .filter(col(rk) <= k)
       .drop(rk)
+  }
+
+  /** Deterministic domain-mixture resampling — the "N epochs of source X"
+    * step of a training-data mix: each row is replicated `⌊w⌋` times plus
+    * one more when the md5-fraction of its id falls below `w - ⌊w⌋`, where
+    * `w` is its group's target weight (`weights`, else `default`). Weights
+    * above 1 upsample (epoch replication, an `epoch` column 0..copies-1
+    * distinguishes copies), weights in (0,1) downsample, 0 drops the
+    * group. Like [[hashSplit]] the choice is a pure function of the id —
+    * stable under re-runs, re-partitioning and incremental appends, and
+    * the realized mix concentrates tightly around the target weights.
+    *
+    * Scale shape: a narrow projection + generate — no shuffle, no state;
+    * the weight table is a plan literal (real pipelines have O(10-100)
+    * sources). The fractional test compares a fixed-width 6-hex-digit md5
+    * prefix against `⌊frac·16^6⌋` rendered in hex — exact string compare,
+    * identical in any engine.
+    */
+  def mixSources(
+      df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], default: Double): DataFrame = {
+    (weights.values.toSeq :+ default).foreach(w =>
+      require(w >= 0 && w <= 100, s"mix weight out of range [0,100]: $w"))
+    require(!df.columns.contains("epoch"),
+      "mixSources emits an 'epoch' column but the input already has one — " +
+        "rename or drop it first")
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 6)
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val fracBound = f"${math.floor((w - whole) * (1L << 24)).toLong}%06x"
+      lit(whole) + when(prefix < fracBound, 1L).otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1).foldRight(copiesFor(default)) {
+      case ((g, w), tail) => when(col(groupCol) === g, copiesFor(w)).otherwise(tail)
+    }
+    val cp = "__graft_mix_copies"
+    df.withColumn(cp, copies)
+      .filter(col(cp) >= 1) // sequence() needs start <= stop
+      .withColumn("epoch", explode(sequence(lit(0L), col(cp) - 1)))
+      .drop(cp)
   }
 
   /** Deterministic held-out split: route each row to a named fraction of

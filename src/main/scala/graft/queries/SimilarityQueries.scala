@@ -101,6 +101,25 @@ object SimilarityQueries {
           graft.functions.TextFunctions.toDouble(col("embedding")).as("v")),
       "label")
 
+  /** q83: symmetric int8 quantization stats per embedding — the
+    * compression audit a pipeline runs before committing to a quantized
+    * ANN index (see [[graft.functions.QuantizeInt8]]): dequant scale,
+    * exact integer code checksum, saturation count, max reconstruction
+    * error. Pure projection; one primitive pass per vector.
+    */
+  def q83QuantizeEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.functions.QuantizeInt8(
+      graft.functions.TextFunctions.toDouble(col("embedding"))).as("q")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), q)
+      .select(
+        col("vec_id"),
+        round(col("q.scale"), 6).as("scale"),
+        col("q.q_sum").as("q_sum"),
+        col("q.n_sat").as("n_sat"),
+        round(col("q.max_abs_err"), 6).as("max_abs_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
@@ -108,7 +127,8 @@ object SimilarityQueries {
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
-    "q43_label_centroids" -> (q43LabelCentroids _))
+    "q43_label_centroids" -> (q43LabelCentroids _),
+    "q83_quantize_embed" -> (q83QuantizeEmbed _))
 
   /** DuckDB cosine with explicit sequential arithmetic matching
     * TextFunctions.cosine (double-cast floats, left-to-right fold).
@@ -261,5 +281,27 @@ object SimilarityQueries {
          |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
          |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10)
-         |WHERE rank <= 5""".stripMargin)
+         |WHERE rank <= 5""".stripMargin,
+    // mirrors QuantizeInt8 op-for-op: double-cast floats, amax/127 scale,
+    // half-up floor(x/scale + 0.5) codes, order-independent reductions
+    "q83_quantize_embed" ->
+      s"""$CosCte,
+         |s AS (
+         |  SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |  FROM e)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  CASE WHEN scale = 0 THEN 0
+         |       ELSE CAST(list_sum(list_transform(v,
+         |              x -> CAST(floor(x/scale + 0.5) AS BIGINT))) AS BIGINT)
+         |       END AS q_sum,
+         |  CASE WHEN scale = 0 THEN 0
+         |       ELSE CAST(len(list_filter(v,
+         |              x -> abs(floor(x/scale + 0.5)) = 127)) AS INT)
+         |       END AS n_sat,
+         |  CASE WHEN scale = 0 THEN 0.0
+         |       ELSE round(list_max(list_transform(v,
+         |              x -> abs(CAST(floor(x/scale + 0.5) AS BIGINT) * scale - x))), 6)
+         |       END AS max_abs_err
+         |FROM s""".stripMargin)
 }

@@ -77,7 +77,23 @@ object TextQueries {
     // the over-represented-domain bound of a corpus curation pipeline.
     "q72_cap_per_source" -> ((s, dir) =>
       graft.operators.Curation.capPerGroup(
-        docs(s, dir).select("doc_id", "source"), "source", "doc_id", k = 15)))
+        docs(s, dir).select("doc_id", "source"), "source", "doc_id", k = 15)),
+    // q81: deterministic domain-mixture resampling — src0 upsampled 2.5
+    // epochs, src1 1.25, src2 kept at 20%, src3 dropped, the rest 1.0.
+    // Exercises every weight regime (multi-epoch, fractional, sub-1, 0).
+    "q81_mix_sources" -> ((s, dir) =>
+      graft.operators.Curation.mixSources(
+        docs(s, dir).select("doc_id", "source"), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.2, "src3" -> 0.0),
+        default = 1.0)),
+    // q82: overlapping token-window chunking (size 40, stride 25) — the
+    // context-window split of a training/RAG ingestion pipeline, with a
+    // per-chunk md5 fingerprint for chunk-level dedup/provenance.
+    "q82_token_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      docs(s, dir).select(
+        col("doc_id"), graft.functions.TokenChunks(col("text"), 40, 25))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q24_winnow_pairs" ->
@@ -252,5 +268,28 @@ object TextQueries {
          |       THEN list_min(list_transform(range(1, len(w) - 1),
          |                     i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
          |       ELSE md5(array_to_string(w, ' ')) END AS fp_shingle
-         |FROM wd""".stripMargin)
+         |FROM wd""".stripMargin,
+    // mirrors mixSources exactly: ⌊w⌋ + (md5 6-hex prefix < ⌊frac·16^6⌋
+    // in hex) copies per row, epochs materialized by a lateral range
+    "q81_mix_sources" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |         CASE source
+        |           WHEN 'src0' THEN 2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '800000' THEN 1 ELSE 0 END
+        |           WHEN 'src1' THEN 1 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '400000' THEN 1 ELSE 0 END
+        |           WHEN 'src2' THEN 0 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '333333' THEN 1 ELSE 0 END
+        |           WHEN 'src3' THEN 0
+        |           ELSE 1 END AS copies
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(t.epoch AS BIGINT) AS epoch
+        |FROM c, unnest(range(0, c.copies)) AS t(epoch)
+        |WHERE copies >= 1""".stripMargin,
+    "q82_token_chunks" ->
+      s"""$WordsCte
+         |SELECT doc_id, CAST(t.chunk_id AS INT) AS chunk_id,
+         |       CAST(t.chunk_id * 25 AS INT) AS start_tok,
+         |       CAST(least(40, len(w) - t.chunk_id * 25) AS INT) AS n_tok,
+         |       md5(array_to_string(w[t.chunk_id*25 + 1 : t.chunk_id*25 + 40], ' ')) AS chunk_fp
+         |FROM wd, unnest(range(0, 1 + (len(w) - 1) // 25)) AS t(chunk_id)
+         |WHERE len(w) > 0""".stripMargin)
 }

@@ -81,6 +81,73 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("token_chunks matches the composed slice+md5 formulation and covers every word") {
+    import graft.functions.{TokenChunks, TextFunctions}
+    val (cs, stride) = (7, 4)
+    val rnd = new Random(33)
+    val samples = ((1 to 150).map { _ =>
+      (1 to rnd.nextInt(40)).map(_ =>
+        if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar else ' ').mkString
+    } :+ "" :+ "   " :+ "one" :+ "a b c d e f g h i j k l m")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = samples.toDF("doc_id", "text")
+    val native = d
+      .select(col("doc_id"), TokenChunks(col("text"), cs, stride))
+      .as[(Long, Int, Int, Int, String)].collect().sorted.toSeq
+    // composed twin: explode chunk ids, slice the words array, md5 the join
+    val w = TextFunctions.wordsArr(col("text"))
+    val composed = d
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / stride).cast("int"))).as("c"))
+      .select(col("doc_id"), col("c"), (col("c") * stride).as("start"),
+        least(lit(cs), size(col("w")) - col("c") * stride).as("n"),
+        md5(concat_ws(" ", slice(col("w"), col("c") * stride + 1, lit(cs)))).as("fp"))
+      .as[(Long, Int, Int, Int, String)].collect().sorted.toSeq
+    assert(native == composed)
+    // coverage: with stride <= size every word index falls in >= 1 chunk
+    native.groupBy(_._1).foreach { case (id, chunks) =>
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      val total = samples(id.toInt)._2.split("\\s+").count(_.exists(_.isLetterOrDigit))
+      assert(covered == (0 until total).toSet, s"doc $id: $covered vs $total words")
+    }
+  }
+
+  test("quantize_int8 matches the HOF formulation; error bounded by scale/2") {
+    import graft.functions.QuantizeInt8
+    val rnd = new Random(44)
+    val vecs = ((1 to 200).map { _ =>
+      Array.fill(16)((rnd.nextDouble() - 0.5) * 4.0)
+    } :+ Array.fill(16)(0.0) :+ Array(1.0, -1.0, 0.5, -0.25))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val d = vecs.toDF("id", "v")
+    val native = d.select(col("id"), QuantizeInt8(col("v")).as("q"))
+      .select(col("id"), col("q.scale"), col("q.q_sum"), col("q.n_sat"), col("q.max_abs_err"))
+      .as[(Long, Double, Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val amax = array_max(transform(col("v"), abs(_)))
+    val sc = amax / 127.0
+    val qArr = transform(col("v"), x => floor(x / sc + lit(0.5)).cast("long"))
+    val hof = d.select(
+      col("id"),
+      when(amax === 0.0, 0.0).otherwise(sc).as("scale"),
+      when(amax === 0.0, 0L)
+        .otherwise(aggregate(qArr, lit(0L), _ + _)).as("q_sum"),
+      when(amax === 0.0, 0)
+        .otherwise(size(filter(qArr, q => abs(q) === 127L))).as("n_sat"),
+      when(amax === 0.0, 0.0)
+        .otherwise(array_max(zip_with(qArr, col("v"),
+          (q, x) => abs(q.cast("double") * sc - x)))).as("err"))
+      .as[(Long, Double, Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(native == hof)
+    native.foreach { case (id, scale, _, _, err) =>
+      assert(err <= scale / 2 + 1e-12, s"vec $id err $err > scale/2 ${scale / 2}")
+    }
+    val zero = native.find(_._1 == 200L).get
+    assert(zero == ((200L, 0.0, 0L, 0, 0.0)), "all-zero vector quantizes to zeros")
+  }
+
   test("postings aggregation state stays O(compressed) on a million-posting word") {
     // a stop-word-scale group: 1M distinct IDs arriving UNSORTED (worst
     // case for the staging tail), split across two partial buffers that

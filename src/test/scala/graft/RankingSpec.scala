@@ -84,6 +84,29 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(frac("train") > 0.7)
   }
 
+  test("mix sources realizes target weights, partition-invariant, epochs distinct") {
+    val rows = (0L until 4000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
+    val weights = Map("g0" -> 2.5, "g1" -> 0.25, "g2" -> 0.0)
+    val m1 = Curation.mixSources(rows, "source", "doc_id", weights, default = 1.0)
+      .as[(Long, String, Long)].collect().toSet
+    val m2 = Curation.mixSources(rows.repartition(7), "source", "doc_id", weights, default = 1.0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(m1 == m2, "mix must not depend on partitioning")
+    val bySrc = m1.groupBy(_._2).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(bySrc("g0") - 2.5) < 0.15, s"g0 realized ${bySrc("g0")}")
+    assert(math.abs(bySrc("g1") - 0.25) < 0.1, s"g1 realized ${bySrc("g1")}")
+    assert(!bySrc.contains("g2"), "zero-weight group must vanish")
+    assert(math.abs(bySrc("g3") - 1.0) < 1e-9, "default weight keeps every row once")
+    // epoch column: contiguous 0..copies-1 per kept doc
+    m1.groupBy(t => (t._1, t._2)).foreach { case ((id, _), copies) =>
+      val epochs = copies.map(_._3)
+      assert(epochs == (0L until epochs.size).toSet, s"doc $id epochs $epochs")
+    }
+    // every g0 doc appears at least twice (floor(2.5)); no doc more than thrice
+    val g0counts = m1.filter(_._2 == "g0").groupBy(_._1).map(_._2.size).toSet
+    assert(g0counts.subsetOf(Set(2, 3)))
+  }
+
   test("AlnumTokens edge cases: empty, whitespace-only, unicode, digits") {
     val d = Seq(
       (1L, ""), (2L, "   \t\n "), (3L, "héllo wörld"), (4L, "a1b2 3,4!"),

@@ -50,6 +50,20 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
         |LATERAL VIEW winnow(text, 5, 4) f AS fp""".stripMargin)
       .as[Long].head() > 0)
 
+    // token_chunks generator: chunk rows parse and cover the corpus
+    assert(spark.sql(
+      """SELECT count(*) FROM documents
+        |LATERAL VIEW token_chunks(text, 40, 25) c
+        |  AS chunk_id, start_tok, n_tok, chunk_fp""".stripMargin)
+      .as[Long].head() > 0)
+
+    // quantize_int8: struct fields resolve; saturation always present on
+    // a non-zero vector (its max component quantizes to +/-127)
+    assert(spark.sql(
+      """SELECT quantize_int8(CAST(embedding AS ARRAY<DOUBLE>)).n_sat
+        |FROM embeddings LIMIT 10""".stripMargin)
+      .as[Int].collect().forall(_ >= 1))
+
     // vector_dot: self dot product is the squared L2 norm, positive
     val dots = spark.sql(
       """SELECT vec_id,
