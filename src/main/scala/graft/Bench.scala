@@ -35,7 +35,8 @@ object Bench {
     "q70_curation",
     "q52_running_total",
     "q77_simhash64_pairs",
-    "q38_dedup_apply")
+    "q38_dedup_apply",
+    "q80_ann_ivf_scaled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -98,6 +98,51 @@ object Curation {
       .drop(cp)
   }
 
+  /** Deterministic sequence packing — the "concatenate documents and cut
+    * every `seqLen` tokens" step that turns a curated corpus into fixed-
+    * length training sequences (documents straddle sequence boundaries,
+    * GPT-style). Documents are routed to `buckets` independent streams by
+    * an md5-derived hash of their id (decorrelated from id order, stable
+    * under appends), concatenated within each bucket in id order, and the
+    * running token count places each document: `seq_id` is the sequence
+    * its first token lands in, `tok_offset` its position inside it.
+    *
+    * Output per row: `(id, bucket, seq_id, tok_offset, n_tok)` — integer
+    * arithmetic end to end, so exactly reproducible on any engine. Token
+    * counts come from the byte-wise [[graft.functions.AlnumWordCount]]
+    * tokenizer shared by the chunking/dedup pipelines.
+    *
+    * Scale shape: ONE hash exchange on `bucket` + an in-partition sort —
+    * the packing itself is a running-sum window. Buckets bound each
+    * task's sort at corpus_tokens/buckets; size `buckets` to the cluster
+    * (each stream is an independent shard of the packed dataset).
+    */
+  def packSequences(
+      df: DataFrame, textCol: String, idCol: String,
+      seqLen: Int, buckets: Int): DataFrame = {
+    require(seqLen >= 1, "packSequences requires seqLen >= 1")
+    require(buckets >= 1, "packSequences requires buckets >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // first 4 md5 hex digits as an int: plenty of entropy for bucket
+    // routing, cheap to mirror in SQL (parse-as-hex % buckets)
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int"),
+      lit(buckets))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+        col(idCol),
+        bucket.as("bucket"),
+        graft.functions.AlnumWordCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .select(
+        col(idCol), col("bucket"),
+        // integer DIV, not double /: exact at any corpus token count
+        expr(s"(__cum - n_tok) DIV ${seqLen}L").as("seq_id"),
+        pmod(col("__cum") - col("n_tok"), lit(seqLen.toLong)).as("tok_offset"),
+        col("n_tok"))
+  }
+
   /** Deterministic held-out split: route each row to a named fraction of
     * the corpus by the md5 of its id — the standard reproducible
     * train/val/test assignment for a training pipeline (stable under

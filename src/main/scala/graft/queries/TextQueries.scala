@@ -93,7 +93,12 @@ object TextQueries {
       import org.apache.spark.sql.functions.col
       docs(s, dir).select(
         col("doc_id"), graft.functions.TokenChunks(col("text"), 40, 25))
-    }))
+    }),
+    // q84: GPT-style sequence packing — concatenate docs per hash bucket,
+    // cut every 512 tokens; each doc learns its sequence id and offset.
+    "q84_pack_sequences" -> ((s, dir) =>
+      graft.operators.Curation.packSequences(
+        docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)))
 
   val oracleSql: Map[String, String] = Map(
     "q24_winnow_pairs" ->
@@ -291,5 +296,25 @@ object TextQueries {
          |       CAST(least(40, len(w) - t.chunk_id * 25) AS INT) AS n_tok,
          |       md5(array_to_string(w[t.chunk_id*25 + 1 : t.chunk_id*25 + 40], ' ')) AS chunk_fp
          |FROM wd, unnest(range(0, 1 + (len(w) - 1) // 25)) AS t(chunk_id)
-         |WHERE len(w) > 0""".stripMargin)
+         |WHERE len(w) > 0""".stripMargin,
+    // mirrors packSequences: md5-hex bucket, id-ordered running token sum
+    // per bucket, integer-division sequence placement
+    "q84_pack_sequences" ->
+      s"""$WordsCte,
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS bucket,
+         |         CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM wd),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         CAST(SUM(n_tok) OVER (
+         |           PARTITION BY bucket ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket,
+         |       (cum - n_tok) // 512 AS seq_id,
+         |       (cum - n_tok) % 512 AS tok_offset,
+         |       n_tok
+         |FROM c""".stripMargin)
 }

@@ -107,6 +107,33 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(g0counts.subsetOf(Set(2, 3)))
   }
 
+  test("sequence packing is contiguous per bucket, offset-bounded, partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 500L).map { i =>
+      (i, (1 to 1 + rnd.nextInt(30)).map(_ => "tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (seqLen, buckets) = (64, 4)
+    val p1 = Curation.packSequences(d, "text", "doc_id", seqLen, buckets)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val p2 = Curation.packSequences(d.repartition(7), "text", "doc_id", seqLen, buckets)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(p1 == p2, "packing must not depend on partitioning")
+    assert(p1.map(_._1) == (0L until 500L), "every document packs exactly once")
+    p1.foreach { case (id, b, seq, off, n) =>
+      assert(b >= 0 && b < buckets && seq >= 0 && off >= 0 && off < seqLen && n >= 1,
+        s"doc $id: bucket $b seq $seq off $off n $n")
+    }
+    // contiguity: within a bucket, doc k+1 starts exactly where doc k ended
+    p1.groupBy(_._2).foreach { case (b, ds) =>
+      val inOrder = ds.sortBy(_._1)
+      inOrder.zip(inOrder.tail).foreach { case ((_, _, s0, o0, n0), (id1, _, s1, o1, _)) =>
+        val endTok = s0 * seqLen + o0 + n0
+        assert(s1 * seqLen + o1 == endTok,
+          s"bucket $b: doc $id1 starts at ${s1 * seqLen + o1}, expected $endTok")
+      }
+    }
+  }
+
   test("AlnumTokens edge cases: empty, whitespace-only, unicode, digits") {
     val d = Seq(
       (1L, ""), (2L, "   \t\n "), (3L, "héllo wörld"), (4L, "a1b2 3,4!"),
