@@ -120,6 +120,47 @@ object SimilarityQueries {
         round(col("q.max_abs_err"), 6).as("max_abs_err"))
   }
 
+  /** q85: brute-force kNN over the int8-QUANTIZED codes — what the exact
+    * re-rank costs after [[q83QuantizeEmbed]]'s compression is adopted
+    * (codes are 4× smaller than float32; the dot product is exact integer
+    * arithmetic, so unlike float scoring the result is bit-reproducible
+    * on any engine — fully oracle-checked, no approximation tolerance
+    * needed in the compare). The per-vector scale cancels out of the
+    * cosine, so ranking needs only the integer code dot and the code
+    * norms. Recall vs the float-exact q40 is asserted in SimilaritySpec.
+    */
+  def q85KnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.functions.TextFunctions.toDouble(col("embedding"))
+    val amax = array_max(transform(v, abs(_)))
+    val codes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(amax > 0.0) // zero vectors have no direction to rank by
+      .select(
+        col("vec_id"),
+        transform(v, x => floor(x / (amax / 127.0) + lit(0.5)).cast("long")).as("q"))
+      .select(
+        col("vec_id"), col("q"),
+        sqrt(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x)
+          .cast("double")).as("qn"))
+      .persist() // referenced by both join sides; codes are tiny vs text
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("qn").as("na"))
+    val dotq = aggregate(
+      zip_with(col("qa"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    // the tiny query set broadcasts; the candidate side streams (at
+    // corpus scale the code table is the big side)
+    val scored = codes
+      .select(col("vec_id").as("cand_id"), col("q"), col("qn").as("nb"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(dotq.cast("double") / (col("na") * col("nb")), 6).as("cos_q"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos_q").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "cand_id", "cos_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
@@ -128,7 +169,8 @@ object SimilarityQueries {
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
     "q43_label_centroids" -> (q43LabelCentroids _),
-    "q83_quantize_embed" -> (q83QuantizeEmbed _))
+    "q83_quantize_embed" -> (q83QuantizeEmbed _),
+    "q85_knn_quantized" -> (q85KnnQuantized _))
 
   /** DuckDB cosine with explicit sequential arithmetic matching
     * TextFunctions.cosine (double-cast floats, left-to-right fold).
@@ -303,5 +345,33 @@ object SimilarityQueries {
          |       ELSE round(list_max(list_transform(v,
          |              x -> abs(CAST(floor(x/scale + 0.5) AS BIGINT) * scale - x))), 6)
          |       END AS max_abs_err
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+    // mirrors q85: same half-up int8 codes, exact integer code dot
+    // (hugeint-safe, then bigint), code-norm cosine, (cos desc, id asc)
+    "q85_knn_quantized" ->
+      s"""$CosCte,
+         |codes AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> CAST(floor(
+         |           x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5)
+         |           AS BIGINT)) AS q
+         |  FROM e
+         |  WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+         |n AS (
+         |  SELECT vec_id, q,
+         |         sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS qn
+         |  FROM codes),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+         |                 i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |               / (a.qn * b.qn), 6) AS cos_q
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10)
+         |SELECT query_id, rank, cand_id, cos_q FROM (
+         |  SELECT query_id, cand_id, cos_q,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos_q DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin)
 }

@@ -119,6 +119,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("q81/q82: mixture resampling and chunking plan shuffle-free") {
+    // both are narrow projection+generate pipelines: any exchange here
+    // means a regression re-introduced a shuffle into a per-row operator
+    for (q <- Seq("q81_mix_sources", "q82_token_chunks")) {
+      val p = plan(q)
+      assert(shuffles(p) == 0, s"$q must not shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q must stay join-free:\n$p")
+    }
+  }
+
+  test("q84: sequence packing plans exactly one exchange, on the bucket") {
+    val p = plan("q84_pack_sequences")
+    assert(shuffles(p) == 1, s"packing is one hash exchange + window:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"the single exchange must partition on bucket:\n$p")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")

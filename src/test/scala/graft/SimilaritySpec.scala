@@ -48,6 +48,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantized kNN recalls the float-exact top-5 almost perfectly") {
+    // int8 quantization perturbs cosines by O(1/127); on real fixture
+    // vectors the top-5 neighbor sets should survive nearly intact
+    val exact = graft.queries.SimilarityQueries.q40KnnBrute(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = graft.queries.SimilarityQueries.q85KnnQuantized(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recall = exact.keys.toSeq
+      .map(q => (exact(q) & quant(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.9, s"quantized top-5 recall $recall < 0.9")
+  }
+
   test("ANN results carry exact cosines and reach useful recall on sf0.001") {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val v = Similarity.prepared(raw, "vec_id", "embedding")
