@@ -284,7 +284,8 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev")) // carried so convergence needs no re-join
         .localCheckpoint(true) // referenced twice by the doubling self-join
       // pointer doubling: also take the label OF the current label (labels
       // point at node ids, so the label table is its own lookup table) —
@@ -296,10 +297,12 @@ object Dedup {
           Seq("comp"), "left")
         .select(
           col("id"),
-          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"),
+          col("prev"))
         .localCheckpoint(true)
+      // labels only ever decrease, so "any label moved this round" is a
+      // scan of the carried prev column — no join back to the old table
       val changed = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") < col("prev"))
         .limit(1).count() > 0
       freeLocalCheckpoint(propagated)
