@@ -133,7 +133,10 @@ object Curation {
     df.select(
         col(idCol),
         bucket.as("bucket"),
-        graft.functions.AlnumWordCount(col(textCol)).cast("long").as("n_tok"))
+        // null text = zero tokens: the row still packs (at its bucket's
+        // current position) instead of poisoning the running sum with null
+        coalesce(graft.functions.AlnumWordCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tok"))
       .withColumn("__cum", sum(col("n_tok")).over(w))
       .select(
         col(idCol), col("bucket"),

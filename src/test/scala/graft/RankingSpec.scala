@@ -132,6 +132,14 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
           s"bucket $b: doc $id1 starts at ${s1 * seqLen + o1}, expected $endTok")
       }
     }
+    // null/empty text packs as a zero-length doc, not a null hole
+    val withNull = Seq((1000L, null.asInstanceOf[String]), (1001L, ""), (1002L, "a b"))
+      .toDF("doc_id", "text")
+    val pn = Curation.packSequences(withNull, "text", "doc_id", seqLen, buckets)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(pn.map(_._1) == Seq(1000L, 1001L, 1002L))
+    assert(pn.forall(r => r._3 == 0L && r._4 == 0L), s"zero-length docs pack at origin: $pn")
+    assert(pn.map(_._5) == Seq(0L, 0L, 2L))
   }
 
   test("AlnumTokens edge cases: empty, whitespace-only, unicode, digits") {
