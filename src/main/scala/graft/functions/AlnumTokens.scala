@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,8 +67,7 @@ object AlnumTokens {
   * diverges on the documented exotic mappings (U+0130, U+212A) and could
   * make a distinct/total ratio exceed 1.
   */
-case class AlnumWordCount(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class AlnumWordCount(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -79,8 +78,25 @@ case class AlnumWordCount(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val in = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    AlnumWordCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.AlnumWordCount.count($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): AlnumWordCount =
+    copy(child = newChild)
+}
+
+object AlnumWordCount {
+  def apply(c: Column): Column =
+    Bridge.column(AlnumWordCount(Bridge.expression(c)))
+
+  /** One byte pass, no allocation; called from interpreted eval and
+    * generated code alike.
+    */
+  def count(s: UTF8String): Int = {
+    val in = s.getBytes
     var count = 0
     var inWord = false
     var i = 0
@@ -96,12 +112,4 @@ case class AlnumWordCount(child: Expression)
     }
     count
   }
-
-  override protected def withNewChildInternal(newChild: Expression): AlnumWordCount =
-    copy(child = newChild)
-}
-
-object AlnumWordCount {
-  def apply(c: Column): Column =
-    Bridge.column(AlnumWordCount(Bridge.expression(c)))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * (`negcos_i = 0.0 - dot(v, seed_i) / (nv * ‖seed_i‖)`) and return the
   * `nProbe` best cell ids ordered by (negcos asc, cell asc) — exactly
   * `slice(array_sort(array(struct_0..struct_k)), 1, nProbe).cell` over
-  * the per-cell struct columns, in ONE interpreted expression whose
-  * interior is a primitive loop.
+  * the per-cell struct columns, in ONE codegen'd expression whose
+  * interior is a primitive loop (generated code calls [[compute]] on the
+  * plan-constant reference object, so whole-stage spans survive).
   *
   * Why a custom expression: at the production parameterization
   * (`cells ≈ √N`) the composed formulation builds an expression tree of
@@ -46,7 +47,7 @@ case class IvfProbes(
     right: Expression, // its precomputed L2 norm `nv` (double)
     seeds: IndexedSeq[IndexedSeq[Double]],
     nProbe: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   require(seeds.nonEmpty, "ivf_probes requires at least one seed centroid")
   require(nProbe >= 1, "ivf_probes requires nProbe >= 1")
@@ -78,10 +79,16 @@ case class IvfProbes(
         s"$prettyName requires (ARRAY<DOUBLE|FLOAT>, DOUBLE), got ${l.sql}, ${r.sql}")
     }
 
-  override def nullSafeEval(vec: Any, norm: Any): Any = {
-    val v = vec.asInstanceOf[ArrayData]
+  override def nullSafeEval(vec: Any, norm: Any): Any =
+    compute(vec.asInstanceOf[ArrayData], norm.asInstanceOf[Double])
+
+  /** One-pass probe selection; called from interpreted eval and generated
+    * code alike (codegen keeps the seed matrix in this reference object,
+    * so whole-stage spans survive — no CodegenFallback interpreter
+    * switch). Null on a dimension mismatch.
+    */
+  def compute(v: ArrayData, nv: Double): ArrayData = {
     if (v.numElements() != dim) return null
-    val nv = norm.asInstanceOf[Double]
     val cells = seedArr.length
     val topN = math.min(nProbe, cells)
     val bestScore = new Array[Double](topN)
@@ -117,6 +124,15 @@ case class IvfProbes(
     var k = 0
     while (k < filled) { out(k) = bestCell(k); k += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfProbes", this, classOf[IvfProbes].getName)
+    nullSafeCodeGen(ctx, ev, (v, nv) =>
+      s"""
+         |${ev.value} = $ref.compute($v, $nv);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(

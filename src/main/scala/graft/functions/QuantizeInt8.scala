@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -24,14 +24,15 @@ import org.apache.spark.sql.types._
   *
   * All-zero vectors quantize to all-zero codes with scale 0 and error 0.
   * One primitive pass per row (the composed HOF formulation re-evaluates
-  * the interpreted `max|v|` fold at every reference site); float inputs
-  * widen per element, every reduction is order-independent (max / exact
-  * integer sum), so results are bit-equal to the SQL formulation on both
-  * engines — differentially spec-asserted. Returns NULL on a null vector
-  * or a null element. Scale shape: a pure projection — no shuffle.
+  * the interpreted `max|v|` fold at every reference site), codegen'd via
+  * the [[VectorDot]] static-helper pattern so it never breaks a
+  * whole-stage span; float inputs widen per element, every reduction is
+  * order-independent (max / exact integer sum), so results are bit-equal
+  * to the SQL formulation on both engines — differentially
+  * spec-asserted. Returns NULL on a null vector or a null element.
+  * Scale shape: a pure projection — no shuffle.
   */
-case class QuantizeInt8(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(
     StructField("scale", DoubleType, nullable = false) ::
@@ -54,8 +55,28 @@ case class QuantizeInt8(child: Expression)
       s"$prettyName requires ARRAY<DOUBLE|FLOAT>, got ${t.sql}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeInt8.stats(input.asInstanceOf[ArrayData], elemFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = graft.functions.QuantizeInt8.stats($v, $elemFloat);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  def apply(c: Column): Column = Bridge.column(QuantizeInt8(Bridge.expression(c)))
+
+  /** One-pass quantization stats; called from interpreted eval and
+    * generated code alike. Returns null on a null element (the
+    * expression surfaces it as a NULL struct).
+    */
+  def stats(v: ArrayData, elemFloat: Boolean): InternalRow = {
     val n = v.numElements()
     var i = 0
     var amax = 0.0
@@ -83,11 +104,4 @@ case class QuantizeInt8(child: Expression)
     }
     InternalRow(scale, qSum, nSat, maxErr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
-    copy(child = newChild)
-}
-
-object QuantizeInt8 {
-  def apply(c: Column): Column = Bridge.column(QuantizeInt8(Bridge.expression(c)))
 }
