@@ -13,7 +13,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q1_inverted_index", "q14_window_topn", "q31_minhash_lsh",
     "q50_hourly_windows", "q40_knn_brute", "q33_simhash",
     "q8_tfidf", "q9_bm25", "q26_phrase_count", "q43_label_centroids",
-    "q58_quantiles", "q71_hash_split")
+    "q58_quantiles", "q71_hash_split",
+    "q81_mix_sources", "q82_token_chunks", "q83_quantize_embed",
+    "q84_pack_sequences", "q85_knn_quantized")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
