@@ -98,7 +98,62 @@ object TextQueries {
     // cut every 512 tokens; each doc learns its sequence id and offset.
     "q84_pack_sequences" -> ((s, dir) =>
       graft.operators.Curation.packSequences(
-        docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)))
+        docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)),
+    // q86 capstone: the full corpus-to-training-corpus pipeline — exact
+    // dedup + quality gate + language filter (Curation.curate, q70),
+    // then sequence-pack the survivors (packSequences, q84). Every stage
+    // is the same code path its standalone query verifies; the semi-join
+    // keeps the packing input narrow.
+    "q86_training_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = graft.operators.Curation
+        .curate(d, "text", "doc_id", Seq("en", "de")).select("doc_id")
+      graft.operators.Curation.packSequences(
+        d.join(kept, Seq("doc_id"), "left_semi"),
+        "text", "doc_id", seqLen = 512, buckets = 8)
+    }))
+
+  /** DuckDB twin of Curation.curate as composable CTEs (follows
+    * WordsCte): exact-dedup keepers, quality metrics, and the surviving
+    * (doc_id, n_words, pred_lang) rows as `surv` — shared by the q70
+    * standalone query and the q86 capstone.
+    */
+  private val CurationCtes =
+    """keepers AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |        FROM documents)
+      |  GROUP BY fp
+      |), metrics AS (
+      |  SELECT doc_id,
+      |    len(w) AS n_words,
+      |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+      |          / greatest(length(text), 1), 6) AS punct_ratio,
+      |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+      |          / greatest(len(w), 1), 6) AS stopword_ratio,
+      |    round(list_sum(list_transform(w, x -> length(x))) * 1.0
+      |          / greatest(len(w), 1), 6) AS mean_word_len,
+      |    len(list_filter(w, x -> list_contains(['der','die','das','und','ein','zu','ist'], x))) AS s_de,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+      |    len(list_filter(w, x -> list_contains(['el','la','los','de','y','un','una'], x))) AS s_es,
+      |    len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une'], x))) AS s_fr
+      |  FROM wd),
+      |surv AS (
+      |  SELECT m.doc_id, m.n_words,
+      |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+      |         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+      |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+      |         WHEN s_en > s_de THEN 'en'
+      |         ELSE 'de' END AS pred_lang
+      |  FROM metrics m JOIN keepers k ON m.doc_id = k.doc_id
+      |  WHERE m.mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND m.stopword_ratio >= 0.01
+      |    AND m.punct_ratio <= 0.3
+      |    AND (CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+      |              WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+      |              WHEN s_es > greatest(s_de, s_en) THEN 'es'
+      |              WHEN s_en > s_de THEN 'en'
+      |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q24_winnow_pairs" ->
@@ -156,40 +211,8 @@ object TextQueries {
         |            ELSE 'train' END AS split
         |FROM documents""".stripMargin,
     "q70_curation" ->
-      s"""$WordsCte, keepers AS (
-         |  SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-         |        FROM documents)
-         |  GROUP BY fp
-         |), metrics AS (
-         |  SELECT doc_id,
-         |    len(w) AS n_words,
-         |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
-         |          / greatest(length(text), 1), 6) AS punct_ratio,
-         |    round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
-         |          / greatest(len(w), 1), 6) AS stopword_ratio,
-         |    round(list_sum(list_transform(w, x -> length(x))) * 1.0
-         |          / greatest(len(w), 1), 6) AS mean_word_len,
-         |    len(list_filter(w, x -> list_contains(['der','die','das','und','ein','zu','ist'], x))) AS s_de,
-         |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
-         |    len(list_filter(w, x -> list_contains(['el','la','los','de','y','un','una'], x))) AS s_es,
-         |    len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une'], x))) AS s_fr
-         |  FROM wd)
-         |SELECT m.doc_id, m.n_words,
-         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
-         |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
-         |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
-         |       WHEN s_en > s_de THEN 'en'
-         |       ELSE 'de' END AS pred_lang
-         |FROM metrics m JOIN keepers k ON m.doc_id = k.doc_id
-         |WHERE m.mean_word_len BETWEEN 3.0 AND 10.0
-         |  AND m.stopword_ratio >= 0.01
-         |  AND m.punct_ratio <= 0.3
-         |  AND (CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
-         |            WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
-         |            WHEN s_es > greatest(s_de, s_en) THEN 'es'
-         |            WHEN s_en > s_de THEN 'en'
-         |            ELSE 'de' END) IN ('en', 'de')""".stripMargin,
+      s"""$WordsCte, $CurationCtes
+         |SELECT doc_id, n_words, pred_lang FROM surv""".stripMargin,
     "q25_lang_ngram" ->
       """WITH nm AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
@@ -297,6 +320,25 @@ object TextQueries {
          |       md5(array_to_string(w[t.chunk_id*25 + 1 : t.chunk_id*25 + 40], ' ')) AS chunk_fp
          |FROM wd, unnest(range(0, 1 + (len(w) - 1) // 25)) AS t(chunk_id)
          |WHERE len(w) > 0""".stripMargin,
+    // q70's CTEs produce the survivors; q84's window packs them
+    "q86_training_corpus" ->
+      s"""$WordsCte, $CurationCtes,
+         |t AS (
+         |  SELECT wd.doc_id,
+         |         CAST(('0x' || substr(md5(CAST(wd.doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS bucket,
+         |         CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM wd JOIN surv ON wd.doc_id = surv.doc_id),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         CAST(SUM(n_tok) OVER (
+         |           PARTITION BY bucket ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket,
+         |       (cum - n_tok) // 512 AS seq_id,
+         |       (cum - n_tok) % 512 AS tok_offset,
+         |       n_tok
+         |FROM c""".stripMargin,
     // mirrors packSequences: md5-hex bucket, id-ordered running token sum
     // per bucket, integer-division sequence placement
     "q84_pack_sequences" ->

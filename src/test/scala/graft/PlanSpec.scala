@@ -137,6 +137,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the single exchange must partition on bucket:\n$p")
   }
 
+  test("q83: quantization reads only the embedding columns") {
+    val p = plan("q83_quantize_embed")
+    assert(!p.contains("label"), s"unused label column must not be read:\n$p")
+  }
+
+  test("q85: the tiny query set is the broadcast side of the quantized re-rank") {
+    val p = plan("q85_knn_quantized")
+    // a regression that broadcasts the CODE TABLE instead would still
+    // pass the oracle at fixture scale but ship the corpus to every
+    // executor at real scale
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"query side must be the broadcast build side:\n$p")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
