@@ -61,7 +61,8 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory)
       Headline.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try fn(spark, warmDir).count()
+          catch { case scala.util.control.NonFatal(_) => () }
           // queries persist() intermediates they reference more than once;
           // the runner owns the cache lifecycle — drop them per query so
           // storage memory never accumulates across the session (incl.
@@ -83,7 +84,11 @@ object Bench {
       .withDefaultValue(Nil)
     for (_ <- 1 to reps; name <- Headline; fn <- SparkEntry.queries.get(name)) {
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      // NonFatal only (same policy as BenchOne): an OOM must abort the
+      // sweep — every later sample from a corrupted JVM would silently
+      // feed the per-query minima this artifact exists to make honest
+      val n = try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query cache ownership (see warmup)
       org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
@@ -104,7 +109,7 @@ object Bench {
           val out = java.nio.file.Files.createTempDirectory("graft-bench-index").toString
           val t0 = System.nanoTime()
           val ok = try { IndexJob.run(spark, refManifest, "/root/reference/checker", out); true }
-            catch { case _: Throwable => false }
+            catch { case scala.util.control.NonFatal(_) => false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         Seq("index_reference_corpus" ->

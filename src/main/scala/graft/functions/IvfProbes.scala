@@ -37,10 +37,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * `java.lang.Double.compare` semantics (Spark's double ordering).
   * Differentially spec-asserted against the composed formulation.
   *
-  * Rows whose vector length differs from the seed dimension yield NULL
-  * (the composed form's `vector_dot` null, which would poison the struct
-  * comparison, can't occur on the fixed-dim embedding tables this
-  * serves).
+  * Rows whose vector length differs from the seed dimension — or that
+  * carry a null element — yield NULL (the composed form's `vector_dot`
+  * null, which would poison the struct comparison, can't occur on the
+  * fixed-dim embedding tables this serves).
   */
 case class IvfProbes(
     left: Expression,  // the row vector `v` (array<float|double>)
@@ -89,6 +89,10 @@ case class IvfProbes(
     */
   def compute(v: ArrayData, nv: Double): ArrayData = {
     if (v.numElements() != dim) return null
+    // a null element would read as garbage below; the composed
+    // formulation's vector_dot propagates null — match it
+    var nc = 0
+    while (nc < dim) { if (v.isNullAt(nc)) return null; nc += 1 }
     val cells = seedArr.length
     val topN = math.min(nProbe, cells)
     val bestScore = new Array[Double](topN)

@@ -85,7 +85,12 @@ object Curation {
     val prefix = substring(md5(col(idCol).cast("string")), 1, 6)
     def copiesFor(w: Double): Column = {
       val whole = math.floor(w).toLong
-      val fracBound = f"${math.floor((w - whole) * (1L << 24)).toLong}%06x"
+      // clamp: a fractional part within half-an-ulp of 1.0 can round to
+      // exactly 2^24, whose hex is 7 digits — lexicographically SMALLER
+      // than most 6-digit prefixes, which would invert the test and drop
+      // ~15/16 of the group instead of keeping it
+      val fracBound =
+        f"${math.min(math.floor((w - whole) * (1L << 24)).toLong, 0xffffffL)}%06x"
       lit(whole) + when(prefix < fracBound, 1L).otherwise(0L)
     }
     val copies = weights.toSeq.sortBy(_._1).foldRight(copiesFor(default)) {

@@ -169,6 +169,12 @@ object Similarity {
       vectors: DataFrame, idCol: String, k: Int,
       cells: Int, nProbe: Int): DataFrame = {
     val seeds = collectSeeds(vectors, idCol, cells)
+    // empty corpus (cells clamps to 0 seeds): the answer is an empty
+    // result with the usual schema, not an IvfProbes construction error
+    if (seeds.isEmpty)
+      return vectors.select(
+        col(idCol).as("query_id"), lit(1).as("rank"),
+        col(idCol).as("cand_id"), lit(0.0).as("cos")).limit(0)
     val base = vectors
       .withColumn("probes", graft.functions.IvfProbes(col("v"), col("nv"), seeds, nProbe))
       .persist()

@@ -128,6 +128,11 @@ object SimilarityQueries {
     * needed in the compare). The per-vector scale cancels out of the
     * cosine, so ranking needs only the integer code dot and the code
     * norms. Recall vs the float-exact q40 is asserted in SimilaritySpec.
+    *
+    * Contract difference vs q40: zero-norm vectors are EXCLUDED here
+    * (they have no direction to rank by; q40 ranks their NaN cosines by
+    * the id tie-break instead) — on a fixture containing a zero vector
+    * the two queries answer different query sets by design.
     */
   def q85KnnQuantized(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.functions.TextFunctions.toDouble(col("embedding"))

@@ -61,7 +61,7 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     // a non-zero vector (its max component quantizes to +/-127)
     assert(spark.sql(
       """SELECT quantize_int8(CAST(embedding AS ARRAY<DOUBLE>)).n_sat
-        |FROM embeddings LIMIT 10""".stripMargin)
+        |FROM embeddings ORDER BY vec_id LIMIT 10""".stripMargin)
       .as[Int].collect().forall(_ >= 1))
 
     // vector_dot: self dot product is the squared L2 norm, positive
