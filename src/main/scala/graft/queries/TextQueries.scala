@@ -99,6 +99,28 @@ object TextQueries {
     "q84_pack_sequences" -> ((s, dir) =>
       graft.operators.Curation.packSequences(
         docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)),
+    // q87: vocabulary coverage — top-20 words by occurrence count and
+    // the cumulative fraction of ALL token occurrences they cover (the
+    // vocab-truncation / tokenizer-design statistic). Frequency agg is
+    // one shuffle; the ordered window runs over the TOP-K ONLY (the
+    // vocabulary-sized global sort is a TakeOrdered, never a full sort).
+    "q87_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val top = freq.orderBy(col("cnt").desc, col("word").asc).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+      top.crossJoin(broadcast(total))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rank"), col("word"), col("cnt"),
+          round(col("cum") * lit(1.0) / col("total"), 6).as("cum_coverage"))
+    }),
     // q86 capstone: the full corpus-to-training-corpus pipeline — exact
     // dedup + quality gate + language filter (Curation.curate, q70),
     // then sequence-pack the survivors (packSequences, q84). Every stage
@@ -320,6 +342,19 @@ object TextQueries {
          |       md5(array_to_string(w[t.chunk_id*25 + 1 : t.chunk_id*25 + 40], ' ')) AS chunk_fp
          |FROM wd, unnest(range(0, 1 + (len(w) - 1) // 25)) AS t(chunk_id)
          |WHERE len(w) > 0""".stripMargin,
+    "q87_vocab_coverage" ->
+      s"""$WordsCte,
+         |tok AS (SELECT unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |top AS (
+         |  SELECT word, cnt,
+         |         row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+         |  FROM freq ORDER BY cnt DESC, word ASC LIMIT 20)
+         |SELECT rank, word, cnt,
+         |       round(SUM(cnt) OVER (ORDER BY rank
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             * 1.0 / (SELECT SUM(cnt) FROM freq), 6) AS cum_coverage
+         |FROM top""".stripMargin,
     // q70's CTEs produce the survivors; q84's window packs them
     "q86_training_corpus" ->
       s"""$WordsCte, $CurationCtes,
