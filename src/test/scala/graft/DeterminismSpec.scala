@@ -15,7 +15,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q8_tfidf", "q9_bm25", "q26_phrase_count", "q43_label_centroids",
     "q58_quantiles", "q71_hash_split",
     "q81_mix_sources", "q82_token_chunks", "q83_quantize_embed",
-    "q84_pack_sequences", "q85_knn_quantized")
+    "q84_pack_sequences", "q85_knn_quantized", "q86_training_corpus",
+    "q87_vocab_coverage")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
