@@ -31,12 +31,12 @@ object TextAnalysis {
     * Emits (…, s_de, s_en, s_es, s_fr, pred_lang).
     */
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // materialize the word array once — four stopword scans reuse it
-    val w = col("__w")
+    // one fused native pass per document (see functions.DocStats — the
+    // HOF formulation re-ran the interpreted tokenizer per stopword list)
     val scored = docs
-      .select(col(idCol), wordsArr(col(textCol)).as("__w"))
+      .select(col(idCol), graft.functions.DocStats(col(textCol), StopWords))
       .select(
-        col(idCol) +: StopWords.map { case (l, list) => hits(w, list).as(s"s_$l") }: _*)
+        col(idCol) +: StopWords.map { case (l, _) => col(s"s_$l") }: _*)
     // strict-greater fold in alphabetical order == argmax with alpha tiebreak
     val best = StopWords.map(_._1).tail.foldLeft(
       (lit(StopWords.head._1), col(s"s_${StopWords.head._1}"))) {
@@ -98,21 +98,19 @@ object TextAnalysis {
     *     >= 0.01 and punct_ratio <= 0.3) else 0 — a C4-style boolean gate
     */
   def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // materialize the word array once — several metrics reuse it
-    val w = col("__w")
-    val en = StopWords.toMap.apply("en")
-    docs.select(col(idCol), col(textCol), wordsArr(col(textCol)).as("__w")).select(
+    // one fused native pass per document (functions.DocStats); the ratio
+    // arithmetic below is operand-for-operand the original formulation,
+    // so results stay bit-equal to the oracle
+    docs.select(col(idCol), graft.functions.DocStats(col(textCol), StopWords)).select(
       col(idCol),
-      size(filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)).as("n_ws_tokens"),
-      size(w).as("n_words"),
-      round(
-        (length(col(textCol)) -
-          length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("double") /
-          greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
-      round(hits(w, en).cast("double") / greatest(size(w), lit(1)), 6).as("stopword_ratio"),
-      round(
-        aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
-          greatest(size(w), lit(1)), 6).as("mean_word_len"))
+      col("n_ws_tokens"),
+      col("n_words"),
+      round(col("n_punct").cast("double") /
+        greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
+      round(col("s_en").cast("double") /
+        greatest(col("n_words"), lit(1)), 6).as("stopword_ratio"),
+      round(col("word_len_sum").cast("double") /
+        greatest(col("n_words"), lit(1)), 6).as("mean_word_len"))
       .withColumn(
         "quality_score",
         when(
@@ -138,23 +136,19 @@ object TextAnalysis {
     * would double the scan-side work).
     */
   def documentProfile(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = col("__w")
-    val en = StopWords.toMap.apply("en")
     val scored = docs
-      .select(col(idCol), col(textCol), wordsArr(col(textCol)).as("__w"))
+      .select(col(idCol), graft.functions.DocStats(col(textCol), StopWords))
       .select(
         Seq(
           col(idCol),
-          size(w).as("n_words"),
-          round(
-            (length(col(textCol)) -
-              length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("double") /
-              greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
-          round(hits(w, en).cast("double") / greatest(size(w), lit(1)), 6).as("stopword_ratio"),
-          round(
-            aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
-              greatest(size(w), lit(1)), 6).as("mean_word_len")) ++
-          StopWords.map { case (l, list) => hits(w, list).as(s"s_$l") }: _*)
+          col("n_words"),
+          round(col("n_punct").cast("double") /
+            greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"),
+          round(col("s_en").cast("double") /
+            greatest(col("n_words"), lit(1)), 6).as("stopword_ratio"),
+          round(col("word_len_sum").cast("double") /
+            greatest(col("n_words"), lit(1)), 6).as("mean_word_len")) ++
+          StopWords.map { case (l, _) => col(s"s_$l") }: _*)
     val best = StopWords.map(_._1).tail.foldLeft(
       (lit(StopWords.head._1), col(s"s_${StopWords.head._1}"))) {
       case ((bl, bs), l) =>
