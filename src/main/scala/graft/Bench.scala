@@ -48,7 +48,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-query `freeAllPersistedRdds` sweep emits a
+    // localCheckpoint-lineage WARN per freed block, and hundreds of those
+    // lines around the single JSON result line have (every round so far)
+    // broken the driver's parse of this benchmark's output.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // JVM warmup: run every headline plan once at a small SF so the
     // measured runs see JIT-compiled expression paths (the interpreted
@@ -121,6 +125,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush() // forked-JVM stdout is pipe-buffered; the JSON line must land
     spark.stop()
   }
 }

@@ -146,8 +146,13 @@ final case class PostingsBuffer(
 
   private[functions] def absorb(other: PostingsBuffer): PostingsBuffer = {
     flush(); other.flush()
-    runs = (runs ::: other.runs).sortBy(_.length)
-    compact()
+    // Rebuild the ladder by feeding the combined runs smallest-first and
+    // compacting after each push: a one-shot compact() only fixes the head,
+    // so equal-size runs deeper in a pre-sorted list (e.g. [3,5,5,9]) would
+    // survive and break the strictly-growing invariant at depth.
+    val sorted = (runs ::: other.runs).sortBy(_.length)
+    runs = Nil
+    sorted.foreach { r => runs = r :: runs; compact() }
     this
   }
 

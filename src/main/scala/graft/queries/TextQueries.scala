@@ -101,8 +101,10 @@ object TextQueries {
         docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)),
     // q87: vocabulary coverage — top-20 words by occurrence count and
     // the cumulative fraction of ALL token occurrences they cover (the
-    // vocab-truncation / tokenizer-design statistic). Frequency agg is
-    // one shuffle; the ordered window runs over the TOP-K ONLY (the
+    // vocab-truncation / tokenizer-design statistic). The frequency agg
+    // is persisted so its one shuffle feeds BOTH the top-20 TakeOrdered
+    // and the grand total (the runner owns the cache lifecycle and clears
+    // it per query); the ordered window runs over the TOP-K ONLY (the
     // vocabulary-sized global sort is a TakeOrdered, never a full sort).
     "q87_vocab_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -110,6 +112,7 @@ object TextQueries {
       val freq = docs(s, dir)
         .select(graft.functions.AlnumTokens(col("text")))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .persist()
       val total = freq.agg(sum(col("cnt")).as("total"))
       val top = freq.orderBy(col("cnt").desc, col("word").asc).limit(20)
         .withColumn("rank",

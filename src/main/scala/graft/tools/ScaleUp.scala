@@ -41,6 +41,17 @@ object ScaleUp {
     require(factor >= 1, "factor must be >= 1")
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    // Fail fast on unknown table names — a typo would otherwise silently
+    // produce a partial output directory that downstream sweeps read as
+    // stale/missing parquet.
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    only.foreach { names =>
+      val bad = names.diff(known)
+      require(bad.isEmpty,
+        s"unknown table name(s) ${bad.toSeq.sorted.mkString(", ")}; " +
+          s"valid: ${known.toSeq.sorted.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

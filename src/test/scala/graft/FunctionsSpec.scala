@@ -177,6 +177,32 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length < 2 * n, s"final encoding ${out.length} bytes")
   }
 
+  test("postings run ladder is strictly growing after every merge") {
+    // Property check for the documented log-structured invariant: after
+    // absorb, run sizes must STRICTLY grow from head at every depth —
+    // round 5's one-shot compact() left equal-size runs deeper in the
+    // ladder (e.g. sizes [3,5,5,9]) unmerged. Random partial-buffer sizes
+    // and merge orders exercise exactly those equal-size collisions.
+    val rnd = new Random(7)
+    val partials = (0 until 24).map { p =>
+      var b = CompressedPostingsAgg.zero
+      val count = 1 + rnd.nextInt(6000)
+      (0 until count).foreach { _ =>
+        b = CompressedPostingsAgg.reduce(b, rnd.nextInt(100000).toLong)
+      }
+      b
+    }
+    val merged = rnd.shuffle(partials).reduceLeft { (a, b) =>
+      val m = CompressedPostingsAgg.merge(a, b)
+      val sizes = m.runs.map(_.length)
+      assert(sizes == sizes.sorted && sizes.distinct == sizes,
+        s"ladder not strictly growing: $sizes")
+      m
+    }
+    val out = PostingsCodec.decode(CompressedPostingsAgg.finish(merged)).toSeq
+    assert(out == out.sorted && out.distinct == out)
+  }
+
   test("native Tokenize generator matches the composed built-ins") {
     val rnd = new Random(13)
     val samples = ((1 to 100).map { _ =>
