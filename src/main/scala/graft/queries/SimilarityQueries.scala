@@ -166,7 +166,57 @@ object SimilarityQueries {
       .select("query_id", "rank", "cand_id", "cos_q")
   }
 
+  /** q89: semantic dedup (SemDeDup-style) — partition the corpus into
+    * IVF cells at the production `cells = ⌈√N⌉` parameterization, find
+    * near-duplicate pairs WITHIN each cell (round-6dp cosine >= 0.30,
+    * q34's threshold), and keep the lowest-id member of every near-dup
+    * relation. The cell partition is what makes the quadratic pair
+    * search tractable at corpus scale: candidates share a cell
+    * (equality join, cross-product-free), so pair cost is per-cell
+    * occupancy² — O(N) total at √N cells — instead of corpus².
+    * Output: the surviving (vec_id, cell) rows.
+    */
+  def q89SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cells = math.ceil(math.sqrt(v.count().toDouble)).toInt
+    val seeds = Similarity.collectSeeds(v, "vec_id", cells)
+    // home cell = first probe (identical argmin + tie rule as ivfAssign,
+    // but through the fused native scorer — one primitive loop per row);
+    // persisted: both sides of the pair join read it
+    val a = v.withColumn("cell",
+      element_at(graft.functions.IvfProbes(col("v"), col("nv"), seeds, 1), 1))
+      .persist()
+    val dups = a
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("nv").as("na"), col("cell"))
+      .join(
+        a.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nv").as("nb"), col("cell")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        round(graft.functions.TextFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6) >= 0.30)
+      .select(col("id_b")).distinct()
+    a.join(dups, a("vec_id") === dups("id_b"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** q91: Matryoshka-style truncated-prefix kNN — exact top-5 over the
+    * FIRST 16 of 64 embedding dimensions (4× less compute and shuffle
+    * bytes per query, the standard dimension-truncation retrieval
+    * trade). Same contract as q40 otherwise; recall vs the full-width
+    * exact answer is asserted in SimilaritySpec.
+    */
+  def q91MatryoshkaKnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.prepared(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16")),
+      "vec_id", "emb16")
+    Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_semantic_dedup" -> (q89SemanticDedup _),
+    "q91_matryoshka_knn" -> (q91MatryoshkaKnn _),
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
@@ -204,6 +254,50 @@ object SimilarityQueries {
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors q89: q80's ⌈√N⌉ seed/assignment CTEs, then in-cell pairs at
+    // the q34 threshold; a vector with any smaller-id near-dup in its
+    // cell is dropped
+    "q89_semantic_dedup" ->
+      s"""$CosCte,
+         |seeds AS (
+         |  SELECT cell, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v,
+         |           count(*) OVER () AS n
+         |    FROM e)
+         |  WHERE cell < CAST(ceil(sqrt(n)) AS INT)),
+         |sc AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN seeds s),
+         |rc AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc),
+         |assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id AS dup_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.30)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM assign
+         |WHERE vec_id NOT IN (SELECT dup_id FROM dups)""".stripMargin,
+    // q40's SQL over the 16-element prefix slice
+    "q91_matryoshka_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings)
+        |SELECT query_id, rank, cand_id, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |         row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5""".stripMargin,
     "q41_ann_lsh" ->
       s"""$CosCte,
          |$BucketsCte,

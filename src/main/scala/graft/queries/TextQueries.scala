@@ -136,6 +136,54 @@ object TextQueries {
       graft.operators.Curation.packSequences(
         d.join(kept, Seq("doc_id"), "left_semi"),
         "text", "doc_id", seqLen = 512, buckets = 8)
+    }),
+    // q88: unigram-LM quality score — per-doc mean log-probability of its
+    // tokens under the corpus unigram model (the cheap perplexity proxy a
+    // pipeline uses as a fluency/boilerplate filter before a real LM).
+    // Determinism: each token's log-prob is quantized to fixed-point
+    // (round(ln(p)·1e6) as a long) BEFORE the per-doc sum, so the
+    // aggregation is exact integer arithmetic — partition-order invariant
+    // (same trick as the q43 centroids); the only double ops are one ln
+    // per DISTINCT frequency value and one division at the end.
+    // Scale shape: token→freq is one hash agg; the re-join is on `word`
+    // (vocabulary-sized right side); the per-doc regroup is one more hash
+    // agg. No driver state, no window.
+    "q88_logfreq_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val words = docs(s, dir)
+        .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+        .select("doc_id", "word")
+      val freq = words.groupBy("word").agg(count(lit(1)).as("cnt")).persist()
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      words.join(freq, Seq("word"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6)
+            .cast("long").as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("slp").cast("double") / col("n_tokens") / 1e6, 6)
+            .as("mean_logprob"))
+    }),
+    // q90: deterministic training-order shard+position — the "global
+    // shuffle" step that fixes an epoch's data order. Each doc hashes to
+    // one of 16 shards (seeded md5, reproducible across runs and engines)
+    // and gets its position within the shard by hash order. Scale shape:
+    // one hash exchange on `shard` + an in-partition sort — the global
+    // permutation is NEVER a global sort; shards are independent streams
+    // sized to the cluster, exactly like q84's packing buckets.
+    "q90_train_order" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("graft-order-42-"), col("doc_id").cast("string")))
+      docs(s, dir).select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          pmod(conv(substring(col("h"), 1, 4), 16, 10).cast("int"), lit(16)))
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)))
+        .select("doc_id", "shard", "pos")
     }))
 
   /** DuckDB twin of Curation.curate as composable CTEs (follows
@@ -181,6 +229,34 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors q88 op-for-op: same tokenizer CTE, fixed-point-quantized
+    // per-token ln BEFORE the sum (integer agg = order-invariant on both
+    // engines), double division only at the end
+    "q88_logfreq_quality" ->
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |                    * 1000000) AS BIGINT) AS lp
+         |  FROM tok t JOIN freq f USING (word) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_logprob
+         |FROM lp GROUP BY doc_id""".stripMargin,
+    "q90_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('graft-order-42-' || doc_id) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |         CAST(('0x' || substr(h, 1, 4)) AS INT) % 16 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+        |            AS INT) AS pos
+        |FROM s""".stripMargin,
     "q24_winnow_pairs" ->
       """WITH nm AS (
         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s

@@ -82,7 +82,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // still pass correctness at fixture scale; catch it here.
     for (q <- Seq("q31_minhash_lsh", "q32_ngram_jaccard", "q35_embed_dup_lsh",
         "q36_simhash_pairs", "q24_winnow_pairs", "q77_simhash64_pairs",
-        "q78_decontaminate")) {
+        "q78_decontaminate", "q89_semantic_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
@@ -149,6 +149,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // executor at real scale
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
       s"query side must be the broadcast build side:\n$p")
+  }
+
+  test("q90: train-order sharding is one exchange, partitioned on shard") {
+    // the epoch permutation must never plan as a GLOBAL sort (range
+    // exchange + single ordered stream); shards are independent streams
+    val p = plan("q90_train_order")
+    assert(shuffles(p) == 1, s"one hash exchange on shard:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the exchange must partition on shard:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort must not appear:\n$p")
+  }
+
+  test("q88: unigram quality score plans hash joins only; stats broadcast") {
+    val p = plan("q88_logfreq_quality")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the 1-row total joins via broadcast; the vocab re-join must be a
+    // hash join (broadcast or shuffled), never nested-loop on the corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row total may nested-loop:\n$p")
   }
 
   test("every Bench headline name resolves to a registered query") {

@@ -67,6 +67,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"quantized top-5 recall $recall < 0.9")
   }
 
+  test("matryoshka prefix kNN beats random recall of the full-width top-5") {
+    // fixture embeddings are isotropic (no Matryoshka training front-
+    // loads their variance), so prefix-16 recall lands far below what a
+    // production MRL model yields — the spec asserts the truncation
+    // still preserves real neighbor structure (random top-5 over ~500
+    // candidates recalls ~0.01; measured here ~0.14)
+    val exact = graft.queries.SimilarityQueries.q40KnnBrute(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val trunc = graft.queries.SimilarityQueries.q91MatryoshkaKnn(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(trunc.keySet == exact.keySet)
+    val recall = exact.keySet.toSeq
+      .map(q => (exact(q) & trunc(q)).size.toDouble / exact(q).size).sum / exact.size
+    info(f"matryoshka recall@5 = $recall%.3f")
+    assert(recall >= 0.05, s"prefix-16 top-5 recall $recall is indistinguishable from random")
+  }
+
+  test("semantic dedup keeps exactly the min-id member of every in-cell near-dup relation") {
+    import org.apache.spark.sql.functions._
+    val kept = graft.queries.SimilarityQueries.q89SemanticDedup(spark, sfDir)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    spark.catalog.clearCache()
+    // survivors are a strict, non-empty subset on a fixture with near-dups
+    assert(keptIds.nonEmpty && keptIds.size <= n)
+    // re-derive the dropped set independently: any vector with a
+    // smaller-id in-cell neighbor at round-6dp cosine >= 0.30
+    val v = Similarity.prepared(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
+    val cells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val a = Similarity.ivfAssign(v, "vec_id", cells)
+    val pairs = a.select(col("vec_id").as("id_a"), col("v").as("va"), col("cell"))
+      .join(a.select(col("vec_id").as("id_b"), col("v").as("vb"), col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.TextFunctions.cosine(col("va"), col("vb")), 6) >= 0.30)
+      .select("id_b").as[Long].collect().toSet
+    val allIds = a.select("vec_id").as[Long].collect().toSet
+    assert(keptIds == allIds -- pairs)
+  }
+
   test("ANN results carry exact cosines and reach useful recall on sf0.001") {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val v = Similarity.prepared(raw, "vec_id", "embedding")
