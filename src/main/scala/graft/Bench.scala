@@ -36,7 +36,9 @@ object Bench {
     "q52_running_total",
     "q77_simhash64_pairs",
     "q38_dedup_apply",
-    "q80_ann_ivf_scaled")
+    "q80_ann_ivf_scaled",
+    "q88_logfreq_quality",
+    "q89_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
