@@ -11,10 +11,17 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingle Generator: one pass over the line bytes
-  * producing the DISTINCT space-joined n-grams of the cleaned word stream
+  * producing the space-joined n-grams of the cleaned word stream
   * (lowercase alnum words — the `[a-z0-9]` tokenization of
-  * TextFunctions.wordsArr). Documents with fewer than n words emit the
-  * single whole-document shingle, matching TextFunctions.shingles.
+  * TextFunctions.wordsArr).
+  *
+  * Two modes:
+  *   - `distinct = true` (default, shingle semantics): per-document
+  *     DISTINCT n-grams; documents with fewer than n words emit the
+  *     single whole-document shingle, matching TextFunctions.shingles.
+  *   - `distinct = false` (occurrence semantics, for LM counts —
+  *     q92): EVERY n-gram occurrence in order, and a document with
+  *     fewer than n words emits nothing (it has no n-gram).
   *
   * This replaces a four-deep higher-order-function chain
   * (split→transform→filter→shingle-transform→array_distinct→explode),
@@ -22,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the dedup pipelines. Per-document dedup happens in the generator's
   * hash set — no extra exchange.
   */
-case class WordNgrams(child: Expression, n: Int)
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1)
@@ -42,20 +49,22 @@ case class WordNgrams(child: Expression, n: Int)
     if (line == null) Nil
     else {
       val words = WordNgrams.cleanWords(line.getBytes)
-      val seen = mutable.LinkedHashSet.empty[String]
+      val out = mutable.ArrayBuffer.empty[String]
+      val seen = if (distinct) mutable.HashSet.empty[String] else null
       if (words.length >= n) {
         var i = 0
         while (i + n <= words.length) {
           val sb = new java.lang.StringBuilder(words(i))
           var k = 1
           while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
-          seen += sb.toString
+          val s = sb.toString
+          if (!distinct || seen.add(s)) out += s
           i += 1
         }
-      } else {
-        seen += words.mkString(" ")
+      } else if (distinct) {
+        out += words.mkString(" ")
       }
-      seen.iterator.map(s => InternalRow(UTF8String.fromString(s))).toSeq
+      out.iterator.map(s => InternalRow(UTF8String.fromString(s))).toSeq
     }
   }
 
@@ -90,4 +99,7 @@ object WordNgrams {
 
   def apply(c: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n))
+
+  def apply(c: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n, distinct))
 }

@@ -77,6 +77,48 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q93: Bloom-sketch benchmark decontamination — q78's scale variant
+    * for when the benchmark n-gram set is too large to broadcast as an
+    * exact set (100M eval n-grams ≈ GBs of strings, vs ~3.4 bytes/item
+    * in a 1e-6-fpp Bloom sketch). The benchmark side collapses to a
+    * driver-built sketch (benchmark-sized driver work, bounded bytes);
+    * the corpus side STREAMS through a per-partition membership filter —
+    * no join, no corpus shuffle before the per-doc count.
+    *
+    * The sketch's bit layout is engine-internal, so there is no DuckDB
+    * oracle (driver records the weaker rows-only check, like q7's HLL);
+    * `DedupSpec` pins the semantics instead: flagged docs are a superset
+    * of q78's exact answer, per-doc counts are >= the exact counts, and
+    * the false-positive doc excess is bounded.
+    */
+  def q93BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
+    val bench = sh.filter(col("doc_id") < 20).select("sh")
+    // two benchmark-sized driver actions (count + sketch build): the
+    // exact analog of q78 collecting the benchmark set, but bounded at
+    // ~3.4 bytes/item instead of the full string payload
+    val expected = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("sh", expected, 1e-6)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val bc = spark.sparkContext.broadcast(bytes)
+    sh.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("sh")).as[(Long, String)]
+      .mapPartitions { it =>
+        // deserialize ONCE per partition, then stream rows through it
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bc.value))
+        it.collect { case (id, s) if bf.mightContainString(s) => id }
+      }
+      .toDF("doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** q79: repeated-n-gram ratio — 1 − distinct/total word 3-grams per
     * document, the classic generation-loop / boilerplate quality signal
     * (high ratio = the document repeats itself). Narrow projection +
@@ -138,7 +180,8 @@ object DedupQueries {
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q77_simhash64_pairs" -> (q77Simhash64Pairs _),
     "q78_decontaminate" -> (q78Decontaminate _),
-    "q79_repetition" -> (q79Repetition _))
+    "q79_repetition" -> (q79Repetition _),
+    "q93_bloom_decontaminate" -> (q93BloomDecontaminate _))
 
   /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
     * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.

@@ -184,6 +184,53 @@ object TextQueries {
           row_number().over(
             Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)))
         .select("doc_id", "shard", "pos")
+    }),
+    // q92: bigram coherence — q88's 2-gram upgrade: per-doc mean
+    // conditional log-probability ln(c(w1 w2)/c(w1 ·)) under the corpus
+    // bigram MLE (the KenLM-style fluency score at order 2; low =
+    // word-salad). Bigram OCCURRENCES come from the native generator in
+    // occurrence mode (no shuffle to produce them); the prefix counts
+    // c(w1 ·) are derived from the same bigram frequency table (one agg,
+    // vocabulary-sized), so numerator and denominator can never drift.
+    // Same fixed-point order-invariance trick as q88.
+    "q92_bigram_coherence" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val bg = docs(s, dir).select(
+        col("doc_id"),
+        graft.functions.WordNgrams(col("text"), 2, distinct = false).as("bg"))
+      val bgFreq = bg.groupBy("bg").agg(count(lit(1)).as("cbg")).persist()
+      val preFreq = bgFreq
+        .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(sum(col("cbg")).as("cw1"))
+      bg.join(bgFreq, Seq("bg"))
+        .join(preFreq, substring_index(col("bg"), " ", 1) === col("w1"))
+        .select(col("doc_id"),
+          round(log(col("cbg").cast("double") / col("cw1").cast("double")) * 1e6)
+            .cast("long").as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast("double") / col("n_bigrams") / 1e6, 6)
+            .as("mean_logcond"))
+    }),
+    // q94: packing-efficiency report over q84's sequence packing — per
+    // bucket: docs, total tokens, packed sequence count, padding waste in
+    // the final partial sequence, and fill ratio. The observability stat
+    // that tells a pipeline whether its bucket count / seqLen are wasting
+    // accelerator batch slots. Derived from the SAME packSequences output
+    // q84 verifies; one 8-row aggregation on top.
+    "q94_packing_efficiency" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Curation
+        .packSequences(docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .withColumn("n_seqs", expr("(total_tokens + 511) DIV 512"))
+        .select(col("bucket"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+          (col("n_seqs") * 512 - col("total_tokens")).as("pad_waste"),
+          when(col("n_seqs") > 0,
+            round(col("total_tokens").cast("double") / (col("n_seqs") * 512), 6))
+            .otherwise(lit(0.0)).as("fill_ratio"))
     }))
 
   /** DuckDB twin of Curation.curate as composable CTEs (follows
@@ -245,6 +292,47 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_logprob
          |FROM lp GROUP BY doc_id""".stripMargin,
+    // mirrors q92: bigram occurrences from the word array (len<2 emits
+    // nothing, matching the generator's occurrence mode), prefix counts
+    // summed from the bigram table, fixed-point ln before the integer sum
+    "q92_bigram_coherence" ->
+      s"""$WordsCte,
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |                        i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM wd),
+         |bgf AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+         |pre AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cbg) AS BIGINT) AS cw1
+         |  FROM bgf GROUP BY 1),
+         |lp AS (
+         |  SELECT b.doc_id,
+         |         CAST(round(ln(CAST(f.cbg AS DOUBLE) / CAST(p.cw1 AS DOUBLE))
+         |                    * 1000000) AS BIGINT) AS lp
+         |  FROM bg b
+         |  JOIN bgf f USING (bg)
+         |  JOIN pre p ON split_part(b.bg, ' ', 1) = p.w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_logcond
+         |FROM lp GROUP BY doc_id""".stripMargin,
+    // mirrors q94 on top of q84's bucket/token CTE
+    "q94_packing_efficiency" ->
+      s"""$WordsCte,
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS bucket,
+         |         CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM wd),
+         |b AS (
+         |  SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |         (CAST(sum(n_tok) AS BIGINT) + 511) // 512 AS n_seqs
+         |  FROM t GROUP BY bucket)
+         |SELECT bucket, n_docs, total_tokens, n_seqs,
+         |       n_seqs * 512 - total_tokens AS pad_waste,
+         |       CASE WHEN n_seqs > 0
+         |            THEN round(CAST(total_tokens AS DOUBLE) / (n_seqs * 512), 6)
+         |            ELSE 0.0 END AS fill_ratio
+         |FROM b""".stripMargin,
     "q90_train_order" ->
       """WITH h AS (
         |  SELECT doc_id, md5('graft-order-42-' || doc_id) AS h

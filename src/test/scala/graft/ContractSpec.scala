@@ -13,9 +13,12 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(dead.isEmpty, s"oracle SQL with no query: $dead")
   }
 
-  test("the rows-only set is exactly the documented approximate sketch") {
+  test("the rows-only set is exactly the documented sketch queries") {
+    // q7: HLL sketch (bounded against exact q2 in spec); q93: Bloom
+    // membership sketch (engine-internal bit layout; pinned in DedupSpec
+    // as a tight superset of q78's exact oracle-checked answer)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q7_approx_vocab"),
+    assert(rowsOnly == Set("q7_approx_vocab", "q93_bloom_decontaminate"),
       s"every deterministic query must carry an oracle; rows-only = $rowsOnly")
   }
 

@@ -167,6 +167,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(wide == longFormat && wide.nonEmpty)
   }
 
+  test("bloom decontamination is a tight superset of the exact answer") {
+    // the sketch can only ADD false positives: every exactly-flagged doc
+    // must appear with an >= count, and at fpp=1e-6 the excess must be
+    // tiny (each non-benchmark doc tests a few hundred shingles)
+    val exact = graft.queries.DedupQueries.q78Decontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    val bloom = graft.queries.DedupQueries.q93BloomDecontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"exactly-flagged doc $id missing from bloom answer")
+      assert(bloom(id) >= n, s"doc $id: bloom count ${bloom(id)} < exact $n")
+    }
+    val extraDocs = bloom.keySet -- exact.keySet
+    val extraCounts = exact.keysIterator.map(id => bloom(id) - exact(id)).sum
+    assert(extraDocs.size <= 2, s"false-positive docs: $extraDocs")
+    assert(extraCounts <= 5, s"false-positive shingle hits: $extraCounts")
+  }
+
   test("full MinHash pipeline finds seeded near-duplicates in real text") {
     // take real paragraphs from the reference corpus, seed mutated copies
     val src = java.nio.file.Files.readString(java.nio.file.Paths.get(

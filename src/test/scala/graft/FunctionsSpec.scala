@@ -203,6 +203,19 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == out.sorted && out.distinct == out)
   }
 
+  test("WordNgrams occurrence mode emits every n-gram in order, no short-doc fallback") {
+    val df = Seq((1L, "a B a b"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val occ = df.select(col("doc_id"),
+        graft.functions.WordNgrams(col("text"), 2, distinct = false).as("bg"))
+      .as[(Long, String)].collect().toSeq
+    assert(occ == Seq((1L, "a b"), (1L, "b a"), (1L, "a b")))
+    // default distinct mode is unchanged: dedup + whole-doc fallback
+    val dis = df.select(col("doc_id"),
+        graft.functions.WordNgrams(col("text"), 2).as("sh"))
+      .as[(Long, String)].collect().toSeq
+    assert(dis == Seq((1L, "a b"), (1L, "b a"), (2L, "solo"), (3L, "")))
+  }
+
   test("native Tokenize generator matches the composed built-ins") {
     val rnd = new Random(13)
     val samples = ((1 to 100).map { _ =>
