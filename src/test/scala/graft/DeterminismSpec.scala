@@ -16,7 +16,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q58_quantiles", "q71_hash_split",
     "q81_mix_sources", "q82_token_chunks", "q83_quantize_embed",
     "q84_pack_sequences", "q85_knn_quantized", "q86_training_corpus",
-    "q87_vocab_coverage")
+    "q87_vocab_coverage",
+    "q88_logfreq_quality", "q89_semantic_dedup", "q90_train_order",
+    "q91_matryoshka_knn", "q92_bigram_coherence",
+    "q93_bloom_decontaminate", "q94_packing_efficiency")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
