@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native benchmark-contamination predicate: true iff ANY word `n`-gram
+  * of the cleaned text (the [[WordNgrams.cleanWords]] tokenization, the
+  * same one the dedup/decontamination pipelines hash) might be in the
+  * benchmark Bloom sketch carried as a plan constant.
+  *
+  * This is the STREAMING-SAFE form of decontamination: a stateless
+  * per-row predicate (no generate → regroup, so no aggregation state),
+  * usable in any output mode — and in batch it is the predicate-pushdown
+  * form of q93's per-doc count. The sketch bytes ride in the plan like
+  * q42's seed matrix (a ~3.4 byte/item constant at 1e-6 fpp); each task's
+  * expression instance deserializes them ONCE (transient lazy), then rows
+  * stream through bit tests. False positives can only DROP extra docs —
+  * the conservative direction for pre-training hygiene.
+  */
+case class ContainsBenchmarkNgram(
+    child: Expression, bloomBytes: Array[Byte], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1)
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "contains_benchmark_ngram"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val line = child.eval(input).asInstanceOf[UTF8String]
+    if (line == null) false
+    else {
+      val words = WordNgrams.cleanWords(line.getBytes)
+      if (words.length >= n) {
+        var i = 0
+        var hit = false
+        while (!hit && i + n <= words.length) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var k = 1
+          while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+          hit = bloom.mightContainString(sb.toString)
+          i += 1
+        }
+        hit
+      } else {
+        // mirror the shingle fallback (WordNgrams distinct mode): a
+        // document shorter than n words IS its whole-document shingle,
+        // so short benchmark docs are still caught
+        bloom.mightContainString(words.mkString(" "))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ContainsBenchmarkNgram =
+    copy(child = newChild)
+}
+
+object ContainsBenchmarkNgram {
+  def apply(c: Column, bloomBytes: Array[Byte], n: Int): Column =
+    Bridge.column(ContainsBenchmarkNgram(Bridge.expression(c), bloomBytes, n))
+}

@@ -76,9 +76,9 @@ object WordNgrams {
 
   /** Whitespace-split words cleaned to lowercase `[a-z0-9]` (digits kept —
     * the dedup/fingerprint tokenization, unlike the index tokenizer's
-    * letters-only rule).
+    * letters-only rule). Shared with [[ContainsBenchmarkNgram]].
     */
-  private[functions] def cleanWords(in: Array[Byte]): Array[String] = {
+  private[graft] def cleanWords(in: Array[Byte]): Array[String] = {
     val words = mutable.ArrayBuffer.empty[String]
     val buf = new java.lang.StringBuilder
     var i = 0

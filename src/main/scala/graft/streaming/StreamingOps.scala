@@ -66,6 +66,39 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Serialized benchmark n-gram Bloom sketch from a STATIC benchmark
+    * corpus — built once batch-side (benchmark-sized work), then handed
+    * to [[decontaminateOnIngest]] for the life of the stream. Same
+    * sketch parameters as batch q93.
+    */
+  def benchmarkSketch(
+      benchmarkDocs: DataFrame, textCol: String, n: Int = 3): Array[Byte] = {
+    val sh = graft.operators.Dedup
+      .shinglePairs(benchmarkDocs.selectExpr(s"$textCol AS __t", "1 AS __id"),
+        "__t", "__id", n)
+      .select("sh").persist()
+    val bloom = sh.stat.bloomFilter("sh", math.max(sh.count(), 1L), 1e-6)
+    sh.unpersist()
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Benchmark decontamination ON INGEST: drop every arriving document
+    * that shares a word n-gram with the benchmark sketch — the streaming
+    * form of batch q78/q93. The filter is a STATELESS per-row native
+    * predicate ([[graft.functions.ContainsBenchmarkNgram]]): no
+    * generate→regroup, so no streaming aggregation state, safe in any
+    * output mode; sketch false positives only ever drop EXTRA docs (the
+    * conservative direction for pre-training hygiene). Output schema is
+    * exactly the input schema.
+    */
+  def decontaminateOnIngest(
+      docs: DataFrame, textCol: String,
+      sketch: Array[Byte], n: Int = 3): DataFrame =
+    docs.filter(
+      !graft.functions.ContainsBenchmarkNgram(col(textCol), sketch, n))
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
   case class SessionState(start: Long, lastSeen: Long, n: Int)

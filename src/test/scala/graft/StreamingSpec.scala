@@ -41,6 +41,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("decontamination on ingest drops benchmark-overlapping docs across batches") {
+    // sketch from the fixture benchmark slice (doc_id < 20), batch-side
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sketch = StreamingOps.benchmarkSketch(
+      corpus.filter($"doc_id" < 20).select("text"), "text")
+    // expected survivors per the BATCH exact path: non-benchmark docs
+    // minus q78's flagged set (bloom FPs could only shrink this further;
+    // DedupSpec pins the FP excess at ~zero on this fixture)
+    val flagged = graft.queries.DedupQueries.q78Decontaminate(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val rest = corpus.filter($"doc_id" >= 20)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = rest.map(_._1).toSet -- flagged
+    // stream the corpus in two micro-batches
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.decontaminateOnIngest(
+        ms.toDF.toDF("doc_id", "text"), "text", sketch)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decontam").outputMode("append").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("decontam").as[Long].collect().toSet
+      assert(got == expected,
+        s"missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
   test("windowed counts finalize once the watermark passes") {
     val ms = MemoryStream[(Timestamp, String)](spark)
     val q = StreamingOps.eventWindowCounts(ms.toDF.toDF("ts", "event_type"))
