@@ -44,26 +44,14 @@ case class ContainsBenchmarkNgram(
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val line = child.eval(input).asInstanceOf[UTF8String]
     if (line == null) false
-    else {
-      val words = WordNgrams.cleanWords(line.getBytes)
-      if (words.length >= n) {
-        var i = 0
-        var hit = false
-        while (!hit && i + n <= words.length) {
-          val sb = new java.lang.StringBuilder(words(i))
-          var k = 1
-          while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
-          hit = bloom.mightContainString(sb.toString)
-          i += 1
-        }
-        hit
-      } else {
-        // mirror the shingle fallback (WordNgrams distinct mode): a
-        // document shorter than n words IS its whole-document shingle,
-        // so short benchmark docs are still caught
-        bloom.mightContainString(words.mkString(" "))
-      }
-    }
+    else
+      // SAME enumeration the shingle generator runs (shared iterator,
+      // incl. the short-doc whole-document fallback), so this predicate
+      // can never drift from the batch q78/q93 shingle semantics; the
+      // iterator is lazy, so the scan short-circuits on the first hit
+      WordNgrams
+        .ngramIterator(WordNgrams.cleanWords(line.getBytes), n, shortDocFallback = true)
+        .exists(bloom.mightContainString)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ContainsBenchmarkNgram =
@@ -73,4 +61,42 @@ case class ContainsBenchmarkNgram(
 object ContainsBenchmarkNgram {
   def apply(c: Column, bloomBytes: Array[Byte], n: Int): Column =
     Bridge.column(ContainsBenchmarkNgram(Bridge.expression(c), bloomBytes, n))
+}
+
+/** Bloom-membership predicate over an ALREADY-shingled string column —
+  * the expression form of `bloom.mightContainString`, for plans that have
+  * the shingle table in hand (q93's per-doc counts). Keeps the filter
+  * inside the Tungsten row pipeline: no typed-Dataset deserialization, no
+  * broadcast plumbing — the sketch rides as a plan constant and each task
+  * instance deserializes it once (transient lazy), like
+  * [[ContainsBenchmarkNgram]].
+  */
+case class MightContainString(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "might_contain_string"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    s != null && bloom.mightContainString(s.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MightContainString =
+    copy(child = newChild)
+}
+
+object MightContainString {
+  def apply(c: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(MightContainString(Bridge.expression(c), bloomBytes))
 }

@@ -51,19 +51,10 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
       val words = WordNgrams.cleanWords(line.getBytes)
       val out = mutable.ArrayBuffer.empty[String]
       val seen = if (distinct) mutable.HashSet.empty[String] else null
-      if (words.length >= n) {
-        var i = 0
-        while (i + n <= words.length) {
-          val sb = new java.lang.StringBuilder(words(i))
-          var k = 1
-          while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
-          val s = sb.toString
-          if (!distinct || seen.add(s)) out += s
-          i += 1
-        }
-      } else if (distinct) {
-        out += words.mkString(" ")
-      }
+      // the short-doc whole-document fallback is shingle (distinct-mode)
+      // semantics only; occurrence mode emits nothing for a short doc
+      WordNgrams.ngramIterator(words, n, shortDocFallback = distinct)
+        .foreach { s => if (!distinct || seen.add(s)) out += s }
       out.iterator.map(s => InternalRow(UTF8String.fromString(s))).toSeq
     }
   }
@@ -96,6 +87,24 @@ object WordNgrams {
     }
     words.toArray
   }
+
+  /** THE n-gram enumeration — single source of truth shared by the
+    * generator and [[ContainsBenchmarkNgram]], so the batch/streaming
+    * decontamination parity can never drift on tokenjoin semantics:
+    * every occurrence in order; a document with fewer than n words
+    * yields the single whole-document shingle iff `shortDocFallback`.
+    */
+  private[graft] def ngramIterator(
+      words: Array[String], n: Int, shortDocFallback: Boolean): Iterator[String] =
+    if (words.length >= n)
+      Iterator.range(0, words.length - n + 1).map { i =>
+        val sb = new java.lang.StringBuilder(words(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(words(i + k)); k += 1 }
+        sb.toString
+      }
+    else if (shortDocFallback) Iterator.single(words.mkString(" "))
+    else Iterator.empty
 
   def apply(c: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n))

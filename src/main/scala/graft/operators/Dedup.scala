@@ -44,6 +44,22 @@ object Dedup {
   def shinglePairs(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol), graft.functions.WordNgrams(col(textCol), n).as("sh"))
 
+  /** Serialized Bloom sketch of a shingle column — THE sketch parameters
+    * (exact-count sizing, 1e-6 fpp ≈ 3.4 bytes/item) for BOTH batch q93
+    * and streaming decontamination, kept in one place so the two paths
+    * can never drift apart. Two benchmark-sized actions (count + sketch
+    * aggregation); the input is persisted for their duration.
+    */
+  def shingleSketch(shingles: DataFrame, colName: String = "sh"): Array[Byte] = {
+    val s = shingles.persist()
+    try {
+      val bloom = s.stat.bloomFilter(colName, math.max(s.count(), 1L), 1e-6)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    } finally { s.unpersist(); () }
+  }
+
   /** MinHash + banded LSH candidates straight from the long-format
     * shingle table — the scale path used by q31: ONE aggregation computes
     * every signature slot as a column (map-side combinable, no row

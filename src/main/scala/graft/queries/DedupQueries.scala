@@ -92,29 +92,16 @@ object DedupQueries {
     * the false-positive doc excess is bounded.
     */
   def q93BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
-    val bench = sh.filter(col("doc_id") < 20).select("sh")
-    // two benchmark-sized driver actions (count + sketch build): the
-    // exact analog of q78 collecting the benchmark set, but bounded at
-    // ~3.4 bytes/item instead of the full string payload
-    val expected = math.max(bench.count(), 1L)
-    val bloom = bench.stat.bloomFilter("sh", expected, 1e-6)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
-    val bc = spark.sparkContext.broadcast(bytes)
+    // benchmark-sized sketch build (the q78 analog of collecting the
+    // benchmark set, but ~3.4 bytes/item instead of the string payload);
+    // parameters live in ONE place, shared with the streaming path
+    val sketch = Dedup.shingleSketch(sh.filter(col("doc_id") < 20).select("sh"))
+    // the corpus side stays in the Tungsten row pipeline: the sketch is
+    // a plan constant inside a native predicate (deserialized once per
+    // task), not a typed mapPartitions detour
     sh.filter(col("doc_id") >= 20)
-      .select(col("doc_id"), col("sh")).as[(Long, String)]
-      .mapPartitions { it =>
-        // deserialize ONCE per partition, then stream rows through it
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bc.value))
-        it.collect { case (id, s) if bf.mightContainString(s) => id }
-      }
-      .toDF("doc_id")
+      .filter(graft.functions.MightContainString(col("sh"), sketch))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_flagged"))
   }

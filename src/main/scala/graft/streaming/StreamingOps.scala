@@ -72,17 +72,12 @@ object StreamingOps {
     * sketch parameters as batch q93.
     */
   def benchmarkSketch(
-      benchmarkDocs: DataFrame, textCol: String, n: Int = 3): Array[Byte] = {
-    val sh = graft.operators.Dedup
-      .shinglePairs(benchmarkDocs.selectExpr(s"$textCol AS __t", "1 AS __id"),
-        "__t", "__id", n)
-      .select("sh").persist()
-    val bloom = sh.stat.bloomFilter("sh", math.max(sh.count(), 1L), 1e-6)
-    sh.unpersist()
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    bos.toByteArray
-  }
+      benchmarkDocs: DataFrame, textCol: String, n: Int = 3): Array[Byte] =
+    graft.operators.Dedup.shingleSketch(
+      graft.operators.Dedup
+        .shinglePairs(benchmarkDocs.selectExpr(s"$textCol AS __t", "1 AS __id"),
+          "__t", "__id", n)
+        .select("sh"))
 
   /** Benchmark decontamination ON INGEST: drop every arriving document
     * that shares a word n-gram with the benchmark sketch — the streaming

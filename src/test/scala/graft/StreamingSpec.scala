@@ -66,8 +66,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ms.addData(b1.toSeq); q.processAllAvailable()
       ms.addData(b2.toSeq); q.processAllAvailable()
       val got = spark.table("decontam").as[Long].collect().toSet
-      assert(got == expected,
-        s"missing=${expected -- got} extra=${got -- expected}")
+      // bloom FPs can only DROP extra survivors — mirror DedupSpec's
+      // bounded-excess contract rather than demanding exact equality
+      assert((got -- expected).isEmpty,
+        s"contaminated docs survived: ${got -- expected}")
+      assert((expected -- got).size <= 2,
+        s"too many false-positive drops: ${expected -- got}")
     } finally q.stop()
   }
 
