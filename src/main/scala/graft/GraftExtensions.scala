@@ -14,7 +14,9 @@ import graft.functions.{AlnumTokens, AlnumWordCount, AsciiCleanLower, QuantizeIn
   *   - `tokenize(s)`: generator, letters-only reference tokens;
   *   - `alnum_tokens(s)`: generator, positional `[a-z0-9]` tokens;
   *   - `alnum_word_count(s)`: scalar count of the same token stream;
-  *   - `word_ngrams(s, n)`: generator, distinct word n-gram shingles;
+  *   - `word_ngrams(s, n[, distinct])`: generator, word n-grams —
+  *     distinct shingles by default; `distinct => false` emits every
+  *     occurrence (LM-count mode, no short-doc fallback);
   *   - `winnow(s, k, w)`: generator, winnowed fingerprints;
   *   - `token_chunks(s, size, stride)`: generator, overlapping token
   *     windows with per-chunk md5 fingerprints;
@@ -47,6 +49,12 @@ object GraftFunctions {
       s"$fn: $arg must be a literal INT, got $other")
   }
 
+  private def litBool(e: Expression, fn: String, arg: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal BOOLEAN, got $other")
+  }
+
   /** (name, expression class, builder) for every registered native
     * function — the class name feeds DESCRIBE FUNCTION metadata.
     */
@@ -62,7 +70,8 @@ object GraftFunctions {
     ("alnum_word_count", classOf[AlnumWordCount].getName,
       (es: Seq[Expression]) => AlnumWordCount(es.head)),
     ("word_ngrams", classOf[WordNgrams].getName,
-      (es: Seq[Expression]) => WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"))),
+      (es: Seq[Expression]) => WordNgrams(es(0), litInt(es(1), "word_ngrams", "n"),
+        if (es.length > 2) litBool(es(2), "word_ngrams", "distinct") else true)),
     ("winnow", classOf[Winnow].getName,
       (es: Seq[Expression]) =>
         Winnow(es(0), litInt(es(1), "winnow", "k"), litInt(es(2), "winnow", "w"))),

@@ -40,11 +40,17 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int, String)].collect().sorted.toSeq
     assert(sqlToks == opToks && sqlToks.nonEmpty)
 
-    // word_ngrams + winnow generators parse and emit
-    assert(spark.sql(
+    // word_ngrams + winnow generators parse and emit; occurrence mode
+    // (distinct => false) must emit at least as many rows as shingle mode
+    val nDistinct = spark.sql(
       """SELECT count(*) FROM documents
         |LATERAL VIEW word_ngrams(text, 3) s AS sh""".stripMargin)
-      .as[Long].head() > 0)
+      .as[Long].head()
+    val nOccur = spark.sql(
+      """SELECT count(*) FROM documents
+        |LATERAL VIEW word_ngrams(text, 3, false) s AS sh""".stripMargin)
+      .as[Long].head()
+    assert(nDistinct > 0 && nOccur >= nDistinct)
     assert(spark.sql(
       """SELECT count(*) FROM documents
         |LATERAL VIEW winnow(text, 5, 4) f AS fp""".stripMargin)
