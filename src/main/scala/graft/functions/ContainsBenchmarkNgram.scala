@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ContainsBenchmarkNgram(
     child: Expression, bloomBytes: Array[Byte], n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1)
 
@@ -33,7 +33,6 @@ case class ContainsBenchmarkNgram(
       .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
   override def prettyName: String = "contains_benchmark_ngram"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -41,17 +40,30 @@ case class ContainsBenchmarkNgram(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val line = child.eval(input).asInstanceOf[UTF8String]
-    if (line == null) false
-    else
-      // SAME enumeration the shingle generator runs (shared iterator,
-      // incl. the short-doc whole-document fallback), so this predicate
-      // can never drift from the batch q78/q93 shingle semantics; the
-      // iterator is lazy, so the scan short-circuits on the first hit
-      WordNgrams
-        .ngramIterator(WordNgrams.cleanWords(line.getBytes), n, shortDocFallback = true)
-        .exists(bloom.mightContainString)
+  /** Row kernel, also the codegen entry point: SAME enumeration the
+    * shingle generator runs (shared iterator, incl. the short-doc
+    * whole-document fallback), so this predicate can never drift from
+    * the batch q78/q93 shingle semantics; the iterator is lazy, so the
+    * scan short-circuits on the first hit. Null propagates (the
+    * engine-wide native-expression convention — callers that need
+    * null-text rows to SURVIVE a filter coalesce explicitly, as
+    * StreamingOps.decontaminateOnIngest does).
+    */
+  def compute(line: UTF8String): Boolean =
+    WordNgrams
+      .ngramIterator(WordNgrams.cleanWords(line.getBytes), n, shortDocFallback = true)
+      .exists(bloom.mightContainString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // reference-object call (the IvfProbes pattern): the generated code
+  // invokes this instance's kernel, so the transient lazy sketch still
+  // deserializes once per task and the filter stays inside the
+  // whole-stage-codegen span instead of forcing a fallback boundary
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cbn", this, classOf[ContainsBenchmarkNgram].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ContainsBenchmarkNgram =
@@ -72,14 +84,13 @@ object ContainsBenchmarkNgram {
   * [[ContainsBenchmarkNgram]].
   */
 case class MightContainString(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val bloom =
     org.apache.spark.util.sketch.BloomFilter
       .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
   override def prettyName: String = "might_contain_string"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -87,9 +98,18 @@ case class MightContainString(child: Expression, bloomBytes: Array[Byte])
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val s = child.eval(input).asInstanceOf[UTF8String]
-    s != null && bloom.mightContainString(s.toString)
+  /** Row kernel, also the codegen entry point; null propagates (see
+    * [[ContainsBenchmarkNgram.compute]]).
+    */
+  def compute(s: UTF8String): Boolean =
+    bloom.mightContainString(s.toString)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mcs", this, classOf[MightContainString].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MightContainString =

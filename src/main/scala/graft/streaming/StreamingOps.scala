@@ -91,8 +91,13 @@ object StreamingOps {
   def decontaminateOnIngest(
       docs: DataFrame, textCol: String,
       sketch: Array[Byte], n: Int = 3): DataFrame =
+    // coalesce: a null-text doc has no n-grams, so it cannot be
+    // contaminated and must SURVIVE (the predicate null-propagates, and
+    // a bare !null filter would silently drop the row)
     docs.filter(
-      !graft.functions.ContainsBenchmarkNgram(col(textCol), sketch, n))
+      !coalesce(
+        graft.functions.ContainsBenchmarkNgram(col(textCol), sketch, n),
+        lit(false)))
 
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)

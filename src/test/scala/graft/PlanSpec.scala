@@ -171,6 +171,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"only the 1-row total may nested-loop:\n$p")
   }
 
+  test("q93: the sketch membership filter stays inside whole-stage codegen") {
+    // the predicate carries real doGenCode (reference-object kernel); a
+    // regression to CodegenFallback would split the corpus-side pipeline
+    // into interpreted row-at-a-time segments
+    val df = SparkEntry.queries("q93_bloom_decontaminate")(spark, sfDir)
+    df.collect() // AQE finalizes codegen wrappers only after execution
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert("\\*\\(\\d+\\) Filter .*might_contain_string".r.findFirstIn(p).isDefined,
+      s"sketch filter not in a codegen span:\n$p")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
