@@ -211,6 +211,22 @@ object RelationalQueries {
         col("w.start").as("hour_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  // q95: Z-order (Morton) clustering key over (user_id, hour bucket) —
+  // the multi-dimensional data-skipping layout: write the table
+  // sorted/sortWithinPartitions by zkey and rows close in BOTH
+  // dimensions share parquet row groups, so min/max stats prune 2-D
+  // predicates (user × time) that a single-column sort only prunes on
+  // its leading column. The key itself is a narrow shuffle-free
+  // projection (PlanSpec-guarded) — the query verifies the key
+  // bit-for-bit; the write-side sort is the caller's one line.
+  def q95ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("hour_bucket"))
+      .withColumn("zkey",
+        graft.functions.ZOrderKey(col("user_id"), col("hour_bucket")))
+
   // q51: gap-based sessionization (30-min inactivity) as a batch window
   // computation: lag + running sum of session-start flags. One shuffle on
   // user_id; the same semantics as the streaming state operator.
@@ -410,9 +426,22 @@ object RelationalQueries {
     "q18_asof_join" -> q18AsOf _,
     "q19_range_join" -> q19RangeJoin _,
     "q50_hourly_windows" -> q50HourlyWindows _,
-    "q51_sessions" -> q51Sessions _)
+    "q51_sessions" -> q51Sessions _,
+    "q95_zorder_layout" -> q95ZorderLayout _)
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors q95: closed-form bit interleave over the low 32 bits
+    // (0 bits shift to 0, so the i=31 terms are exact for in-contract
+    // inputs < 2^31); epoch_us is the established ts idiom (q51)
+    "q95_zorder_layout" ->
+      """SELECT event_id, user_id, hour_bucket,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    (((user_id >> i) & 1) << (2 * i))
+        |    + (((hour_bucket >> i) & 1) << (2 * i + 1))
+        |  )) AS BIGINT) AS zkey
+        |FROM (SELECT event_id, user_id,
+        |             epoch_us(ts) // 3600000000 AS hour_bucket
+        |      FROM events)""".stripMargin,
     "q74_variant_json" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

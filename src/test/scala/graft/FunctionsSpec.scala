@@ -216,6 +216,26 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(dis == Seq((1L, "a b"), (1L, "b a"), (2L, "solo"), (3L, "")))
   }
 
+  test("zorder key interleaves bits exactly and orders monotonically per dimension") {
+    import graft.functions.ZOrderKey.interleave
+    // bit-by-bit reference implementation
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new Random(21)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong() & 0x7fffffffL
+      val b = rnd.nextLong() & 0x7fffffffL
+      assert(interleave(a, b) == ref(a, b), s"($a, $b)")
+      // fixing one dimension, the key is strictly monotone in the other
+      if (a > 0) assert(interleave(a - 1, b) < interleave(a, b))
+      if (b > 0) assert(interleave(a, b - 1) < interleave(a, b))
+    }
+    // documented masking: only the low 32 bits of each input participate
+    assert(interleave(1L << 40 | 5L, 0L) == interleave(5L, 0L))
+  }
+
   test("native Tokenize generator matches the composed built-ins") {
     val rnd = new Random(13)
     val samples = ((1 to 100).map { _ =>

@@ -119,10 +119,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
-  test("q81/q82: mixture resampling and chunking plan shuffle-free") {
-    // both are narrow projection+generate pipelines: any exchange here
+  test("q81/q82/q95: per-row pipelines (resampling, chunking, zorder key) plan shuffle-free") {
+    // all are narrow projection+generate pipelines: any exchange here
     // means a regression re-introduced a shuffle into a per-row operator
-    for (q <- Seq("q81_mix_sources", "q82_token_chunks")) {
+    for (q <- Seq("q81_mix_sources", "q82_token_chunks", "q95_zorder_layout")) {
       val p = plan(q)
       assert(shuffles(p) == 0, s"$q must not shuffle:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
