@@ -19,7 +19,7 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q87_vocab_coverage",
     "q88_logfreq_quality", "q89_semantic_dedup", "q90_train_order",
     "q91_matryoshka_knn", "q92_bigram_coherence",
-    "q93_bloom_decontaminate", "q94_packing_efficiency")
+    "q93_bloom_decontaminate", "q94_packing_efficiency", "q95_zorder_layout")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
