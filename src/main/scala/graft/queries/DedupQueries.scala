@@ -106,6 +106,29 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** q96: duplicated-passage fraction — per document, the fraction of
+    * its distinct word 3-grams that also appear in ANOTHER document
+    * (shingle document-frequency >= 2): the Gopher/RefinedWeb-style
+    * "duplicate n-gram fraction" quality filter, the cross-document
+    * complement of q79's WITHIN-document repetition ratio. High fraction
+    * = boilerplate or near-copy; 1.0 = every passage exists elsewhere.
+    * Scale shape: one agg to shingle document frequencies
+    * (vocabulary-sized), an equality re-join on the shingle, one agg
+    * back to docs — the exact q8 TF-IDF shape over shingles instead of
+    * words.
+    */
+  def q96DupPassageFraction(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
+    val sdf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(sdf, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup") * lit(1.0) / col("n_grams"), 6).as("dup_fraction"))
+  }
+
   /** q79: repeated-n-gram ratio — 1 − distinct/total word 3-grams per
     * document, the classic generation-loop / boilerplate quality signal
     * (high ratio = the document repeats itself). Narrow projection +
@@ -168,7 +191,8 @@ object DedupQueries {
     "q77_simhash64_pairs" -> (q77Simhash64Pairs _),
     "q78_decontaminate" -> (q78Decontaminate _),
     "q79_repetition" -> (q79Repetition _),
-    "q93_bloom_decontaminate" -> (q93BloomDecontaminate _))
+    "q93_bloom_decontaminate" -> (q93BloomDecontaminate _),
+    "q96_dup_passage_fraction" -> (q96DupPassageFraction _))
 
   /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
     * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.
@@ -222,6 +246,16 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors q96 on the shared shingle CTE (incl. the short-doc
+    // whole-document fallback)
+    "q96_dup_passage_fraction" ->
+      s"""$ShingleCte,
+         |sdf AS (SELECT sh.sh, count(*) AS df FROM sh GROUP BY sh.sh)
+         |SELECT s.doc_id, count(*) AS n_grams,
+         |       count(*) FILTER (sdf.df >= 2) AS n_dup,
+         |       round(count(*) FILTER (sdf.df >= 2) * 1.0 / count(*), 6) AS dup_fraction
+         |FROM sh s JOIN sdf ON s.sh = sdf.sh
+         |GROUP BY s.doc_id""".stripMargin,
     "q37_dup_clusters" ->
       s"""$ClusterCte
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,

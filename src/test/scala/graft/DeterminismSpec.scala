@@ -19,7 +19,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q87_vocab_coverage",
     "q88_logfreq_quality", "q89_semantic_dedup", "q90_train_order",
     "q91_matryoshka_knn", "q92_bigram_coherence",
-    "q93_bloom_decontaminate", "q94_packing_efficiency", "q95_zorder_layout")
+    "q93_bloom_decontaminate", "q94_packing_efficiency", "q95_zorder_layout",
+    "q96_dup_passage_fraction")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

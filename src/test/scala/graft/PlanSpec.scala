@@ -82,7 +82,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // still pass correctness at fixture scale; catch it here.
     for (q <- Seq("q31_minhash_lsh", "q32_ngram_jaccard", "q35_embed_dup_lsh",
         "q36_simhash_pairs", "q24_winnow_pairs", "q77_simhash64_pairs",
-        "q78_decontaminate", "q89_semantic_dedup")) {
+        "q78_decontaminate", "q89_semantic_dedup", "q96_dup_passage_fraction")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
