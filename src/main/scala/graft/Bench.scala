@@ -38,7 +38,10 @@ object Bench {
     "q38_dedup_apply",
     "q80_ann_ivf_scaled",
     "q88_logfreq_quality",
-    "q89_semantic_dedup")
+    "q89_semantic_dedup",
+    "q97_dedup_cross_corpus",
+    "q99_kmeans",
+    "q101_passage_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

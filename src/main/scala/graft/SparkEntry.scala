@@ -11,12 +11,14 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      SearchQueries.queries ++ IndexParityQueries.queries
+      SearchQueries.queries ++ IndexParityQueries.queries ++
+      HygieneQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      SearchQueries.oracleSql ++ IndexParityQueries.oracleSql
+      SearchQueries.oracleSql ++ IndexParityQueries.oracleSql ++
+      HygieneQueries.oracleSql
 }

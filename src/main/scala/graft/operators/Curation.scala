@@ -151,6 +151,32 @@ object Curation {
         col("n_tok"))
   }
 
+  /** Deterministic per-group downsampling: keep each row with its
+    * group's probability `rates(group)` (groups absent from `rates`
+    * keep everything), decided by the md5-fraction of the row id — the
+    * same stateless pure-function-of-the-id coin as [[mixSources]], so
+    * the kept set is stable under re-runs, re-partitioning and
+    * incremental appends, and two samplings at rates r1 < r2 are NESTED
+    * (the r1 sample is a subset of the r2 sample — the property that
+    * makes downstream ablations comparable). Rate 1.0 keeps every row
+    * exactly (no 1/2^24 edge loss); rate 0.0 drops the group. Pure
+    * per-row filter — no shuffle, no state, any corpus size.
+    */
+  def sampleByRates(
+      df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    rates.values.foreach(r =>
+      require(r >= 0 && r <= 1, s"sample rate out of range [0,1]: $r"))
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 6)
+    def keepFor(r: Double): Column =
+      if (r >= 1.0) lit(true)
+      else prefix < f"${math.floor(r * (1L << 24)).toLong}%06x"
+    val keep = rates.toSeq.sortBy(_._1).foldRight(lit(true)) {
+      case ((g, r), tail) => when(col(groupCol) === g, keepFor(r)).otherwise(tail)
+    }
+    df.filter(keep)
+  }
+
   /** Deterministic held-out split: route each row to a named fraction of
     * the corpus by the md5 of its id — the standard reproducible
     * train/val/test assignment for a training pipeline (stable under

@@ -404,4 +404,117 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cross-corpus near-dup matches: (new_id, old_id, jaccard) for every
+    * NEW document whose retained-shingle Jaccard against an OLD document
+    * reaches `threshold` — the candidate stage of incremental corpus
+    * dedup ("don't re-ingest what the training set already contains").
+    * Same plan family as [[ngramJaccard]], but the self-join becomes a
+    * two-corpus equality join on the shared shingle, so per-shingle
+    * fan-out is df_new × df_old (not C(df,2)) and no within-corpus pair
+    * is ever generated. `maxShingleDf` caps stop-shingle fan-out exactly
+    * as in [[ngramJaccard]] (applied per side, sizes post-cap).
+    */
+  def crossCorpusMatches(
+      newDocs: DataFrame, oldDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    def capped(sh: DataFrame): DataFrame = maxShingleDf.fold(sh) { cap =>
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      sh.join(keep, Seq("sh"), "left_semi")
+    }
+    // persisted: each side feeds its size aggregation AND the match join
+    val shNew = capped(shinglePairs(newDocs, textCol, idCol, shingleN)).persist()
+    val shOld = capped(shinglePairs(oldDocs, textCol, idCol, shingleN)).persist()
+    val sizesNew = shNew.groupBy(col(idCol).as("new_id")).agg(count(lit(1)).as("na"))
+    val sizesOld = shOld.groupBy(col(idCol).as("old_id")).agg(count(lit(1)).as("nb"))
+    shNew.select(col(idCol).as("new_id"), col("sh"))
+      .join(shOld.select(col(idCol).as("old_id"), col("sh")), Seq("sh"))
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizesNew, "new_id")
+      .join(sizesOld, "old_id")
+      .select(
+        col("new_id"), col("old_id"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental corpus dedup APPLIED: the NEW documents that survive
+    * near-dup screening against an already-ingested OLD corpus
+    * ([[crossCorpusMatches]] + left-anti join). The anti-join's right
+    * side is the matched-new-id set — bounded by the near-dup volume,
+    * tiny relative to either corpus. At 100 TB this is the nightly
+    * crawl-increment shape: the increment is the small side, the
+    * standing corpus streams through the shingle join once.
+    */
+  def dedupAgainstCorpus(
+      newDocs: DataFrame, oldDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val matched = crossCorpusMatches(
+      newDocs, oldDocs, textCol, idCol, threshold, shingleN, maxShingleDf)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Passage-level exact dedup APPLIED (C4/RefinedWeb-style): cut every
+    * document into NON-overlapping `passageWords`-word passages, keep
+    * only the globally FIRST occurrence of each distinct passage (min
+    * (doc, position) — deterministic), and rebuild each document's text
+    * from its surviving passages in order. Output per document:
+    * `(id, n_passages, n_kept, text_kept)` — `text_kept` is empty when
+    * every passage already occurred earlier in the corpus.
+    *
+    * Scale shape: passages come from the native [[graft.functions
+    * .TokenChunks]] Generator (stride == size ⇒ non-overlapping; one
+    * byte pass, no intermediate array); the keeper election is ONE
+    * map-side-combinable min-struct aggregation on the passage
+    * fingerprint (passage-vocabulary-sized), joined back by fingerprint
+    * equality; the rebuild is one hash aggregation back to documents.
+    * The md5 fingerprint stands in for passage text everywhere past the
+    * scan, so shuffles move 32-byte keys, never passage bytes.
+    */
+  def passageDedup(
+      docs: DataFrame, textCol: String, idCol: String, passageWords: Int): DataFrame = {
+    require(passageWords >= 1, "passageDedup requires passageWords >= 1")
+    val chunks = docs.select(
+      col(idCol),
+      graft.functions.TokenChunks(col(textCol), passageWords, passageWords))
+      .select(col(idCol), col("chunk_id"), col("chunk_fp"))
+      .persist() // feeds the keeper agg AND the keeper re-join
+    val keepers = chunks
+      .groupBy("chunk_fp")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("k"))
+    val kept = chunks
+      .join(keepers, Seq("chunk_fp"))
+      .filter(struct(col(idCol), col("chunk_id")) === col("k"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("chunk_id"))).as("kept_ids"))
+    // total passage count is arithmetic on the shared tokenizer's word
+    // count — no second aggregation over the chunk table
+    val wc = graft.functions.AlnumWordCount(col(textCol))
+    docs
+      .select(col(idCol), col(textCol), wordsArr(col(textCol)).as("w"),
+        when(wc > 0,
+          floor((wc + passageWords - 1).cast("long") / passageWords).cast("long"))
+          .otherwise(0L).as("n_passages"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        // rebuild from the word array, slicing each kept window in order;
+        // `w` is materialized in its own projection (HOF-reference trap)
+        coalesce(
+          array_join(
+            flatten(transform(col("kept_ids"),
+              c => slice(col("w"), c * passageWords + 1, lit(passageWords)))),
+            " "),
+          lit("")).as("text_kept"))
+  }
 }

@@ -213,6 +213,52 @@ object Similarity {
         round(col("s") / 1e6 / col("n"), 6).as("centroid"),
         col("n"))
 
+  /** Deterministic distributed k-means (Lloyd's algorithm, cosine
+    * assignment) — the corpus-clustering step of curation pipelines
+    * (topic balancing, SemDeDup cluster formation, diversity sampling).
+    * `passes` assignment passes run in total: seeds are the k lowest-id
+    * vectors ([[collectSeeds]] — no RNG), each pass assigns every vector
+    * to its nearest centroid (argmin over (-cosine, cluster), ties to
+    * the lowest cluster — exactly [[ivfAssign]]'s rule), and between
+    * passes centroids are recomputed as the FIXED-POINT mean of their
+    * members: components quantize to `round(x·1e6)` longs before the
+    * sum (the [[labelCentroids]] trick), so the distributed aggregation
+    * is exact integer arithmetic and the updated centroid
+    * `(sum/1e6)/n` is bit-identical on any engine / partitioning. A
+    * cluster that loses all members keeps its previous centroid.
+    *
+    * Scale shape per pass: assignment is a narrow shuffle-free
+    * projection (centroids are plan literals — k×dim doubles, broadcast-
+    * sized at any corpus scale); the update is ONE hash aggregation
+    * whose map-side output is at most k×dim rows per partition. Driver
+    * state is the k×dim centroid matrix — same bound as the IVF seed
+    * path. Returns `(id, cluster)` under the final centroids.
+    */
+  def kmeans(vectors: DataFrame, idCol: String, k: Int, passes: Int): DataFrame = {
+    require(k >= 1, "kmeans requires k >= 1")
+    require(passes >= 1, "kmeans requires at least one assignment pass")
+    var centroids = collectSeeds(vectors, idCol, k)
+    def assign: DataFrame = vectors.withColumn(
+      "cluster", array_min(seedScores(centroids)).getField("cell"))
+    for (_ <- 1 until passes) {
+      val sums = assign
+        .select(col("cluster"),
+          posexplode(graft.functions.TextFunctions.toDouble(col("v")))
+            .as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(
+          sum(round(col("x") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // bounded: at most k × dim rows
+      val next = centroids.map(_.clone) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / 1e6 / r.getLong(3)
+      }
+      centroids = next
+    }
+    assign.select(col(idCol), col("cluster"))
+  }
+
   /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
     * the bucket. Recall < 1 by construction (measured in the spec against
     * [[bruteForceTopK]]); cost drops from |Q|·|C| to the bucket co-occurrence

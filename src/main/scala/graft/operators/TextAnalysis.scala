@@ -175,4 +175,38 @@ object TextAnalysis {
         md5(normText(col(textCol))).as("fp_md5"),
         array_min(transform(array_distinct(shingles(col("__w"), 3)), s => md5(s)))
           .as("fp_shingle"))
+
+  /** PII redaction patterns, in application order. RE2-compatible (no
+    * backreferences, no lookaround) so the engine (Java regex) and any
+    * RE2-based oracle agree match-for-match on every input.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    """\b\d{13,19}\b""" -> "<NUM>")
+
+  /** PII scrub — the redaction hygiene pass a public training corpus
+    * runs before release: replace e-mail addresses, IPv4 addresses, and
+    * long (card/account-like) digit runs with typed placeholder tokens,
+    * and report how many spans were redacted. Patterns apply in order
+    * (e-mail first, so its digit-bearing local parts never half-match
+    * the later numeric patterns). Pure per-row projection — codegen'd
+    * `regexp_replace`/`regexp_extract_all` chain, no shuffle, no UDF.
+    */
+  def piiScrub(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cleaned = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = PiiPatterns.zipWithIndex.map { case ((pat, _), i) =>
+      // count on the PREVIOUS stage's text, mirroring application order
+      val stage = PiiPatterns.take(i).foldLeft(col(textCol)) {
+        case (c, (p, r)) => regexp_replace(c, p, r)
+      }
+      size(regexp_extract_all(stage, lit(pat), lit(0)))
+    }
+    docs.select(
+      col(idCol),
+      counts.reduce(_ + _).cast("long").as("n_redacted"),
+      cleaned.as("text_clean"))
+  }
 }

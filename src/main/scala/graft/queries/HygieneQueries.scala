@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** Corpus-hygiene query pack (round 7): incremental cross-corpus dedup
+  * (q97), deterministic language rebalancing (q98), data-dependent
+  * length gating (q100), passage-level exact dedup applied (q101), and
+  * PII redaction (q102). Every query is hash-oracle-checked; the
+  * data-dependent parameters (per-language counts, length percentiles)
+  * are recomputed identically by the oracle so thresholds can never
+  * drift between engines.
+  */
+object HygieneQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Source number: the fixture's `source` column is `src<N>`; the
+    * "old corpus" is N < 10, the "new increment" N >= 10.
+    */
+  private def srcNum = substring(col("source"), 4, 10).cast("int")
+
+  /** q97: incremental corpus dedup — the nightly-crawl shape: documents
+    * from the NEW sources (src10-src19) that survive near-dup screening
+    * (retained-shingle Jaccard >= 0.05, q32's threshold) against the
+    * standing OLD corpus (src0-src9). Candidates come from the shared-
+    * shingle equality join across the two corpora — no within-corpus
+    * pair is ever generated, and the anti-join right side is the tiny
+    * matched-id set ([[Dedup.dedupAgainstCorpus]]).
+    */
+  def q97DedupCrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.dedupAgainstCorpus(
+      d.filter(srcNum >= 10), d.filter(srcNum < 10),
+      "text", "doc_id", threshold = 0.05)
+  }
+
+  /** q98: deterministic language rebalancing — downsample every language
+    * to the size of the SMALLEST one (the class-balance step before
+    * training a language-ID or quality model). Per-language rates are
+    * data-derived (min_count/count, from one languages-sized aggregate),
+    * and the kept set is the md5-fraction coin of [[Curation
+    * .sampleByRates]]: a pure function of the doc id — stable under
+    * re-runs, re-partitioning and appends, with nested samples across
+    * rate changes. The oracle recomputes the same counts and the same
+    * `floor(rate·2^24)` hex bound, so the kept sets agree row-for-row.
+    */
+  def q98RebalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // languages-sized aggregate (bounded driver state, like IVF seeds)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt")).collect()
+    val minC = counts.map(_.getLong(1)).min
+    val rates = counts.map(r => r.getString(0) -> minC.toDouble / r.getLong(1)).toMap
+    Curation.sampleByRates(d, "lang", "doc_id", rates)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** q100: data-dependent length gate — drop documents below the 10th or
+    * above the 99th percentile of corpus token count (the too-short /
+    * too-long heuristic every web-corpus pipeline applies, with
+    * thresholds measured from the corpus rather than hard-coded).
+    * Token counts come from the shared byte-wise tokenizer; the two
+    * thresholds are ONE exact interpolated-percentile aggregate (Spark
+    * `percentile` == DuckDB `quantile_cont`, q58's parity) broadcast
+    * back over the corpus. Scale note: exact percentile holds sorted
+    * per-group state — at 100 TB swap in `approx_percentile` (t-digest,
+    * mergeable map-side), spec-asserted near the exact result, same as
+    * the q58 trade.
+    */
+  def q100LengthGate(spark: SparkSession, dir: String): DataFrame = {
+    val wc = docs(spark, dir).select(
+      col("doc_id"),
+      graft.functions.AlnumWordCount(col("text")).cast("long").as("n_words"))
+    val th = wc.agg(
+      round(expr("percentile(n_words, 0.10)"), 6).as("lo"),
+      round(expr("percentile(n_words, 0.99)"), 6).as("hi"))
+    wc.crossJoin(broadcast(th))
+      .filter(col("n_words") >= col("lo") && col("n_words") <= col("hi"))
+      .select(col("doc_id"), col("n_words"))
+  }
+
+  /** q101: passage-level exact dedup APPLIED — C4/RefinedWeb-style: cut
+    * every document into non-overlapping 5-word passages, keep only each
+    * distinct passage's globally FIRST occurrence (min (doc, position)),
+    * and rebuild document text from the survivors
+    * ([[Dedup.passageDedup]]). The fixture corpus repeats ~260 5-word
+    * passages across documents, so the rewrite is non-trivial.
+    */
+  def q101PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(docs(spark, dir), "text", "doc_id", passageWords = 5)
+
+  /** q102: PII redaction — replace e-mails, IPv4s, and card-like digit
+    * runs with typed placeholders and count redacted spans
+    * ([[TextAnalysis.piiScrub]]). The fixture corpus contains no PII, so
+    * here the query verifies the scrub is a clean identity (zero counts,
+    * text byte-equal through both engines' regex stacks — patterns are
+    * RE2-compatible by construction); redaction behavior itself is
+    * pinned on synthetic PII in `TextAnalysisSpec`.
+    */
+  def q102PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(docs(spark, dir), "text", "doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
+    "q98_rebalance_sample" -> (q98RebalanceSample _),
+    "q100_length_gate" -> (q100LengthGate _),
+    "q101_passage_dedup" -> (q101PassageDedup _),
+    "q102_pii_scrub" -> (q102PiiScrub _))
+
+  /** Cleaned word arrays — SQL twin of TextFunctions.wordsArr (same CTE
+    * as DedupQueries' ShingleCte head).
+    */
+  private val WordsCte =
+    """WITH wd AS (
+      |  SELECT doc_id,
+      |         list_filter(
+      |           list_transform(string_split_regex(lower(text), '\s+'),
+      |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+      |           x -> length(x) > 0) AS w
+      |  FROM documents)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q97_dedup_cross_corpus" ->
+      s"""$WordsCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN len(w) >= 3
+         |                  THEN list_transform(range(1, len(w) - 1),
+         |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |                  ELSE [array_to_string(w, ' ')] END) AS sh
+         |    FROM wd)),
+         |srcn AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn FROM documents),
+         |shn AS (SELECT s.doc_id, s.sh FROM sh s JOIN srcn USING (doc_id) WHERE sn >= 10),
+         |sho AS (SELECT s.doc_id, s.sh FROM sh s JOIN srcn USING (doc_id) WHERE sn < 10),
+         |szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+         |szo AS (SELECT doc_id, count(*) AS n FROM sho GROUP BY doc_id),
+         |inter AS (
+         |  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS i
+         |  FROM shn n JOIN sho o ON n.sh = o.sh
+         |  GROUP BY 1, 2),
+         |matched AS (
+         |  SELECT DISTINCT i.new_id
+         |  FROM inter i
+         |  JOIN szn ON szn.doc_id = i.new_id
+         |  JOIN szo ON szo.doc_id = i.old_id
+         |  WHERE round(i.i * 1.0 / (szn.n + szo.n - i.i), 6) >= 0.05)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN srcn USING (doc_id)
+         |WHERE sn >= 10 AND d.doc_id NOT IN (SELECT new_id FROM matched)""".stripMargin,
+    "q98_rebalance_sample" ->
+      """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |mn AS (SELECT min(cnt) AS m FROM counts)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN counts c ON c.lang = d.lang CROSS JOIN mn
+        |WHERE c.cnt = mn.m
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+        |      < printf('%06x', CAST(floor(mn.m * 1.0 / c.cnt * 16777216) AS BIGINT))""".stripMargin,
+    "q100_length_gate" ->
+      s"""$WordsCte,
+         |wc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM wd),
+         |th AS (
+         |  SELECT round(quantile_cont(n_words, 0.10), 6) AS lo,
+         |         round(quantile_cont(n_words, 0.99), 6) AS hi
+         |  FROM wc)
+         |SELECT doc_id, n_words FROM wc CROSS JOIN th
+         |WHERE n_words >= lo AND n_words <= hi""".stripMargin,
+    "q101_passage_dedup" ->
+      s"""$WordsCte,
+         |p AS (
+         |  SELECT doc_id, CAST(t.i AS INT) AS cid,
+         |         array_to_string(w[t.i*5 + 1 : t.i*5 + 5], ' ') AS pass
+         |  FROM wd, unnest(range(0, CASE WHEN len(w) = 0 THEN 0
+         |                               ELSE 1 + (len(w) - 1) // 5 END)) AS t(i)),
+         |r AS (
+         |  SELECT doc_id, cid, pass,
+         |         row_number() OVER (PARTITION BY pass ORDER BY doc_id, cid) AS rn
+         |  FROM p),
+         |agg AS (
+         |  SELECT doc_id,
+         |         count(*) AS n_passages,
+         |         count(*) FILTER (rn = 1) AS n_kept,
+         |         coalesce(
+         |           array_to_string(list(pass ORDER BY cid) FILTER (rn = 1), ' '),
+         |           '') AS text_kept
+         |  FROM r GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_passages, 0) AS n_passages,
+         |       coalesce(a.n_kept, 0) AS n_kept,
+         |       coalesce(a.text_kept, '') AS text_kept
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q102_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, text, t1,
+        |         regexp_replace(t1,
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(t1,
+        |              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |          + len(regexp_extract_all(t2, '\b\d{13,19}\b')) AS BIGINT)
+        |         AS n_redacted,
+        |       regexp_replace(t2, '\b\d{13,19}\b', '<NUM>', 'g') AS text_clean
+        |FROM s2""".stripMargin)
+}

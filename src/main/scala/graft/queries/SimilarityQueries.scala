@@ -214,7 +214,19 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
   }
 
+  /** q99: deterministic distributed k-means — two Lloyd assignment
+    * passes at k=8 over the embeddings (seeds = the 8 lowest-id
+    * vectors, centroids updated as fixed-point means — see
+    * [[Similarity.kmeans]]). Fully hash-oracle-checked: the oracle
+    * replays both passes — the updated centroid components are exact
+    * integer-derived doubles (`(Σ round(x·1e6)) / 1e6 / n`), so the
+    * second-pass assignment is bit-identical on both engines.
+    */
+  def q99Kmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(vectors(spark, dir), "vec_id", k = 8, passes = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_kmeans" -> (q99Kmeans _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q91_matryoshka_knn" -> (q91MatryoshkaKnn _),
     "q34_embed_pairs" -> (q34EmbedPairs _),
@@ -254,6 +266,53 @@ object SimilarityQueries {
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors q99 pass-for-pass: seed assignment (q42's negcos/tie rule),
+    // fixed-point centroid update (q43's quantization, exact
+    // integer-derived doubles), empty-cell fallback to the seed, second
+    // assignment under the updated centroids
+    "q99_kmeans" ->
+      s"""$CosCte,
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |sc0 AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN seeds s),
+         |a0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |    FROM sc0)
+         |  WHERE r = 1),
+         |comp AS (
+         |  SELECT a0.cell, t.dim, t.x
+         |  FROM a0 JOIN (
+         |    SELECT vec_id, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM e) t
+         |    ON t.vec_id = a0.vec_id),
+         |cent AS (
+         |  SELECT cell, dim,
+         |         SUM(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS c
+         |  FROM comp GROUP BY cell, dim),
+         |cv AS (SELECT cell, list(c ORDER BY dim) AS v FROM cent GROUP BY cell),
+         |cv2 AS (
+         |  SELECT s.cell, coalesce(cv.v, s.v) AS v
+         |  FROM seeds s LEFT JOIN cv ON cv.cell = s.cell),
+         |sc1 AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN cv2 s)
+         |SELECT vec_id, CAST(cell AS INT) AS cluster FROM (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc1)
+         |WHERE r = 1""".stripMargin,
     // mirrors q89: q80's ⌈√N⌉ seed/assignment CTEs, then in-cell pairs at
     // the q34 threshold; a vector with any smaller-id near-dup in its
     // cell is dropped

@@ -217,4 +217,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val falsePos = verified.filter { case (a, b) => a < 1000 && b < 1000 }
     assert(falsePos.isEmpty, s"unexpected high-jaccard pairs: $falsePos")
   }
+
+  test("cross-corpus dedup drops near-dup increments, keeps fresh ones, never touches old") {
+    val oldC = docs(
+      1L -> "a b c d e f g h",
+      2L -> "q r s t u v w x")
+    val newC = docs(
+      10L -> "a b c d e f g z", // near-dup of old doc 1 (J = 5/7)
+      11L -> "m n o p m n o p") // disjoint from the old corpus
+    val matches = Dedup.crossCorpusMatches(newC, oldC, "text", "doc_id", threshold = 0.3)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(matches == Set((10L, 1L)))
+    val kept = Dedup.dedupAgainstCorpus(newC, oldC, "text", "doc_id", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // dedup is one-directional: within-new and within-old pairs are never
+    // generated, so a near-dup pair INSIDE the increment both survive
+    val newTwins = docs(20L -> "j k l j k l j k", 21L -> "j k l j k l j k")
+    val keptTwins = Dedup.dedupAgainstCorpus(newTwins, oldC, "text", "doc_id", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTwins == Set(20L, 21L))
+  }
+
+  test("passage dedup keeps first occurrences and rebuilds text in order") {
+    // passages of 2 words; doc 1 owns [a b] [c d]; doc 2 repeats [a b]
+    // then contributes [x y]; doc 3 is entirely made of seen passages;
+    // doc 4 has a short tail passage
+    val d = docs(
+      1L -> "a b c d",
+      2L -> "a b x y",
+      3L -> "c d a b",
+      4L -> "x y z")
+    val got = Dedup.passageDedup(d, "text", "doc_id", passageWords = 2)
+      .select("doc_id", "n_passages", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().toMap2
+    assert(got(1L) == ((2L, 2L, "a b c d")))
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((2L, 0L, "")))
+    assert(got(4L) == ((2L, 1L, "z"))) // [x y] seen in doc 2; tail [z] kept
+  }
+
+  private implicit class Map2Ops(rows: Array[(Long, Long, Long, String)]) {
+    def toMap2: Map[Long, (Long, Long, String)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }

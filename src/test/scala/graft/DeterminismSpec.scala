@@ -20,7 +20,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q88_logfreq_quality", "q89_semantic_dedup", "q90_train_order",
     "q91_matryoshka_knn", "q92_bigram_coherence",
     "q93_bloom_decontaminate", "q94_packing_efficiency", "q95_zorder_layout",
-    "q96_dup_passage_fraction")
+    "q96_dup_passage_fraction",
+    "q97_dedup_cross_corpus", "q98_rebalance_sample", "q99_kmeans",
+    "q100_length_gate", "q101_passage_dedup", "q102_pii_scrub")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -82,7 +82,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // still pass correctness at fixture scale; catch it here.
     for (q <- Seq("q31_minhash_lsh", "q32_ngram_jaccard", "q35_embed_dup_lsh",
         "q36_simhash_pairs", "q24_winnow_pairs", "q77_simhash64_pairs",
-        "q78_decontaminate", "q89_semantic_dedup", "q96_dup_passage_fraction")) {
+        "q78_decontaminate", "q89_semantic_dedup", "q96_dup_passage_fraction",
+        "q97_dedup_cross_corpus", "q101_passage_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
@@ -128,6 +129,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
         s"$q must stay join-free:\n$p")
     }
+  }
+
+  test("q98/q102: per-row hygiene filters (rebalance sample, PII scrub) plan shuffle-free") {
+    // the md5-coin filter and the regex scrub are pure projections over
+    // the scan; the rebalance rates come from a separate bounded
+    // aggregate, never a join into the corpus pipeline
+    for (q <- Seq("q98_rebalance_sample", "q102_pii_scrub")) {
+      val p = plan(q)
+      assert(shuffles(p) == 0, s"$q must not shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q must stay join-free:\n$p")
+    }
+  }
+
+  test("q99: the k-means assignment pass is a shuffle-free projection") {
+    // centroids are plan literals (k×dim doubles) — the returned
+    // assignment must plan as a narrow projection over the scan, never
+    // a join against a centroid table
+    val p = plan("q99_kmeans")
+    assert(shuffles(p) == 0, s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"assignment must stay join-free:\n$p")
   }
 
   test("q84: sequence packing plans exactly one exchange, on the bucket") {

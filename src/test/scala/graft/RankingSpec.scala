@@ -107,6 +107,25 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(g0counts.subsetOf(Set(2, 3)))
   }
 
+  test("sampleByRates realizes rates, nests across rates, keeps rate-1 groups exactly") {
+    val rows = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "lang")
+    val kept = Curation.sampleByRates(
+      rows, "lang", "doc_id", Map("g0" -> 0.3, "g1" -> 1.0))
+      .as[(Long, String)].collect().toSet
+    val keptShuffled = Curation.sampleByRates(
+      rows.repartition(7), "lang", "doc_id", Map("g0" -> 0.3, "g1" -> 1.0))
+      .as[(Long, String)].collect().toSet
+    assert(kept == keptShuffled, "kept set must not depend on partitioning")
+    val byG = kept.groupBy(_._2).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(byG("g0") - 0.3) < 0.07, s"g0 realized ${byG("g0")}")
+    assert(byG("g1") == 1.0, "rate 1.0 must keep every row exactly")
+    assert(byG("g2") == 1.0, "groups without a rate keep everything")
+    // nesting: the 0.3 sample is a subset of the 0.6 sample of the same group
+    val wider = Curation.sampleByRates(rows, "lang", "doc_id", Map("g0" -> 0.6))
+      .as[(Long, String)].collect().toSet
+    assert(kept.filter(_._2 == "g0").subsetOf(wider))
+  }
+
   test("sequence packing is contiguous per bucket, offset-bounded, partition-invariant") {
     val rnd = new scala.util.Random(11)
     val d = (0L until 500L).map { i =>

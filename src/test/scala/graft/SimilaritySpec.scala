@@ -109,6 +109,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(keptIds == allIds -- pairs)
   }
 
+  test("kmeans matches a driver-side Lloyd reference and handles empty clusters") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val v = Similarity.prepared(vecs, "vec_id", "embedding")
+    val got = Similarity.kmeans(v, "vec_id", k = 4, passes = 3)
+      .as[(Long, Int)].collect().toMap
+
+    // independent driver-side replay: same seeds, same fixed-point
+    // centroid rule, same (-cos, cluster) argmin
+    val raw = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents = raw.take(4).map(_._2.clone)
+    var assign = Map.empty[Long, Int]
+    for (pass <- 1 to 3) {
+      assign = raw.map { case (id, e) =>
+        id -> cents.indices.minBy(c => (-cos(e, cents(c)), c))
+      }.toMap
+      if (pass < 3) {
+        val next = cents.map(_.clone)
+        for (c <- cents.indices) {
+          val members = raw.filter(r => assign(r._1) == c).map(_._2)
+          if (members.nonEmpty)
+            for (d <- next(c).indices)
+              next(c)(d) =
+                members.map(m => math.round(m(d) * 1e6)).sum / 1e6 / members.length
+        }
+        cents = next
+      }
+    }
+    assert(got == assign)
+    // k > corpus size: the surplus clusters stay empty (seed fallback)
+    // without error, and every vector still lands in exactly one cluster
+    val tiny = v.filter(col("vec_id") < 3)
+    val small = Similarity.kmeans(tiny, "vec_id", k = 8, passes = 2)
+      .as[(Long, Int)].collect()
+    assert(small.length == 3 && small.map(_._1).toSet == Set(0L, 1L, 2L))
+  }
+
   test("ANN results carry exact cosines and reach useful recall on sf0.001") {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val v = Similarity.prepared(raw, "vec_id", "embedding")

@@ -55,4 +55,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("pii scrub redacts emails, IPs and card-like digit runs; clean text unchanged") {
+    val d = docs(
+      1L -> "contact Jane.Doe+spam@example.co.uk or admin@host.io today",
+      2L -> "server 10.0.255.7 answered; card 4111111111111111 on file",
+      3L -> "clean text with short numbers 42 and 1234567890 stays put",
+      4L -> "release 4.2.1.7 is a version, but matches the ip shape")
+    val got = TextAnalysis.piiScrub(d, "text", "doc_id")
+      .select("doc_id", "n_redacted", "text_clean")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L,
+      "contact <EMAIL> or <EMAIL> today")))
+    assert(got(2L) == ((2L,
+      "server <IP> answered; card <NUM> on file")))
+    // 13-19 digit runs only: 2- and 10-digit numbers are not PII-shaped
+    assert(got(3L) == ((0L,
+      "clean text with short numbers 42 and 1234567890 stays put")))
+    // documented false-positive class: freestanding dotted-quad version
+    // strings match the IPv4 shape (the standard over-redaction trade)
+    assert(got(4L)._1 == 1L && got(4L)._2.contains("release <IP> is"))
+  }
 }
