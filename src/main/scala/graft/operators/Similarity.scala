@@ -238,8 +238,13 @@ object Similarity {
     require(k >= 1, "kmeans requires k >= 1")
     require(passes >= 1, "kmeans requires at least one assignment pass")
     var centroids = collectSeeds(vectors, idCol, k)
+    // home cell through the fused native scorer — bit-identical to
+    // array_min(seedScores(...)) (same dots, same (negcos, cell) tie
+    // rule — differential spec on IvfProbes), one primitive loop per
+    // row instead of a k-struct expression tree
     def assign: DataFrame = vectors.withColumn(
-      "cluster", array_min(seedScores(centroids)).getField("cell"))
+      "cluster",
+      element_at(graft.functions.IvfProbes(col("v"), col("nv"), centroids, 1), 1))
     for (_ <- 1 until passes) {
       val sums = assign
         .select(col("cluster"),
