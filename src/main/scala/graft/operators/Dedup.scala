@@ -460,6 +460,56 @@ object Dedup {
     newDocs.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** Maximal duplicated-span extraction — the substring-dedup primitive
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for every document, the maximal runs of consecutive
+    * token positions whose `n`-gram also appears in ANOTHER document
+    * (cross-document df >= 2). One output row per span:
+    * `(id, start_tok, n_grams, n_tokens)` — `start_tok` 0-based,
+    * `n_tokens` the span's token length (`n_grams + n - 1`, clamped to
+    * the document for the sub-`n`-word whole-document fallback).
+    * Downstream either cuts the spans out (substring dedup applied) or
+    * filters documents on span mass; unlike [[passageDedup]] the spans
+    * are MAXIMAL and stride-1 — no passage-boundary blindness.
+    *
+    * Scale shape: positional n-grams from one narrow projection;
+    * document frequency is one hash aggregation (n-gram-vocabulary-
+    * sized); the dup-position join is n-gram equality (the TF-IDF
+    * shape); span assembly is ONE window exchange on the document id —
+    * the islands-and-gaps trick (`pos - row_number()`) turns
+    * consecutive positions into group keys with no iteration.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "dupSpans requires n >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // words materialized before the gram posexplode (HOF-reference trap)
+    val grams = docs
+      .select(col(idCol), wordsArr(col(textCol)).as("w"))
+      .select(col(idCol), size(col("w")).as("nw"),
+        posexplode(shingles(col("w"), n)).as(Seq("pos", "sh")))
+    val df2 = grams.groupBy("sh")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= 2)
+      .select("sh")
+    val dup = grams.join(df2, Seq("sh"), "left_semi")
+    val grp = col("pos") - row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("pos")))
+    dup
+      .withColumn("grp", grp)
+      .groupBy(col(idCol), col("grp"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        count(lit(1)).as("n_grams"),
+        (max(col("pos")) + lit(n - 1) + 1 - min(col("pos"))).as("span"),
+        first(col("nw")).as("nw"))
+      .select(
+        col(idCol), col("start_tok"),
+        col("n_grams"),
+        // whole-document fallback gram (docs under n words) covers
+        // exactly the document, not n tokens
+        least(col("span"), col("nw").cast("long")).as("n_tokens"))
+  }
+
   /** Passage-level exact dedup APPLIED (C4/RefinedWeb-style): cut every
     * document into NON-overlapping `passageWords`-word passages, keep
     * only the globally FIRST occurrence of each distinct passage (min

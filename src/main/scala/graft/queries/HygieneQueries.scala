@@ -102,12 +102,34 @@ object HygieneQueries {
   def q102PiiScrub(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiScrub(docs(spark, dir), "text", "doc_id")
 
+  /** q103: maximal duplicated-span extraction (substring-dedup
+    * primitive, [[Dedup.dupSpans]]) — per document, the maximal runs of
+    * consecutive positions whose 3-gram also appears in another
+    * document. Stride-1 and maximal, so unlike q101's passage grid it
+    * has no boundary blindness; the oracle mirrors the islands-and-gaps
+    * window arithmetic exactly.
+    */
+  def q103DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(spark, dir), "text", "doc_id", n = 3)
+
+  /** q104: column profile over `lineitem` — the ANALYZE-style stats
+    * pass ([[graft.sources.Tables.profile]]): one scan, one row per
+    * column with nulls / exact distincts / numeric min-max.
+    */
+  def q104TableProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.profile(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag", "l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
     "q98_rebalance_sample" -> (q98RebalanceSample _),
     "q100_length_gate" -> (q100LengthGate _),
     "q101_passage_dedup" -> (q101PassageDedup _),
-    "q102_pii_scrub" -> (q102PiiScrub _))
+    "q102_pii_scrub" -> (q102PiiScrub _),
+    "q103_dup_spans" -> (q103DupSpans _),
+    "q104_table_profile" -> (q104TableProfile _))
 
   /** Cleaned word arrays — SQL twin of TextFunctions.wordsArr (same CTE
     * as DedupQueries' ShingleCte head).
@@ -122,6 +144,44 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q103_dup_spans" ->
+      s"""$WordsCte,
+         |g AS (
+         |  SELECT doc_id, len(w) AS nw, CAST(t.i AS INT) AS pos,
+         |         CASE WHEN len(w) >= 3
+         |              THEN w[t.i+1] || ' ' || w[t.i+2] || ' ' || w[t.i+3]
+         |              ELSE array_to_string(w, ' ') END AS sh
+         |  FROM wd, unnest(range(0, CASE WHEN len(w) >= 3
+         |                               THEN len(w) - 2 ELSE 1 END)) AS t(i)),
+         |df2 AS (
+         |  SELECT sh FROM (
+         |    SELECT sh, count(DISTINCT doc_id) AS df FROM g GROUP BY sh)
+         |  WHERE df >= 2),
+         |d AS (SELECT g.* FROM g JOIN df2 USING (sh)),
+         |r AS (
+         |  SELECT doc_id, nw, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, grp, min(pos) AS mn, max(pos) AS mx,
+         |         count(*) AS n_grams, min(nw) AS nw
+         |  FROM r GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(mn AS INT) AS start_tok, n_grams,
+         |       least(mx + 3 - mn, nw) AS n_tokens
+         |FROM sp""".stripMargin,
+    "q104_table_profile" -> {
+      def one(c: String, num: Boolean) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       ${if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |       ${if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS max_num
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey" -> true, "l_linenumber" -> true, "l_quantity" -> true,
+        "l_extendedprice" -> true, "l_discount" -> true,
+        "l_returnflag" -> false, "l_linestatus" -> false)
+        .map { case (c, n) => one(c, n) }.mkString("\nUNION ALL\n")
+    },
     "q97_dedup_cross_corpus" ->
       s"""$WordsCte,
          |sh AS (

@@ -261,4 +261,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     def toMap2: Map[Long, (Long, Long, String)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("dup spans are maximal, cross-document only, and clamp short docs") {
+    // docs 1 and 2 share the run "c d e f g" (three 3-grams, one maximal
+    // span of 5 tokens); doc 1's self-repeat "x y z x y z" must NOT flag
+    // (df counts distinct docs); doc 3 repeats doc 1's span too
+    val d = docs(
+      1L -> "a b c d e f g h x y z x y z",
+      2L -> "q c d e f g r s",
+      3L -> "c d e f g",
+      4L -> "totally unrelated content here")
+    val got = Dedup.dupSpans(d, "text", "doc_id", n = 3)
+      .select("doc_id", "start_tok", "n_grams", "n_tokens")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2, 3L, 5L),  // tokens 2..6 = c d e f g
+      (2L, 1, 3L, 5L),  // tokens 1..5
+      (3L, 0, 3L, 5L))) // the whole 5-word doc
+    // sub-n-word doc pair: whole-doc fallback gram, span clamped to doc
+    val tiny = docs(1L -> "a b", 2L -> "a b", 3L -> "c")
+    val got2 = Dedup.dupSpans(tiny, "text", "doc_id", n = 3)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 2L), (2L, 2L)))
+  }
 }

@@ -55,4 +55,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     for (r <- Seq(p, c, j, o))
       assert(r.as[(Long, String, Double)].collect().sorted.toSeq == want)
   }
+
+  test("column profile counts nulls/distincts exactly; approx distinct tracks it") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (2L, null), (null, "b"), (3L, "b"))
+      .toDF("k", "s")
+    val got = Tables.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("k") == ((5L, 1L, 3L, Some(1.0), Some(3.0))))
+    // non-numeric: min/max stay null (engine-neutral rendering contract)
+    assert(got("s") == ((5L, 1L, 2L, None, None)))
+    // the documented 100 TB swap: approx_count_distinct lands within 5%
+    // of the exact profile on a real high-cardinality column
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = Tables.profile(li, Seq("l_orderkey"))
+      .select("n_distinct").as[Long].head()
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02))
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
 }

@@ -83,7 +83,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     for (q <- Seq("q31_minhash_lsh", "q32_ngram_jaccard", "q35_embed_dup_lsh",
         "q36_simhash_pairs", "q24_winnow_pairs", "q77_simhash64_pairs",
         "q78_decontaminate", "q89_semantic_dedup", "q96_dup_passage_fraction",
-        "q97_dedup_cross_corpus", "q101_passage_dedup")) {
+        "q97_dedup_cross_corpus", "q101_passage_dedup", "q103_dup_spans")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
@@ -150,6 +150,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("q99_kmeans")
     assert(shuffles(p) == 0, s"assignment must not shuffle:\n$p")
     assert(!p.contains("Join"), s"assignment must stay join-free:\n$p")
+  }
+
+  test("q104: the column profile is one scan, not one per statistic") {
+    // the whole point of the single-row aggregate + explode shape: a
+    // refactor to per-column UNIONed aggregates would re-scan the table
+    // once per profiled column
+    val p = plan("q104_table_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must read lineitem exactly once:\n$p")
   }
 
   test("q84: sequence packing plans exactly one exchange, on the bucket") {
