@@ -122,6 +122,54 @@ object HygieneQueries {
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag", "l_linestatus"))
 
+  /** q105: BPE first-merge statistics — the inner loop of byte-pair-
+    * encoding tokenizer training: the 20 most frequent ADJACENT symbol
+    * pairs (initial symbols = characters) across the corpus, each word
+    * occurrence contributing its pairs. The pair counting runs over the
+    * VOCABULARY-sized word-frequency table (weighting by occurrence
+    * count), never per corpus token — the standard trick that makes BPE
+    * training corpus-size-independent per merge: one corpus-token
+    * aggregation up front, then every merge iteration is
+    * vocabulary-sized. Top-20 is a TakeOrdered under the total
+    * (count desc, pair asc) order.
+    */
+  def q105BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = docs(spark, dir)
+      .select(graft.functions.AlnumTokens(col("text")))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** q106: equi-width histogram of `l_extendedprice` — the profiling
+    * complement of q104: 10 buckets over the data-derived [min, max]
+    * range (two passes: one 1-row min/max aggregate broadcast back, one
+    * bucket aggregation). Bucket arithmetic is the same IEEE double
+    * expression on both engines, so edges bin identically.
+    */
+  def q106Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 10.0)), lit(9.0))
+        .cast("int").as("bucket"),
+        col("mn"), col("mx"))
+      .groupBy("bucket", "mn", "mx")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("bucket"),
+        round(col("mn") + col("bucket") * (col("mx") - col("mn")) / 10.0, 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * (col("mx") - col("mn")) / 10.0, 6).as("hi"),
+        col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
     "q98_rebalance_sample" -> (q98RebalanceSample _),
@@ -129,7 +177,9 @@ object HygieneQueries {
     "q101_passage_dedup" -> (q101PassageDedup _),
     "q102_pii_scrub" -> (q102PiiScrub _),
     "q103_dup_spans" -> (q103DupSpans _),
-    "q104_table_profile" -> (q104TableProfile _))
+    "q104_table_profile" -> (q104TableProfile _),
+    "q105_bpe_pairs" -> (q105BpePairs _),
+    "q106_histogram" -> (q106Histogram _))
 
   /** Cleaned word arrays — SQL twin of TextFunctions.wordsArr (same CTE
     * as DedupQueries' ShingleCte head).
@@ -144,6 +194,31 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q105_bpe_pairs" ->
+      s"""$WordsCte,
+         |wf AS (
+         |  SELECT w AS word, count(*) AS freq
+         |  FROM (SELECT unnest(w) AS w FROM wd) GROUP BY w),
+         |p AS (
+         |  SELECT substr(word, CAST(t.i AS INT), 2) AS pair, freq
+         |  FROM wf, unnest(range(1, length(word))) AS t(i)
+         |  WHERE length(word) >= 2)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q106_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)), 9.0) AS INT)
+        |           AS bucket, mn, mx
+        |  FROM lineitem CROSS JOIN mm)
+        |SELECT bucket,
+        |       round(mn + bucket * (mx - mn) / 10.0, 6) AS lo,
+        |       round(mn + (bucket + 1) * (mx - mn) / 10.0, 6) AS hi,
+        |       count(*) AS cnt
+        |FROM b GROUP BY bucket, mn, mx""".stripMargin,
     "q103_dup_spans" ->
       s"""$WordsCte,
          |g AS (

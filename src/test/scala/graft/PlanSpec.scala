@@ -152,6 +152,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"assignment must stay join-free:\n$p")
   }
 
+  test("q105: the BPE top-20 is a TakeOrdered over the pair table, never a full sort") {
+    val p = plan("q105_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort exchange:\n$p")
+  }
+
   test("q104: the column profile is one scan, not one per statistic") {
     // the whole point of the single-row aggregate + explode shape: a
     // refactor to per-column UNIONed aggregates would re-scan the table
