@@ -75,6 +75,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless hygiene ops (PII scrub, per-group sampling) run on streams with batch parity") {
+    // piiScrub and sampleByRates are pure projections/filters, so the
+    // SAME operator code applies to an unbounded ingest stream with no
+    // state and no mode restrictions; survivors/redactions must equal
+    // the batch answer row-for-row
+    // ids 6/11 pass the 0.5 md5 coin (prefix < 0x800000), id 1 fails it
+    val rows = Seq(
+      (6L, "en", "mail me at a@b.io"),
+      (11L, "en", "server 10.0.0.1 fine"),
+      (3L, "de", "nothing here"),
+      (1L, "en", "clean but coin-dropped"))
+    val ms = MemoryStream[(Long, String, String)](spark)
+    val scrubbed = graft.operators.TextAnalysis.piiScrub(
+      graft.operators.Curation.sampleByRates(
+        ms.toDF.toDF("doc_id", "lang", "text"),
+        "lang", "doc_id", Map("en" -> 0.5)),
+      "text", "doc_id")
+    val q = scrubbed.writeStream.format("memory")
+      .queryName("hygiene").outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("hygiene")
+        .as[(Long, Long, String)].collect().toSet
+      val want = graft.operators.TextAnalysis.piiScrub(
+        graft.operators.Curation.sampleByRates(
+          rows.toDF("doc_id", "lang", "text"), "lang", "doc_id", Map("en" -> 0.5)),
+        "text", "doc_id")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want, s"stream/batch divergence: $got vs $want")
+      assert(got.exists(_._2 > 0), "at least one surviving doc carries a redaction")
+    } finally q.stop()
+  }
+
   test("windowed counts finalize once the watermark passes") {
     val ms = MemoryStream[(Timestamp, String)](spark)
     val q = StreamingOps.eventWindowCounts(ms.toDF.toDF("ts", "event_type"))
