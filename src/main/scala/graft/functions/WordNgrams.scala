@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingle Generator: one pass over the line bytes
@@ -61,6 +61,56 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean = true)
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
+}
+
+/** Positional variant of [[WordNgrams]] for span-level operators
+  * (duplicated-span extraction, q103): one row per n-gram occurrence
+  * `(pos, nw, sh)` — 0-based start position, the document's cleaned
+  * word count, and the space-joined gram. Documents with 0 < words < n
+  * emit the single whole-document gram at position 0 (the shingle
+  * fallback); empty documents emit nothing. Same byte-wise tokenizer
+  * and gram assembly as [[WordNgrams]] (single source of truth), one
+  * pass, no intermediate array column.
+  */
+case class PositionalWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 1)
+
+  override def elementSchema: StructType = StructType(
+    StructField("pos", IntegerType, nullable = false) ::
+      StructField("nw", IntegerType, nullable = false) ::
+      StructField("sh", StringType, nullable = false) :: Nil)
+
+  override def prettyName: String = "positional_word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val line = child.eval(input).asInstanceOf[UTF8String]
+    if (line == null) Nil
+    else {
+      val words = WordNgrams.cleanWords(line.getBytes)
+      if (words.length == 0) Nil
+      else
+        WordNgrams.ngramIterator(words, n, shortDocFallback = true)
+          .zipWithIndex
+          .map { case (s, i) =>
+            InternalRow(i, words.length, UTF8String.fromString(s))
+          }.toSeq
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalWordNgrams =
+    copy(child = newChild)
+}
+
+object PositionalWordNgrams {
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(PositionalWordNgrams(Bridge.expression(c), n))
 }
 
 object WordNgrams {

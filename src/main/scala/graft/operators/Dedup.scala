@@ -482,11 +482,10 @@ object Dedup {
   def dupSpans(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, "dupSpans requires n >= 1")
     import org.apache.spark.sql.expressions.Window
-    // words materialized before the gram posexplode (HOF-reference trap)
-    val grams = docs
-      .select(col(idCol), wordsArr(col(textCol)).as("w"))
-      .select(col(idCol), size(col("w")).as("nw"),
-        posexplode(shingles(col("w"), n)).as(Seq("pos", "sh")))
+    // positional grams from the native generator — one byte pass, no
+    // intermediate word array (empty documents emit nothing)
+    val grams = docs.select(
+      col(idCol), graft.functions.PositionalWordNgrams(col(textCol), n))
     val df2 = grams.groupBy("sh")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= 2)

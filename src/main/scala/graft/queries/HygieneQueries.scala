@@ -226,8 +226,9 @@ object HygieneQueries {
          |         CASE WHEN len(w) >= 3
          |              THEN w[t.i+1] || ' ' || w[t.i+2] || ' ' || w[t.i+3]
          |              ELSE array_to_string(w, ' ') END AS sh
-         |  FROM wd, unnest(range(0, CASE WHEN len(w) >= 3
-         |                               THEN len(w) - 2 ELSE 1 END)) AS t(i)),
+         |  FROM wd, unnest(range(0, CASE WHEN len(w) >= 3 THEN len(w) - 2
+         |                               WHEN len(w) > 0 THEN 1
+         |                               ELSE 0 END)) AS t(i)),
          |df2 AS (
          |  SELECT sh FROM (
          |    SELECT sh, count(DISTINCT doc_id) AS df FROM g GROUP BY sh)

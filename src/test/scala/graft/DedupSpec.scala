@@ -278,8 +278,9 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2, 3L, 5L),  // tokens 2..6 = c d e f g
       (2L, 1, 3L, 5L),  // tokens 1..5
       (3L, 0, 3L, 5L))) // the whole 5-word doc
-    // sub-n-word doc pair: whole-doc fallback gram, span clamped to doc
-    val tiny = docs(1L -> "a b", 2L -> "a b", 3L -> "c")
+    // sub-n-word doc pair: whole-doc fallback gram, span clamped to doc;
+    // empty-after-cleaning docs emit no grams (and can never pair)
+    val tiny = docs(1L -> "a b", 2L -> "a b", 3L -> "c", 4L -> "!!", 5L -> "??")
     val got2 = Dedup.dupSpans(tiny, "text", "doc_id", n = 3)
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
     assert(got2 == Set((1L, 2L), (2L, 2L)))
