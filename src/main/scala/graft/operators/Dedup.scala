@@ -286,8 +286,14 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // seed labels with min(id, min neighbor) — the same aggregation a
+    // plain distinct-node init would pay, but it IS round one of
+    // min-label propagation, so shallow (quasi-clique) components
+    // converge one full round of joins+checkpoints earlier
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint(true)
     var i = 0
     var converged = false
