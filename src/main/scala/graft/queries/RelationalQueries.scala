@@ -248,6 +248,34 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  // q107: SLIDING event-time windows — window(ts, 2h, 30m): every event
+  // lands in exactly 4 overlapping windows (length/slide), the standard
+  // smoothed-rate view a monitoring pipeline reads. Epoch-aligned window
+  // starts (Spark's origin) are mirrored arithmetically by the oracle;
+  // money sums go through exact decimal before the double cast (q50's
+  // rule), so overlap replication stays order-invariant.
+  def q107SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  // q108: native session_window (Spark's built-in session operator —
+  // the same 30-minute inactivity gap as the lag-based q51, which
+  // serves as its independent oracle formulation): one row per
+  // (user, session) with start / end (= last event + gap) / size.
+  def q108SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"),
+        col("n_events"))
+
   // q52: running-total window frame — cumulative spend per customer in
   // order-date order (rowsBetween unbounded preceding → current). One
   // shuffle on o_custkey; frame evaluation is streaming within the sorted
@@ -427,6 +455,8 @@ object RelationalQueries {
     "q19_range_join" -> q19RangeJoin _,
     "q50_hourly_windows" -> q50HourlyWindows _,
     "q51_sessions" -> q51Sessions _,
+    "q107_sliding_windows" -> q107SlidingWindows _,
+    "q108_session_window" -> q108SessionWindow _,
     "q95_zorder_layout" -> q95ZorderLayout _)
 
   val oracleSql: Map[String, String] = Map(
@@ -605,6 +635,37 @@ object RelationalQueries {
         |       count(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event belongs to exactly 4 slide-aligned window starts
+    // (k = 0..3 slides back from its own floor-aligned slide)
+    "q107_sliding_windows" ->
+      """SELECT make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000)
+        |         AS win_start,
+        |       event_type, count(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events, unnest(range(0, 4)) AS t(k)
+        |GROUP BY 1, 2""".stripMargin,
+    // independent formulation of the session operator: lag-flag islands
+    // (q51's new_session), cumulative session ids, then per-session
+    // bounds; end = last event + the 30-minute gap (Spark's semantics)
+    "q108_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END
+        |           AS new_session
+        |  FROM (SELECT user_id, ts,
+        |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS sess_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |       count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid""".stripMargin,
     "q51_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id,
