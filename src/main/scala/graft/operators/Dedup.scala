@@ -360,21 +360,26 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, "simhash supports 1..64 bits")
+    // distinct words from the native generator (one byte pass,
+    // in-generator dedup); n=1 distinct mode emits a single ""
+    // fallback gram for empty-after-cleaning docs — dropped, because
+    // "no words" must mean "no votes" (parity with the column/SQL
+    // formulation, which generates nothing for an empty word array)
     val words = docs
-      .select(col(idCol), explode(array_distinct(wordsArr(col(textCol)))).as("w"))
-    val blocks = (bits + 31) / 32
-    val withH = words.select(
-      col(idCol) +: (0 until blocks).map { bk =>
-        (if (bk == 0) md5(col("w")) else md5(concat(lit(s"$bk|"), col("w")))).as(s"h$bk")
-      }: _*)
-    val voteCols = (0 until bits).map { i =>
-      sum(when(
-        expr(s"(instr('0123456789abcdef', substring(h${i / 32}, ${i % 32 + 1}, 1)) - 1) % 2 = 1"),
-        1).otherwise(-1)).as(s"v$i")
+      .select(col(idCol), graft.functions.WordNgrams(col(textCol), 1).as("w"))
+      .filter(length(col("w")) > 0)
+    // one digest pass per word via the native mask expression, then
+    // per-bit set-counts; with S_b = Σ bit b over the doc's W distinct
+    // words, the ±1 vote total is 2·S_b − W, so bit b of the signature
+    // is 2·S_b > W — bit-identical to the vote-column formulation
+    // (differential spec) at 1/bits the expression work per word
+    val masked = words.select(col(idCol), graft.functions.SimhashBits(col("w"), bits).as("m"))
+    val aggs = count(lit(1)).as("__W") +: (0 until bits).map { i =>
+      sum(shiftright(col("m"), i).bitwiseAND(1)).as(s"s$i")
     }
-    val votes = withH.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val votes = masked.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val sig = (0 until bits)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .map(i => when(col(s"s$i") * 2 > col("__W"), lit(1L << i)).otherwise(0L))
       .reduce(_ bitwiseOR _)
     votes.select(col(idCol), sig.as("simhash"))
   }
