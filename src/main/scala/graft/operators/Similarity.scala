@@ -264,6 +264,82 @@ object Similarity {
     assign.select(col(idCol), col("cluster"))
   }
 
+  /** Product-quantization codebook: `m` subspaces × `k` centroids, where
+    * centroid `(s, j)` is subspace `s` of the j-th lowest-id vector —
+    * the deterministic sampled-codebook rule ([[collectSeeds]] applied
+    * per subspace; no RNG, no iterative training, reproducible on any
+    * engine). Driver state is m·k·(dim/m) = k·dim doubles — the same
+    * broadcast-sized bound as the IVF seed path at any corpus scale.
+    */
+  def pqCodebook(
+      vectors: DataFrame, idCol: String, m: Int, k: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 1, "pqCodebook requires m >= 1 and k >= 1")
+    val seeds = collectSeeds(vectors, idCol, k)
+    require(seeds.nonEmpty, "pqCodebook requires a non-empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m $m")
+    val sub = dim / m
+    Array.tabulate(m)(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ-encode a corpus: `(id, codes, err)` where `codes(s)` is the
+    * nearest centroid of subspace `s` (squared-L2 argmin, ties to the
+    * lowest id) and `err` is the total quantization error — the audit
+    * statistic read before committing to a compressed index. Narrow
+    * shuffle-free projection (the codebook is a plan constant inside the
+    * fused native [[graft.functions.PqEncode]]); output is m small ints
+    * per vector — the 64× compression that makes a 100 TB embedding
+    * corpus searchable from memory.
+    */
+  def pqEncode(
+      vectors: DataFrame, idCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame =
+    vectors
+      .select(col(idCol), graft.functions.PqEncode(col("v"), codebook).as("pq"))
+      .select(col(idCol), col("pq.codes").as("codes"), col("pq.err").as("err"))
+
+  /** PQ asymmetric-distance (ADC) top-k: each query builds its m×k
+    * distance table ONCE (native [[graft.functions.PqDistTable]]), the
+    * tiny query side broadcasts, and scoring a candidate is `m` table
+    * lookups over its code — never touching the candidate's raw vector.
+    * This is the scan shape of a compressed 100 TB index: the big side
+    * streams code rows (m ints, not dim floats), per-candidate cost is
+    * O(m), and the bounded [[graft.functions.TopKAgg]] keeps only k rows
+    * per query per partition crossing the shuffle. Ranking is
+    * (6dp-rounded ADC asc, cand_id asc); approximation vs the exact kNN
+    * is measured in SimilaritySpec — determinism is exact.
+    */
+  def pqAdcTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String,
+      codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebook.length
+    val codes = pqEncode(corpus, idCol, codebook)
+      .select(col(idCol).as("cand_id"), col("codes"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      graft.functions.PqDistTable(col("v"), codebook).as("dtab"))
+    // ascending-s left-to-right adds — the order the oracle's list fold replays
+    val adc = (0 until m)
+      .map(s => element_at(
+        element_at(col("dtab"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(adc, 6).as("adc"))
+    val topk = udaf(graft.functions.TopKAgg(k))
+    scored
+      .groupBy("query_id")
+      // TopKAgg orders (score desc, id asc); negating the distance makes
+      // that (adc asc, cand_id asc)
+      .agg(topk(lit(0.0) - col("adc"), col("cand_id")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("cand_id"),
+        (lit(0.0) - col("t._1")).as("adc"))
+  }
+
   /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
     * the bucket. Recall < 1 by construction (measured in the spec against
     * [[bruteForceTopK]]); cost drops from |Q|·|C| to the bucket co-occurrence

@@ -214,6 +214,52 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
   }
 
+  /** PQ fixture parameterization: 64-dim vectors split into m=4
+    * subspaces of 16 dims, k=16 centroids per subspace (sampled from
+    * the 16 lowest-id vectors — [[Similarity.pqCodebook]]). Codes are
+    * 4 small ints per vector vs 256 raw bytes — the compression that
+    * holds a 100 TB embedding corpus in a search fleet's memory.
+    */
+  private val PqM = 4
+  private val PqK = 16
+
+  /** q109: PQ encode + quantization-error audit — every vector's
+    * per-subspace nearest-centroid codes (squared-L2 argmin, ties to
+    * the lowest centroid id) and its total quantization error, the
+    * audit a pipeline runs before committing to a compressed ANN
+    * index (the PQ analog of q83's int8 audit). Narrow shuffle-free
+    * projection; fully hash-oracle-checked — the oracle re-derives the
+    * codebook from the same lowest-id rule and replays the ascending
+    * distance folds bit-for-bit.
+    */
+  def q109PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cb = Similarity.pqCodebook(v, "vec_id", m = PqM, k = PqK)
+    Similarity.pqEncode(v, "vec_id", cb)
+      .select(
+        col("vec_id"),
+        element_at(col("codes"), 1).as("c0"),
+        element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"),
+        element_at(col("codes"), 4).as("c3"),
+        round(col("err"), 6).as("err"))
+  }
+
+  /** q110: PQ asymmetric-distance (ADC) kNN — top-5 per query over the
+    * CODES, never the candidates' raw vectors: each query builds its
+    * m×k distance table once, candidates cost m table lookups each
+    * (see [[Similarity.pqAdcTopK]]). Approximation vs exact q40 is
+    * asserted in SimilaritySpec; the ranking itself is deterministic
+    * and fully hash-oracle-checked (the oracle scores each candidate
+    * directly against its assigned centroids — value-identical to the
+    * table factoring, same folds).
+    */
+  def q110PqAdcKnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cb = Similarity.pqCodebook(v, "vec_id", m = PqM, k = PqK)
+    Similarity.pqAdcTopK(v.filter(col("vec_id") < 10), v, "vec_id", cb, k = 5)
+  }
+
   /** q99: deterministic distributed k-means — two Lloyd assignment
     * passes at k=8 over the embeddings (seeds = the 8 lowest-id
     * vectors, centroids updated as fixed-point means — see
@@ -226,6 +272,8 @@ object SimilarityQueries {
     Similarity.kmeans(vectors(spark, dir), "vec_id", k = 8, passes = 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_pq_encode" -> (q109PqEncode _),
+    "q110_pq_adc_knn" -> (q110PqAdcKnn _),
     "q99_kmeans" -> (q99Kmeans _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q91_matryoshka_knn" -> (q91MatryoshkaKnn _),
@@ -265,7 +313,73 @@ object SimilarityQueries {
       |  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  /** PQ CTEs (after CosCte): codebook from the 16 lowest-id vectors
+    * (centroid (s,j) = subspace s of seed j), per-(vector, subspace)
+    * nearest centroid by the same ascending squared-L2 fold
+    * [[graft.functions.PqEncode]] runs, ties to the lowest centroid id.
+    */
+  private val PqCte =
+    """seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |enc AS (
+      |  SELECT e.vec_id, sp.s, sd.j,
+      |    list_reduce(list_transform(range(1, 17), i ->
+      |      (e.v[sp.s*16 + i] - sd.v[sp.s*16 + i])
+      |        * (e.v[sp.s*16 + i] - sd.v[sp.s*16 + i])),
+      |      (a, b) -> a + b) AS dist
+      |  FROM e
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sp
+      |  CROSS JOIN seeds sd),
+      |best AS (
+      |  SELECT vec_id, s, j AS code, dist FROM (
+      |    SELECT vec_id, s, j, dist,
+      |           row_number() OVER (
+      |             PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS r
+      |    FROM enc)
+      |  WHERE r = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // mirrors q109: codebook + argmin CTEs, codes pivoted to columns,
+    // err = the ascending-s fold of the winning distances
+    "q109_pq_encode" ->
+      s"""$CosCte,
+         |$PqCte
+         |SELECT vec_id,
+         |  CAST(MAX(CASE WHEN s = 0 THEN code END) AS INT) AS c0,
+         |  CAST(MAX(CASE WHEN s = 1 THEN code END) AS INT) AS c1,
+         |  CAST(MAX(CASE WHEN s = 2 THEN code END) AS INT) AS c2,
+         |  CAST(MAX(CASE WHEN s = 3 THEN code END) AS INT) AS c3,
+         |  round(list_reduce(list(dist ORDER BY s), (a, b) -> a + b), 6) AS err
+         |FROM best GROUP BY vec_id""".stripMargin,
+    // mirrors q110: each candidate scored directly against its assigned
+    // centroids (value-identical to the engine's distance-table
+    // factoring — dtab[s][code] is computed once from the same operands
+    // in the same fold order), ADC = ascending-s fold, rank by
+    // (6dp ADC asc, cand_id asc)
+    "q110_pq_adc_knn" ->
+      s"""$CosCte,
+         |$PqCte,
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+         |pair AS (
+         |  SELECT q.query_id, b.vec_id AS cand_id, b.s,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      (q.v[b.s*16 + i] - sd.v[b.s*16 + i])
+         |        * (q.v[b.s*16 + i] - sd.v[b.s*16 + i])),
+         |      (a, c) -> a + c) AS d
+         |  FROM q
+         |  JOIN best b ON b.vec_id <> q.query_id
+         |  JOIN seeds sd ON sd.j = b.code),
+         |adc AS (
+         |  SELECT query_id, cand_id,
+         |         round(list_reduce(list(d ORDER BY s), (a, b) -> a + b), 6) AS adc
+         |  FROM pair GROUP BY query_id, cand_id)
+         |SELECT query_id, rank, cand_id, adc FROM (
+         |  SELECT query_id, cand_id, adc,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY adc ASC, cand_id ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5""".stripMargin,
     // mirrors q99 pass-for-pass: seed assignment (q42's negcos/tie rule),
     // fixed-point centroid update (q43's quantization, exact
     // integer-derived doubles), empty-cell fallback to the seed, second

@@ -190,6 +190,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"query side must be the broadcast build side:\n$p")
   }
 
+  test("q109: PQ encoding is a narrow shuffle-free projection") {
+    val p = plan("q109_pq_encode")
+    assert(shuffles(p) == 0, s"PQ encode must not shuffle:\n$p")
+    assert(!p.contains("label"), s"unused label column must not be read:\n$p")
+  }
+
+  test("q110: the query distance tables are the broadcast side of the ADC scan") {
+    val p = plan("q110_pq_adc_knn")
+    // a regression that broadcasts the CODE TABLE instead would still
+    // pass the oracle at fixture scale but ship the whole compressed
+    // index to every executor at real scale
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"query side must be the broadcast build side:\n$p")
+  }
+
   test("q90: train-order sharding is one exchange, partitioned on shard") {
     // the epoch permutation must never plan as a GLOBAL sort (range
     // exchange + single ordered stream); shards are independent streams
