@@ -276,6 +276,25 @@ object RelationalQueries {
         col("sw.end").as("sess_end"),
         col("n_events"))
 
+  // q111: view→click attribution within 4 hours — the BATCH twin of
+  // the watermarked stream-STREAM interval join
+  // (StreamingOps.attributeWithin — the same operator runs both; stream/
+  // batch parity asserted in StreamingSpec). Equi-key on user plus an
+  // event-time range; in batch this plans as one shuffled equi-join with
+  // the range as a post-join filter. The 4-hour window matches the
+  // fixture's per-user event density (~1 event / 7 h), keeping the
+  // oracle comparison non-trivial.
+  def q111ClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    graft.streaming.StreamingOps.attributeWithin(
+      e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+      e.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")),
+      gapMinutes = 240)
+  }
+
   // q52: running-total window frame — cumulative spend per customer in
   // order-date order (rowsBetween unbounded preceding → current). One
   // shuffle on o_custkey; frame evaluation is streaming within the sorted
@@ -457,6 +476,7 @@ object RelationalQueries {
     "q51_sessions" -> q51Sessions _,
     "q107_sliding_windows" -> q107SlidingWindows _,
     "q108_session_window" -> q108SessionWindow _,
+    "q111_click_attribution" -> q111ClickAttribution _,
     "q95_zorder_layout" -> q95ZorderLayout _)
 
   val oracleSql: Map[String, String] = Map(
@@ -666,6 +686,17 @@ object RelationalQueries {
         |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
         |       count(*) AS n_events
         |FROM numbered GROUP BY user_id, sid""".stripMargin,
+    // µs-truncated comparisons on both bounds (epoch_us), mirroring the
+    // engine's ns→µs floored event times — a raw ns-precision interval
+    // compare would disagree exactly at the 10-minute boundary
+    "q111_click_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events c
+        |  ON c.user_id = v.user_id
+        | AND epoch_us(c.ts) >= epoch_us(v.ts)
+        | AND epoch_us(c.ts) - epoch_us(v.ts) <= 14400000000
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'""".stripMargin,
     "q51_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id,

@@ -99,6 +99,42 @@ object StreamingOps {
         graft.functions.ContainsBenchmarkNgram(col(textCol), sketch, n),
         lit(false)))
 
+  /** Stream-STREAM interval join (view→click attribution): pair every
+    * click with the views by the same user in the preceding `gapMinutes`
+    * — the canonical two-unbounded-sides join a funnel pipeline runs.
+    * Inputs: `views(user_id, view_id, view_ts)` and
+    * `clicks(click_user, click_id, click_ts)`.
+    *
+    * The join condition is an equi-key plus an event-time RANGE on the
+    * two watermarked timestamp columns — exactly the shape Structured
+    * Streaming derives state watermarks from: a view older than
+    * `watermark + gap` can never match a future click, so both sides'
+    * buffered state is bounded and evicted as the watermark advances (at
+    * 100 TB/day the range bound is what keeps join state finite; an
+    * equi-only stream-stream join would buffer forever). On batch frames
+    * the identical plan is a shuffled equi-join with a range filter —
+    * the same code path the batch twin q111 oracle-checks.
+    *
+    * `lag_us` is µs-exact: both engines compare and subtract
+    * µs-truncated event times (the loader floors ns→µs; the oracle's
+    * `epoch_us` is the same truncation).
+    */
+  def attributeWithin(
+      views: DataFrame, clicks: DataFrame,
+      gapMinutes: Int = 10, delay: String = "10 minutes"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    wm(views, "view_ts")
+      .join(
+        wm(clicks, "click_ts"),
+        col("click_user") === col("user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $gapMinutes minutes"))
+      .select(
+        col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
   case class SessionState(start: Long, lastSeen: Long, n: Int)

@@ -111,6 +111,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin across micro-batches") {
+    val viewRows = Seq(
+      (1L, 100L, ts("10:00")), (2L, 101L, ts("10:00")), (1L, 102L, ts("10:20")),
+      (3L, 103L, ts("10:00")))
+    val clickRows = Seq(
+      (1L, 200L, ts("10:05")),  // 5 min after view 100 → match
+      (1L, 201L, ts("10:25")),  // 25 min after 100 (no), 5 after 102 → match
+      (2L, 202L, ts("10:31")),  // 31 min after 101 → no match
+      (3L, 203L, ts("10:10"))) // exactly the 10-min bound → match (inclusive)
+    val vs = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cs = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = StreamingOps.attributeWithin(
+      vs.toDF.toDF("user_id", "view_id", "view_ts"),
+      cs.toDF.toDF("click_user", "click_id", "click_ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // views and their clicks arrive in DIFFERENT micro-batches — the
+      // join must buffer view state until the matching click shows up
+      vs.addData(viewRows.take(2): _*); q.processAllAvailable()
+      cs.addData(clickRows.take(1): _*); q.processAllAvailable()
+      vs.addData(viewRows.drop(2): _*)
+      cs.addData(clickRows.drop(1): _*); q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == Set(
+        (1L, 100L, 200L, 300000000L),
+        (1L, 102L, 201L, 300000000L),
+        (3L, 103L, 203L, 600000000L)))
+      // batch parity: the SAME operator over batch frames (q111's path)
+      val batch = StreamingOps.attributeWithin(
+        viewRows.toDF("user_id", "view_id", "view_ts"),
+        clickRows.toDF("click_user", "click_id", "click_ts"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch == streamed, "stream and batch answers diverged")
+    } finally q.stop()
+  }
+
   test("windowed counts finalize once the watermark passes") {
     val ms = MemoryStream[(Timestamp, String)](spark)
     val q = StreamingOps.eventWindowCounts(ms.toDF.toDF("ts", "event_type"))
