@@ -41,7 +41,9 @@ object Bench {
     "q89_semantic_dedup",
     "q97_dedup_cross_corpus",
     "q99_kmeans",
-    "q101_passage_dedup")
+    "q101_passage_dedup",
+    "q110_pq_adc_knn",
+    "q111_click_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

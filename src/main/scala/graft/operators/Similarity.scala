@@ -340,6 +340,52 @@ object Similarity {
         (lit(0.0) - col("t._1")).as("adc"))
   }
 
+  /** IVF+PQ top-k (the FAISS-style IVFADC layout): candidates carry
+    * their home IVF cell and PQ codes; queries probe their `nProbe`
+    * nearest cells and score probed candidates by ADC table lookups.
+    * This composes the two scale mechanisms — the cell partition bounds
+    * WHICH candidates a query touches (per-cell occupancy × probes, not
+    * corpus size) and PQ bounds WHAT each touch costs (m lookups over m
+    * small ints, never a raw vector) — and the search join is a plain
+    * equality join on the cell id, so the compressed index shards by
+    * cell across executors with no broadcast of either side. The plan
+    * you'd run at 100 TB; q42/q80 (IVF, exact re-rank) and q110 (PQ,
+    * full scan) verify its two halves in isolation.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String,
+      cells: Int, nProbe: Int,
+      codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebook.length
+    val seeds = collectSeeds(corpus, idCol, cells)
+    val cands = corpus.select(
+      col(idCol).as("cand_id"),
+      element_at(graft.functions.IvfProbes(col("v"), col("nv"), seeds, 1), 1)
+        .as("probe"),
+      graft.functions.PqEncode(col("v"), codebook).getField("codes").as("codes"))
+    val qs = queries.select(
+      col(idCol).as("query_id"),
+      explode(graft.functions.IvfProbes(col("v"), col("nv"), seeds, nProbe))
+        .as("probe"),
+      graft.functions.PqDistTable(col("v"), codebook).as("dtab"))
+    val adc = (0 until m)
+      .map(s => element_at(
+        element_at(col("dtab"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val topk = udaf(graft.functions.TopKAgg(k))
+    qs.join(cands, Seq("probe"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(adc, 6).as("adc"))
+      .groupBy("query_id")
+      .agg(topk(lit(0.0) - col("adc"), col("cand_id")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("cand_id"),
+        (lit(0.0) - col("t._1")).as("adc"))
+  }
+
   /** ANN top-k: candidates share an LSH bucket; exact cosine re-rank within
     * the bucket. Recall < 1 by construction (measured in the spec against
     * [[bruteForceTopK]]); cost drops from |Q|·|C| to the bucket co-occurrence

@@ -260,6 +260,23 @@ object SimilarityQueries {
     Similarity.pqAdcTopK(v.filter(col("vec_id") < 10), v, "vec_id", cb, k = 5)
   }
 
+  /** q112: IVF+PQ kNN (IVFADC) — the two scale mechanisms composed:
+    * queries probe their 3 nearest of ⌈√N⌉ IVF cells, probed candidates
+    * are scored by ADC lookups over their PQ codes
+    * ([[Similarity.ivfPqTopK]]). The search join is cell-id equality —
+    * shardable, no broadcast of either side — and candidates are read
+    * as m ints, never raw vectors. Fully hash-oracle-checked (IVF CTEs
+    * from q80, PQ CTEs from q110, same folds); recall vs exact q40
+    * asserted in SimilaritySpec.
+    */
+  def q112IvfPqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cells = math.ceil(math.sqrt(v.count().toDouble)).toInt
+    val cb = Similarity.pqCodebook(v, "vec_id", m = PqM, k = PqK)
+    Similarity.ivfPqTopK(
+      v.filter(col("vec_id") < 10), v, "vec_id", cells, nProbe = 3, cb, k = 5)
+  }
+
   /** q99: deterministic distributed k-means — two Lloyd assignment
     * passes at k=8 over the embeddings (seeds = the 8 lowest-id
     * vectors, centroids updated as fixed-point means — see
@@ -274,6 +291,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_pq_encode" -> (q109PqEncode _),
     "q110_pq_adc_knn" -> (q110PqAdcKnn _),
+    "q112_ivf_pq_knn" -> (q112IvfPqKnn _),
     "q99_kmeans" -> (q99Kmeans _),
     "q89_semantic_dedup" -> (q89SemanticDedup _),
     "q91_matryoshka_knn" -> (q91MatryoshkaKnn _),
@@ -373,6 +391,54 @@ object SimilarityQueries {
          |adc AS (
          |  SELECT query_id, cand_id,
          |         round(list_reduce(list(d ORDER BY s), (a, b) -> a + b), 6) AS adc
+         |  FROM pair GROUP BY query_id, cand_id)
+         |SELECT query_id, rank, cand_id, adc FROM (
+         |  SELECT query_id, cand_id, adc,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY adc ASC, cand_id ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5""".stripMargin,
+    // mirrors q112: q80's ⌈√N⌉ IVF seed/assignment/probe CTEs (renamed
+    // iseeds — 'seeds' is the PQ codebook here) + q110's PQ encode CTEs;
+    // a probed candidate joins through its home cell exactly once, then
+    // ADC = the ascending-s fold of distances to its assigned centroids
+    "q112_ivf_pq_knn" ->
+      s"""$CosCte,
+         |iseeds AS (
+         |  SELECT cell, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v,
+         |           count(*) OVER () AS n
+         |    FROM e)
+         |  WHERE cell < CAST(ceil(sqrt(n)) AS INT)),
+         |sc AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN iseeds s),
+         |rc AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc),
+         |assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+         |qprobes AS (SELECT vec_id AS query_id, cell AS probe FROM rc
+         |            WHERE r <= 3 AND vec_id < 10),
+         |$PqCte,
+         |pair AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id, b.s,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      (q.v[b.s*16 + i] - sd.v[b.s*16 + i])
+         |        * (q.v[b.s*16 + i] - sd.v[b.s*16 + i])),
+         |      (x, y) -> x + y) AS d
+         |  FROM qprobes p
+         |  JOIN assign a ON a.cell = p.probe AND a.vec_id <> p.query_id
+         |  JOIN best b ON b.vec_id = a.vec_id
+         |  JOIN seeds sd ON sd.j = b.code
+         |  JOIN e q ON q.vec_id = p.query_id),
+         |adc AS (
+         |  SELECT query_id, cand_id,
+         |         round(list_reduce(list(d ORDER BY s), (x, y) -> x + y), 6) AS adc
          |  FROM pair GROUP BY query_id, cand_id)
          |SELECT query_id, rank, cand_id, adc FROM (
          |  SELECT query_id, cand_id, adc,

@@ -83,7 +83,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     for (q <- Seq("q31_minhash_lsh", "q32_ngram_jaccard", "q35_embed_dup_lsh",
         "q36_simhash_pairs", "q24_winnow_pairs", "q77_simhash64_pairs",
         "q78_decontaminate", "q89_semantic_dedup", "q96_dup_passage_fraction",
-        "q97_dedup_cross_corpus", "q101_passage_dedup", "q103_dup_spans")) {
+        "q97_dedup_cross_corpus", "q101_passage_dedup", "q103_dup_spans",
+        "q112_ivf_pq_knn")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")

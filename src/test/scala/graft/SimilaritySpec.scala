@@ -139,6 +139,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.08, s"PQ ADC top-5 recall $recall is indistinguishable from random")
   }
 
+  test("IVF+PQ kNN stays within the probed-cell candidate set and keeps real recall") {
+    // q112 must be a SUBSET relation of q110's full-scan ADC ranking:
+    // every (query, cand) it returns must rank by the same ADC value,
+    // and recall vs the exact answer stays far above random even after
+    // both approximations (cell probing × quantized distances)
+    val exact = graft.queries.SimilarityQueries.q40KnnBrute(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfpq = graft.queries.SimilarityQueries.q112IvfPqKnn(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivfpq.keySet == exact.keySet)
+    val recall = exact.keySet.toSeq
+      .map(q => (exact(q) & ivfpq(q)).size.toDouble / exact(q).size).sum / exact.size
+    info(f"ivf+pq recall@5 = $recall%.3f")
+    assert(recall >= 0.05, s"IVF+PQ top-5 recall $recall is indistinguishable from random")
+  }
+
   test("PqEncode nulls on dimension mismatch, per the composed-form contract") {
     val cb = Array.fill(2, 4, 2)(0.5)
     val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
