@@ -124,6 +124,42 @@ object TextQueries {
         .select(col("rank"), col("word"), col("cnt"),
           round(col("cum") * lit(1.0) / col("total"), 6).as("cum_coverage"))
     }),
+    // q113: count-min sketch heavy hitters — the bounded-memory frequency
+    // sketch (depth 4 × width 1024 here; d×w counters at ANY corpus
+    // scale, vs an unbounded exact-count hash table over the open key
+    // domain). Built from the vocabulary-sized freq table — one corpus
+    // scan total, everything downstream is vocab-sized: bucket(r, word)
+    // = md5("r|word")[0,8) % w, sketch = Σ cnt per (row, bucket) —
+    // identical to per-occurrence increments, replayed verbatim by the
+    // oracle. Audit output: the exact top-20 words with exact count and
+    // the CMS estimate (= min over rows of the word's bucket sums;
+    // over-estimate bounded by collision mass, never an undercount —
+    // spec-pinned in OperatorsSpec).
+    "q113_heavy_hitters_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val D = 4
+      val W = 1024
+      def bucket(r: Int): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(s"$r|"), col("word"))), 1, 8), 16, 10)
+          .cast("long") % W
+      val rb = explode(array((0 until D).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("b"))): _*)).as("rb")
+      val freq = docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .persist() // vocab-sized; feeds sketch AND probe set (runner clears)
+      val sketch = freq.select(col("cnt"), rb)
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(sum(col("cnt")).as("bcnt"))
+      val probes = freq
+        .orderBy(col("cnt").desc, col("word").asc).limit(20)
+        .select(col("word"), col("cnt"), rb)
+        .select(col("word"), col("cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
+      probes.join(broadcast(sketch), Seq("r", "b"))
+        .groupBy("word", "cnt")
+        .agg(min(col("bcnt")).as("est"))
+        .select(col("word"), col("cnt"), col("est"))
+    }),
     // q86 capstone: the full corpus-to-training-corpus pipeline — exact
     // dedup + quality gate + language filter (Curation.curate, q70),
     // then sequence-pack the survivors (packSequences, q84). Every stage
@@ -509,6 +545,26 @@ object TextQueries {
          |       md5(array_to_string(w[t.chunk_id*25 + 1 : t.chunk_id*25 + 40], ' ')) AS chunk_fp
          |FROM wd, unnest(range(0, 1 + (len(w) - 1) // 25)) AS t(chunk_id)
          |WHERE len(w) > 0""".stripMargin,
+    // mirrors q113: same md5 bucket arithmetic, sketch = per-(row,
+    // bucket) sums over the freq table, estimate = min of the probe
+    // word's bucket sums
+    "q113_heavy_hitters_cms" ->
+      s"""$WordsCte,
+         |tok AS (SELECT unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |rb AS (
+         |  SELECT f.word, f.cnt, r.r,
+         |         CAST(('0x' || substr(md5(r.r || '|' || f.word), 1, 8)) AS BIGINT)
+         |           % 1024 AS b
+         |  FROM freq f CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r),
+         |sketch AS (
+         |  SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS bcnt FROM rb GROUP BY r, b),
+         |top AS (SELECT word, cnt FROM freq ORDER BY cnt DESC, word ASC LIMIT 20)
+         |SELECT t.word, t.cnt, MIN(s.bcnt) AS est
+         |FROM top t
+         |JOIN rb ON rb.word = t.word
+         |JOIN sketch s ON s.r = rb.r AND s.b = rb.b
+         |GROUP BY t.word, t.cnt""".stripMargin,
     "q87_vocab_coverage" ->
       s"""$WordsCte,
          |tok AS (SELECT unnest(w) AS word FROM wd),

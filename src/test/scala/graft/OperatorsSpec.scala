@@ -39,6 +39,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
   }
 
+  test("count-min estimates never undercount and collapse to exact on light sketches") {
+    // the CMS contract: est >= exact count for EVERY probe (an
+    // undercount means the sketch lost mass — a real bug, not an
+    // approximation), and the over-estimate is collision mass only
+    val rows = graft.queries.TextQueries
+      .queries("q113_heavy_hitters_cms")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (w, cnt, est) =>
+      assert(est >= cnt, s"CMS undercounted '$w': est $est < exact $cnt")
+    }
+    // at fixture scale (vocab ~8k over 4×1024 counters) at least half the
+    // top-20 should be collision-free — all-saturated estimates would mean
+    // the bucket arithmetic is broken even though est >= cnt holds
+    assert(rows.count { case (_, cnt, est) => est == cnt } >= 10,
+      s"suspiciously few exact estimates: ${rows.toSeq}")
+  }
+
   test("csv/json/parquet round-trip through the Tables facade") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0))
       .toDF("id", "name", "score")
