@@ -246,6 +246,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Dedup with REWEIGHTING: one keeper per near-dup cluster (the
+    * min-id member, as [[keepClusterKeepers]]) carrying the cluster
+    * SIZE as a training weight; unclustered documents keep weight 1.
+    * The standard dedup-then-reweight recipe — dropping duplicates
+    * shifts the training distribution away from naturally-popular
+    * content, and the carried weight lets the trainer (or a downstream
+    * sampler) restore that mass without re-reading duplicate bytes.
+    * Invariant (spec-pinned): Σ weight == |docs|, and the kept id set
+    * is exactly [[keepClusterKeepers]]'s. Scale shape: CC labels are
+    * node-set-sized (tiny vs the corpus); the weight lookup and the
+    * loser drop are joins against that small side.
+    */
+  def clusterWeights(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("weight"))
+    val keepers = labels.filter(col("id") === col("comp"))
+      .join(sizes, "comp").select(col("id").as(idCol), col("weight"))
+    val losers = labels.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    docs.select(col(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+      .join(keepers, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("weight"), lit(1L)).as("weight"))
+  }
+
   /** Connected components over an undirected near-duplicate pair graph
     * (`id_a`, `id_b`): label every member with the MINIMUM id reachable
     * from it — the cluster formation step that turns candidate pairs

@@ -179,7 +179,22 @@ object DedupQueries {
       "doc_id")
   }
 
+  /** q114: dedup cluster weights — q38's keeper set, each keeper
+    * carrying its near-dup cluster size as a training weight (weight 1
+    * outside any cluster), so total corpus mass is conserved
+    * (Σ weight == |docs|, spec-pinned). See [[Dedup.clusterWeights]].
+    */
+  def q114ClusterWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.clusterWeights(
+      d,
+      Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
+        .select(col("id_a"), col("id_b")),
+      "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_cluster_weights" -> (q114ClusterWeights _),
     "q37_dup_clusters" -> (q37DupClusters _),
     "q38_dedup_apply" -> (q38DedupApply _),
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
@@ -259,6 +274,17 @@ object DedupQueries {
     "q37_dup_clusters" ->
       s"""$ClusterCte
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // mirrors q114: q38's keeper predicate, plus the component size as
+    // the carried weight (unclustered docs weight 1)
+    "q114_cluster_weights" ->
+      s"""$ClusterCte,
+         |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |csize AS (SELECT comp, count(*) AS w FROM labels GROUP BY comp)
+         |SELECT d.doc_id, CAST(coalesce(c.w, 1) AS BIGINT) AS weight
+         |FROM documents d
+         |LEFT JOIN labels l ON l.id = d.doc_id
+         |LEFT JOIN csize c ON c.comp = l.comp AND l.id = l.comp
+         |WHERE l.id IS NULL OR l.id = l.comp""".stripMargin,
     "q38_dedup_apply" ->
       s"""$ClusterCte,
          |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)

@@ -118,6 +118,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("clusterWeights conserves corpus mass and keeps exactly the keeper set") {
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterWeights(d, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // keeper 1 carries its 3-member cluster; 4 and 5 are unclustered
+    assert(got == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+    assert(got.values.sum == 5L, "total weight must equal the corpus size")
+    val kept = Dedup.keepClusterKeepers(d, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.keySet == kept, "weighted keepers must equal keepClusterKeepers")
+  }
+
   test("connected components converges in O(log D) rounds on a long chain") {
     // a 100-diameter chain would need ~100 rounds of plain propagation;
     // pointer doubling must finish well inside maxIter = 12
