@@ -24,7 +24,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q97_dedup_cross_corpus", "q98_rebalance_sample", "q99_kmeans",
     "q100_length_gate", "q101_passage_dedup", "q102_pii_scrub",
     "q103_dup_spans", "q104_table_profile", "q105_bpe_pairs",
-    "q106_histogram", "q107_sliding_windows", "q108_session_window")
+    "q106_histogram", "q107_sliding_windows", "q108_session_window",
+    "q109_pq_encode", "q110_pq_adc_knn", "q112_ivf_pq_knn",
+    "q111_click_attribution", "q113_heavy_hitters_cms",
+    "q114_cluster_weights")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
