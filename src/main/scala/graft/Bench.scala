@@ -43,7 +43,9 @@ object Bench {
     "q99_kmeans",
     "q101_passage_dedup",
     "q110_pq_adc_knn",
-    "q111_click_attribution")
+    "q111_click_attribution",
+    "q115_textrank",
+    "q117_index_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,6 +83,26 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, k: Int): DataFrame =
     topKPerQuery(bruteForcePairs(queries, corpus, idCol, minCos = -1.0), k)
 
+  /** Hard-negative mining for embedding-model training: per query, the
+    * top-k MOST similar candidates whose cosine stays BELOW `maxCos` —
+    * similar enough to be informative negatives, but excluded from the
+    * near-duplicate band that would make them false negatives (the
+    * standard contrastive-training recipe; `maxCos` is the same
+    * threshold the near-dup queries q34/q89 treat as duplicate).
+    *
+    * Plan shape = [[bruteForceTopK]] with one extra codegen'd filter
+    * BEFORE the bounded [[graft.functions.TopKAgg]], so only candidates
+    * that can appear in the answer cross the shuffle. Same
+    * [[prepared]]-input and broadcast-query-side contract.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, idCol: String,
+      k: Int, maxCos: Double): DataFrame =
+    topKPerQuery(
+      bruteForcePairs(queries, corpus, idCol, minCos = -1.0)
+        .filter(col("cos") < maxCos),
+      k)
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-0.5, 0.5), derived from md5 — no RNG state, so the
     * signature of a vector is reproducible across runs and engines.

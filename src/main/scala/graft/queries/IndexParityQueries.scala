@@ -84,12 +84,57 @@ object IndexParityQueries {
       .toDF("word", "postings", "df")
   }
 
+  /** q117: LSM-style index compaction — the index maintained as a BASE
+    * segment plus a DELTA segment (two independent
+    * [[CompressedPostingsAgg]] builds over disjoint document sets, the
+    * shape an incremental indexer leaves on disk), then compacted by
+    * MERGING the two compressed posting lists per word — a linear
+    * varint-stream merge ([[PostingsCodec.mergeRuns]]), never a corpus
+    * re-scan. Must hash-equal the from-scratch q1 rebuild.
+    *
+    * Scale shape: the merge input is two INDEX-sized tables (word →
+    * bytes), so compaction cost is independent of corpus row count —
+    * the whole point of the LSM layout at 100 TB: re-indexing touches
+    * only the delta docs, and compaction streams compressed bytes. The
+    * full-outer join is one word-keyed exchange of compressed postings
+    * (1-2 bytes/ID), and the per-word merge is a single forward pass.
+    * The doc_id%3 split is a fixture stand-in for the real base/delta
+    * boundary (ingest time); any disjoint split must compact to the
+    * same index, which is exactly what the oracle checks.
+    */
+  def q117IndexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def segment(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      ReferenceQueries.docWords(spark, dir)
+        .filter(pred(col("doc_id")))
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .mapValues(_._1)
+        .agg(CompressedPostingsAgg.toColumn.name("enc"))
+        .toDF("word", "enc")
+    val base = segment(_ % 3 =!= 0)
+    val delta = segment(_ % 3 === 0).withColumnRenamed("enc", "enc_d")
+    base.join(delta, Seq("word"), "full_outer")
+      .as[(String, Array[Byte], Array[Byte])]
+      .map { case (word, ea, eb) =>
+        val merged =
+          if (ea == null) eb
+          else if (eb == null) ea
+          else PostingsCodec.mergeRuns(ea, eb)
+        val ids = PostingsCodec.decode(merged)
+        (word, ids.mkString(" "), ids.length.toLong)
+      }
+      .toDF("word", "postings", "df")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_incremental_index" -> ((s, dir) => q75IncrementalIndex(s, dir)),
-    "q76_compressed_index" -> (q76CompressedIndex _))
+    "q76_compressed_index" -> (q76CompressedIndex _),
+    "q117_index_compaction" -> (q117IndexCompaction _))
 
-  /** Both queries must equal q1 exactly — they share its oracle SQL. */
+  /** All three queries must equal q1 exactly — they share its oracle SQL. */
   val oracleSql: Map[String, String] = Map(
     "q75_incremental_index" -> ReferenceQueries.oracleSql("q1_inverted_index"),
-    "q76_compressed_index" -> ReferenceQueries.oracleSql("q1_inverted_index"))
+    "q76_compressed_index" -> ReferenceQueries.oracleSql("q1_inverted_index"),
+    "q117_index_compaction" -> ReferenceQueries.oracleSql("q1_inverted_index"))
 }

@@ -450,7 +450,50 @@ object RelationalQueries {
         levenshtein(col("name_a"), col("name_b")).as("dist"))
   }
 
+  // q116: join-cardinality estimation via count-min sketch inner
+  // product (Cormode & Muthukrishnan 2005 §4.2) — the optimizer-style
+  // |A ⋈ B| estimate a planner uses to pick join order/strategy WITHOUT
+  // shuffling either table by key. Each side folds to a d×w counter
+  // grid (4×1024 longs here, constant at ANY table size) via a
+  // map-side-combinable agg on the bounded (row, bucket) key — the only
+  // keyed shuffle is over ≤ d·w rows. estimate = min over rows of the
+  // sketch inner product Σ_b a[r][b]·b[r][b]; collisions only ADD
+  // non-negative mass, so est >= exact always (spec-pinned). The exact
+  // per-key join count is computed as the AUDIT column (that one does
+  // pay the keyed shuffle — it exists to show the error, not as the
+  // production path). Deterministic end to end: md5 buckets + integer
+  // sums, replayed verbatim by the oracle.
+  def q116JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val D = 4
+    val W = 1024
+    def sketch(df: DataFrame, key: Column, cName: String): DataFrame = {
+      val rb = explode(array((0 until D).map(r =>
+        struct(
+          lit(r).as("r"),
+          (conv(substring(md5(concat(lit(s"$r|"), key.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % W).as("b"))): _*))
+      df.select(rb.as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as(cName))
+    }
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val est = sketch(li, col("l_orderkey"), "ca")
+      .join(sketch(ord, col("o_orderkey"), "cb"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+    val exact = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("na"))
+      .join(ord.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("nb")), "k")
+      .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+    est.crossJoin(exact)
+      .select(
+        col("est_pairs"), col("exact_pairs"),
+        round(col("est_pairs").cast("double") / col("exact_pairs").cast("double") - 1.0, 6)
+          .as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_join_cardinality" -> q116JoinCardinality _,
     "q74_variant_json" -> q74VariantJson _,
     "q28_big_spenders" -> q28BigSpenders _,
     "q58_quantiles" -> q58Quantiles _,
@@ -566,6 +609,32 @@ object RelationalQueries {
         |SELECT coalesce(cn_name, sn_name) AS n_name,
         |       coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
         |FROM cn FULL OUTER JOIN sn ON cn_name = sn_name""".stripMargin,
+    // mirrors q116 counter-for-counter: same md5 bucket arithmetic as
+    // q113, per-(row,bucket) counts, inner product per row, min over
+    // rows; exact audit from the per-key frequency join
+    "q116_join_cardinality" ->
+      """WITH rr AS (SELECT unnest(range(0, 4)) AS r),
+        |sa AS (
+        |  SELECT rr.r,
+        |         CAST(('0x' || substr(md5(rr.r || '|' || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS b,
+        |         CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem CROSS JOIN rr GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT rr.r,
+        |         CAST(('0x' || substr(md5(rr.r || '|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS b,
+        |         CAST(count(*) AS BIGINT) AS cb
+        |  FROM orders CROSS JOIN rr GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT sa.r, CAST(SUM(sa.ca * sb.cb) AS BIGINT) AS ip
+        |  FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY sa.r),
+        |est AS (SELECT MIN(ip) AS est_pairs FROM ip),
+        |ex AS (
+        |  SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_pairs FROM
+        |    (SELECT l_orderkey AS k, count(*) AS na FROM lineitem GROUP BY 1) a
+        |    JOIN (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1) b USING (k))
+        |SELECT est_pairs, exact_pairs,
+        |       round(CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) - 1.0, 6) AS rel_err
+        |FROM est CROSS JOIN ex""".stripMargin,
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -30,6 +30,18 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
   }
 
+  /** q118: hard-negative mining for the first ten query vectors — the
+    * top-5 most-similar candidates with cosine BELOW the q34/q89
+    * near-dup threshold (0.30), i.e. informative contrastive negatives
+    * that are guaranteed not to be duplicates-in-disguise. See
+    * [[Similarity.hardNegatives]] for the plan contract.
+    */
+  def q118HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.hardNegatives(
+      v.filter(col("vec_id") < 10), v, "vec_id", k = 5, maxCos = 0.30)
+  }
+
   /** q41: LSH ANN top-3 for every vector. Oracle-checked: buckets,
     * one-bit multi-probe and the (cos desc, id asc) top-k are all
     * deterministic mirrors (recall vs exact q40 is still asserted in
@@ -298,6 +310,7 @@ object SimilarityQueries {
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
+    "q118_hard_negatives" -> (q118HardNegatives _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
@@ -661,6 +674,20 @@ object SimilarityQueries {
          |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
          |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10)
+         |WHERE rank <= 5""".stripMargin,
+    // q40's SQL with the sub-near-dup-threshold filter applied BEFORE
+    // the per-query ranking — same 6dp cosine, same tie rule
+    "q118_hard_negatives" ->
+      s"""$CosCte
+         |SELECT query_id, rank, cand_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+         |         row_number() OVER (
+         |           PARTITION BY q.vec_id
+         |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10
+         |    AND round(list_cosine_similarity(q.v, c.v), 6) < 0.30)
          |WHERE rank <= 5""".stripMargin,
     // mirrors QuantizeInt8 op-for-op: double-cast floats, amax/127 scale,
     // half-up floor(x/scale + 0.5) codes, order-independent reductions

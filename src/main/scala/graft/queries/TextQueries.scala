@@ -124,6 +124,12 @@ object TextQueries {
         .select(col("rank"), col("word"), col("cnt"),
           round(col("cum") * lit(1.0) / col("total"), 6).as("cum_coverage"))
     }),
+    // q115: TextRank corpus keywords — fixed-point PageRank over the
+    // word co-occurrence graph (see operators.GraphRank for the full
+    // determinism + scale contract). The oracle unrolls the identical
+    // integer recurrence iteration by iteration.
+    "q115_textrank" -> ((s, dir) =>
+      graft.operators.GraphRank.textRank(docs(s, dir), "text", "doc_id")),
     // q113: count-min sketch heavy hitters — the bounded-memory frequency
     // sketch (depth 4 × width 1024 here; d×w counters at ANY corpus
     // scale, vs an unbounded exact-count hash table over the open key
@@ -545,6 +551,48 @@ object TextQueries {
          |       md5(array_to_string(w[t.chunk_id*25 + 1 : t.chunk_id*25 + 40], ' ')) AS chunk_fp
          |FROM wd, unnest(range(0, 1 + (len(w) - 1) // 25)) AS t(chunk_id)
          |WHERE len(w) > 0""".stripMargin,
+    // mirrors q115 round-for-round: same distinct symmetric bigram
+    // edges, same integer constants (Scale=1e12, d=0.85 as 85//100),
+    // same floor-division recurrence — exact integer arithmetic on both
+    // engines, so the hash compare is exact
+    "q115_textrank" ->
+      s"""$WordsCte,
+         |bi AS (
+         |  SELECT DISTINCT w[i] AS a, w[i+1] AS b
+         |  FROM wd, unnest(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i+1]),
+         |ed AS (SELECT a, b FROM bi UNION SELECT b AS a, a AS b FROM bi),
+         |deg AS (SELECT a AS word, count(*) AS d FROM ed GROUP BY a),
+         |c0 AS (
+         |  SELECT (1000000000000 // count(*)) AS r0,
+         |         ((1000000000000 // count(*)) * 15) // 100 AS base
+         |  FROM deg),
+         |r0 AS (SELECT word, d, (SELECT r0 FROM c0) AS r FROM deg),
+         |s1 AS (SELECT ed.b AS word, CAST(SUM(r0.r // r0.d) AS BIGINT) AS sc
+         |       FROM ed JOIN r0 ON r0.word = ed.a GROUP BY ed.b),
+         |r1 AS (SELECT s1.word, deg.d,
+         |              (SELECT base FROM c0) + (85 * s1.sc) // 100 AS r
+         |       FROM s1 JOIN deg USING (word)),
+         |s2 AS (SELECT ed.b AS word, CAST(SUM(r1.r // r1.d) AS BIGINT) AS sc
+         |       FROM ed JOIN r1 ON r1.word = ed.a GROUP BY ed.b),
+         |r2 AS (SELECT s2.word, deg.d,
+         |              (SELECT base FROM c0) + (85 * s2.sc) // 100 AS r
+         |       FROM s2 JOIN deg USING (word)),
+         |s3 AS (SELECT ed.b AS word, CAST(SUM(r2.r // r2.d) AS BIGINT) AS sc
+         |       FROM ed JOIN r2 ON r2.word = ed.a GROUP BY ed.b),
+         |r3 AS (SELECT s3.word, deg.d,
+         |              (SELECT base FROM c0) + (85 * s3.sc) // 100 AS r
+         |       FROM s3 JOIN deg USING (word)),
+         |s4 AS (SELECT ed.b AS word, CAST(SUM(r3.r // r3.d) AS BIGINT) AS sc
+         |       FROM ed JOIN r3 ON r3.word = ed.a GROUP BY ed.b),
+         |r4 AS (SELECT s4.word,
+         |              (SELECT base FROM c0) + (85 * s4.sc) // 100 AS r
+         |       FROM s4)
+         |SELECT rank, word, score FROM (
+         |  SELECT row_number() OVER (ORDER BY r DESC, word ASC) AS rank,
+         |         word, r AS score
+         |  FROM r4)
+         |WHERE rank <= 50""".stripMargin,
     // mirrors q113: same md5 bucket arithmetic, sketch = per-(row,
     // bucket) sums over the freq table, estimate = min of the probe
     // word's bucket sums

@@ -27,7 +27,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q106_histogram", "q107_sliding_windows", "q108_session_window",
     "q109_pq_encode", "q110_pq_adc_knn", "q112_ivf_pq_knn",
     "q111_click_attribution", "q113_heavy_hitters_cms",
-    "q114_cluster_weights")
+    "q114_cluster_weights",
+    "q115_textrank", "q116_join_cardinality", "q117_index_compaction",
+    "q118_hard_negatives")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -57,6 +57,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"suspiciously few exact estimates: ${rows.toSeq}")
   }
 
+  test("CMS join-cardinality estimate never undercounts the exact join size (q116)") {
+    // inner-product CMS estimate: collisions only ADD non-negative mass,
+    // so est >= exact for every sketch row, hence for the min
+    val (est, exact, relErr) = graft.queries.RelationalQueries
+      .queries("q116_join_cardinality")(spark, sfDir)
+      .as[(Long, Long, Double)].head()
+    assert(exact > 0, "fixture join must be non-empty")
+    assert(est >= exact, s"CMS join estimate undercounted: $est < $exact")
+    assert(relErr >= 0.0)
+    // collision mass is bounded by ~|A|·|B|/W per row; min over 4
+    // independent rows stays well inside a few multiples of that
+    val na = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val nb = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(est - exact <= 8L * na * nb / 1024L,
+      s"collision mass implausibly large: est $est exact $exact")
+  }
+
+  test("compacting base+delta postings segments equals the from-scratch index (q117)") {
+    val merged = graft.queries.IndexParityQueries
+      .q117IndexCompaction(spark, sfDir)
+      .as[(String, String, Long)].collect().toSet
+    val full = graft.queries.ReferenceQueries
+      .q1InvertedIndex(spark, sfDir)
+      .as[(String, String, Long)].collect().toSet
+    assert(merged == full, "LSM compaction must reproduce the full rebuild")
+  }
+
   test("csv/json/parquet round-trip through the Tables facade") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0))
       .toDF("id", "name", "score")

@@ -254,4 +254,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     annCos.foreach { case (q, c, cos) => assert(exact((q, c)) == cos) }
   }
+
+  test("hard negatives are the exact top-k below the dup threshold (q118)") {
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v = Similarity.prepared(raw, "vec_id", "embedding")
+    val maxCos = 0.30
+    val hn = Similarity
+      .hardNegatives(v.filter($"vec_id" < 10), v, "vec_id", k = 5, maxCos)
+      .select("query_id", "rank", "cand_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(hn.forall(_._4 < maxCos), "a hard negative must stay below the dup band")
+    // per query: exactly the brute-force ranking restricted to cos < maxCos
+    val expected = Similarity
+      .bruteForcePairs(v.filter($"vec_id" < 10), v, "vec_id", minCos = -1.0)
+      .select("query_id", "cand_id", "cos").as[(Long, Long, Double)].collect()
+      .filter(_._3 < maxCos)
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(p => (-p._3, p._2)).take(5).map(p => (p._2, p._3)).toSeq)
+      .toMap
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      val got = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == expected(q), s"query $q: $got != ${expected(q)}")
+    }
+  }
 }
