@@ -120,3 +120,47 @@ object MightContainString {
   def apply(c: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(MightContainString(Bridge.expression(c), bloomBytes))
 }
+
+/** Bloom-membership predicate over a LONG key column — the runtime
+  * semi-join-reduction filter (q119): a sketch of the small/filtered
+  * join side's keys rides as a plan constant and prunes the big side
+  * BEFORE its shuffle, so only matching (+ false-positive) rows cross
+  * the exchange; the exact join downstream removes the false positives,
+  * making the sketch semantics-neutral. Same reference-object codegen
+  * and transient-lazy deserialization as [[MightContainString]].
+  */
+case class MightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "might_contain_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument, got ${child.dataType.sql}")
+
+  /** Row kernel, also the codegen entry point; null propagates. */
+  def compute(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mcl", this, classOf[MightContainLong].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MightContainLong =
+    copy(child = newChild)
+}
+
+object MightContainLong {
+  def apply(c: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(MightContainLong(Bridge.expression(c), bloomBytes))
+}

@@ -492,7 +492,60 @@ object RelationalQueries {
           .as("rel_err"))
   }
 
+  // q119: runtime semi-join reduction (Bloom join pruning) — the
+  // 100 TB join technique: when the probe side is huge and the build
+  // side is SELECTIVE (here: top-price orders, ~4% of the table), a
+  // Bloom sketch of the build side's keys is built DISTRIBUTED
+  // (stat.bloomFilter tree-aggregates partial sketches; the driver
+  // holds only the merged bytes) and pushed onto the probe scan as a
+  // native codegen'd predicate — only matching (+ false-positive) rows
+  // leave the scan, so the downstream exchange moves ~4% of lineitem
+  // instead of all of it. The exact join removes false positives, so
+  // the sketch is SEMANTICS-NEUTRAL: the oracle is the plain join with
+  // no sketch at all, and the result must hash-equal it (the same
+  // "must equal the unoptimized plan" contract as salted q39). At
+  // fixture scale Spark broadcasts the filtered side anyway; the
+  // pruning exists for the regime where the selective side exceeds the
+  // broadcast threshold — the predicate composes with either strategy.
+  def q119BloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val hi = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey"), col("o_totalprice")).persist()
+    val sketch = {
+      val bloom = hi.stat.bloomFilter("o_orderkey", math.max(hi.count(), 1L), 0.001)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    li.filter(graft.functions.MightContainLong(col("l_orderkey"), sketch))
+      .join(hi, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+  }
+
+  // q120: percentile winsorization — clip a numeric feature to its
+  // per-group [P1, P99] band (the standard outlier-robust feature
+  // cleaning step before training). Bounds are ONE tiny grouped
+  // aggregate (exact interpolated percentile — q58's established
+  // Spark`percentile` == DuckDB `quantile_cont` parity) that joins
+  // back by broadcast; the clip itself is a narrow codegen'd
+  // projection. Bounds are 6dp-rounded BEFORE the clip on both
+  // engines, so the comparison operands are bit-identical.
+  def q120Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val bounds = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.01)"), 6).as("lo"),
+      round(expr("percentile(value, 0.99)"), 6).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6).as("clipped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_winsorize" -> q120Winsorize _,
+    "q119_bloom_join_prune" -> q119BloomJoinPrune _,
     "q116_join_cardinality" -> q116JoinCardinality _,
     "q74_variant_json" -> q74VariantJson _,
     "q28_big_spenders" -> q28BigSpenders _,
@@ -609,6 +662,24 @@ object RelationalQueries {
         |SELECT coalesce(cn_name, sn_name) AS n_name,
         |       coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
         |FROM cn FULL OUTER JOIN sn ON cn_name = sn_name""".stripMargin,
+    // same interpolated percentile (q58 parity), same 6dp-rounded
+    // bounds before the clip
+    "q120_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(value, 0.01), 6) AS lo,
+        |         round(quantile_cont(value, 0.99), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |       round(least(greatest(value, lo), hi), 6) AS clipped
+        |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin,
+    // the PLAIN join — q119's Bloom prune must be invisible in the result
+    "q119_bloom_join_prune" ->
+      """SELECT o_orderkey, o_totalprice, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000.0
+        |GROUP BY o_orderkey, o_totalprice""".stripMargin,
     // mirrors q116 counter-for-counter: same md5 bucket arithmetic as
     // q113, per-(row,bucket) counts, inner product per row, min over
     // rows; exact audit from the per-key frequency join

@@ -84,6 +84,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == full, "LSM compaction must reproduce the full rebuild")
   }
 
+  test("Bloom join pruning is semantics-neutral vs the plain join (q119)") {
+    // the q39-style contract: an optimization that prunes rows must be
+    // invisible in the result — false positives are removed by the
+    // exact join, false negatives are impossible for a Bloom filter
+    val pruned = graft.queries.RelationalQueries
+      .queries("q119_bloom_join_prune")(spark, sfDir)
+      .as[(Long, Double, Long, Double)].collect().toSet
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hi = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li.join(hi, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .as[(Long, Double, Long, Double)].collect().toSet
+    assert(pruned == plain, "Bloom pruning changed the join result")
+  }
+
   test("csv/json/parquet round-trip through the Tables facade") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.0))
       .toDF("id", "name", "score")

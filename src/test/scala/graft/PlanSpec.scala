@@ -239,6 +239,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"sketch filter not in a codegen span:\n$p")
   }
 
+  test("q119: the Bloom key-prune filter stays inside whole-stage codegen on the probe scan") {
+    // same reference-object-kernel contract as q93's string predicate; a
+    // CodegenFallback regression would interpose an interpreted boundary
+    // on the BIG side's scan — exactly where it hurts most at scale
+    val df = SparkEntry.queries("q119_bloom_join_prune")(spark, sfDir)
+    df.collect() // AQE finalizes codegen wrappers only after execution
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert("\\*\\(\\d+\\) Filter .*might_contain_long".r.findFirstIn(p).isDefined,
+      s"Bloom key filter not in a codegen span:\n$p")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
