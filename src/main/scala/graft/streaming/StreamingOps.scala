@@ -137,6 +137,25 @@ object StreamingOps {
 
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
+  /** Count-min sketch counter grid over a `(word)` token relation —
+    * usable unchanged on a BATCH table or an UNBOUNDED stream (complete/
+    * update mode): the aggregation key is the (row, bucket) grid, so
+    * streaming state is ≤ depth×width counters NO MATTER how long the
+    * stream runs — the sketch IS the bounded-state form of word
+    * counting (q113's batch sketch stage uses the same md5 bucket
+    * arithmetic; stream/batch parity asserted in StreamingSpec).
+    */
+  def cmsSketch(words: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rb = explode(array((0 until depth).map(r =>
+      struct(
+        lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r|"), col("word"))), 1, 8), 16, 10)
+          .cast("long") % width).as("b"))): _*))
+    words.select(rb.as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   case class SessionState(start: Long, lastSeen: Long, n: Int)
 
   /** Gap-based sessionization (30-min inactivity) with event-time timeout.

@@ -41,6 +41,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch over micro-batches equals the batch sketch (bounded state)") {
+    // the sketch aggregation keys on the (row, bucket) grid, so the
+    // streaming state is <= depth*width counters at ANY stream length;
+    // complete mode emits the full grid, which must equal the batch
+    // fold of the same tokens
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val words = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(graft.functions.AlnumTokens(org.apache.spark.sql.functions.col("text")))
+        .select("word")
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.cmsSketch(words(ms.toDF.toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      val batchSketch = StreamingOps
+        .cmsSketch(words(spark.read.parquet(s"$sfDir/documents.parquet")))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed.size <= 4 * 1024,
+        s"state must stay within the d*w grid, got ${streamed.size}")
+      assert(streamed == batchSketch, "stream/batch sketch parity violated")
+    } finally q.stop()
+  }
+
   test("decontamination on ingest drops benchmark-overlapping docs across batches") {
     // sketch from the fixture benchmark slice (doc_id < 20), batch-side
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
