@@ -12,6 +12,36 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** q88's unigram-LM quality score, shared with q121: per-doc token
+    * count and mean log-probability under the corpus unigram model.
+    * Determinism: each token's log-prob is quantized to fixed-point
+    * (round(ln(p)·1e6) as a long) BEFORE the per-doc sum, so the
+    * aggregation is exact integer arithmetic — partition-order
+    * invariant; the only double ops are one ln per DISTINCT frequency
+    * value and one division at the end. Scale shape: token→freq is one
+    * hash agg; the re-join is on `word` (vocabulary-sized right side);
+    * the per-doc regroup is one more hash agg. No driver state, no
+    * window.
+    */
+  private def logprobScores(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = docs(s, dir)
+      .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+      .select("doc_id", "word")
+    val freq = words.groupBy("word").agg(count(lit(1)).as("cnt")).persist()
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    words.join(freq, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slp").cast("double") / col("n_tokens") / 1e6, 6)
+          .as("mean_logprob"))
+  }
+
   /** Shared DuckDB word-array CTE — the SQL twin of TextFunctions.wordsArr. */
   private val WordsCte =
     """WITH wd AS (
@@ -190,23 +220,29 @@ object TextQueries {
     // Scale shape: token→freq is one hash agg; the re-join is on `word`
     // (vocabulary-sized right side); the per-doc regroup is one more hash
     // agg. No driver state, no window.
-    "q88_logfreq_quality" -> ((s, dir) => {
+    "q88_logfreq_quality" -> ((s, dir) =>
+      logprobScores(s, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_tokens"),
+          org.apache.spark.sql.functions.col("mean_logprob"))),
+    // q121: per-source BEST-document selection under the q88 quality
+    // score, via the bounded TopKAgg — the SCALE twin of window top-N
+    // (q14): map-side partial top-k means only k rows per source per
+    // partition cross the shuffle, where the row_number window would
+    // shuffle and sort EVERY scored document. The oracle is the window
+    // formulation — both must agree exactly (6dp score, doc_id
+    // tie-break), which is also the TopKAgg==window equivalence check
+    // the ANN queries rely on, here driver-verified on a fresh path.
+    "q121_source_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val words = docs(s, dir)
-        .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
-        .select("doc_id", "word")
-      val freq = words.groupBy("word").agg(count(lit(1)).as("cnt")).persist()
-      val total = freq.agg(sum(col("cnt")).as("total"))
-      words.join(freq, Seq("word"))
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"),
-          round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6)
-            .cast("long").as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("slp").cast("double") / col("n_tokens") / 1e6, 6)
-            .as("mean_logprob"))
+      val topk = udaf(graft.functions.TopKAgg(3))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(logprobScores(s, dir).select(col("doc_id"), col("mean_logprob")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(topk(col("mean_logprob"), col("doc_id")).as("tops"))
+        .select(col("source"), posexplode(col("tops")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("t._2").as("doc_id"), col("t._1").as("score"))
     }),
     // q90: deterministic training-order shard+position — the "global
     // shuffle" step that fixes an epoch's data order. Each doc hashes to
@@ -334,6 +370,29 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_logprob
          |FROM lp GROUP BY doc_id""".stripMargin,
+    // q88's score CTEs + the WINDOW formulation of per-source top-3 —
+    // the TopKAgg plan must agree with it exactly
+    "q121_source_topk" ->
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |                    * 1000000) AS BIGINT) AS lp
+         |  FROM tok t JOIN freq f USING (word) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id,
+         |         round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6) AS score
+         |  FROM lp GROUP BY doc_id)
+         |SELECT source, rank, doc_id, score FROM (
+         |  SELECT d.source, s.doc_id, s.score,
+         |         row_number() OVER (
+         |           PARTITION BY d.source
+         |           ORDER BY s.score DESC, s.doc_id ASC) AS rank
+         |  FROM sc s JOIN documents d USING (doc_id))
+         |WHERE rank <= 3""".stripMargin,
     // mirrors q92: bigram occurrences from the word array (len<2 emits
     // nothing, matching the generator's occurrence mode), prefix counts
     // summed from the bigram table, fixed-point ln before the integer sum

@@ -29,7 +29,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q111_click_attribution", "q113_heavy_hitters_cms",
     "q114_cluster_weights",
     "q115_textrank", "q116_join_cardinality", "q117_index_compaction",
-    "q118_hard_negatives", "q119_bloom_join_prune", "q120_winsorize")
+    "q118_hard_negatives", "q119_bloom_join_prune", "q120_winsorize",
+    "q121_source_topk")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
