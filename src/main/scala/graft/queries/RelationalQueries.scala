@@ -295,6 +295,107 @@ object RelationalQueries {
       gapMinutes = 240)
   }
 
+  // q122: ordered conversion funnel (signup → view → click → purchase,
+  // each step within 24 h of the previous) — each step is the FIRST
+  // qualifying event strictly after the previous step's timestamp and
+  // inside the conversion window, computed as a cascade of user-keyed
+  // min-aggs. The events table is scanned once per step with the step's
+  // type filter pushed to the parquet scan; every post-step-1 relation
+  // is |users|-sized (orders of magnitude below |events| at any SF), so
+  // the step joins broadcast under AQE. No events×events self-join
+  // exists in the plan — the classic funnel anti-pattern of a 4-way
+  // event self-join would explode candidate combinations; here shuffled
+  // bytes after step 1 are user-distinct step timestamps only.
+  def q122Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select("user_id", "event_type", "ts")
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    def step(prev: DataFrame, prevCol: String, evType: String, outCol: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col(prevCol)), Seq("user_id"))
+        .filter(col("ts") > col(prevCol)
+          && col("ts") <= col(prevCol) + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as(outCol))
+    val s2 = step(s1, "t1", "view", "t2")
+    val s3 = step(s2, "t2", "click", "t3")
+    val s4 = step(s3, "t3", "purchase", "t4")
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .join(s4, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        (lit(1)
+          + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)
+          + when(col("t4").isNotNull, 1).otherwise(0)).cast("int").as("steps"),
+        unix_micros(col("t1")).as("signup_us"),
+        unix_micros(col("t2")).as("view_us"),
+        unix_micros(col("t3")).as("click_us"),
+        unix_micros(col("t4")).as("purchase_us"))
+  }
+
+  // q123: weekly cohort retention on the conversion event — cohort = ISO
+  // week (Monday-truncated) of a user's first purchase; one row per
+  // (cohort, week offset) counting distinct users who purchased again.
+  // The (user, week) activity grid is deduped FIRST (one hash agg over a
+  // 2-column projection with the event-type filter pushed to the scan),
+  // so the cohort join and final agg run on at most |users|×|weeks| rows
+  // regardless of the per-user event volume — the 100 TB shape is scan →
+  // tiny grid → tiny agg, never a count(DISTINCT) over raw events. The
+  // offset division is exact: both timestamps are Monday-aligned so the
+  // micros delta is an exact multiple of 604800000000.
+  def q123Retention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(
+        col("cohort_week"),
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week")))
+          / lit(604800000000L)).cast("int").as("week_offset"))
+      // wk is (user, week)-distinct and a user has one cohort week, so
+      // each user hits a (cohort, offset) cell at most once: plain count
+      // IS the distinct-user count, no count(DISTINCT) shuffle needed.
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        unix_micros(col("cohort_week")).as("cohort_us"),
+        col("week_offset"), col("n_users"))
+  }
+
+  // q125: SCD type-2 dimension build — per-user validity intervals of the
+  // current event_type, the gaps-and-islands pattern every warehouse
+  // ingest needs. One shuffle on user_id; the change-flag lag, the
+  // running version sum and the interval-close lead all reuse that same
+  // (user_id, ts) sort. Run rows (user × version) are change-count-sized,
+  // far below |events|, so the second window is cheap. valid_to is NULL
+  // for the open (current) interval.
+  def q125Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val lagType = lag(col("event_type"), 1).over(w)
+    val marked = events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("chg",
+        when(lagType.isNull || lagType =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("version").asc)
+    runs.select(
+      col("user_id"),
+      col("version").cast("int").as("version"),
+      col("event_type"),
+      unix_micros(col("valid_from")).as("valid_from_us"),
+      unix_micros(lead(col("valid_from"), 1).over(w2)).as("valid_to_us"),
+      col("n_events"))
+  }
+
   // q52: running-total window frame — cumulative spend per customer in
   // order-date order (rowsBetween unbounded preceding → current). One
   // shuffle on o_custkey; frame evaluation is streaming within the sorted
@@ -573,9 +674,77 @@ object RelationalQueries {
     "q107_sliding_windows" -> q107SlidingWindows _,
     "q108_session_window" -> q108SessionWindow _,
     "q111_click_attribution" -> q111ClickAttribution _,
+    "q122_funnel" -> q122Funnel _,
+    "q123_retention" -> q123Retention _,
+    "q125_scd2" -> q125Scd2 _,
     "q95_zorder_layout" -> q95ZorderLayout _)
 
   val oracleSql: Map[String, String] = Map(
+    "q122_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t4
+        |  FROM events e JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |    AND e.ts <= s3.t3 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT s1.user_id,
+        |       CAST(1 + CAST(s2.user_id IS NOT NULL AS INTEGER)
+        |              + CAST(s3.user_id IS NOT NULL AS INTEGER)
+        |              + CAST(s4.user_id IS NOT NULL AS INTEGER) AS INTEGER) AS steps,
+        |       epoch_us(s1.t1) AS signup_us,
+        |       epoch_us(s2.t2) AS view_us,
+        |       epoch_us(s3.t3) AS click_us,
+        |       epoch_us(s4.t4) AS purchase_us
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |LEFT JOIN s4 ON s1.user_id = s4.user_id""".stripMargin,
+    "q123_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT epoch_us(c.cohort_week) AS cohort_us,
+        |       CAST((epoch_us(wk.week) - epoch_us(c.cohort_week))
+        |            // 604800000000 AS INTEGER) AS week_offset,
+        |       count(*) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q125_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, ts,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM m),
+        |runs AS (
+        |  SELECT user_id, version, min(event_type) AS event_type,
+        |         min(ts) AS valid_from, count(*) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, CAST(version AS INTEGER) AS version, event_type,
+        |       epoch_us(valid_from) AS valid_from_us,
+        |       epoch_us(lead(valid_from) OVER (
+        |         PARTITION BY user_id ORDER BY version)) AS valid_to_us,
+        |       n_events
+        |FROM runs""".stripMargin,
     // mirrors q95: closed-form bit interleave over the low 32 bits
     // (0 bits shift to 0, so the i=31 terms are exact for in-contract
     // inputs < 2^31); epoch_us is the established ts idiom (q51)

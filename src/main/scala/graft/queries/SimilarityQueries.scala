@@ -42,6 +42,34 @@ object SimilarityQueries {
       v.filter(col("vec_id") < 10), v, "vec_id", k = 5, maxCos = 0.30)
   }
 
+  /** q124: ANN quality evaluation — recall@10 of the production-parameter
+    * IVF index (q80's `cells = ⌈√N⌉`, nProbe = 3) against the exact
+    * top-10, over a 50-query sample. This is the operator an embedding
+    * pipeline runs before trusting an ANN index: ground truth is
+    * computed exactly for the SAMPLE only (broadcast query side, one
+    * corpus scan through the bounded TopKAgg — cost |sample|·N, flat per
+    * corpus row), while the IVF side is the very index production
+    * queries hit. The `query_id < 50` filter on the IVF result pushes
+    * through the top-k aggregate to the probe side of the cell join, so
+    * the IVF branch also scores only the sampled queries; the final
+    * recall join/agg runs on |sample|·k rows.
+    */
+  def q124AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(v.filter(col("vec_id") < 50), v, "vec_id", k)
+    val cells = math.ceil(math.sqrt(v.count().toDouble)).toInt
+    val ivf = Similarity.ivfTopK(v, "vec_id", k, cells, nProbe = 3)
+      .filter(col("query_id") < 50)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    exact.join(ivf, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** q41: LSH ANN top-3 for every vector. Oracle-checked: buckets,
     * one-bit multi-probe and the (cos desc, id asc) top-k are all
     * deterministic mirrors (recall vs exact q40 is still asserted in
@@ -311,6 +339,7 @@ object SimilarityQueries {
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
     "q118_hard_negatives" -> (q118HardNegatives _),
+    "q124_ann_recall" -> (q124AnnRecall _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
@@ -605,6 +634,57 @@ object SimilarityQueries {
          |           PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
          |  FROM scored)
          |SELECT query_id, rank, cand_id, cos FROM ranked WHERE rank <= 3""".stripMargin,
+    // q80's IVF chain at k=10 restricted to the 50-query sample, plus
+    // q40's exact chain at k=10 over the same sample; recall joins them
+    "q124_ann_recall" ->
+      s"""$CosCte,
+         |seeds AS (
+         |  SELECT cell, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v,
+         |           count(*) OVER () AS n
+         |    FROM e)
+         |  WHERE cell < CAST(ceil(sqrt(n)) AS INT)),
+         |sc AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN seeds s),
+         |rc AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc),
+         |assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cell AS probe FROM rc WHERE r <= 3 AND vec_id < 50),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |            JOIN e ec ON ec.vec_id = cand.cand_id),
+         |ivf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (
+         |             PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 10),
+         |ex AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |           row_number() OVER (
+         |             PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 50)
+         |  WHERE rank <= 10)
+         |SELECT ex.query_id, count(ivf.cand_id) AS n_hit,
+         |       round(count(ivf.cand_id) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ivf
+         |  ON ex.query_id = ivf.query_id AND ex.cand_id = ivf.cand_id
+         |GROUP BY ex.query_id""".stripMargin,
     "q42_ann_ivf" ->
       s"""$CosCte,
          |seeds AS (

@@ -140,4 +140,71 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("funnel steps are sequenced inside their 24h windows (q122)") {
+    val rows = SparkEntry.queries("q122_funnel")(spark, sfDir)
+      .as[(Long, Int, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(rows.nonEmpty)
+    val day = 24L * 3600 * 1000000
+    rows.foreach { case (u, steps, t1, t2, t3, t4) =>
+      assert(steps == 1 + Seq(t2, t3, t4).count(_.isDefined), s"user $u")
+      // a null step implies every later step is null (ordered funnel)
+      assert(!(t2.isEmpty && (t3.nonEmpty || t4.nonEmpty)), s"user $u")
+      assert(!(t3.isEmpty && t4.nonEmpty), s"user $u")
+      t2.foreach(t => assert(t > t1 && t <= t1 + day, s"user $u view"))
+      (t2 zip t3).foreach { case (a, b) => assert(b > a && b <= a + day) }
+      (t3 zip t4).foreach { case (a, b) => assert(b > a && b <= a + day) }
+    }
+  }
+
+  test("retention offset-0 cell contains the whole cohort (q123)") {
+    val rows = SparkEntry.queries("q123_retention")(spark, sfDir)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, cells) =>
+      val byOff = cells.map(c => c._2 -> c._3).toMap
+      // every user's first-purchase week IS offset 0, so that cell holds
+      // the full cohort and upper-bounds every later offset
+      assert(byOff.contains(0), s"cohort $cohort missing offset 0")
+      assert(byOff.values.max == byOff(0), s"cohort $cohort")
+      assert(byOff.keys.forall(_ >= 0), s"cohort $cohort")
+    }
+  }
+
+  test("SCD2 intervals chain per user with consecutive versions (q125)") {
+    val rows = SparkEntry.queries("q125_scd2")(spark, sfDir)
+      .as[(Long, Int, String, Long, Option[Long], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length), s"user $u versions")
+      // each interval closes exactly where the next opens; only the last
+      // is open-ended; adjacent runs really changed type
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u gap at v${a._2}")
+          assert(a._3 != b._3, s"user $u run not maximal at v${a._2}")
+        case _ =>
+      }
+      assert(sorted.last._5.isEmpty, s"user $u last interval must be open")
+      assert(sorted.init.forall(_._5.nonEmpty), s"user $u")
+    }
+  }
+
+  test("ANN recall is a valid fraction and the sample is fully scored (q124)") {
+    val rows = SparkEntry.queries("q124_ann_recall")(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 50).count()
+    assert(rows.length == n, s"expected one recall row per sampled query")
+    rows.foreach { case (q, hits, recall) =>
+      assert(hits >= 0 && hits <= 10, s"query $q")
+      assert(recall == hits / 10.0, s"query $q")
+    }
+    // the scaled IVF index must be genuinely useful, not vacuously 0
+    assert(rows.map(_._3).sum / rows.length > 0.3,
+      "mean recall@10 collapsed — IVF parameterization regressed")
+  }
 }
