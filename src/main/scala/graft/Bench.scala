@@ -45,7 +45,10 @@ object Bench {
     "q110_pq_adc_knn",
     "q111_click_attribution",
     "q115_textrank",
-    "q117_index_compaction")
+    "q117_index_compaction",
+    "q122_funnel",
+    "q124_ann_recall",
+    "q126_incremental_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,6 +34,39 @@ object DedupQueries {
     Dedup.jaccardVerify(cand, sh, "doc_id")
   }
 
+  /** q127: cross-source duplication matrix — which sources copy from
+    * each other. Near-dup doc pairs (q32's exact shared-shingle path,
+    * same 0.05 Jaccard threshold) are provenance-joined to their source
+    * labels and rolled up per unordered source pair with count and mean
+    * Jaccard. This is the contamination report a corpus curator reads
+    * before deciding which crawls to drop. The mean goes through an
+    * exact decimal sum of the 6dp-rounded Jaccards, so it is partition-
+    * order-invariant. Scale: the pair table is the near-dup output
+    * (tiny); the source lookup is a doc_id equi-join against a 2-column
+    * projection; the final matrix is |sources|²-bounded.
+    */
+  def q127SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // persisted: the near-dup pair table is tiny but its plan is the
+    // whole shingle-join pipeline — without the persist, broadcast
+    // planning of the two provenance joins re-executes that pipeline
+    // (q31's documented pattern; measured 33× slower at the 10× sweep)
+    val pairs = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05).persist()
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(
+        least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"),
+        col("jaccard"))
+      .groupBy("src_lo", "src_hi")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_jaccard"))
+  }
+
   /** q36: SimHash near-dup pairs within Hamming distance 3, candidates
     * from the 4-bit band equi-join (pigeonhole — no cross product in the
     * engine; the oracle, at fixture scale, can afford the naive
@@ -207,7 +240,8 @@ object DedupQueries {
     "q78_decontaminate" -> (q78Decontaminate _),
     "q79_repetition" -> (q79Repetition _),
     "q93_bloom_decontaminate" -> (q93BloomDecontaminate _),
-    "q96_dup_passage_fraction" -> (q96DupPassageFraction _))
+    "q96_dup_passage_fraction" -> (q96DupPassageFraction _),
+    "q127_source_overlap" -> (q127SourceOverlap _))
 
   /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
     * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.
@@ -324,6 +358,36 @@ object DedupQueries {
          |FROM inter i
          |JOIN sizes sa ON sa.doc_id = i.id_a
          |JOIN sizes sb ON sb.doc_id = i.id_b""".stripMargin,
+    // q32's pair chain, provenance-joined and rolled up per source pair
+    "q127_source_overlap" ->
+      s"""$ShingleCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT id_a, id_b, jaccard FROM (
+         |    SELECT i.id_a, i.id_b,
+         |           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |    FROM inter i
+         |    JOIN sizes sa ON sa.doc_id = i.id_a
+         |    JOIN sizes sb ON sb.doc_id = i.id_b)
+         |  WHERE jaccard >= 0.05)
+         |SELECT least(da.source, db.source) AS src_lo,
+         |       greatest(da.source, db.source) AS src_hi,
+         |       count(*) AS n_pairs,
+         |       round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)
+         |             / count(*), 6) AS avg_jaccard
+         |FROM prs
+         |JOIN documents da ON da.doc_id = prs.id_a
+         |JOIN documents db ON db.doc_id = prs.id_b
+         |GROUP BY 1, 2""".stripMargin,
     "q32_ngram_jaccard" ->
       s"""$ShingleCte,
          |cand AS (

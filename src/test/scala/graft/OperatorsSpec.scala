@@ -207,4 +207,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._3).sum / rows.length > 0.3,
       "mean recall@10 collapsed — IVF parameterization regressed")
   }
+
+  test("incremental aggregate fold equals the full recompute (q126)") {
+    val inc = SparkEntry.queries("q126_incremental_agg")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    val full = SparkEntry.queries("q10_pricing_summary")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(inc == full, "refresh-equals-recompute contract broken")
+  }
+
+  test("source overlap matrix is a normalized rollup of the pair table (q127)") {
+    val rows = SparkEntry.queries("q127_source_overlap")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, n, avg) =>
+      assert(lo <= hi, "unordered pair not normalized")
+      assert(n >= 1 && avg >= 0.05 && avg <= 1.0)
+    }
+    val total = rows.map(_._3).sum
+    val pairTotal = SparkEntry.queries("q32_ngram_jaccard")(spark, sfDir).count()
+    assert(total == pairTotal, "matrix must partition the pair table")
+  }
+
+  test("equi-depth buckets hold balanced row fractions (q128)") {
+    val rows = SparkEntry.queries("q128_equidepth_histogram")(spark, sfDir)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (b, n, lo, hi) =>
+      assert(lo <= hi, s"bucket $b")
+      assert(n / total > 0.2 && n / total < 0.3, s"bucket $b holds ${n / total}")
+    }
+    // bucket ranges must not overlap when walked in order
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"buckets ${a._1}/${b._1} overlap")
+      case _ =>
+    }
+  }
 }

@@ -41,6 +41,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("complete-mode pricing summary over micro-batches equals the incremental fold (q126)") {
+    // incremental view maintenance IS a streaming aggregation: the same
+    // pricingSummaryAgg operator body runs q10 (batch), q126's partial
+    // fold, and this unbounded stream; complete mode after the last
+    // micro-batch must equal the batch answer bit-for-bit (exact decimal
+    // merge). State is group-key-bounded at any stream length.
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate")
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(cols.head, cols.tail: _*)
+      .as[(String, String, Double, Double, Double, Timestamp)].collect()
+    val ms = MemoryStream[(String, String, Double, Double, Double, Timestamp)](spark)
+    val q = graft.queries.RelationalQueries.pricingSummaryAgg(
+        ms.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("pricing_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { b =>
+        ms.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("pricing_stream")
+        .collect().map(_.toString).toSet
+      val batch = SparkEntry.queries("q126_incremental_agg")(spark, sfDir)
+        .collect().map(_.toString).toSet
+      assert(streamed == batch, "stream/batch pricing-summary parity violated")
+    } finally q.stop()
+  }
+
   test("streaming CMS sketch over micro-batches equals the batch sketch (bounded state)") {
     // the sketch aggregation keys on the (row, bucket) grid, so the
     // streaming state is <= depth*width counters at ANY stream length;
