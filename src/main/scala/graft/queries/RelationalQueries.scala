@@ -479,6 +479,88 @@ object RelationalQueries {
         round(max(col("l_extendedprice")), 6).as("hi"))
   }
 
+  // q129: explicit GROUPING SETS through the SQL parser path (rollup q15
+  // and cube q56 cover the DataFrame API; this one exercises spark.sql —
+  // the text → LogicalPlan → same Expand operator route a SQL user
+  // takes). gid is composed as 2·grouping(a)+grouping(b) because that
+  // arithmetic is portable to the oracle; one Expand + one hash agg, the
+  // shuffle carries only group keys.
+  def q129GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q129")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS INT) AS gid,
+        |  count(*) AS cnt
+        |FROM lineitem_q129
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))""".stripMargin)
+  }
+
+  // q130: string-similarity self-join (fuzzy entity matching) WITHOUT a
+  // cross product — customer names within Hamming distance 1, candidates
+  // from SymSpell-style WILDCARD-POSITION keys: every string emits L
+  // variants with one position masked out, and two strings at distance
+  // ≤ 1 necessarily share the key masked at their (single) differing
+  // position. Selectivity is exact — a bucket holds only strings
+  // identical everywhere but the masked slot, so candidates ≈ answers
+  // and the join volume is L·N key rows, never pair-quadratic. (Two
+  // rejected designs, both measured: half-string pigeonhole banding
+  // degenerates because every name shares the constant "Customer#" half
+  // — one bucket IS the cross product, minutes at sf0.1; a PPJoin
+  // rarest-q-gram prefix filter stays complete but over-generates 29×
+  // on this dense serial key space because the (d·q+1)-th rarest gram
+  // still has df ~N/10³.) Generalizes to Hamming ≤ d by masking the
+  // (L choose d) position sets, and to edit distance via deletion
+  // neighborhoods. The verify is a codegen'd higher-order filter; the
+  // candidate join is key-equality, PlanSpec-guarded cross-product-free.
+  def q130NameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val keyed = names
+      .select(col("id"), col("name"), explode(expr(
+        "transform(sequence(1, length(name)), i -> " +
+          "concat(substring(name, 1, i - 1), chr(1), substring(name, i + 1)))"))
+        .as("k"))
+    val cand = keyed.select(col("k"), col("id").as("id_a"), col("name").as("name_a"))
+      .join(keyed.select(col("k"), col("id").as("id_b"), col("name").as("name_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+    cand
+      .withColumn("n_diff", expr(
+        "size(filter(sequence(1, length(name_a)), " +
+          "i -> substring(name_a, i, 1) <> substring(name_b, i, 1)))"))
+      .filter(col("n_diff") <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("n_diff"))
+  }
+
+  // q133: association rules over the per-user event-type basket —
+  // support / confidence / lift for every directional type pair, the
+  // market-basket primitive. The (user, type) grid is deduped first (one
+  // hash agg), so the co-occurrence self-join fans out at most
+  // |types|² per user — bounded by the type vocabulary, never by event
+  // volume. All counts are exact longs; the three ratios are derived
+  // with identical expressions in the oracle.
+  def q133AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val grid = events(spark, dir).select("user_id", "event_type").distinct().persist()
+    val totals = grid.agg(countDistinct(col("user_id")).as("n_users"))
+    val supp = grid.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val co = grid.select(col("user_id"), col("event_type").as("antecedent"))
+      .join(grid.select(col("user_id"), col("event_type").as("consequent")), Seq("user_id"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("n_ab"))
+    co
+      .join(supp.select(col("event_type").as("antecedent"), col("n").as("n_a")), "antecedent")
+      .join(supp.select(col("event_type").as("consequent"), col("n").as("n_b")), "consequent")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab") / col("n_users"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round((col("n_ab") * col("n_users")) / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
   // q52: running-total window frame — cumulative spend per customer in
   // order-date order (rowsBetween unbounded preceding → current). One
   // shuffle on o_custkey; frame evaluation is streaming within the sorted
@@ -762,9 +844,51 @@ object RelationalQueries {
     "q125_scd2" -> q125Scd2 _,
     "q126_incremental_agg" -> q126IncrementalAgg _,
     "q128_equidepth_histogram" -> q128EquidepthHistogram _,
+    "q129_grouping_sets" -> q129GroupingSets _,
+    "q130_name_match" -> q130NameMatch _,
+    "q133_association_rules" -> q133AssociationRules _,
     "q95_zorder_layout" -> q95ZorderLayout _)
 
   val oracleSql: Map[String, String] = Map(
+    "q129_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))""".stripMargin,
+    // the oracle affords the naive n² verify at fixture scale; the engine
+    // must reach the same pairs through the banded equality join
+    "q130_name_match" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(len(list_filter(range(1, length(a.c_name) + 1),
+        |            i -> a.c_name[i] <> b.c_name[i])) AS INT) AS n_diff
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND length(a.c_name) = length(b.c_name)
+        |WHERE len(list_filter(range(1, length(a.c_name) + 1),
+        |      i -> a.c_name[i] <> b.c_name[i])) <= 1""".stripMargin,
+    "q133_association_rules" ->
+      """WITH grid AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM grid),
+        |supp AS (SELECT event_type, count(*) AS n FROM grid GROUP BY 1),
+        |co AS (
+        |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |         count(*) AS n_ab
+        |  FROM grid a JOIN grid b
+        |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT co.antecedent, co.consequent, co.n_ab,
+        |       round(co.n_ab / tot.n_users, 6) AS support,
+        |       round(co.n_ab / sa.n, 6) AS confidence,
+        |       round((co.n_ab * tot.n_users) / (sa.n * sb.n), 6) AS lift
+        |FROM co
+        |JOIN supp sa ON sa.event_type = co.antecedent
+        |JOIN supp sb ON sb.event_type = co.consequent
+        |CROSS JOIN tot""".stripMargin,
     // the refresh-equals-recompute contract: the oracle is the FULL
     // recompute (q10's SQL); the engine answers with the partial fold
     "q126_incremental_agg" ->

@@ -73,7 +73,19 @@ object ScaleUp {
     val jobs: Seq[(String, () => DataFrame)] = Seq(
       "region" -> (() => table("region")),
       "nation" -> (() => table("nation")),
-      "customer" -> (() => replicate(table("customer"))(shifted(_, _, "c_custkey"))),
+      // c_name must decorrelate like documents.text does (the zz$k token
+      // suffix): leaving 10 exact copies of every name makes any
+      // name-keyed operator (q130 fuzzy matching) measure duplicate-
+      // clique blowup instead of scale — replica names get a distinct
+      // serial prefix digit region instead, preserving format and length
+      // statistics
+      "customer" -> (() =>
+        replicate(table("customer")) { (d, k) =>
+          val s = shifted(d, k, "c_custkey")
+          if (k == 0) s
+          else s.withColumn("c_name",
+            regexp_replace(col("c_name"), "^Customer#0", s"Customer#$k"))
+        }),
       "supplier" -> (() => replicate(table("supplier"))(shifted(_, _, "s_suppkey"))),
       "part" -> (() => replicate(table("part"))(shifted(_, _, "p_partkey"))),
       "orders" -> (() =>

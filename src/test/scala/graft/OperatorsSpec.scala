@@ -229,6 +229,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(total == pairTotal, "matrix must partition the pair table")
   }
 
+  test("wildcard-key fuzzy join finds exactly the brute-force Hamming pairs (q130)") {
+    val names = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name").as[(Long, String)].collect()
+    // the fixture is small enough to afford the quadratic ground truth
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && na.length == nb.length
+      if na.zip(nb).count { case (x, y) => x != y } <= 1
+    } yield (ia, ib)).toSet
+    val got = SparkEntry.queries("q130_name_match")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("association-rule ratios are consistent with their counts (q133)") {
+    val rows = SparkEntry.queries("q133_association_rules")(spark, sfDir)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val co = rows.map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (a, b, nab, support, confidence, lift) =>
+      // co-occurrence is symmetric; the directional ratios need not be
+      assert(co((b, a)) == nab, s"$a->$b")
+      assert(support > 0 && support <= 1 && confidence > 0 && confidence <= 1)
+      assert(lift > 0)
+    }
+  }
+
+  test("grouping-set slices each total to the same grand count (q129)") {
+    val rows = SparkEntry.queries("q129_grouping_sets")(spark, sfDir)
+      .as[(String, String, Int, Long)].collect()
+    val byGid = rows.groupBy(_._3)
+    // gid 1 = by returnflag only, gid 2 = by linestatus only, gid 0 = both
+    assert(byGid.keySet == Set(0, 1, 2))
+    val totals = byGid.view.mapValues(_.map(_._4).sum).toMap
+    assert(totals(0) == totals(1) && totals(1) == totals(2),
+      s"every grouping set must partition the same rows: $totals")
+  }
+
   test("equi-depth buckets hold balanced row fractions (q128)") {
     val rows = SparkEntry.queries("q128_equidepth_histogram")(spark, sfDir)
       .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
