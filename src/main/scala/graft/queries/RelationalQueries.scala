@@ -561,6 +561,51 @@ object RelationalQueries {
         round((col("n_ab") * col("n_users")) / (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  // q131: linear multi-touch attribution — every view in the 24 h before
+  // a purchase shares the conversion credit equally (round(1/n, 6)).
+  // The q111 interval-join shape with the roles reversed, plus one
+  // per-purchase count window to split the credit; integer counts make
+  // the fractional credits deterministic. Scale: equi-join on user with
+  // the time range as a post-join filter (exactly the watermark-bounded
+  // stream-stream join's batch twin), window partitions are per-purchase
+  // touch lists — bounded by the attribution window, not event volume.
+  def q131MultiTouch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    views.join(purchases, Seq("user_id"))
+      .filter(col("view_ts") < col("purchase_ts")
+        && col("view_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy(col("purchase_id"))))
+      .select(
+        col("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("n_touches"),
+        round(lit(1.0) / col("n_touches"), 6).as("credit"))
+  }
+
+  // q132: ratio-to-report — each nation's share of its REGION's revenue,
+  // the classic percent-of-total window over the q11 star join. The
+  // window re-sums the already-exact per-nation revenues through decimal
+  // so the region total is partition-order-invariant (a raw double
+  // window sum would flake the oracle hash); the window partitions are
+  // |regions|-sized, negligible at any SF.
+  def q132RevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    q11RevenueByNation(spark, dir)
+      .withColumn("region_revenue",
+        sum(col("revenue").cast("decimal(18,4)"))
+          .over(Window.partitionBy(col("r_name"))).cast("double"))
+      .select(
+        col("n_name"), col("r_name"), col("revenue"), col("n_items"),
+        col("region_revenue"),
+        round(col("revenue") / col("region_revenue"), 6).as("region_share"))
+  }
+
   // q52: running-total window frame — cumulative spend per customer in
   // order-date order (rowsBetween unbounded preceding → current). One
   // shuffle on o_custkey; frame evaluation is streaming within the sorted
@@ -846,8 +891,22 @@ object RelationalQueries {
     "q128_equidepth_histogram" -> q128EquidepthHistogram _,
     "q129_grouping_sets" -> q129GroupingSets _,
     "q130_name_match" -> q130NameMatch _,
+    "q131_multi_touch" -> q131MultiTouch _,
+    "q132_revenue_share" -> q132RevenueShare _,
     "q133_association_rules" -> q133AssociationRules _,
     "q95_zorder_layout" -> q95ZorderLayout _)
+
+  /** q11's oracle — also the base CTE of q132's ratio-to-report. */
+  private val Q11Sql =
+    """SELECT n_name, r_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q129_grouping_sets" ->
@@ -1118,16 +1177,32 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q11_revenue_by_nation" ->
-      """SELECT n_name, r_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY n_name, r_name""".stripMargin,
+    "q11_revenue_by_nation" -> Q11Sql,
+    "q131_multi_touch" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT v.user_id, p.purchase_id, v.view_id, v.view_ts
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |  WHERE v.view_ts < p.purchase_ts
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOUR)
+        |SELECT user_id, purchase_id, view_id,
+        |       epoch_us(view_ts) AS view_us,
+        |       count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+        |       round(1.0 / count(*) OVER (PARTITION BY purchase_id), 6) AS credit
+        |FROM t""".stripMargin,
+    "q132_revenue_share" ->
+      s"""WITH base AS ($Q11Sql)
+         |SELECT n_name, r_name, revenue, n_items,
+         |  CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+         |       OVER (PARTITION BY r_name) AS DOUBLE) AS region_revenue,
+         |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+         |       OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+         |FROM base""".stripMargin,
     "q12_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

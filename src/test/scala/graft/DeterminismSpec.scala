@@ -33,7 +33,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q121_source_topk",
     "q122_funnel", "q123_retention", "q124_ann_recall", "q125_scd2",
     "q126_incremental_agg", "q127_source_overlap", "q128_equidepth_histogram",
-    "q129_grouping_sets", "q130_name_match", "q133_association_rules")
+    "q129_grouping_sets", "q130_name_match", "q131_multi_touch",
+    "q132_revenue_share", "q133_association_rules")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -245,6 +245,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("multi-touch credits split each conversion into equal unit shares (q131)") {
+    val rows = SparkEntry.queries("q131_multi_touch")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (purchase, touches) =>
+      val n = touches.head._5
+      assert(touches.length == n, s"purchase $purchase count mismatch")
+      assert(touches.forall(_._6 == touches.head._6))
+      val total = touches.map(_._6).sum
+      assert(math.abs(total - 1.0) < 1e-4 * n,
+        s"purchase $purchase credits sum to $total")
+    }
+  }
+
+  test("revenue shares sum to one inside every region (q132)") {
+    val rows = SparkEntry.queries("q132_revenue_share")(spark, sfDir)
+      .as[(String, String, Double, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (region, ns) =>
+      val total = ns.map(_._6).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"region $region shares sum to $total")
+      assert(ns.forall(r => math.abs(r._5 - ns.head._5) < 1e-9),
+        s"region $region rows disagree on the region total")
+    }
+  }
+
   test("association-rule ratios are consistent with their counts (q133)") {
     val rows = SparkEntry.queries("q133_association_rules")(spark, sfDir)
       .as[(String, String, Long, Double, Double, Double)].collect()
