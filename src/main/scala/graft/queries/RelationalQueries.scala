@@ -854,7 +854,204 @@ object RelationalQueries {
         round(least(greatest(col("value"), col("lo")), col("hi")), 6).as("clipped"))
   }
 
+  // q134: CDC MERGE (upsert+delete) — the Delta/Iceberg `MERGE INTO`
+  // shape without a table format. The changelog (events) is first
+  // COMPACTED to one row per key (latest by (ts, event_id) — a single
+  // window on the merge key), then merged into the base snapshot with
+  // one full-outer hash join: base-only rows are kept, matched rows take
+  // the change's value ('updated'), changelog-only rows insert, and a
+  // latest-change tombstone ('error' here) deletes whether or not the
+  // base row exists. Scale: both the compaction window and the merge
+  // join hash-partition on the SAME key, so the exchange is paid once
+  // and reused; no broadcast needed on either side — this is the
+  // big-base × big-changelog regime.
+  def q134MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val last = events(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("user_id").as("key"),
+        col("event_type").as("op_type"),
+        col("value").as("new_bal"))
+    // base keys 50..200 straddle the changelog's key range (0..149), so
+    // kept / updated / inserted / deleted all occur on the fixture
+    val base = t(spark, dir, "customer").filter(col("c_custkey").between(50, 200))
+      .select(col("c_custkey").as("bkey"), col("c_name"), col("c_acctbal"))
+    base.join(last, col("bkey") === col("key"), "full_outer")
+      .filter(col("op_type").isNull || col("op_type") =!= "error")
+      .select(
+        coalesce(col("bkey"), col("key")).as("c_custkey"),
+        coalesce(col("c_name"), concat(lit("cust#"), col("key").cast("string")))
+          .as("name"),
+        when(col("op_type").isNull, lit("kept"))
+          .when(col("bkey").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"),
+        when(col("op_type").isNull, col("c_acctbal"))
+          .otherwise(col("new_bal")).as("balance"))
+  }
+
+  // q135: snapshot reconciliation — keyed diff of two snapshots of the
+  // same aggregate (per-customer order count/spend before a cutoff vs
+  // now), the table-diff primitive behind data-quality reconciliation
+  // and incremental-load validation. Two partial-aggregated scans and
+  // ONE full-outer join on the key; change detection compares the EXACT
+  // decimal sums, never the double projections, so 'unchanged' can't
+  // flip on rounding. Scale: the diff never materializes row-level
+  // state — only the aggregate per key crosses the exchange.
+  def q135SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def snap(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey").as("key"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("spend_d"))
+    val s1 = snap(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+      .select(col("key").as("k1"), col("cnt").as("old_cnt"), col("spend_d").as("old_d"))
+    val s2 = snap(o)
+      .select(col("key").as("k2"), col("cnt").as("new_cnt"), col("spend_d").as("new_d"))
+    s1.join(s2, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k2"), col("k1")).as("o_custkey"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"),
+        coalesce(col("old_d").cast("double"), lit(0.0)).as("old_spend"),
+        coalesce(col("new_d").cast("double"), lit(0.0)).as("new_spend"),
+        when(col("k1").isNull, lit("added"))
+          .when(col("old_cnt") === col("new_cnt") && col("old_d") === col("new_d"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  // q137: time-series gap fill + trailing moving average — per-type
+  // hourly event counts on a DENSE hour grid (missing hours become
+  // explicit zeros via `sequence` explode over the observed bounds),
+  // then a 24-row trailing mean. Without the fill, a frame of "last 24
+  // ROWS" silently spans gaps and the average is wrong — the densify
+  // step is the operator. Scale: the grid is (types × hours) —
+  // time-bounded, independent of event volume; the only full-data pass
+  // is the partial-aggregated hourly count, and the window partitions
+  // are per-type hour sequences. Counts are integers, so the moving
+  // mean (exact integer sum / 24) is deterministic.
+  def q137GapfillMa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val filled = grid.join(hourly, Seq("event_type", "hour"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(-23, Window.currentRow)
+    filled.select(
+      col("event_type"),
+      unix_micros(col("hour")).as("hour_us"),
+      col("cnt"),
+      round(avg(col("cnt")).over(w), 6).as("ma24"))
+  }
+
+  // q139: Markov transition matrix over per-user event sequences — the
+  // next-action model behind clickstream analysis: P(next | current) =
+  // transitions(cur→nxt) / transitions(cur→*). One window exchange on
+  // user_id orders each user's history (lead(1)); the transition counts
+  // then fold to a |types|²-bounded aggregate, so everything after the
+  // first exchange is vocabulary-sized. Probabilities are exact integer
+  // ratios rounded at 6dp.
+  def q139MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val tr = events(spark, dir)
+      .select(
+        col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("cnt"))
+    val wt = Window.partitionBy(col("cur"))
+    tr.withColumn("total", sum(col("cnt")).over(wt))
+      .select(
+        col("cur"), col("nxt"), col("cnt"), col("total"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6).as("p"))
+  }
+
+  // q141: z-score feature standardization + outlier flag — the ML
+  // preprocessing twin of q120's winsorization. Per-type mean/std come
+  // from ONE pass of exact integer moments: values quantize to 1e-6
+  // fixed point, Σx fits a long, Σx² accumulates in decimal (Spark) /
+  // int128 (oracle) — both exact, so the derived doubles (mean, std,
+  // z) are bit-identical on both engines (every step from the exact
+  // integers is a correctly-rounded IEEE op: cast, divide, sqrt). The
+  // per-row standardize is a broadcast join of the |types|-row stats
+  // table + a narrow projection. A naive double Σx² would be partition-
+  // order-dependent and flake the hash — the fixed-point moments are
+  // the operator's whole design.
+  def q141Standardize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"),
+      round(col("value") * 1e6).cast("long").as("vq"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("vq")).as("s"),
+      sum(col("vq").cast("decimal(19,0)") * col("vq").cast("decimal(19,0)")).as("ss"))
+    val st = stats.select(
+      col("event_type"),
+      (col("s").cast("double") / col("n").cast("double")).as("mean_q"),
+      sqrt(
+        (col("n").cast("decimal(38,0)") * col("ss")
+          - col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+          .cast("double")
+          / (col("n") * col("n")).cast("double")).as("std_q"))
+    ev.join(broadcast(st), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        round((col("vq").cast("double") - col("mean_q")) / col("std_q"), 6).as("z"),
+        (abs((col("vq").cast("double") - col("mean_q")) / col("std_q")) > 3.0)
+          .as("is_outlier"))
+  }
+
+  // q142: referential-integrity audit — orphan counts for every FK edge
+  // of the star schema (the data-quality gate a warehouse runs after
+  // every load). Each edge is a left-anti join of child against parent
+  // keys (Catalyst broadcasts the parent side when it fits; the check
+  // never duplicates child rows) folded to ONE row; four one-row frames
+  // union. Scale: the anti-join is the semi-join-reduction shape — at
+  // 100 TB the parent key set rides a broadcast/Bloom, and the audit's
+  // output stays 4 rows regardless of input volume.
+  def q142RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.join(parent, child(ck) === parent(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(rel).as("relationship"), col("n_rows"), col("n_orphans"))
+    }
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    audit("lineitem->orders", li, "l_orderkey", ord, "o_orderkey")
+      .unionByName(audit("lineitem->part", li, "l_partkey",
+        t(spark, dir, "part"), "p_partkey"))
+      .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+        t(spark, dir, "supplier"), "s_suppkey"))
+      .unionByName(audit("orders->customer", ord, "o_custkey",
+        t(spark, dir, "customer"), "c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_merge_upsert" -> q134MergeUpsert _,
+    "q135_snapshot_diff" -> q135SnapshotDiff _,
+    "q137_gapfill_ma" -> q137GapfillMa _,
+    "q139_markov_transitions" -> q139MarkovTransitions _,
+    "q141_standardize" -> q141Standardize _,
+    "q142_ref_integrity" -> q142RefIntegrity _,
     "q120_winsorize" -> q120Winsorize _,
     "q119_bloom_join_prune" -> q119BloomJoinPrune _,
     "q116_join_cardinality" -> q116JoinCardinality _,
@@ -909,6 +1106,125 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // changelog compacted to the latest row per key, then the same
+    // kept/updated/inserted/deleted decision table as the engine
+    "q134_merge_upsert" ->
+      """WITH last AS (
+        |  SELECT user_id AS key, event_type AS op_type, value AS new_bal
+        |  FROM (SELECT user_id, event_type, value,
+        |               row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key, c_name, c_acctbal
+        |         FROM customer WHERE c_custkey BETWEEN 50 AND 200)
+        |SELECT coalesce(b.key, l.key) AS c_custkey,
+        |       coalesce(b.c_name, 'cust#' || CAST(l.key AS VARCHAR)) AS name,
+        |       CASE WHEN l.key IS NULL THEN 'kept'
+        |            WHEN b.key IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS action,
+        |       CASE WHEN l.key IS NULL THEN b.c_acctbal
+        |            ELSE l.new_bal END AS balance
+        |FROM base b FULL OUTER JOIN last l ON b.key = l.key
+        |WHERE l.op_type IS NULL OR l.op_type <> 'error'""".stripMargin,
+    // change detection on the exact decimal sums, like the engine
+    "q135_snapshot_diff" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS key, count(*) AS cnt,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_d
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT o_custkey AS key, count(*) AS cnt,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_d
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(s2.key, s1.key) AS o_custkey,
+        |       coalesce(s1.cnt, 0) AS old_cnt,
+        |       coalesce(s2.cnt, 0) AS new_cnt,
+        |       coalesce(CAST(s1.spend_d AS DOUBLE), 0.0) AS old_spend,
+        |       coalesce(CAST(s2.spend_d AS DOUBLE), 0.0) AS new_spend,
+        |       CASE WHEN s1.key IS NULL THEN 'added'
+        |            WHEN s1.cnt = s2.cnt AND s1.spend_d = s2.spend_d
+        |              THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key""".stripMargin,
+    // dense hour grid mirrored with generate_series (inclusive bounds,
+    // like Spark `sequence`), then the identical 24-row trailing frame
+    "q137_gapfill_ma" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (
+        |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT g.event_type, g.hour, coalesce(h.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.event_type = h.event_type AND g.hour = h.hour)
+        |SELECT event_type, epoch_us(hour) AS hour_us, cnt,
+        |       round(avg(cnt) OVER (PARTITION BY event_type ORDER BY hour
+        |                            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+        |         AS ma24
+        |FROM f""".stripMargin,
+    "q139_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS cnt
+        |      FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, cnt,
+        |       CAST(SUM(cnt) OVER (PARTITION BY cur) AS BIGINT) AS total,
+        |       round(CAST(cnt AS DOUBLE)
+        |             / CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        |FROM c""".stripMargin,
+    // exact integer moments (Σx in int64, Σx² in int128 — the engine's
+    // decimal accumulator), identical correctly-rounded IEEE tail
+    "q141_standardize" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, SUM(vq) AS s,
+        |         SUM(CAST(vq AS HUGEINT) * vq) AS ss
+        |  FROM q GROUP BY 1),
+        |d AS (
+        |  SELECT event_type,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+        |         sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |              / CAST(n * n AS DOUBLE)) AS std_q
+        |  FROM st)
+        |SELECT q.event_id, q.event_type, q.value,
+        |       round((CAST(q.vq AS DOUBLE) - d.mean_q) / d.std_q, 6) AS z,
+        |       (abs((CAST(q.vq AS DOUBLE) - d.mean_q) / d.std_q) > 3.0)
+        |         AS is_outlier
+        |FROM q JOIN d ON q.event_type = d.event_type""".stripMargin,
+    "q142_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |       (SELECT count(*) FROM lineitem) AS n_rows,
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |          ON l.l_orderkey = o.o_orderkey
+        |        WHERE o.o_orderkey IS NULL) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |          ON l.l_partkey = p.p_partkey
+        |        WHERE p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |          ON l.l_suppkey = s.s_suppkey
+        |        WHERE s.s_suppkey IS NULL)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |          ON o.o_custkey = c.c_custkey
+        |        WHERE c.c_custkey IS NULL)""".stripMargin,
     "q129_grouping_sets" ->
       """SELECT
         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,

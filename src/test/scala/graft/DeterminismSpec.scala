@@ -34,7 +34,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q122_funnel", "q123_retention", "q124_ann_recall", "q125_scd2",
     "q126_incremental_agg", "q127_source_overlap", "q128_equidepth_histogram",
     "q129_grouping_sets", "q130_name_match", "q131_multi_touch",
-    "q132_revenue_share", "q133_association_rules")
+    "q132_revenue_share", "q133_association_rules",
+    "q134_merge_upsert", "q135_snapshot_diff", "q137_gapfill_ma",
+    "q139_markov_transitions", "q141_standardize", "q142_ref_integrity")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -310,4 +310,80 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("CDC merge exercises every action path and conserves keys (q134)") {
+    // sf0.01: the changelog keys (0..149) straddle the base range
+    // (50..200), so kept/updated/inserted/deleted all occur; sf0.001's
+    // changelog (keys 0..14) misses the base range entirely
+    val out = SparkEntry.queries("q134_merge_upsert")(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, String, Double)].collect()
+    val byAction = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    // the fixture produces all three surviving actions (deletes are the
+    // latest-change='error' users, absent from the output entirely)
+    assert(byAction.keySet == Set("kept", "updated", "inserted"),
+      s"actions seen: ${byAction.keySet}")
+    // inserts come from below the base range, updates from inside it,
+    // kept rows from the base keys above the changelog's range
+    assert(byAction("inserted").forall(_ < 50L))
+    assert(byAction("updated").forall(k => k >= 50L && k <= 149L))
+    assert(byAction("kept").forall(k => k >= 150L && k <= 200L))
+    // deleted keys: in the changelog but in no output row
+    val deleted = (0L until 150L).toSet -- out.map(_._1).toSet
+    assert(deleted.nonEmpty, "fixture should contain tombstoned users")
+    assert(out.map(_._1).distinct.length == out.length, "merge output keyed")
+  }
+
+  test("gap-fill emits a dense hour grid with explicit zeros (q137)") {
+    val rows = SparkEntry.queries("q137_gapfill_ma")(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val byType = rows.groupBy(_._1)
+    assert(byType.size == 5)
+    val hours = byType.head._2.map(_._2).sorted
+    byType.foreach { case (t, rs) =>
+      val hs = rs.map(_._2).sorted
+      assert(hs.toSeq == hours.toSeq, s"type $t grid differs")
+      // dense: consecutive hours exactly 3600s (=3.6e9 µs) apart
+      hs.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600000000L, s"gap in $t grid")
+        case _ =>
+      }
+      assert(rs.exists(_._3 == 0L), s"type $t should have filled gaps")
+    }
+  }
+
+  test("Markov transition probabilities sum to one per source state (q139)") {
+    val rows = SparkEntry.queries("q139_markov_transitions")(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (cur, rs) =>
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-4, s"P(.|$cur) sums to 1")
+      assert(rs.map(_._3).sum == rs.head._4, s"total column consistent for $cur")
+    }
+  }
+
+  test("standardized features have zero mean and unit variance per group (q141)") {
+    val rows = SparkEntry.queries("q141_standardize")(spark, sfDir)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    rows.groupBy(_._2).foreach { case (t, rs) =>
+      val zs = rs.map(_._4)
+      val mean = zs.sum / zs.length
+      val varz = zs.map(z => (z - mean) * (z - mean)).sum / zs.length
+      assert(math.abs(mean) < 1e-4, s"$t mean(z)=$mean")
+      assert(math.abs(varz - 1.0) < 1e-3, s"$t var(z)=$varz")
+      // the heavy-tailed fixture has genuine outliers; flags agree with z
+      assert(rs.forall(r => r._5 == (math.abs(r._4) > 3.0)))
+    }
+    assert(rows.exists(_._5), "fixture should contain outliers")
+  }
+
+  test("referential-integrity audit covers the star schema cleanly (q142)") {
+    val rows = SparkEntry.queries("q142_ref_integrity")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 4)
+    // the synthetic star schema is referentially sound — zero orphans,
+    // full child counts audited
+    rows.foreach { case (rel, n, orphans) =>
+      assert(n > 0, s"$rel audited zero rows")
+      assert(orphans == 0L, s"$rel has $orphans orphans")
+    }
+  }
 }
