@@ -170,7 +170,38 @@ object HygieneQueries {
         col("cnt"))
   }
 
+  /** q138: deterministic weighted (priority) sampling — per-source top-20
+    * documents by the priority key u/w, where u is the md5-fraction coin
+    * of the doc id (the q98/q71 reproducibility idiom: pure function of
+    * the id — stable under re-runs, re-partitioning, and appends) and w
+    * is the document's size weight. Low key ⇔ high weight × luck, so
+    * inclusion probability scales with w — the weighted-reservoir recipe
+    * (Efraimidis-Spirakis priority family) with a deterministic coin
+    * instead of an RNG. Arithmetic contract: u/2^52 is a power-of-two
+    * scale (exact), the single divide by w is one correctly-rounded IEEE
+    * op — both engines produce bit-identical keys. Scale: per-group
+    * top-k via window here (the TopKAgg bounded-shuffle twin is proven
+    * equivalent in q121); weights never leave their row, no global sort.
+    */
+  def q138WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(
+      substring(md5(concat(lit("graft-ws-"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val pri = (u.cast("double") / lit(4503599627370496.0)) /
+      col("n_chars").cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"), pri.as("priority"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        round(col("priority"), 9).as("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_weighted_sample" -> (q138WeightedSample _),
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
     "q98_rebalance_sample" -> (q98RebalanceSample _),
     "q100_length_gate" -> (q100LengthGate _),
@@ -194,6 +225,21 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical md5-fraction coin and single-divide priority key
+    "q138_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, n_chars,
+        |         (CAST(('0x' || substr(md5('graft-ws-' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |               AS BIGINT) / 4503599627370496.0)
+        |         / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars, pri,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY pri, doc_id) AS rk
+        |      FROM p)
+        |SELECT source, CAST(rk AS INTEGER) AS rank, doc_id, n_chars,
+        |       round(pri, 9) AS priority
+        |FROM r WHERE rk <= 20""".stripMargin,
     "q105_bpe_pairs" ->
       s"""$WordsCte,
          |wf AS (

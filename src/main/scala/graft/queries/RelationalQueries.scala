@@ -1045,7 +1045,119 @@ object RelationalQueries {
         t(spark, dir, "customer"), "c_custkey"))
   }
 
+  // q143: per-entity EWMA (α = ½) — exponential smoothing of each
+  // user's event values in event-time order, the sequential-state
+  // statistic a streaming scorer keeps per key. The fold is genuinely
+  // order-dependent, so it runs over the user's SORTED event array
+  // (state bounded per key, the flatMapGroupsWithState shape in batch):
+  // e₁ = x₁, eᵢ = xᵢ/2 + eᵢ₋₁/2. α = ½ makes every halving exact and
+  // each step one correctly-rounded IEEE add — the oracle replays the
+  // identical fold (list_reduce over the identically-sorted list), so
+  // the result is bit-deterministic even though the recurrence doesn't
+  // commute. Scale: one hash exchange on user_id; the array is one
+  // user's history (the per-key state bound), never a global structure.
+  def q143Ewma(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("xs"))
+      .select(
+        col("user_id"),
+        size(col("xs")).as("n_events"),
+        round(expr(
+          """aggregate(
+            |  slice(transform(xs, p -> p.value), 2, size(xs) - 1),
+            |  element_at(transform(xs, p -> p.value), 1),
+            |  (acc, x) -> acc / 2 + x / 2)""".stripMargin), 6).as("ewma"))
+
+  // q144: Pareto frontier (skyline) — parts no other part beats on BOTH
+  // unit price (lower) and volume (higher). The frontier is computed
+  // with the q119/q39 "semantics-neutral optimization" contract: a
+  // coarse 64-bucket price grid prunes candidates first (per-bucket max
+  // volume → prefix-max over the tiny bucket table → keep rows beating
+  // every strictly-cheaper bucket's best; conservative, never drops a
+  // true frontier point because prefix-max over lower buckets is a
+  // lower bound of the true cheaper-side max), and only the SURVIVORS
+  // enter the exact single-partition window — so the global sort runs
+  // over the pruned set, not |parts| rows, while the oracle is the
+  // naive full-window formulation and the result must hash-equal it.
+  // Tie rule: among equal (price, volume) the lowest partkey wins.
+  def q144ParetoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pa = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).as("qty_d"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("spend_d"),
+        count(lit(1)).as("n_sales"))
+      .select(
+        col("l_partkey"),
+        col("qty_d").cast("double").as("total_qty"),
+        (col("spend_d").cast("double") / col("qty_d").cast("double"))
+          .as("unit_price"),
+        col("n_sales"))
+      .persist()
+    val mm = pa.agg(min(col("unit_price")).as("lo"), max(col("unit_price")).as("hi"))
+    val bucketed = pa.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("unit_price") - col("lo"))
+            / ((col("hi") - col("lo")) / 64.0)), lit(63.0)).cast("int")))
+    val bucketBest = bucketed.groupBy("bucket")
+      .agg(max(col("total_qty")).as("bqty"))
+      .withColumn("prev_best",
+        max(col("bqty")).over(
+          Window.orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+    val survivors = bucketed
+      .join(broadcast(bucketBest.select(col("bucket"), col("prev_best"))), Seq("bucket"))
+      .filter(col("prev_best").isNull || col("total_qty") > col("prev_best"))
+    val w = Window
+      .orderBy(col("unit_price").asc, col("total_qty").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("best_prev", max(col("total_qty")).over(w))
+      .filter(col("best_prev").isNull || col("total_qty") > col("best_prev"))
+      .select(
+        col("l_partkey"),
+        round(col("unit_price"), 6).as("unit_price"),
+        col("total_qty"), col("n_sales"))
+  }
+
+  // q145: session path mining — the per-session event-type sequence
+  // (q51's 30-minute sessionization) folded to path strings, then path
+  // frequencies — the "common journeys" report. Per-session path
+  // assembly is bounded by session length (the same state bound the
+  // streaming sessionizer holds); the path-frequency agg is key-hashed
+  // on the path string with map-side partials. Ordering inside a path
+  // is total ((ts, event_id) sort before the join), so identical on
+  // both engines.
+  def q145SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+          1).otherwise(0))
+      .withColumn("sid",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sid")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          p => p.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_ewma" -> q143Ewma _,
+    "q144_pareto_frontier" -> q144ParetoFrontier _,
+    "q145_session_paths" -> q145SessionPaths _,
     "q134_merge_upsert" -> q134MergeUpsert _,
     "q135_snapshot_diff" -> q135SnapshotDiff _,
     "q137_gapfill_ma" -> q137GapfillMa _,
@@ -1106,6 +1218,57 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the identical first-element-seeded fold over the identically
+    // sorted list (list_reduce seeds from element 1 like the engine's
+    // aggregate(slice(...,2,...), element_at(...,1), ...))
+    "q143_ewma" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(xs) AS INTEGER) AS n_events,
+        |       round(list_reduce(xs, (acc, x) -> acc / 2 + x / 2), 6) AS ewma
+        |FROM a""".stripMargin,
+    // the NAIVE full-window skyline — the engine's bucket prune must be
+    // invisible in the result (q119's must-equal-plain contract)
+    "q144_pareto_frontier" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS unit_price,
+        |         count(*) AS n_sales
+        |  FROM lineitem GROUP BY l_partkey),
+        |m AS (
+        |  SELECT l_partkey, unit_price, total_qty, n_sales,
+        |         max(total_qty) OVER (
+        |           ORDER BY unit_price, total_qty DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM pa)
+        |SELECT l_partkey, round(unit_price, 6) AS unit_price,
+        |       total_qty, n_sales
+        |FROM m WHERE best_prev IS NULL OR total_qty > best_prev""".stripMargin,
+    "q145_session_paths" ->
+      """WITH mk AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM mk),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
     // changelog compacted to the latest row per key, then the same
     // kept/updated/inserted/deleted decision table as the engine
     "q134_merge_upsert" ->

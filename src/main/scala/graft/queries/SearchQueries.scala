@@ -27,7 +27,28 @@ object SearchQueries {
     "q29_keywords" -> ((s, dir) =>
       Ranking.keywords(docs(s, dir), "text", "doc_id", k = 3)),
     "q27_positional_index" -> ((s, dir) =>
-      Ranking.positionalIndex(docs(s, dir), "text", "doc_id")))
+      Ranking.positionalIndex(docs(s, dir), "text", "doc_id")),
+    // q140: boolean AND search — the index SERVING path: documents
+    // containing EVERY query term. The term predicate filters postings
+    // at the tokenizer (only matching words survive the scan), per-doc
+    // distinct is map-side, and the 3-way postings intersection is one
+    // doc-keyed count-equality aggregate — no join in the hot path (the
+    // trailing source lookup is a key join against the doc table). At
+    // 100 TB the same answer comes from a k-way merge of the PREBUILT
+    // index's postings (q27/q76) — term-keyed, so each query term reads
+    // one posting list, not the corpus.
+    "q140_boolean_search" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tok = docs(s, dir)
+        .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+      tok.filter(col("word").isin(Bm25Terms: _*))
+        .select(col("doc_id"), col("word")).distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === Bm25Terms.length)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"))
+    }))
 
   /** DuckDB word-array CTE — the SQL twin of TextFunctions.wordsArr (the
     * text-pipeline `[a-z0-9]` alphabet, same as TextQueries.WordsCte).
@@ -98,5 +119,13 @@ object SearchQueries {
          |         list_transform(
          |           list_filter(range(0, len(w)), i -> w[i+1] = word),
          |           i -> CAST(i AS VARCHAR)), ' ') AS positions
-         |FROM dw2""".stripMargin)
+         |FROM dw2""".stripMargin,
+    "q140_boolean_search" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |hit AS (SELECT doc_id FROM toks
+         |        WHERE word IN ('hash', 'join', 'scan')
+         |        GROUP BY doc_id HAVING count(DISTINCT word) = 3)
+         |SELECT h.doc_id, d.source
+         |FROM hit h JOIN documents d USING (doc_id)""".stripMargin)
 }

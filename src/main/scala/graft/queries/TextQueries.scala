@@ -291,6 +291,35 @@ object TextQueries {
           round(col("slp").cast("double") / col("n_bigrams") / 1e6, 6)
             .as("mean_logcond"))
     }),
+    // q136: PMI collocations — pointwise mutual information over bigram
+    // occurrences: pmi(a,b) = ln(c_ab·N / (c_a•·c_•b)), the collocation
+    // / multi-word-expression detector (the statistic behind "New York"
+    // vs "the the"). ONE corpus scan produces bigram occurrences (native
+    // generator, shuffle-free); everything downstream is vocabulary²-
+    // bounded: the bigram counts, the two positional marginal tables,
+    // and their word-keyed joins (broadcastable at any corpus size —
+    // marginals grow with the VOCABULARY, not the corpus). Counts are
+    // exact integers; the single ln of an exactly-computed double ratio
+    // rounds at 6dp on both engines (the q88/q92 recipe).
+    "q136_pmi_collocations" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val bg = docs(s, dir).select(
+        graft.functions.WordNgrams(col("text"), 2, distinct = false).as("bg"))
+      val bgf = bg.groupBy("bg").agg(count(lit(1)).as("cab")).persist()
+      val tot = bgf.agg(sum(col("cab")).as("nbg"))
+      val first = bgf.groupBy(substring_index(col("bg"), " ", 1).as("wa"))
+        .agg(sum(col("cab")).as("ca"))
+      val second = bgf.groupBy(substring_index(col("bg"), " ", -1).as("wb"))
+        .agg(sum(col("cab")).as("cb"))
+      bgf.filter(col("cab") >= 5)
+        .join(first, substring_index(col("bg"), " ", 1) === col("wa"))
+        .join(second, substring_index(col("bg"), " ", -1) === col("wb"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("bg").as("bigram"), col("cab"), col("ca"), col("cb"),
+          round(log(col("cab").cast("double") * col("nbg").cast("double")
+            / (col("ca").cast("double") * col("cb").cast("double"))), 6).as("pmi"))
+    }),
     // q94: packing-efficiency report over q84's sequence packing — per
     // bucket: docs, total tokens, packed sequence count, padding waste in
     // the final partial sequence, and fill ratio. The observability stat
@@ -396,6 +425,28 @@ object TextQueries {
     // mirrors q92: bigram occurrences from the word array (len<2 emits
     // nothing, matching the generator's occurrence mode), prefix counts
     // summed from the bigram table, fixed-point ln before the integer sum
+    // same bigram CTE as q92; marginals per position, one ln, 6dp
+    "q136_pmi_collocations" ->
+      s"""$WordsCte,
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(w)),
+         |                        i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM wd),
+         |bgf AS (SELECT bg, count(*) AS cab FROM bg GROUP BY bg),
+         |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS nbg FROM bgf),
+         |fst AS (SELECT split_part(bg, ' ', 1) AS wa,
+         |               CAST(sum(cab) AS BIGINT) AS ca FROM bgf GROUP BY 1),
+         |snd AS (SELECT split_part(bg, ' ', 2) AS wb,
+         |               CAST(sum(cab) AS BIGINT) AS cb FROM bgf GROUP BY 1)
+         |SELECT f.bg AS bigram, f.cab, fst.ca, snd.cb,
+         |       round(ln((CAST(f.cab AS DOUBLE) * CAST(tot.nbg AS DOUBLE))
+         |                / (CAST(fst.ca AS DOUBLE) * CAST(snd.cb AS DOUBLE))), 6)
+         |         AS pmi
+         |FROM bgf f
+         |JOIN fst ON split_part(f.bg, ' ', 1) = fst.wa
+         |JOIN snd ON split_part(f.bg, ' ', 2) = snd.wb
+         |CROSS JOIN tot
+         |WHERE f.cab >= 5""".stripMargin,
     "q92_bigram_coherence" ->
       s"""$WordsCte,
          |bg AS (

@@ -36,7 +36,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q129_grouping_sets", "q130_name_match", "q131_multi_touch",
     "q132_revenue_share", "q133_association_rules",
     "q134_merge_upsert", "q135_snapshot_diff", "q137_gapfill_ma",
-    "q139_markov_transitions", "q141_standardize", "q142_ref_integrity")
+    "q139_markov_transitions", "q141_standardize", "q142_ref_integrity",
+    "q136_pmi_collocations", "q138_weighted_sample", "q140_boolean_search",
+    "q143_ewma", "q144_pareto_frontier", "q145_session_paths")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

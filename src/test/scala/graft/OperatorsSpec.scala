@@ -375,6 +375,57 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._5), "fixture should contain outliers")
   }
 
+  test("Pareto frontier is strictly monotone in both dimensions (q144)") {
+    val rows = SparkEntry.queries("q144_pareto_frontier")(spark, sfDir)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._2)
+    assert(rows.nonEmpty)
+    // walked in price order, volume must strictly increase — otherwise a
+    // cheaper part with >= volume would dominate the later one
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._3 < b._3,
+          s"frontier not monotone: $a then $b")
+      case _ =>
+    }
+  }
+
+  test("weighted sampling over-represents heavy documents (q138)") {
+    val sampled = SparkEntry.queries("q138_weighted_sample")(spark, sfDir)
+      .select("n_chars").as[Long].collect()
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("n_chars").as[Long].collect()
+    // priority keys u/w make big docs likelier picks: the sampled mean
+    // size must exceed the corpus mean by a clear margin
+    val ms = sampled.sum.toDouble / sampled.length
+    val ma = all.sum.toDouble / all.length
+    assert(ms > ma * 1.1, s"sampled mean $ms vs corpus mean $ma")
+  }
+
+  test("EWMA lands inside each user's value range (q143)") {
+    val ew = SparkEntry.queries("q143_ewma")(spark, sfDir)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ranges = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+      .as[(Long, Double, Double)].collect()
+    assert(ranges.nonEmpty)
+    ranges.foreach { case (u, lo, hi) =>
+      val e = ew(u)
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"user $u ewma $e outside [$lo,$hi]")
+    }
+  }
+
+  test("session paths are well-formed event-type chains (q145)") {
+    val rows = SparkEntry.queries("q145_session_paths")(spark, sfDir)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { case (path, n) =>
+      assert(n >= 5)
+      assert(path.split(">").forall(types.contains), s"bad path $path")
+    }
+  }
+
   test("referential-integrity audit covers the star schema cleanly (q142)") {
     val rows = SparkEntry.queries("q142_ref_integrity")(spark, sfDir)
       .as[(String, Long, Long)].collect()
