@@ -1154,7 +1154,100 @@ object RelationalQueries {
       .filter(col("n_sessions") >= 5)
   }
 
+  // q146: OHLC bars — per (type, hour): opening/closing value (first/
+  // last by the total (ts, event_id) order), high, low, volume — the
+  // time-series downsampling shape every monitoring/finance pipeline
+  // runs. Open/close come from TWO row_number passes (asc + desc) over
+  // the SAME partition keys — one exchange, two in-partition sorts —
+  // because composite-key arg_min isn't portable to the oracle; the
+  // group-by then rides the window's partitioning. Scale: bars are
+  // (types × hours)-bounded; everything map-side-combines after the one
+  // exchange.
+  def q146OhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq(col("event_type"), col("hour"))
+    val wAsc = Window.partitionBy(keys: _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(
+        col("event_type"), unix_micros(col("hour")).as("hour_us"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
+  // q147: MAD robust outliers — median absolute deviation scoring, the
+  // outlier detector that (unlike q141's z-score) a few extreme points
+  // can't poison: robust_z = (x − median) / MAD. Two exact-percentile
+  // passes (the established Spark `percentile` == DuckDB `quantile_cont`
+  // parity): the per-type median, then the median of |x − med| over the
+  // deviations; both 6dp-rounded BEFORE the score (q120's rule) so both
+  // engines score identical operands. Stats tables are |types|-sized →
+  // broadcast joins; the score is a narrow projection.
+  def q147MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        round((col("value") - col("med")) / col("mad"), 6).as("robust_z"),
+        (abs((col("value") - col("med")) / col("mad")) > lit(3.5)).as("is_outlier"))
+  }
+
+  // q148: co-purchase recommendations — item-item cosine similarity
+  // over order baskets (cᵃᵇ/√(cᵃ·cᵇ)), top-5 per part: the classic
+  // "customers also bought" collaborative filter. The pair generator is
+  // the basket self-join on the ORDER key — fanout bounded by Σ|basket|²
+  // (baskets average ~4 items), never a cross product (PlanSpec-
+  // guarded); pair counts and item frequencies are item²-/item-bounded
+  // aggregates. cᵃ·cᵇ is an exact integer product, so √ and the divide
+  // are single correctly-rounded ops — deterministic ranking with the
+  // (cosine desc, rec asc) total tie-break.
+  def q148CopurchaseRecs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val freq = b.groupBy(col("pk")).agg(count(lit(1)).as("c")).persist()
+    val pairs = b.select(col("ok"), col("pk").as("pa"))
+      .join(b.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+    val sym = pairs.unionByName(
+      pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("cab")))
+    val scored = sym
+      .join(freq.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(freq.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+      .withColumn("cosine",
+        col("cab").cast("double") / sqrt((col("ca") * col("cb")).cast("double")))
+    val w = Window.partitionBy(col("pa"))
+      .orderBy(col("cosine").desc, col("pb").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(
+        col("pa").as("part"), col("rank"), col("pb").as("rec"),
+        col("cab"), col("ca"), col("cb"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_ohlc_bars" -> q146OhlcBars _,
+    "q147_mad_outliers" -> q147MadOutliers _,
+    "q148_copurchase_recs" -> q148CopurchaseRecs _,
     "q143_ewma" -> q143Ewma _,
     "q144_pareto_frontier" -> q144ParetoFrontier _,
     "q145_session_paths" -> q145SessionPaths _,
@@ -1218,6 +1311,65 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical double row_number formulation — first/last by the same
+    // total (ts, event_id) order
+    "q146_ohlc_bars" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                            ORDER BY ts, event_id) AS rna,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events)
+        |SELECT event_type, epoch_us(hour) AS hour_us,
+        |       MAX(CASE WHEN rna = 1 THEN value END) AS open,
+        |       MAX(value) AS high,
+        |       MIN(value) AS low,
+        |       MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+        |       count(*) AS volume
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    // quantile_cont == Spark percentile (q58 parity); med/mad rounded
+    // before scoring exactly like the engine
+    "q147_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |         abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+        |       round((d.value - d.med) / a.mad, 6) AS robust_z,
+        |       (abs((d.value - d.med) / a.mad) > 3.5) AS is_outlier
+        |FROM dev d JOIN mad a USING (event_type)""".stripMargin,
+    "q148_copurchase_recs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, count(*) AS c FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b2.pk AS pb, count(*) AS cab
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT pa, pb, cab FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, cab FROM pairs),
+        |scored AS (
+        |  SELECT s.pa, s.pb, s.cab, fa.c AS ca, fb.c AS cb,
+        |         CAST(s.cab AS DOUBLE) / sqrt(CAST(fa.c * fb.c AS DOUBLE)) AS cosine
+        |  FROM sym s
+        |  JOIN freq fa ON fa.pk = s.pa
+        |  JOIN freq fb ON fb.pk = s.pb),
+        |r AS (
+        |  SELECT pa, pb, cab, ca, cb, cosine,
+        |         row_number() OVER (PARTITION BY pa
+        |                            ORDER BY cosine DESC, pb) AS rank
+        |  FROM scored)
+        |SELECT pa AS part, CAST(rank AS INTEGER) AS rank, pb AS rec,
+        |       cab, ca, cb, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
     // the identical first-element-seeded fold over the identically
     // sorted list (list_reduce seeds from element 1 like the engine's
     // aggregate(slice(...,2,...), element_at(...,1), ...))

@@ -158,6 +158,38 @@ object StreamingOps {
 
   case class SessionState(start: Long, lastSeen: Long, n: Int)
 
+  case class ValEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class EwmaState(ewma: Double, n: Long)
+  case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Per-key EWMA (α = ½) as streaming state — the q143 batch fold run
+    * incrementally: state per key is O(1) (current smoothed value +
+    * count); each micro-batch's events fold in (ts, event_id) order ON
+    * TOP of the carried state, so for in-order delivery the stream's
+    * final answer bit-equals the batch fold over the full history
+    * (eᵢ = xᵢ/2 + eᵢ₋₁/2 is computed step-for-step identically —
+    * parity asserted in StreamingSpec). The per-batch sort is bounded
+    * by one key's batch arrivals, the mapGroupsWithState analog of
+    * q143's per-user sorted array.
+    */
+  def ewmaPerKey(events: Dataset[ValEvent]): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaUpdate](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[EwmaState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(e.value, 1L)
+              else EwmaState(st.ewma / 2 + e.value / 2, st.n + 1)
+          }
+          state.update(st)
+          EwmaUpdate(uid, st.n, st.ewma)
+      }
+  }
+
   /** Gap-based sessionization (30-min inactivity) with event-time timeout.
     * State per user is O(1) (start, lastSeen, count) — the custom-state
     * pattern (KeyValueGroupedDataset.flatMapGroupsWithState) that covers

@@ -38,7 +38,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q134_merge_upsert", "q135_snapshot_diff", "q137_gapfill_ma",
     "q139_markov_transitions", "q141_standardize", "q142_ref_integrity",
     "q136_pmi_collocations", "q138_weighted_sample", "q140_boolean_search",
-    "q143_ewma", "q144_pareto_frontier", "q145_session_paths")
+    "q143_ewma", "q144_pareto_frontier", "q145_session_paths",
+    "q146_ohlc_bars", "q147_mad_outliers", "q148_copurchase_recs")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -426,6 +426,38 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("OHLC bars bound open/close inside [low, high] (q146)") {
+    val rows = SparkEntry.queries("q146_ohlc_bars")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, h, open, high, low, close, vol) =>
+      assert(low <= high, s"$t@$h")
+      assert(open >= low && open <= high, s"$t@$h open outside range")
+      assert(close >= low && close <= high, s"$t@$h close outside range")
+      assert(vol > 0)
+      if (vol == 1) assert(open == close && open == high && high == low)
+    }
+  }
+
+  test("co-purchase cosine is symmetric and properly ranked (q148)") {
+    val rows = SparkEntry.queries("q148_copurchase_recs")(spark, sfDir)
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, cab, ca, cb, cos) =>
+      assert(cab <= math.min(ca, cb), "pair count bounded by item counts")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-9, s"cosine $cos out of range")
+    }
+    // ranks are 1..k dense per part, ordered by non-increasing cosine
+    rows.groupBy(_._1).foreach { case (part, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq, s"part $part ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._7 >= b._7 - 1e-9, s"part $part rank order")
+        case _ =>
+      }
+    }
+  }
+
   test("referential-integrity audit covers the star schema cleanly (q142)") {
     val rows = SparkEntry.queries("q142_ref_integrity")(spark, sfDir)
       .as[(String, Long, Long)].collect()

@@ -85,7 +85,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "q78_decontaminate", "q89_semantic_dedup", "q96_dup_passage_fraction",
         "q97_dedup_cross_corpus", "q101_passage_dedup", "q103_dup_spans",
         "q112_ivf_pq_knn", "q115_textrank", "q117_index_compaction",
-        "q127_source_overlap", "q130_name_match")) {
+        "q127_source_overlap", "q130_name_match",
+        // co-purchase pairs: basket self-join must stay keyed on order
+        "q148_copurchase_recs")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
