@@ -1244,7 +1244,96 @@ object RelationalQueries {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  // q149: join-key skew profiler — the diagnostic that decides WHEN to
+  // reach for q39's salted join: per-key row counts on the probe side,
+  // the global shape (keys, rows, max) in one extra fold, and the
+  // top-10 hottest keys with their skew factor (count ÷ mean count =
+  // cnt·n_keys/n_rows, an exact integer ratio). Scale: the per-key count
+  // partial-aggregates map-side; the top-10 is a TakeOrdered, never a
+  // full sort; the one-row stats table broadcasts back.
+  def q149SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt")).persist()
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    counts
+      .orderBy(col("cnt").desc, col("l_orderkey").asc).limit(10)
+      .crossJoin(broadcast(stats))
+      .select(
+        col("l_orderkey"), col("cnt"), col("n_keys"), col("n_rows"),
+        round(col("cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew_factor"))
+  }
+
+  // q150: triangle counting — the graph-analytics cohesion statistic,
+  // run on the co-purchase graph (distinct basket pairs with support
+  // ≥ 2). Edges carry the a<b orientation, so each triangle is
+  // enumerated exactly once by two equi-joins: (a,b)⋈(b,c) extends
+  // wedges, (a,c) membership closes them — never a cross product. At
+  // power-law scale the same plan runs on a DEGREE-ordered orientation
+  // (hubs get out-degree ~√|E|, bounding wedge fanout); the id
+  // orientation here keeps the oracle portable.
+  def q150TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("ok"), col("pk").as("pa"))
+      .join(
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+          .select(col("ok"), col("pk").as("pb")),
+        Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+      .persist()
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c"), lit(1).as("closed")), Seq("a", "c"))
+    val nodes = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nodes))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  // q151: LOCF backfill (last observation carried forward) — per-user
+  // daily last values on a DENSE day grid, gaps filled by carrying the
+  // most recent observation forward: the standard time-series
+  // imputation before feature windows. Day-level last values reuse the
+  // q146 row_number idiom; the grid is (users × days)-bounded (q137's
+  // densify); the carry is one `last(..., ignoreNulls)` frame per user.
+  def q151LocfBackfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val wDesc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev.withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("rnd", row_number().over(wDesc))
+      .filter(col("rnd") === 1)
+      .select(col("user_id"), col("day"), col("value").as("obs"))
+    val bounds = ev.agg(
+      date_trunc("day", min(col("ts"))).as("lo"),
+      date_trunc("day", max(col("ts"))).as("hi"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"), unix_micros(col("day")).as("day_us"),
+        last(col("obs"), ignoreNulls = true).over(carry).as("value_filled"),
+        col("obs").isNotNull.as("is_observed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_skew_profile" -> q149SkewProfile _,
+    "q150_triangle_count" -> q150TriangleCount _,
+    "q151_locf_backfill" -> q151LocfBackfill _,
     "q146_ohlc_bars" -> q146OhlcBars _,
     "q147_mad_outliers" -> q147MadOutliers _,
     "q148_copurchase_recs" -> q148CopurchaseRecs _,
@@ -1311,6 +1400,50 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q149_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |       FROM counts)
+        |SELECT l_orderkey, cnt, n_keys, n_rows,
+        |       round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |             / CAST(n_rows AS DOUBLE), 6) AS skew_factor
+        |FROM counts CROSS JOIN st
+        |ORDER BY cnt DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q150_triangle_count" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS pa, b2.pk AS pb, count(*) AS cab
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2),
+        |e AS (SELECT pa AS a, pb AS b FROM p WHERE cab >= 2),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |tr AS (SELECT count(*) AS n_triangles
+        |       FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+        |n AS (SELECT count(DISTINCT x) AS n_nodes
+        |      FROM (SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+        |m AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles
+        |FROM n CROSS JOIN m CROSS JOIN tr""".stripMargin,
+    "q151_locf_backfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, obs FROM (
+        |    SELECT user_id, date_trunc('day', ts) AS day, value AS obs,
+        |           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |                              ORDER BY ts DESC, event_id DESC) AS rnd
+        |    FROM events) WHERE rnd = 1),
+        |bnd AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |               date_trunc('day', max(ts)) AS hi FROM events),
+        |grid AS (
+        |  SELECT u.user_id,
+        |         unnest(generate_series(bnd.lo, bnd.hi, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN bnd)
+        |SELECT g.user_id, epoch_us(g.day) AS day_us,
+        |       last_value(d.obs IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       (d.obs IS NOT NULL) AS is_observed
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
     // identical double row_number formulation — first/last by the same
     // total (ts, event_id) order
     "q146_ohlc_bars" ->

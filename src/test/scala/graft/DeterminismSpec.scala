@@ -39,7 +39,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q139_markov_transitions", "q141_standardize", "q142_ref_integrity",
     "q136_pmi_collocations", "q138_weighted_sample", "q140_boolean_search",
     "q143_ewma", "q144_pareto_frontier", "q145_session_paths",
-    "q146_ohlc_bars", "q147_mad_outliers", "q148_copurchase_recs")
+    "q146_ohlc_bars", "q147_mad_outliers", "q148_copurchase_recs",
+    "q149_skew_profile", "q150_triangle_count", "q151_locf_backfill")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

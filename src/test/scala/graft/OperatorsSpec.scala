@@ -458,6 +458,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("skew profile surfaces above-average keys in hot order (q149)") {
+    val rows = SparkEntry.queries("q149_skew_profile")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    // hottest keys must sit above the mean (skew factor > 1) and the
+    // factor must be the exact integer ratio cnt*keys/rows at 6dp
+    rows.foreach { case (_, cnt, keys, total, skew) =>
+      assert(skew > 1.0, s"hot key below mean: $skew")
+      assert(math.abs(skew - cnt.toDouble * keys / total) < 1e-6)
+    }
+  }
+
+  test("triangle census is internally consistent (q150)") {
+    val Array((nodes, edges, tris)) =
+      SparkEntry.queries("q150_triangle_count")(spark, sfDir)
+        .as[(Long, Long, Long)].collect()
+    assert(nodes > 0 && edges > 0)
+    // a graph can't have more edges than node pairs, nor more triangles
+    // than edge-extensions
+    assert(edges <= nodes * (nodes - 1) / 2)
+    assert(tris <= edges * nodes)
+  }
+
+  test("LOCF backfill carries the latest observation and only that (q151)") {
+    val rows = SparkEntry.queries("q151_locf_backfill")(spark, sfDir)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var lastObs: Option[Double] = None
+      sorted.foreach { case (_, day, filled, observed) =>
+        if (observed) {
+          assert(filled.isDefined, s"user $u day $day observed but empty")
+          lastObs = filled
+        } else {
+          assert(filled == lastObs, s"user $u day $day carried wrong value")
+        }
+      }
+      assert(sorted.exists(_._4), s"user $u has no observations at all")
+    }
+  }
+
   test("referential-integrity audit covers the star schema cleanly (q142)") {
     val rows = SparkEntry.queries("q142_ref_integrity")(spark, sfDir)
       .as[(String, Long, Long)].collect()
