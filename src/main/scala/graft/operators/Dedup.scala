@@ -231,6 +231,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered exact-Jaccard join (the PPJoin/AllPairs family):
+    * same answer as [[ngramJaccard]] at the same threshold, but candidate
+    * pairs come only from each document's PREFIX — its
+    * `n − ⌈τ·n⌉ + 1` rarest shingles under one global total order
+    * (document frequency ascending, shingle ascending as the
+    * tie-break). The pigeonhole guarantee: any pair with
+    * `J ≥ τ` has overlap `o ≥ ⌈τ·max(|a|,|b|)⌉` (since `o ≤ min(|a|,|b|)`),
+    * so skipping the last `⌈τ·n⌉ − 1` elements of each set under a SHARED
+    * order cannot skip every shared element — every qualifying pair
+    * collides on at least one prefix shingle. Exact verification then
+    * removes false candidates, so the operator is semantics-neutral
+    * (spec-pinned equal to the naive formulation; the oracle IS the naive
+    * formulation).
+    *
+    * Scale: the candidate self-join touches `C(prefix-df, 2)` per shingle
+    * instead of `C(df, 2)` — and because prefixes keep the RAREST
+    * shingles, prefix-df is small exactly where df is large (at τ=0.5
+    * each side drops half its set, and the dropped half is the
+    * high-df half). Prefix ranks come from ONE exchange: a window
+    * partitioned by document computes rank and set size together,
+    * per-partition state bounded by document length. Verification joins
+    * the (tiny) candidate table to the shingle table on
+    * (id, shingle) — cost ∝ |candidates| × doc size, never corpus².
+    */
+  def prefixFilterJaccard(
+      docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shinglePairs(docs, textCol, idCol, shingleN).persist()
+    // global rarity order: df per shingle is vocabulary-sized → broadcast
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh"))
+    val ranked = sh.join(broadcast(df), "sh")
+      .select(col(idCol), col("sh"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col(idCol))).as("n"))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col(idCol), col("sh"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("sh"))
+      .join(prefix.select(col(idCol).as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().persist()
+    val sizes = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n"))
+    // verify: fan each candidate pair over a's shingles, probe b's
+    // (id, shingle) pairs — intersection counts without a corpus self-join
+    val inter = sh.select(col(idCol).as("id_a"), col("sh"))
+      .join(cand, "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** End-to-end near-dup removal: keep only each cluster's keeper (the
     * MINIMUM id = the component label) plus every document in no cluster
     * at all. Composition of [[connectedComponents]] with a left-anti

@@ -170,4 +170,65 @@ object Ranking {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Sparse TF-IDF cosine similarity pairs — the LEXICAL document-vector
+    * twin of the dense embedding cosine (q34): each document is a sparse
+    * vector of 6dp-quantized TF-IDF weights over the sub-`maxDfFrac`
+    * vocabulary, and pairs with cosine ≥ threshold are found via the
+    * inverted-index join (shared word ⇒ nonzero dot-product term), never
+    * a cross product.
+    *
+    * Dropping words with `df > maxDfFrac·N` is part of the operator's
+    * DEFINITION (mirrored by the oracle), not an approximation knob: a
+    * word in every document has weight `ln(N/N) = 0`, and near-ubiquitous
+    * words contribute ~nothing to cosine while costing `C(df, 2)` join
+    * fan-out each. Classic stop-word pruning, data-derived.
+    *
+    * Determinism: weights are `round(tf·ln(N/df), 6)` cast to
+    * `decimal(18,6)` (kept at 18 so a decimal×decimal product stays
+    * inside both engines' 38-digit cap); dot products and squared norms
+    * are EXACT decimal
+    * sums of decimal products (partition-order-invariant — no double is
+    * ever summed across rows); the final cosine divides through doubles
+    * once, per pair, then rounds to 6dp.
+    *
+    * Scale: the weighted-vector table is the q8 TF-IDF plan (one token
+    * shuffle + broadcast df); norms are one doc-keyed agg of it; the dot
+    * join is C(df,2)-bounded per word with the blowup words removed by
+    * construction.
+    */
+  def sparseCosinePairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxDfFrac: Double = 0.1): DataFrame = {
+    val tf = tokens(docs, textCol, idCol)
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .select(
+        col(idCol), col("word"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .cast("decimal(18,6)").as("wt"))
+      .persist()
+    val norms = w.groupBy(col(idCol).as("id"))
+      .agg(sum(col("wt") * col("wt")).as("nrm"))
+    w.select(col(idCol).as("id_a"), col("word"), col("wt").as("wa"))
+      .join(w.select(col(idCol).as("id_b"), col("word"), col("wt").as("wb")),
+        Seq("word"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("dot").cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -226,7 +226,21 @@ object DedupQueries {
       "doc_id")
   }
 
+  /** q152: prefix-filtered exact-Jaccard self-join (PPJoin/AllPairs
+    * family) at τ=0.5 — the SAME answer as the naive shared-shingle
+    * formulation (which IS the oracle), found while generating candidates
+    * only from each document's rarest `n − ⌈τn⌉ + 1` shingles under one
+    * global (df, shingle) order. The scale story vs q32's df-cap: the
+    * df cap CHANGES the answer on capped shingles; the prefix filter is
+    * exact at any scale, and at τ=0.5 halves every set — dropping
+    * precisely the high-df half that causes the C(df,2) blowup. See
+    * [[Dedup.prefixFilterJaccard]] for the pigeonhole argument.
+    */
+  def q152PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccard(docs(spark, dir), "text", "doc_id", threshold = 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_prefix_filter_join" -> (q152PrefixFilterJoin _),
     "q114_cluster_weights" -> (q114ClusterWeights _),
     "q37_dup_clusters" -> (q37DupClusters _),
     "q38_dedup_apply" -> (q38DedupApply _),
@@ -295,6 +309,27 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the PLAIN exact-Jaccard join at τ=0.5: the prefix filter is
+    // semantics-neutral, so the oracle is the un-filtered formulation
+    "q152_prefix_filter_join" ->
+      s"""$ShingleCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT * FROM (
+         |  SELECT i.id_a, i.id_b,
+         |         round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
     // mirrors q96 on the shared shingle CTE (incl. the short-doc
     // whole-document fallback)
     "q96_dup_passage_fraction" ->

@@ -200,7 +200,67 @@ object HygieneQueries {
         round(col("priority"), 9).as("priority"))
   }
 
+  /** q154: k-anonymity audit over the release metadata — the governance
+    * gate before publishing a corpus: any quasi-identifier combination
+    * matching fewer than k=5 documents re-identifies its members. Audited
+    * at TWO generalization levels of the QI lattice in one scan via
+    * GROUPING SETS (the same Expand + single hash-agg plan as q129):
+    * level 0 = (lang, source, length bucket), level 1 = (lang, source)
+    * after suppressing the length column. Output is the per-level
+    * violation summary — groups below k and total rows at risk. Scale:
+    * the Expand doubles the scan rows but the shuffle carries only group
+    * keys; the violation filter runs on the (tiny) group table.
+    */
+  def q154KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_b"))
+      .createOrReplaceTempView("docs_q154")
+    spark.sql(
+      """SELECT level, count(*) AS n_violating_groups,
+        |       sum(n_rows) AS n_rows_at_risk
+        |FROM (
+        |  SELECT CAST(grouping(len_b) AS INT) AS level, lang, source, len_b,
+        |         count(*) AS n_rows
+        |  FROM docs_q154
+        |  GROUP BY GROUPING SETS ((lang, source, len_b), (lang, source)))
+        |WHERE n_rows < 5
+        |GROUP BY level""".stripMargin)
+  }
+
+  /** q155: small-files compaction plan — the table-maintenance step that
+    * keeps a 100 TB lake readable: per source, documents are packed in
+    * doc_id order into target-size output bins by START-offset bucketing
+    * (`bin = ⌊(cum − size)/target⌋`, so a document starting inside bin b
+    * belongs to b; every bin except a group's last holds ≥ target bytes
+    * and overshoots by less than one document). One window exchange
+    * partitioned by source computes the running offset; the plan rows —
+    * per-bin file counts, byte totals and id ranges — are what a
+    * compaction executor (or a `maxRecordsPerFile`-style writer) takes
+    * as its manifest. Deterministic: integer cumulative sums, no RNG.
+    * Scale: per-source window state is one running long; giant sources
+    * shard hierarchically (bin within shard) with the same arithmetic.
+    */
+  def q155CompactionBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_chars")) / lit(4000)).cast("long"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_k_anonymity" -> (q154KAnonymity _),
+    "q155_compaction_bins" -> (q155CompactionBins _),
     "q138_weighted_sample" -> (q138WeightedSample _),
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
     "q98_rebalance_sample" -> (q98RebalanceSample _),
@@ -225,6 +285,30 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same two-level QI lattice; DuckDB's GROUPING SETS + grouping()
+    "q154_k_anonymity" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars // 100 AS len_b FROM documents),
+        |g AS (
+        |  SELECT CAST(grouping(len_b) AS INT) AS level, lang, source, len_b,
+        |         count(*) AS n_rows
+        |  FROM d
+        |  GROUP BY GROUPING SETS ((lang, source, len_b), (lang, source)))
+        |SELECT level, count(*) AS n_violating_groups,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_rows_at_risk
+        |FROM g WHERE n_rows < 5
+        |GROUP BY level""".stripMargin,
+    // identical start-offset bucketing arithmetic on integer sums
+    "q155_compaction_bins" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - n_chars) // 4000 AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM c GROUP BY 1, 2""".stripMargin,
     // identical md5-fraction coin and single-divide priority key
     "q138_weighted_sample" ->
       """WITH p AS (

@@ -37,6 +37,11 @@ object SearchQueries {
     // 100 TB the same answer comes from a k-way merge of the PREBUILT
     // index's postings (q27/q76) — term-keyed, so each query term reads
     // one posting list, not the corpus.
+    // q153: sparse TF-IDF cosine pairs — the lexical document-vector
+    // similarity join over the inverted index (see
+    // Ranking.sparseCosinePairs for the determinism + scale contract)
+    "q153_sparse_cosine" -> ((s, dir) =>
+      Ranking.sparseCosinePairs(docs(s, dir), "text", "doc_id", threshold = 0.3)),
     "q140_boolean_search" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val tok = docs(s, dir)
@@ -120,6 +125,34 @@ object SearchQueries {
          |           list_filter(range(0, len(w)), i -> w[i+1] = word),
          |           i -> CAST(i AS VARCHAR)), ' ') AS positions
          |FROM dw2""".stripMargin,
+    // decimal(18,6) weights so wt*wt stays inside DuckDB's 38-digit
+    // product cap; sums are exact decimals on both engines
+    "q153_sparse_cosine" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |wt AS (
+         |  SELECT tf.doc_id, tf.word,
+         |         CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 6)
+         |              AS DECIMAL(18,6)) AS wt
+         |  FROM tf JOIN dfx USING (word) CROSS JOIN n
+         |  WHERE dfx.df <= n.n_docs * 0.1),
+         |nrm AS (SELECT doc_id, sum(wt * wt) AS nrm FROM wt GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
+         |  FROM wt a JOIN wt b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT d.id_a, d.id_b,
+         |         round(CAST(d.dot AS DOUBLE)
+         |               / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)),
+         |               6) AS cosine
+         |  FROM dots d
+         |  JOIN nrm na ON na.doc_id = d.id_a
+         |  JOIN nrm nb ON nb.doc_id = d.id_b)
+         |WHERE cosine >= 0.3""".stripMargin,
     "q140_boolean_search" ->
       s"""$WordsCte,
          |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
