@@ -110,6 +110,41 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q159: train/eval split-leakage removal — assign the q71 md5-prefix
+    * split, then drop every val/test document whose 3-token-shingle
+    * CONTAINMENT in the train split is >= 1/2 (more than half of the
+    * doc's shingles also appear in some train doc): the eval-set
+    * decontamination a pipeline runs before publishing a held-out split
+    * (q78 is the same shape against an EXTERNAL benchmark; this one is
+    * split-aware against the corpus itself, so the leak set is
+    * data-dependent). The threshold compares as `2·n_shared >= n_own` —
+    * exact integer arithmetic, no float boundary to drift between
+    * engines. Scale shape: candidates come from the shared-shingle
+    * equality join (cross-product-free, like q78/q97); both counts are
+    * per-eval-doc hash aggs; the leaked-id set is at most eval-sized and
+    * feeds one left-anti join. The split is a pure projection of the id,
+    * so both engines assign it identically.
+    */
+  def q159SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.Curation.hashSplit(
+      docs(spark, dir).select("doc_id", "text"), "doc_id",
+      Seq("test" -> "1a", "val" -> "34"), "train")
+    val trainSh = Dedup
+      .shinglePairs(d.filter(col("split") === "train"), "text", "doc_id")
+      .select("sh").distinct()
+    val evalDocs = d.filter(col("split") =!= "train")
+    // eval-side shingles feed both counts; runner owns the cache lifecycle
+    val evalSh = Dedup.shinglePairs(evalDocs, "text", "doc_id").persist()
+    val own = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_own"))
+    val shared = evalSh.join(trainSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val leaked = own.join(shared, Seq("doc_id"))
+      .filter(col("n_shared") * 2 >= col("n_own"))
+      .select("doc_id")
+    evalDocs.join(leaked, Seq("doc_id"), "left_anti")
+      .select("doc_id", "split")
+  }
+
   /** q93: Bloom-sketch benchmark decontamination — q78's scale variant
     * for when the benchmark n-gram set is too large to broadcast as an
     * exact set (100M eval n-grams ≈ GBs of strings, vs ~3.4 bytes/item
@@ -252,6 +287,7 @@ object DedupQueries {
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q77_simhash64_pairs" -> (q77Simhash64Pairs _),
     "q78_decontaminate" -> (q78Decontaminate _),
+    "q159_split_leakage" -> (q159SplitLeakage _),
     "q79_repetition" -> (q79Repetition _),
     "q93_bloom_decontaminate" -> (q93BloomDecontaminate _),
     "q96_dup_passage_fraction" -> (q96DupPassageFraction _),
@@ -495,6 +531,37 @@ object DedupQueries {
         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 7""".stripMargin,
+    // the split is the q71 md5-prefix projection; leak = train-shingle
+    // containment >= 1/2, compared as 2·n_shared >= n_own (exact ints)
+    "q159_split_leakage" ->
+      s"""$ShingleCte,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM documents),
+         |tr AS (
+         |  SELECT DISTINCT s.sh
+         |  FROM sh s JOIN sp ON sp.doc_id = s.doc_id
+         |  WHERE sp.split = 'train'),
+         |own AS (
+         |  SELECT s.doc_id, count(*) AS n_own
+         |  FROM sh s JOIN sp p ON p.doc_id = s.doc_id AND p.split <> 'train'
+         |  GROUP BY s.doc_id),
+         |shared AS (
+         |  SELECT s.doc_id, count(*) AS n_shared
+         |  FROM sh s
+         |  JOIN sp p ON p.doc_id = s.doc_id AND p.split <> 'train'
+         |  JOIN tr ON tr.sh = s.sh
+         |  GROUP BY s.doc_id),
+         |leak AS (
+         |  SELECT o.doc_id FROM own o JOIN shared x ON x.doc_id = o.doc_id
+         |  WHERE 2 * x.n_shared >= o.n_own)
+         |SELECT p.doc_id, p.split
+         |FROM sp p
+         |WHERE p.split <> 'train'
+         |  AND p.doc_id NOT IN (SELECT doc_id FROM leak)""".stripMargin,
     "q78_decontaminate" ->
       s"""$ShingleCte,
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)

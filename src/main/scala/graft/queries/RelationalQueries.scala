@@ -1330,7 +1330,76 @@ object RelationalQueries {
         col("obs").isNotNull.as("is_observed"))
   }
 
+  // q157: population-stability-index drift monitor — the distribution-
+  // drift gate a production pipeline runs between a reference window and
+  // a live window before trusting new data (here: order prices before vs
+  // from 1998-01-01, 10 equal-width bins of the GLOBAL price range).
+  // PSI term per bin: (pa - pb)·ln(pa/pb), proportions clamped at 1e-6
+  // (the standard empty-bin guard). The bin edges are a broadcast one-row
+  // min/max aggregate recomputed identically by the oracle, so bin
+  // boundaries can never drift between engines. Scale shape: one scan +
+  // one 10-group aggregate; counts are exact integers — the only doubles
+  // are the final per-bin closed form (order-independent).
+  def q157PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val bounds = o.agg(
+      min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val g = o.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("o_totalprice") - col("mn"))
+          / ((col("mx") - col("mn")) / lit(10.0))), lit(9L)).cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(when(col("o_orderdate") < lit("1998-01-01").cast("date"), 1))
+          .as("n_a"),
+        count(when(col("o_orderdate") >= lit("1998-01-01").cast("date"), 1))
+          .as("n_b"))
+    val tot = g.agg(
+      sum(col("n_a")).cast("double").as("ta"),
+      sum(col("n_b")).cast("double").as("tb"))
+    val pa = col("n_a").cast("double") / col("ta")
+    val pb = col("n_b").cast("double") / col("tb")
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((pa - pb) * log(greatest(pa, lit(1e-6))
+          / greatest(pb, lit(1e-6))), 6).as("psi_term"))
+  }
+
+  // q158: numeric-profile correlation matrix — pairwise Pearson
+  // correlations of the lineitem measures, the feature-redundancy scan of
+  // a dataset profiler. One single-pass aggregate computes every moment
+  // (n, Σx, Σx², Σxy) with the pack's exact-decimal contract (products
+  // formed in double — IEEE-identical in both engines — then cast to
+  // DECIMAL(38,8) so the SUM is order-independent); the 6 pair
+  // correlations are a closed form over that one broadcast row. Scale
+  // shape: one scan, one map-side-combinable aggregate, constant output.
+  def q158CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def dsum38(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val moments =
+      cols.map(c => dsum38(col(c)).as(s"s_$c")) ++
+        cols.map(c => dsum38(col(c) * col(c)).as(s"s_${c}_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          dsum38(col(a) * col(b)).as(s"s_${a}_$b")
+        }
+    val m = t(spark, dir, "lineitem")
+      .agg(count(lit(1)).cast("double").as("n"), moments: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val n = col("n")
+      val corr = (n * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((n * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+          (n * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(corr, 6).as("corr"))
+    }.toSeq
+    m.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.corr").as("corr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_psi_drift" -> q157PsiDrift _,
+    "q158_corr_matrix" -> q158CorrMatrix _,
     "q149_skew_profile" -> q149SkewProfile _,
     "q150_triangle_count" -> q150TriangleCount _,
     "q151_locf_backfill" -> q151LocfBackfill _,
@@ -1400,6 +1469,64 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical bin arithmetic: edges from the same global min/max, the
+    // same (p-mn)/((mx-mn)/10.0) double division, the same 1e-6 clamp
+    "q157_psi_drift" ->
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        |d AS (
+        |  SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9) AS INT) AS bin,
+        |         o_orderdate < DATE '1998-01-01' AS in_a
+        |  FROM orders CROSS JOIN b),
+        |g AS (
+        |  SELECT bin, count(*) FILTER (in_a) AS n_a,
+        |         count(*) FILTER (NOT in_a) AS n_b
+        |  FROM d GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+        |             CAST(sum(n_b) AS DOUBLE) AS tb FROM g)
+        |SELECT bin, n_a, n_b,
+        |       round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+        |             * ln(greatest(CAST(n_a AS DOUBLE) / ta, 1e-6)
+        |                  / greatest(CAST(n_b AS DOUBLE) / tb, 1e-6)), 6) AS psi_term
+        |FROM g CROSS JOIN t""".stripMargin,
+    // same moment sums (double products cast to DECIMAL(38,8) before the
+    // order-independent SUM), same closed-form correlation expression
+    "q158_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s_e,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_d,
+        |    CAST(sum(CAST(l_tax AS DECIMAL(38,8))) AS DOUBLE) AS s_t,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s_qq,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s_ee,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_dd,
+        |    CAST(sum(CAST(l_tax * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS s_tt,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s_qe,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_qd,
+        |    CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS s_qt,
+        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_ed,
+        |    CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS s_et,
+        |    CAST(sum(CAST(l_discount * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS s_dt
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |  round((n * s_qe - s_q * s_e)
+        |        / sqrt((n * s_qq - s_q * s_q) * (n * s_ee - s_e * s_e)), 6) AS corr FROM m
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  round((n * s_qd - s_q * s_d)
+        |        / sqrt((n * s_qq - s_q * s_q) * (n * s_dd - s_d * s_d)), 6) FROM m
+        |UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  round((n * s_qt - s_q * s_t)
+        |        / sqrt((n * s_qq - s_q * s_q) * (n * s_tt - s_t * s_t)), 6) FROM m
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  round((n * s_ed - s_e * s_d)
+        |        / sqrt((n * s_ee - s_e * s_e) * (n * s_dd - s_d * s_d)), 6) FROM m
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  round((n * s_et - s_e * s_t)
+        |        / sqrt((n * s_ee - s_e * s_e) * (n * s_tt - s_t * s_t)), 6) FROM m
+        |UNION ALL SELECT 'l_discount', 'l_tax',
+        |  round((n * s_dt - s_d * s_t)
+        |        / sqrt((n * s_dd - s_d * s_d) * (n * s_tt - s_t * s_t)), 6) FROM m""".stripMargin,
     "q149_skew_profile" ->
       """WITH counts AS (
         |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),

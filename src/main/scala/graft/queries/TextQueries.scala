@@ -225,6 +225,34 @@ object TextQueries {
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("n_tokens"),
           org.apache.spark.sql.functions.col("mean_logprob"))),
+    // q156: per-doc token-distribution entropy + type/token ratio — the
+    // lexical-diversity stats of a corpus quality gate (template/spam
+    // pages have low entropy at normal length; q21's ratios can't see
+    // that). entropy = ln(n) - Σ c·ln(c) / n over the doc's word counts.
+    // Determinism: each count's c·ln(c) term is quantized to fixed-point
+    // (round(·1e6) as a long) BEFORE the per-doc sum — exact integer
+    // aggregation, partition-order invariant (q88's idiom); the only
+    // double ops are one ln per distinct count and the final division.
+    // Scale shape: two hash aggs ((doc,word) then doc), both map-side
+    // combinable; no window, no driver state.
+    "q156_token_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wc = docs(s, dir)
+        .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      wc.groupBy("doc_id")
+        .agg(
+          sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(round(col("cnt").cast("double") * log(col("cnt").cast("double"))
+            * lit(1e6)).cast("long")).as("s_fp"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(log(col("n_tokens").cast("double"))
+            - (col("s_fp").cast("double") / lit(1e6))
+              / col("n_tokens").cast("double"), 6).as("entropy"),
+          round(col("n_types").cast("double")
+            / col("n_tokens").cast("double"), 6).as("ttr"))
+    }),
     // q121: per-source BEST-document selection under the q88 quality
     // score, via the bounded TopKAgg — the SCALE twin of window top-N
     // (q14): map-side partial top-k means only k rows per source per
@@ -399,6 +427,24 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_logprob
          |FROM lp GROUP BY doc_id""".stripMargin,
+    // identical fixed-point quantization (round(c·ln(c)·1e6) as BIGINT)
+    // before the per-doc sum, so both engines aggregate exact integers
+    "q156_token_entropy" ->
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_types,
+         |         CAST(sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+         |                             * 1000000) AS BIGINT)) AS BIGINT) AS s_fp
+         |  FROM wc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         |       round(ln(CAST(n_tokens AS DOUBLE))
+         |             - (CAST(s_fp AS DOUBLE) / 1000000.0)
+         |               / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+         |       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
+         |FROM ag""".stripMargin,
     // q88's score CTEs + the WINDOW formulation of per-source top-3 —
     // the TopKAgg plan must agree with it exactly
     "q121_source_topk" ->

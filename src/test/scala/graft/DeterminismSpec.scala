@@ -40,7 +40,11 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q136_pmi_collocations", "q138_weighted_sample", "q140_boolean_search",
     "q143_ewma", "q144_pareto_frontier", "q145_session_paths",
     "q146_ohlc_bars", "q147_mad_outliers", "q148_copurchase_recs",
-    "q149_skew_profile", "q150_triangle_count", "q151_locf_backfill")
+    "q149_skew_profile", "q150_triangle_count", "q151_locf_backfill",
+    "q152_prefix_filter_join", "q153_sparse_cosine", "q154_k_anonymity",
+    "q155_compaction_bins",
+    "q156_token_entropy", "q157_psi_drift", "q158_corr_matrix",
+    "q159_split_leakage")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -510,4 +510,83 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       assert(orphans == 0L, s"$rel has $orphans orphans")
     }
   }
+
+  test("token entropy sits in [0, ln n] and TTR in (0, 1] (q156)") {
+    val rows = SparkEntry.queries("q156_token_entropy")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, types, h, ttr) =>
+      assert(types >= 1 && types <= n, s"doc $id: $types types of $n tokens")
+      // entropy is bounded by the uniform distribution over the doc's
+      // types (= ln(types) <= ln(n)); the 1e-6 slack covers the
+      // fixed-point quantization of the c·ln(c) terms
+      assert(h >= -1e-6 && h <= math.log(types.toDouble) + 1e-6,
+        s"doc $id: entropy $h outside [0, ln($types)]")
+      assert(ttr > 0.0 && ttr <= 1.0, s"doc $id: ttr $ttr")
+      if (types == 1) assert(math.abs(h) < 1e-6, s"doc $id: single-type doc must have zero entropy")
+    }
+  }
+
+  test("PSI drift bins partition the orders exactly (q157)") {
+    val rows = SparkEntry.queries("q157_psi_drift")(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == (0 until 10).toSet, "exactly bins 0-9")
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(r => r._2 + r._3).sum == total,
+      "every order lands in exactly one (bin, period) cell")
+    // PSI terms are finite; identical distributions would give ~0, and a
+    // term is zero iff the bin proportions agree
+    rows.foreach { case (bin, _, _, psi) =>
+      assert(!psi.isNaN && !psi.isInfinite, s"bin $bin: psi $psi")
+    }
+  }
+
+  test("correlation matrix matches Spark's corr and stays in [-1, 1] (q158)") {
+    val rows = SparkEntry.queries("q158_corr_matrix")(spark, sfDir)
+      .as[(String, String, Double)].collect()
+    assert(rows.length == 6, "4 measures -> 6 unordered pairs")
+    // pairs follow the declared measure order, one row per unordered pair
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val expectedPairs = measures.combinations(2).map { case Seq(a, b) => (a, b) }.toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expectedPairs)
+    rows.foreach { case (a, b, c) =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr($a,$b)=$c")
+    }
+    // cross-check one pair against the built-in (different algorithm —
+    // Welford-style co-moments — so agreement validates the moment math)
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).as[Double].head()
+    val got = rows.find(r => r._1 == "l_quantity" && r._2 == "l_extendedprice").get._3
+    assert(math.abs(got - expected) < 1e-5, s"corr mismatch: $got vs $expected")
+  }
+
+  test("split-leakage keeps exactly the low-containment eval docs (q159)") {
+    import graft.operators.{Curation, Dedup}
+    val kept = SparkEntry.queries("q159_split_leakage")(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    assert(kept.nonEmpty, "some eval docs must survive")
+    assert(kept.values.toSet.subsetOf(Set("test", "val")))
+    // recompute containment independently and check the 1/2 criterion
+    // both ways (kept < 1/2, dropped >= 1/2)
+    val d = Curation.hashSplit(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
+      "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
+    val evalSh = Dedup.shinglePairs(
+      d.filter(col("split") =!= "train"), "text", "doc_id")
+    val trainSh = Dedup.shinglePairs(
+      d.filter(col("split") === "train"), "text", "doc_id")
+      .select("sh").distinct()
+    val own = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_own"))
+    val shared = evalSh.join(trainSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val cont = own.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("s"), col("n_own"))
+      .as[(Long, Long, Long)].collect()
+    cont.foreach { case (id, s, o) =>
+      if (kept.contains(id)) assert(2 * s < o, s"kept doc $id has containment $s/$o >= 1/2")
+      else assert(2 * s >= o, s"dropped doc $id has containment $s/$o < 1/2")
+    }
+    assert(cont.exists { case (id, _, _) => !kept.contains(id) },
+      "the dense fixture corpus must produce at least one leaked doc")
+  }
 }

@@ -87,7 +87,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "q112_ivf_pq_knn", "q115_textrank", "q117_index_compaction",
         "q127_source_overlap", "q130_name_match",
         // co-purchase pairs: basket self-join must stay keyed on order
-        "q148_copurchase_recs")) {
+        "q148_copurchase_recs",
+        // split leakage: eval↔train candidates must stay shingle-keyed
+        "q159_split_leakage")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
