@@ -366,10 +366,16 @@ object Dedup {
     // frees them), so every superseded round is released explicitly via
     // Bridge.freeLocalCheckpoint
     import org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint
+    // pre-partitioned on the per-round join key (dst) BEFORE the one-time
+    // checkpoint: every propagation round joins edges⋈labels on dst, and
+    // the edge table is the big side at scale — shuffling it once here
+    // instead of once per round removes the dominant per-round exchange
+    // (the checkpointed LogicalRDD preserves the hash partitioning)
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(true)
     // seed labels with min(id, min neighbor) — the same aggregation a
     // plain distinct-node init would pay, but it IS round one of
@@ -393,14 +399,19 @@ object Dedup {
           col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("prev")) // carried so convergence needs no re-join
-        .localCheckpoint(true) // referenced twice by the doubling self-join
       // pointer doubling: also take the label OF the current label (labels
       // point at node ids, so the label table is its own lookup table) —
       // halves every label-chain per round, so convergence is O(log D)
-      // instead of O(D) on long chains
+      // instead of O(D) on long chains. The jump table is the PREVIOUS
+      // round's labels — already a materialized checkpoint — not this
+      // round's propagated plan: stale-by-one jumps are still valid
+      // contractions (labels only decrease, and prev(comp) is the label
+      // of a same-component node) and still halve chains, but the whole
+      // round becomes ONE plan → ONE checkpoint materialization instead
+      // of two, halving per-round job count on a cluster
       val updated = propagated
         .join(
-          propagated.select(col("id").as("comp"), col("comp").as("gcomp")),
+          labels.select(col("id").as("comp"), col("comp").as("gcomp")),
           Seq("comp"), "left")
         .select(
           col("id"),
@@ -412,7 +423,6 @@ object Dedup {
       val changed = updated
         .filter(col("comp") < col("prev"))
         .limit(1).count() > 0
-      freeLocalCheckpoint(propagated)
       freeLocalCheckpoint(labels)
       labels = updated
       converged = !changed
