@@ -1397,7 +1397,82 @@ object RelationalQueries {
         col("p.corr").as("corr"))
   }
 
+  // q161: two-proportion A/B conversion test — users split into variants
+  // by user_id parity (deterministic, not rng), conversion = any
+  // high-value purchase (value > 80 — a plain "any purchase" saturates
+  // the fixture corpus to p = 1 and zeroes the pooled-z denominator); outputs both rates, the absolute lift, and the
+  // pooled two-proportion z statistic — the experiment-readout query of
+  // an event pipeline. All inputs to the closed form are exact integer
+  // counts from ONE user-grain aggregate (map-side combinable), so the
+  // doubles are a deterministic function of four longs. Scale shape: one
+  // event scan, one user-keyed agg, one 2-row agg — no window, no join.
+  def q161AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 80.0, 1L)
+        .otherwise(0L)).as("conv"))
+    val g = perUser
+      .groupBy((col("user_id") % 2).cast("int").as("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val one = g.agg(
+      sum(when(col("variant") === 0, col("n_users"))).as("n_a"),
+      sum(when(col("variant") === 0, col("n_conv"))).as("c_a"),
+      sum(when(col("variant") === 1, col("n_users"))).as("n_b"),
+      sum(when(col("variant") === 1, col("n_conv"))).as("c_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("c_a").cast("double") / na
+    val pb = col("c_b").cast("double") / nb
+    val pp = (col("c_a") + col("c_b")).cast("double") / (na + nb)
+    one.select(
+      col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(pa - pb, 6).as("lift"),
+      round((pa - pb)
+        / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)), 6)
+        .as("z"))
+  }
+
+  // q163: time-to-conversion profile — per user, the lag from the FIRST
+  // view to the first purchase AFTER it; one summary row with exact
+  // count/mean and rank-picked p50/p90 (percentile_disc semantics: the
+  // value at rank ⌈q·n⌉ under the lag order — a VALUE FROM THE DATA,
+  // no interpolation, so no engine-specific quantile arithmetic can
+  // drift). The rank pick is deterministic even under lag ties: any tie
+  // order yields the same lag value at a fixed rank. Scale shape: two
+  // user-keyed aggs + one join; the ranking window is over the
+  // USER-grain lag table (not events) — one serialized sort of
+  // |converted users| rows, the standard exact-quantile trade (swap in
+  // the equi-depth histogram q128 shape if even that is too large).
+  def q163ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val lag = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_buy"))
+      .select(col("user_id"),
+        (unix_micros(col("t_buy")) - unix_micros(col("t_view"))).as("lag_us"))
+    val ranked = lag
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("lag_us"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()))
+    ranked.agg(
+      count(lit(1)).as("n_users"),
+      round(sum(col("lag_us")).cast("double") / count(lit(1)) / lit(1e6), 6)
+        .as("avg_sec"),
+      round(max(when(col("rn") === ceil(col("n") * lit(0.5)),
+        col("lag_us"))).cast("double") / lit(1e6), 6).as("p50_sec"),
+      round(max(when(col("rn") === ceil(col("n") * lit(0.9)),
+        col("lag_us"))).cast("double") / lit(1e6), 6).as("p90_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_ab_test" -> q161AbTest _,
+    "q163_conversion_lag" -> q163ConversionLag _,
     "q157_psi_drift" -> q157PsiDrift _,
     "q158_corr_matrix" -> q158CorrMatrix _,
     "q149_skew_profile" -> q149SkewProfile _,
@@ -1469,6 +1544,56 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same user-parity variant split and pooled-z closed form over the
+    // same four exact integer counts
+    "q161_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 80 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS variant,
+        |         count(*) AS n_users, sum(conv) AS n_conv
+        |  FROM u GROUP BY 1),
+        |one AS (
+        |  SELECT sum(n_users) FILTER (variant = 0) AS n_a,
+        |         sum(n_conv)  FILTER (variant = 0) AS c_a,
+        |         sum(n_users) FILTER (variant = 1) AS n_b,
+        |         sum(n_conv)  FILTER (variant = 1) AS c_b
+        |  FROM g)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b, 6) AS lift,
+        |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |        / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |               * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |               * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM one""".stripMargin,
+    // same first-view → first-later-purchase lag in integer microseconds,
+    // same rank-at-⌈q·n⌉ percentile picks
+    "q163_conversion_lag" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lg AS (
+        |  SELECT e.user_id,
+        |         epoch_us(min(e.ts)) - epoch_us(fv.t_view) AS lag_us
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fv.t_view
+        |  GROUP BY e.user_id, fv.t_view),
+        |r AS (
+        |  SELECT lag_us,
+        |         row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM lg)
+        |SELECT count(*) AS n_users,
+        |       round(CAST(sum(lag_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_sec,
+        |       round(CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN lag_us END) AS DOUBLE)
+        |             / 1000000.0, 6) AS p50_sec,
+        |       round(CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN lag_us END) AS DOUBLE)
+        |             / 1000000.0, 6) AS p90_sec
+        |FROM r""".stripMargin,
     // identical bin arithmetic: edges from the same global min/max, the
     // same (p-mn)/((mx-mn)/10.0) double division, the same 1e-6 clamp
     "q157_psi_drift" ->

@@ -253,6 +253,51 @@ object TextQueries {
           round(col("n_types").cast("double")
             / col("n_tokens").cast("double"), 6).as("ttr"))
     }),
+    // q160: deterministic stratified sample — keep EXACTLY ⌈0.3·n⌉ docs
+    // per source stratum, chosen by md5(source#id) rank within the
+    // stratum (q71's hash-not-rng idiom, but per-stratum EXACT fractions
+    // where the md5-prefix split only hits the fraction in expectation).
+    // The equal-representation sample of a corpus ablation. Both window
+    // functions share one partition-by-source exchange; the rank order is
+    // md5 over a unique id → total, so row_number is deterministic.
+    // Scale: one shuffle on source; a mega-stratum serializes its own
+    // partition (the standard window-skew trade — cap with q72 first if
+    // a source dominates).
+    "q160_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val rk = md5(concat_ws("#", col("source"), col("doc_id").cast("string")))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("source").orderBy(rk)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .filter(col("rn") <= ceil(col("n") * lit(0.3)))
+        .select("doc_id", "source")
+    }),
+    // q162: chi-square independence audit of source × lang — the
+    // metadata-association gate a curation pipeline runs to detect a
+    // source whose language mix diverges from the corpus (per-cell
+    // (o−e)²/e contributions localize WHICH cell drives the statistic;
+    // q157 is the numeric-drift twin, q136 the token-level PMI twin).
+    // Only observed cells are emitted (both engines aggregate the same
+    // rows, so the cell set matches). Marginals are tiny (|sources| and
+    // |langs| rows) → broadcast joins; expected counts are exact-integer
+    // products in double — identical in both engines.
+    "q162_chi2_independence" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = docs(s, dir).groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("source").agg(sum(col("o")).as("rt"))
+      val ct = o.groupBy("lang").agg(sum(col("o")).as("ct"))
+      val tot = o.agg(sum(col("o")).as("tot"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("tot").cast("double")
+      o.join(broadcast(rt), "source").join(broadcast(ct), "lang")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("o").as("observed"),
+          round(e, 6).as("expected"),
+          round((col("o").cast("double") - e) * (col("o").cast("double") - e)
+            / e, 6).as("contrib"))
+    }),
     // q121: per-source BEST-document selection under the q88 quality
     // score, via the bounded TopKAgg — the SCALE twin of window top-N
     // (q14): map-side partial top-k means only k rows per source per
@@ -445,6 +490,32 @@ object TextQueries {
          |               / CAST(n_tokens AS DOUBLE), 6) AS entropy,
          |       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
          |FROM ag""".stripMargin,
+    // identical md5(source#id) rank and ⌈n·0.3⌉ cutoff per stratum
+    "q160_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(source || '#' || CAST(doc_id AS VARCHAR))) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.3)""".stripMargin,
+    // same exact-integer marginals and double closed form per cell
+    "q162_chi2_independence" ->
+      """WITH o AS (
+        |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, sum(o) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT lang, sum(o) AS ct FROM o GROUP BY 1),
+        |tt AS (SELECT sum(o) AS tot FROM o)
+        |SELECT o.source, o.lang, o.o AS observed,
+        |       round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |             / CAST(tot AS DOUBLE), 6) AS expected,
+        |       round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                                  / CAST(tot AS DOUBLE))
+        |             * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                                    / CAST(tot AS DOUBLE))
+        |             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |                / CAST(tot AS DOUBLE)), 6) AS contrib
+        |FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tt""".stripMargin,
     // q88's score CTEs + the WINDOW formulation of per-source top-3 —
     // the TopKAgg plan must agree with it exactly
     "q121_source_topk" ->

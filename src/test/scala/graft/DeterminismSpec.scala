@@ -44,7 +44,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q152_prefix_filter_join", "q153_sparse_cosine", "q154_k_anonymity",
     "q155_compaction_bins",
     "q156_token_entropy", "q157_psi_drift", "q158_corr_matrix",
-    "q159_split_leakage")
+    "q159_split_leakage",
+    "q160_stratified_sample", "q161_ab_test", "q162_chi2_independence",
+    "q163_conversion_lag")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

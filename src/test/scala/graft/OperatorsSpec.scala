@@ -560,6 +560,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got - expected) < 1e-5, s"corr mismatch: $got vs $expected")
   }
 
+  test("stratified sample keeps exactly ceil(0.3 n) docs per source (q160)") {
+    val kept = SparkEntry.queries("q160_stratified_sample")(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    val sizes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.keySet == sizes.keySet, "every stratum is represented")
+    sizes.foreach { case (src, n) =>
+      assert(kept(src) == math.ceil(n * 0.3).toLong,
+        s"$src: kept ${kept(src)} of $n")
+    }
+  }
+
+  test("A/B readout counts are consistent and z matches the closed form (q161)") {
+    val r = SparkEntry.queries("q161_ab_test")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].head()
+    val (na, ca, nb, cb, ra, rb, lift, z) = r
+    assert(ca <= na && cb <= nb)
+    assert(math.abs(ra - ca.toDouble / na) < 1e-6)
+    assert(math.abs(lift - (ra - rb)) < 1e-5)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val want = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(z - want) < 1e-5, s"z $z vs $want")
+  }
+
+  test("chi-square cells reproduce the marginals (q162)") {
+    val rows = SparkEntry.queries("q162_chi2_independence")(spark, sfDir)
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    // expected counts must sum back to the observed total per source
+    rows.groupBy(_._1).foreach { case (src, cells) =>
+      val o = cells.map(_._3).sum
+      val e = cells.map(_._4).sum
+      // expected-row sum only misses o by the UNOBSERVED cells of the
+      // stratum — bounded by each missing lang's share
+      assert(e <= o + 1e-3, s"$src: expected sum $e exceeds observed $o")
+    }
+    rows.foreach { case (s2, l, o, e, c) =>
+      assert(o > 0 && e > 0 && c >= 0, s"($s2,$l): o=$o e=$e contrib=$c")
+      assert(math.abs(c - (o - e) * (o - e) / e) < 1e-3)
+    }
+    assert(total == spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
+  test("conversion-lag percentiles are ordered and drawn from the data (q163)") {
+    val (n, avg, p50, p90) = SparkEntry.queries("q163_conversion_lag")(spark, sfDir)
+      .as[(Long, Double, Double, Double)].head()
+    assert(n > 0)
+    assert(p50 >= 0 && p50 <= p90, s"p50 $p50 > p90 $p90")
+    assert(avg > 0 && !avg.isNaN)
+  }
+
   test("split-leakage keeps exactly the low-containment eval docs (q159)") {
     import graft.operators.{Curation, Dedup}
     val kept = SparkEntry.queries("q159_split_leakage")(spark, sfDir)
