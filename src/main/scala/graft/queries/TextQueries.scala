@@ -52,6 +52,28 @@ object TextQueries {
       |           x -> length(x) > 0) AS w
       |  FROM documents)""".stripMargin
 
+  /** The q20 language-ID replica as a reusable CTE suffix (appended after
+    * [[WordsCte]]): per-doc stopword scores + the alpha-tiebreak argmax
+    * prediction. Shared by the q164/q165/q166 evaluation oracles so the
+    * classifier under evaluation is EXACTLY the one q20 pins.
+    */
+  private val LangPredCte =
+    """scored AS (
+      |  SELECT doc_id,
+      |    len(list_filter(w, x -> list_contains(['der','die','das','und','ein','zu','ist'], x))) AS s_de,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+      |    len(list_filter(w, x -> list_contains(['el','la','los','de','y','un','una'], x))) AS s_es,
+      |    len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une'], x))) AS s_fr
+      |  FROM wd),
+      |pred AS (
+      |  SELECT doc_id, s_de, s_en, s_es, s_fr,
+      |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+      |         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+      |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+      |         WHEN s_en > s_de THEN 'en'
+      |         ELSE 'de' END AS pred_lang
+      |  FROM scored)""".stripMargin
+
   /** q24: winnowing near-copy pairs. Standard corpus recipe: drop
     * boilerplate fingerprints (document frequency > 20 — they indicate
     * common phrasing, not copying, and unbound the join fan-out), then
@@ -298,6 +320,114 @@ object TextQueries {
           round((col("o").cast("double") - e) * (col("o").cast("double") - e)
             / e, 6).as("contrib"))
     }),
+    // q164: classifier evaluation — confusion-matrix margins of the q20
+    // language-ID prediction against the gold `lang` column, rolled up to
+    // per-class precision / recall / F1 (the model-eval readout of an
+    // annotation pipeline). F1 uses the identity 2PR/(P+R) = 2·tp /
+    // (n_gold + n_pred), so every ratio is a pair of exact integers;
+    // precision is NULL for classes the classifier never predicts
+    // (gold zh here) — mirrored with NULLIF in the oracle. Scale shape:
+    // one classifier scan + a |classes|²-bounded confusion agg; the
+    // class-margin tables are tiny.
+    "q164_confusion_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pred = TextAnalysis.langId(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("pred_lang"))
+      val conf = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val byGold = conf.groupBy(col("lang").as("cls"))
+        .agg(sum(col("n")).as("n_gold"),
+          sum(when(col("lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).as("tp"))
+      val byPred = conf.groupBy(col("pred_lang").as("cls"))
+        .agg(sum(col("n")).as("n_pred"))
+      byGold.select("cls").union(byPred.select("cls")).distinct()
+        .join(byGold, Seq("cls"), "left")
+        .join(byPred, Seq("cls"), "left")
+        .select(
+          col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          when(coalesce(col("n_pred"), lit(0L)) > 0,
+            round(coalesce(col("tp"), lit(0L)).cast("double")
+              / col("n_pred"), 6)).as("precision"),
+          when(coalesce(col("n_gold"), lit(0L)) > 0,
+            round(coalesce(col("tp"), lit(0L)).cast("double")
+              / col("n_gold"), 6)).as("recall"),
+          when(coalesce(col("n_gold"), lit(0L))
+            + coalesce(col("n_pred"), lit(0L)) > 0,
+            round(lit(2.0) * coalesce(col("tp"), lit(0L))
+              / (coalesce(col("n_gold"), lit(0L))
+                + coalesce(col("n_pred"), lit(0L))), 6)).as("f1"))
+    }),
+    // q165: exact ROC AUC of "doc length predicts English" via the
+    // Mann-Whitney rank-sum identity. Midranks are avoided entirely:
+    // Σ_pos 2·midrank = Σ_pos (r_min + r_max), an INTEGER, accumulated
+    // from per-score counts — AUC = (s2 − n⁺(n⁺+1)) / (2 n⁺ n⁻) is one
+    // double division at the very end, so tie handling can't drift
+    // between engines. Scale shape: the ranking state is the per-SCORE
+    // count table (|distinct scores| rows, not |docs|) and its one
+    // running-total window — the aggregate-then-rank formulation of AUC
+    // at corpus scale.
+    "q165_auc_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val per = docs(s, dir)
+        .select(col("n_chars").as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .agg(
+          sum(col("np") * (lit(2L) * col("cb") + col("n") + lit(1L)))
+            .as("s2"),
+          sum(col("np")).as("n_pos"),
+          sum(col("n") - col("np")).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    }),
+    // q166: reliability diagram (calibration bins) of an
+    // English-stopword-DENSITY score (s_en / word count — the corpus's
+    // synthetic text makes the s_en/Σs ratio saturate at 1.0, so density
+    // is the score with real spread) against the gold label — the
+    // calibration audit before trusting classifier scores as sampling
+    // weights. Empty docs carry no score and are excluded (both engines
+    // drop the same rows). Mean confidence uses the q156 fixed-point
+    // idiom (round(conf·1e6) summed as longs) so the per-bin mean is
+    // order-independent. Bins are twentieths of the observed density
+    // range [0, 0.5] (density can exceed 0.5 only degenerately; capped
+    // into the top bin). Scale: one classifier scan + one word-count
+    // scan + a bounded-group agg.
+    "q166_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sc = TextAnalysis.langId(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("s_en"))
+      val nw = docs(s, dir)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.wordsArr(col("text")))
+            .as("n_words"), col("lang"))
+        .filter(col("n_words") > 0)
+      sc.join(nw, "doc_id")
+        .withColumn("conf",
+          col("s_en").cast("double") / col("n_words"))
+        .withColumn("bin",
+          least(floor(col("conf") * 20), lit(9L)).cast("int"))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("conf") * 1e6).cast("long")).as("qsum"),
+          sum((col("lang") === "en").cast("long")).as("n_pos"))
+        .select(col("bin"), col("n"),
+          round(col("qsum").cast("double") / 1e6 / col("n"), 6)
+            .as("mean_conf"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+    }),
     // q121: per-source BEST-document selection under the q88 quality
     // score, via the bounded TopKAgg — the SCALE twin of window top-N
     // (q14): map-side partial top-k means only k rows per source per
@@ -516,6 +646,68 @@ object TextQueries {
         |             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
         |                / CAST(tot AS DOUBLE)), 6) AS contrib
         |FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tt""".stripMargin,
+    // the q20 classifier replica + integer confusion margins; F1 via the
+    // 2·tp/(n_gold+n_pred) identity, NULLIF for never-predicted classes
+    "q164_confusion_matrix" ->
+      s"""$WordsCte, $LangPredCte,
+         |conf AS (
+         |  SELECT d.lang, p.pred_lang, count(*) AS n
+         |  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |bg AS (
+         |  SELECT lang AS cls, sum(n) AS n_gold,
+         |         sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS tp
+         |  FROM conf GROUP BY 1),
+         |bp AS (SELECT pred_lang AS cls, sum(n) AS n_pred FROM conf GROUP BY 1),
+         |cls AS (SELECT cls FROM bg UNION SELECT cls FROM bp)
+         |SELECT c.cls,
+         |       coalesce(tp, 0) AS tp,
+         |       coalesce(n_gold, 0) AS n_gold,
+         |       coalesce(n_pred, 0) AS n_pred,
+         |       round(CAST(coalesce(tp, 0) AS DOUBLE)
+         |             / NULLIF(coalesce(n_pred, 0), 0), 6) AS precision,
+         |       round(CAST(coalesce(tp, 0) AS DOUBLE)
+         |             / NULLIF(coalesce(n_gold, 0), 0), 6) AS recall,
+         |       round(2.0 * coalesce(tp, 0)
+         |             / NULLIF(coalesce(n_gold, 0) + coalesce(n_pred, 0), 0), 6) AS f1
+         |FROM cls c LEFT JOIN bg USING (cls) LEFT JOIN bp USING (cls)""".stripMargin,
+    // identical per-score count table + running total; the rank-sum stays
+    // integer until the single final division
+    "q165_auc_rank" ->
+      """WITH per AS (
+        |  SELECT n_chars AS score, count(*) AS n,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT np, n,
+        |         coalesce(sum(n) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM per),
+        |a AS (
+        |  SELECT sum(np * (2 * cb + n + 1)) AS s2,
+        |         sum(np) AS n_pos, sum(n - np) AS n_neg
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |       round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |             / (2.0 * n_pos * n_neg), 6) AS auc
+        |FROM a""".stripMargin,
+    // same density ratio, same fixed-point mean, same bin arithmetic
+    "q166_calibration" ->
+      s"""$WordsCte, $LangPredCte,
+         |cf AS (
+         |  SELECT p.doc_id,
+         |         CAST(s_en AS DOUBLE) / len(w.w) AS conf
+         |  FROM pred p JOIN wd w ON w.doc_id = p.doc_id
+         |  WHERE len(w.w) > 0),
+         |b AS (
+         |  SELECT CAST(least(floor(conf * 20), 9) AS INT) AS bin, conf,
+         |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM cf JOIN documents d ON d.doc_id = cf.doc_id)
+         |SELECT bin, count(*) AS n,
+         |       round(CAST(sum(CAST(round(conf * 1000000) AS BIGINT)) AS DOUBLE)
+         |             / 1000000.0 / count(*), 6) AS mean_conf,
+         |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS frac_pos
+         |FROM b GROUP BY bin""".stripMargin,
     // q88's score CTEs + the WINDOW formulation of per-source top-3 —
     // the TopKAgg plan must agree with it exactly
     "q121_source_topk" ->

@@ -46,7 +46,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q156_token_entropy", "q157_psi_drift", "q158_corr_matrix",
     "q159_split_leakage",
     "q160_stratified_sample", "q161_ab_test", "q162_chi2_independence",
-    "q163_conversion_lag")
+    "q163_conversion_lag",
+    "q164_confusion_matrix", "q165_auc_rank", "q166_calibration")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -615,6 +615,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg > 0 && !avg.isNaN)
   }
 
+  test("confusion-matrix margins are conservative and F1 matches 2tp/(g+p) (q164)") {
+    val rows = SparkEntry.queries("q164_confusion_matrix")(spark, sfDir)
+      .collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "gold margins cover the corpus")
+    assert(rows.map(_.getLong(3)).sum == nDocs, "pred margins cover the corpus")
+    rows.foreach { r =>
+      val (tp, g, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp <= g && tp <= p, s"${r.getString(0)}: tp exceeds a margin")
+      if (g + p > 0)
+        assert(math.abs(r.getDouble(6) - 2.0 * tp / (g + p)) < 1e-5)
+      if (p == 0) assert(r.isNullAt(4), "precision undefined when never predicted")
+    }
+  }
+
+  test("rank-sum AUC matches the quadratic pair count definition (q165)") {
+    val (np, nn, auc) = SparkEntry.queries("q165_auc_rank")(spark, sfDir)
+      .as[(Long, Long, Double)].head()
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("n_chars"), (col("lang") === "en").as("pos"))
+      .as[(Long, Boolean)].collect()
+    val pos = d.filter(_._2).map(_._1); val neg = d.filterNot(_._2).map(_._1)
+    assert(np == pos.length && nn == neg.length)
+    // brute-force Mann-Whitney: wins + half-ties over all pos×neg pairs
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    assert(math.abs(auc - num / (np.toDouble * nn)) < 1e-5,
+      s"auc $auc vs brute ${num / (np.toDouble * nn)}")
+  }
+
+  test("calibration bins partition the non-empty docs (q166)") {
+    val rows = SparkEntry.queries("q166_calibration")(spark, sfDir)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, n, mc, fp) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(n > 0 && mc >= 0 && fp >= 0 && fp <= 1)
+      // mean density inside a twentieth-width bin stays inside the bin
+      if (bin < 9) assert(mc >= bin / 20.0 - 1e-6 && mc <= (bin + 1) / 20.0 + 1e-6,
+        s"bin $bin mean_conf $mc outside its bin")
+    }
+  }
+
   test("split-leakage keeps exactly the low-containment eval docs (q159)") {
     import graft.operators.{Curation, Dedup}
     val kept = SparkEntry.queries("q159_split_leakage")(spark, sfDir)
