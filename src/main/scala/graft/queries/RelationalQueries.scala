@@ -1470,9 +1470,84 @@ object RelationalQueries {
         col("lag_us"))).cast("double") / lit(1e6), 6).as("p90_sec"))
   }
 
+  // q167: group-wise ordinary least squares — per return-flag slope +
+  // intercept of extendedprice ~ quantity, the per-segment trend fit of a
+  // dataset profiler (q158's correlation pack gives direction; this
+  // gives the line). One map-side-combinable aggregate computes every
+  // moment with the pack's exact-decimal contract; slope/intercept are a
+  // closed form per group row. Scale: one scan, |groups| output rows.
+  def q167GroupwiseOls(spark: SparkSession, dir: String): DataFrame = {
+    def dsum38(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val m = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum38(col("l_quantity")).as("sx"),
+        dsum38(col("l_extendedprice")).as("sy"),
+        dsum38(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        dsum38(col("l_quantity") * col("l_quantity")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("l_returnflag"),
+      col("n").cast("long").as("n_rows"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  // q168: Benford first-digit audit of order totals — the fraud/synthetic-
+  // data screen of a data-quality suite. The first significant digit is
+  // taken from the INTEGER cents (round(p·100) as BIGINT rendered as a
+  // string), never from log10 arithmetic — a log-based digit extraction
+  // can flip at power-of-ten boundaries by one ulp between engines.
+  // Expected shares are the closed-form log10(1 + 1/d). Scale: one scan,
+  // 9 output rows.
+  def q168Benford(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("obs_share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("exp_share"))
+  }
+
+  // q169: Gini coefficient of per-customer revenue — the concentration
+  // statistic (how much of the corpus/revenue mass the top accounts
+  // hold; the same computation audits per-source document mass in a
+  // training mix). Per-customer revenue is an exact decimal sum; the
+  // rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n keeps Σ(i·xᵢ) in
+  // decimal (rank · exact revenue), so both engines divide the same
+  // exact quantities once at the end. The ranking window sorts the
+  // CUSTOMER-grain table (not orders) — ties broken by custkey, though
+  // any tie order yields the same Σ(i·xᵢ) only when amounts are equal,
+  // which the (rev, custkey) total order makes deterministic anyway.
+  def q169Gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val ranked = rev.withColumn("i",
+      row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rev")).as("srev"),
+      sum(col("i").cast("decimal(38,6)") * col("rev")).as("sirev"))
+      .select(col("n").as("n_customers"),
+        round(lit(2.0) * col("sirev").cast("double")
+          / (col("n") * col("srev").cast("double"))
+          - (col("n") + lit(1L)).cast("double") / col("n"), 6).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_ab_test" -> q161AbTest _,
     "q163_conversion_lag" -> q163ConversionLag _,
+    "q167_groupwise_ols" -> q167GroupwiseOls _,
+    "q168_benford" -> q168Benford _,
+    "q169_gini" -> q169Gini _,
     "q157_psi_drift" -> q157PsiDrift _,
     "q158_corr_matrix" -> q158CorrMatrix _,
     "q149_skew_profile" -> q149SkewProfile _,
@@ -1570,6 +1645,48 @@ object RelationalQueries {
         |               * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
         |               * (1.0 / n_a + 1.0 / n_b)), 6) AS z
         |FROM one""".stripMargin,
+    // same decimal-exact moments, same closed form per group
+    "q167_groupwise_ols" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM m""".stripMargin,
+    // same integer-cents digit extraction, same closed-form expectation
+    "q168_benford" ->
+      """WITH g AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) / tot, 6) AS obs_share,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS exp_share
+        |FROM g CROSS JOIN t""".stripMargin,
+    // same exact-decimal revenue, same rank formula over the same
+    // (rev, custkey) total order
+    "q169_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+        |  FROM rev),
+        |a AS (
+        |  SELECT count(*) AS n, sum(rev) AS srev,
+        |         sum(CAST(i AS DECIMAL(38,6)) * rev) AS sirev
+        |  FROM r)
+        |SELECT n AS n_customers,
+        |       round(2.0 * CAST(sirev AS DOUBLE) / (n * CAST(srev AS DOUBLE))
+        |             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM a""".stripMargin,
     // same first-view → first-later-purchase lag in integer microseconds,
     // same rank-at-⌈q·n⌉ percentile picks
     "q163_conversion_lag" ->

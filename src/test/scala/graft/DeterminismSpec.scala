@@ -47,7 +47,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q159_split_leakage",
     "q160_stratified_sample", "q161_ab_test", "q162_chi2_independence",
     "q163_conversion_lag",
-    "q164_confusion_matrix", "q165_auc_rank", "q166_calibration")
+    "q164_confusion_matrix", "q165_auc_rank", "q166_calibration",
+    "q167_groupwise_ols", "q168_benford", "q169_gini")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -659,6 +659,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("group-wise OLS agrees with the residual-minimizing line (q167)") {
+    val rows = SparkEntry.queries("q167_groupwise_ols")(spark, sfDir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    rows.foreach { case (flag, n, slope, icpt) =>
+      val pts = li.filter(col("l_returnflag") === flag)
+        .select(col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double"))
+        .as[(Double, Double)].collect()
+      assert(pts.length == n)
+      // perturbing the fitted slope must not lower the sum of squares
+      def sse(m: Double, b: Double) =
+        pts.map { case (x, y) => val e = y - m * x - b; e * e }.sum
+      val best = sse(slope, icpt)
+      assert(best <= sse(slope * 1.01 + 1e-9, icpt) + 1e-6)
+      assert(best <= sse(slope * 0.99 - 1e-9, icpt) + 1e-6)
+      assert(best <= sse(slope, icpt + 1.0) + 1e-6)
+      assert(best <= sse(slope, icpt - 1.0) + 1e-6)
+    }
+  }
+
+  test("Benford digits cover 1-9 and shares sum to one (q168)") {
+    val rows = SparkEntry.queries("q168_benford")(spark, sfDir)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSet == (1 to 9).toSet)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "observed shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "expected shares sum to 1")
+  }
+
+  test("Gini matches the mean-absolute-difference definition (q169)") {
+    val (n, gini) = SparkEntry.queries("q169_gini")(spark, sfDir)
+      .as[(Long, Double)].head()
+    val rev = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_custkey").agg(sum(col("o_totalprice")).as("r"))
+      .select(col("r").cast("double")).as[Double].collect()
+    assert(rev.length == n)
+    val mu = rev.sum / n
+    var mad = 0.0
+    for (a <- rev; b <- rev) mad += math.abs(a - b)
+    val want = mad / (2.0 * n * n * mu)
+    assert(math.abs(gini - want) < 1e-4, s"gini $gini vs MAD-def $want")
+    assert(gini >= 0 && gini < 1)
+  }
+
   test("split-leakage keeps exactly the low-containment eval docs (q159)") {
     import graft.operators.{Curation, Dedup}
     val kept = SparkEntry.queries("q159_split_leakage")(spark, sfDir)
