@@ -1542,9 +1542,56 @@ object RelationalQueries {
           - (col("n") + lit(1L)).cast("double") / col("n"), 6).as("gini"))
   }
 
+  // q171: CUSUM changepoint scan — daily error-event counts, cumulative
+  // sum of deviations from the period mean; the day where |CUSUM| peaks
+  // is the most likely level-shift point (the incident-onset locator of
+  // an ops pipeline). DETERMINISM: the prefix sum is kept INTEGER by
+  // scaling — Σ_{i≤t}(nᵢ·D − T) where D = #days, T = total — because an
+  // ordered double prefix sum is engine-dependent (DuckDB's windowed SUM
+  // aggregates via a segment tree, Spark incrementally — different
+  // association orders); the scaled integer divides by D once per row at
+  // the end. Scale shape: one event scan → |days| rows; the window runs
+  // over the tiny daily table.
+  def q171CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("cusum_fp", sum(col("n") * col("d") - col("t")).over(w))
+      .select(
+        unix_date(col("day")).as("day_num"), col("n"),
+        round(col("cusum_fp").cast("double") / col("d"), 6).as("cusum"))
+  }
+
+  // q172: day-of-week seasonality index — mean purchase value per
+  // weekday over the grand mean (ratio-to-mean decomposition, the
+  // traffic-shaping profile of an event pipeline). Sums are exact
+  // decimals; each index is a ratio of two exact ratios, computed once
+  // per output row. Day numbering pinned to 0=Sunday in both engines.
+  // Scale: one scan, 7 output rows.
+  def q172DowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .select((dayofweek(col("ts")) - 1).as("dow"),
+        col("value").cast("decimal(18,4)").as("v"))
+    val g = p.groupBy("dow").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val tot = g.agg(sum(col("n")).as("tn"), sum(col("sv")).as("tv"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n"),
+        round(col("sv").cast("double") / col("n"), 6).as("mean_value"),
+        round((col("sv").cast("double") / col("n"))
+          / (col("tv").cast("double") / col("tn")), 6).as("seasonality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_ab_test" -> q161AbTest _,
     "q163_conversion_lag" -> q163ConversionLag _,
+    "q171_cusum_changepoint" -> q171CusumChangepoint _,
+    "q172_dow_seasonality" -> q172DowSeasonality _,
     "q167_groupwise_ols" -> q167GroupwiseOls _,
     "q168_benford" -> q168Benford _,
     "q169_gini" -> q169Gini _,
@@ -1687,6 +1734,30 @@ object RelationalQueries {
         |       round(2.0 * CAST(sirev AS DOUBLE) / (n * CAST(srev AS DOUBLE))
         |             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM a""".stripMargin,
+    // same integer-scaled prefix sum over the same day order; division
+    // by D deferred to the final per-row select
+    "q171_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT sum(n) AS t, count(*) AS d FROM daily)
+        |SELECT CAST(day - DATE '1970-01-01' AS INT) AS day_num, n,
+        |       round(CAST(sum(n * d - t) OVER (ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / d, 6) AS cusum
+        |FROM daily CROSS JOIN t""".stripMargin,
+    // same 0=Sunday numbering, same exact-decimal sums and ratio form
+    "q172_dow_seasonality" ->
+      """WITH p AS (
+        |  SELECT dayofweek(ts) AS dow, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT dow, count(*) AS n, sum(v) AS sv FROM p GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn, sum(sv) AS tv FROM g)
+        |SELECT dow, n,
+        |       round(CAST(sv AS DOUBLE) / n, 6) AS mean_value,
+        |       round((CAST(sv AS DOUBLE) / n)
+        |             / (CAST(tv AS DOUBLE) / tn), 6) AS seasonality
+        |FROM g CROSS JOIN t""".stripMargin,
     // same first-view → first-later-purchase lag in integer microseconds,
     // same rank-at-⌈q·n⌉ percentile picks
     "q163_conversion_lag" ->

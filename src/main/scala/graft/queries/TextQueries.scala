@@ -428,6 +428,35 @@ object TextQueries {
             .as("mean_conf"),
           round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
     }),
+    // q170: per-source KL divergence from the corpus unigram
+    // distribution — the domain-shift measure of a training mix (q157 is
+    // the numeric twin, q162 the metadata twin; this one reads the TEXT).
+    // Every source word exists in the corpus distribution by
+    // construction, so no zero-probability guard is needed. Each
+    // p_s·ln(p_s/p) term is a deterministic function of four exact
+    // integers, quantized to round(term·1e9) longs BEFORE the per-source
+    // sum (q156's idiom — a double sum's value would depend on partition
+    // order). Scale shape: two vocab-sized hash aggs + one equi-join on
+    // word + a |sources|-sized rollup; no windows.
+    "q170_source_kl" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tok = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+      val sw = tok.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val st = sw.groupBy("source").agg(sum(col("c")).as("tot_s"))
+      val cw = sw.groupBy("word").agg(sum(col("c")).as("cw"))
+      val tot = sw.agg(sum(col("c")).as("tot"))
+      val ps = col("c").cast("double") / col("tot_s")
+      val p = col("cw").cast("double") / col("tot")
+      sw.join(st, "source").join(cw, "word").crossJoin(broadcast(tot))
+        .select(col("source"), col("tot_s"),
+          round(ps * log(ps / p) * lit(1e9)).cast("long").as("term_fp"))
+        .groupBy("source")
+        .agg(max(col("tot_s")).as("n_tokens"),
+          sum(col("term_fp")).as("s_fp"))
+        .select(col("source"), col("n_tokens"),
+          round(col("s_fp").cast("double") / lit(1e9), 6).as("kl"))
+    }),
     // q121: per-source BEST-document selection under the q88 quality
     // score, via the bounded TopKAgg — the SCALE twin of window top-N
     // (q14): map-side partial top-k means only k rows per source per
@@ -708,6 +737,26 @@ object TextQueries {
          |             / 1000000.0 / count(*), 6) AS mean_conf,
          |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS frac_pos
          |FROM b GROUP BY bin""".stripMargin,
+    // same exact-integer marginals, same per-term quantization before
+    // the per-source sum
+    "q170_source_kl" ->
+      s"""$WordsCte,
+         |tok AS (SELECT d.source, unnest(w.w) AS word
+         |        FROM wd w JOIN documents d ON d.doc_id = w.doc_id),
+         |sw AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2),
+         |st AS (SELECT source, sum(c) AS tot_s FROM sw GROUP BY 1),
+         |cw AS (SELECT word, sum(c) AS cw FROM sw GROUP BY 1),
+         |tt AS (SELECT sum(c) AS tot FROM sw),
+         |terms AS (
+         |  SELECT sw.source, st.tot_s,
+         |         CAST(round((CAST(c AS DOUBLE) / tot_s)
+         |                    * ln((CAST(c AS DOUBLE) / tot_s)
+         |                         / (CAST(cw AS DOUBLE) / tot))
+         |                    * 1000000000) AS BIGINT) AS term_fp
+         |  FROM sw JOIN st USING (source) JOIN cw USING (word) CROSS JOIN tt)
+         |SELECT source, max(tot_s) AS n_tokens,
+         |       round(CAST(sum(term_fp) AS DOUBLE) / 1000000000.0, 6) AS kl
+         |FROM terms GROUP BY source""".stripMargin,
     // q88's score CTEs + the WINDOW formulation of per-source top-3 —
     // the TopKAgg plan must agree with it exactly
     "q121_source_topk" ->

@@ -48,7 +48,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q160_stratified_sample", "q161_ab_test", "q162_chi2_independence",
     "q163_conversion_lag",
     "q164_confusion_matrix", "q165_auc_rank", "q166_calibration",
-    "q167_groupwise_ols", "q168_benford", "q169_gini")
+    "q167_groupwise_ols", "q168_benford", "q169_gini",
+    "q170_source_kl", "q171_cusum_changepoint", "q172_dow_seasonality")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

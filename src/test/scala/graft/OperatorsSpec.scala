@@ -704,6 +704,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(gini >= 0 && gini < 1)
   }
 
+  test("KL divergence is non-negative and zero only for the corpus itself (q170)") {
+    val rows = SparkEntry.queries("q170_source_kl")(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, kl) =>
+      assert(n > 0)
+      // Gibbs' inequality (small negative slack covers term quantization)
+      assert(kl >= -1e-4, s"$src: KL $kl negative beyond quantization slack")
+    }
+  }
+
+  test("CUSUM starts at the first deviation and ends at ~zero (q171)") {
+    val rows = SparkEntry.queries("q171_cusum_changepoint")(spark, sfDir)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the full-period cumulative deviation telescopes to exactly zero
+    assert(math.abs(rows.last._3) < 1e-6,
+      s"final cusum ${rows.last._3} must telescope to zero")
+    val total = rows.map(_._2).sum
+    val mean = total.toDouble / rows.length
+    assert(math.abs(rows.head._3 - (rows.head._2 - mean)) < 1e-4)
+  }
+
+  test("seasonality indices average back to one under count weights (q172)") {
+    val rows = SparkEntry.queries("q172_dow_seasonality")(spark, sfDir)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((0 to 6).toSet))
+    val tot = rows.map(_._2).sum.toDouble
+    val weighted = rows.map(r => r._4 * r._2 / tot).sum
+    assert(math.abs(weighted - 1.0) < 1e-4,
+      s"count-weighted mean seasonality $weighted != 1")
+  }
+
   test("split-leakage keeps exactly the low-containment eval docs (q159)") {
     import graft.operators.{Curation, Dedup}
     val kept = SparkEntry.queries("q159_split_leakage")(spark, sfDir)
