@@ -1587,7 +1587,162 @@ object RelationalQueries {
           / (col("tv").cast("double") / col("tn")), 6).as("seasonality"))
   }
 
+  // q173: RFM customer segmentation — recency (days since last order,
+  // vs the corpus max date), frequency (order count), monetary (exact
+  // decimal revenue), each cut into quintiles, rolled up to per-cell
+  // counts + mean spend (the marketing-segmentation workhorse).
+  // DETERMINISM: every ntile runs over a TOTAL order (metric, custkey)
+  // so bucket assignment is unique; both engines share SQL ntile
+  // semantics (first ⌈n/5⌉-sized buckets absorb the remainder); the
+  // monetary quintile orders on the exact DECIMAL sum, never a double.
+  // Scale shape: one order scan → customer-grain agg (map-side
+  // combinable); the three ntile windows are unpartitioned sorts of the
+  // CUSTOMER-grain table — the exact-quantile trade. At 100 TB you'd
+  // swap ntile for percentile boundaries off the q128 equi-depth
+  // histogram (broadcast the 4 cut points, assign by comparison); the
+  // fixture keeps exact ntile as the spec. Output ≤ 5³ cells.
+  def q173RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+    val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val per = o.groupBy("o_custkey")
+      .agg(
+        max(to_date(col("o_orderdate"))).as("lastd"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("m"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("lastd")).as("r_days"),
+        col("f"), col("m"))
+    per
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("r_days"), col("o_custkey"))))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("f").desc, col("o_custkey"))))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("m").desc, col("o_custkey"))))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).as("sm"))
+      .select(col("r_q"), col("f_q"), col("m_q"), col("n_customers"),
+        round(col("sm").cast("double") / col("n_customers"), 6)
+          .as("avg_monetary"))
+  }
+
+  // q174: trailing 7-day revenue — daily exact-decimal revenue with a
+  // RANGE frame (6 preceding days .. current DAY VALUE, not 6 preceding
+  // ROWS: calendar gaps shrink the window, the semantics ROWS frames
+  // get wrong on sparse days). DETERMINISM: the windowed sum runs over
+  // DECIMAL values — exact regardless of the engines' different
+  // window-aggregation association orders (segment tree vs incremental,
+  // the q171 hazard). Scale shape: one scan → |days| rows; the RANGE
+  // window runs over the tiny daily table. Per-key series would add a
+  // partitionBy and stay shuffle-parallel.
+  def q174RollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, dir, "orders")
+      .groupBy(unix_date(to_date(col("o_orderdate"))).as("day_num"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w))
+      .withColumn("nd7", count(lit(1)).over(w))
+      .select(col("day_num"),
+        col("rev").cast("double").as("rev"),
+        col("rev7").cast("double").as("rev7"),
+        col("nd7"))
+  }
+
+  // q175: Kaplan-Meier survival curve of customer lifetime — duration =
+  // days between a customer's first and last order; the last order is a
+  // churn EVENT if it falls ≥30 days before the corpus max date, else
+  // the customer is CENSORED (still alive at observation end) — the
+  // standard right-censored survival estimator, over orders. S(t) =
+  // Π_{s≤t}(1 − d_s/n_s) over event times s. DETERMINISM: the product
+  // is exp of a prefix sum of ln((n−d)/n) terms QUANTIZED to 1e9
+  // fixed-point longs before the window sum (q170's idiom — a double
+  // prefix sum would depend on the engines' window association order);
+  // n_s (at-risk) derives from exact integer cumulative counts. A group
+  // where everyone at risk churns (n = d) pins survival to exactly 0
+  // via a −1e15 sentinel term (exp → 0 in both engines). Scale shape:
+  // customer-grain agg, then ALL windows run over the |distinct
+  // durations|-sized risk table.
+  def q175KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+    val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val per = o.groupBy("o_custkey")
+      .agg(min(to_date(col("o_orderdate"))).as("firstd"),
+        max(to_date(col("o_orderdate"))).as("lastd"))
+      .crossJoin(broadcast(maxd))
+      .select(
+        datediff(col("lastd"), col("firstd")).as("dur"),
+        (datediff(col("maxd"), col("lastd")) >= 30).cast("long").as("obs"))
+    val grp = per.groupBy("dur")
+      .agg(count(lit(1)).as("m"), sum(col("obs")).as("d"))
+    val tot = grp.agg(sum(col("m")).as("n_total"))
+    val wPrev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("m")).over(wPrev), lit(0L)))
+      .filter(col("d") >= 1)
+      .withColumn("term_fp",
+        when(col("n_risk") === col("d"), lit(-1000000000000000L))
+          .otherwise(round(log(
+            (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+            * lit(1e9)).cast("long")))
+      .withColumn("s_fp", sum(col("term_fp")).over(wCum))
+      .select(col("dur").as("dur_days"), col("n_risk"), col("d").as("n_events"),
+        (col("m") - col("d")).as("n_censored"),
+        round(exp(col("s_fp").cast("double") / lit(1e9)), 6).as("survival"))
+  }
+
+  // q176: inter-arrival burstiness per user — gaps between consecutive
+  // events in integer seconds (floored µs division, identical in both
+  // engines), then the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) and the
+  // coefficient of variation σ/μ: B→−1 periodic, 0 Poisson, →1 bursty —
+  // the traffic-shape profile of an event pipeline. DETERMINISM: gap
+  // order within a user is pinned by (ts, event_id); σ² =
+  // (n·Σx²−(Σx)²)/n² over exact integer-second sums carried as
+  // DECIMAL(38,6) (n·Σx² can exceed a long); sqrt is IEEE
+  // correctly-rounded in both engines. Degenerate all-equal-gap users
+  // (σ=0) emit B=−1 exactly. Scale shape: the lag window partitions by
+  // user (shuffle-parallel, no global sort); one user-grain agg after.
+  def q176Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+    val agg = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sx"),
+        sum(col("gap_s").cast("decimal(38,6)") * col("gap_s")).as("sxx"))
+      .filter(col("n_gaps") >= 2)
+    val n = col("n_gaps").cast("decimal(38,6)")
+    val varE = (n * col("sxx") - (col("sx").cast("decimal(38,6)")
+      * col("sx"))) / (n * n)
+    agg
+      .withColumn("mu", col("sx").cast("double") / col("n_gaps"))
+      .withColumn("sigma", sqrt(varE.cast("double")))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mu"), 6).as("mean_gap_s"),
+        when(col("mu") > 0, round(col("sigma") / col("mu"), 6)).as("cv"),
+        when(col("sigma") + col("mu") > 0,
+          round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6))
+          .as("burstiness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_rfm_segments" -> q173RfmSegments _,
+    "q174_rolling_revenue" -> q174RollingRevenue _,
+    "q175_kaplan_meier" -> q175KaplanMeier _,
+    "q176_burstiness" -> q176Burstiness _,
     "q161_ab_test" -> q161AbTest _,
     "q163_conversion_lag" -> q163ConversionLag _,
     "q171_cusum_changepoint" -> q171CusumChangepoint _,
@@ -1666,6 +1821,92 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (metric, custkey) total orders under the same SQL ntile
+    // semantics; monetary ordered and summed as exact decimal
+    "q173_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |         CAST(maxd - max(CAST(o_orderdate AS DATE)) AS INT) AS r_days,
+        |         count(*) AS f,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS m
+        |  FROM orders CROSS JOIN mx GROUP BY o_custkey, maxd),
+        |q AS (
+        |  SELECT ntile(5) OVER (ORDER BY r_days, o_custkey) AS r_q,
+        |         ntile(5) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+        |         ntile(5) OVER (ORDER BY m DESC, o_custkey) AS m_q,
+        |         m
+        |  FROM per)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |       round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS avg_monetary
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
+    // same integer day-number RANGE frame over the same exact-decimal
+    // daily sums
+    "q174_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day_num, CAST(rev AS DOUBLE) AS rev,
+        |       CAST(sum(rev) OVER w AS DOUBLE) AS rev7,
+        |       count(*) OVER w AS nd7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // same 30-day censoring rule, same integer at-risk counts, same
+    // 1e9-quantized ln terms and n=d → sentinel-zero survival
+    "q175_kaplan_meier" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |per AS (
+        |  SELECT CAST(max(CAST(o_orderdate AS DATE))
+        |              - min(CAST(o_orderdate AS DATE)) AS INT) AS dur,
+        |         CASE WHEN CAST(maxd - max(CAST(o_orderdate AS DATE)) AS INT) >= 30
+        |              THEN 1 ELSE 0 END AS obs
+        |  FROM orders CROSS JOIN mx GROUP BY o_custkey, maxd),
+        |grp AS (SELECT dur, count(*) AS m, sum(obs) AS d FROM per GROUP BY 1),
+        |tot AS (SELECT sum(m) AS n_total FROM grp),
+        |risk AS (
+        |  SELECT dur, m, d,
+        |         n_total - coalesce(sum(m) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grp CROSS JOIN tot),
+        |ev AS (
+        |  SELECT dur, n_risk, d, m - d AS n_censored,
+        |         CASE WHEN n_risk = d THEN -1000000000000000
+        |              ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9) AS BIGINT)
+        |         END AS term_fp
+        |  FROM risk WHERE d >= 1)
+        |SELECT dur AS dur_days, n_risk, d AS n_events, n_censored,
+        |       round(exp(CAST(sum(term_fp) OVER (ORDER BY dur
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / 1e9), 6) AS survival
+        |FROM ev""".stripMargin,
+    // same (ts, event_id)-pinned gap order, same floored integer-second
+    // gaps, same decimal variance closed form
+    "q176_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |            (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |         sum(gap_s) AS sx,
+        |         sum(CAST(gap_s AS DECIMAL(38,6)) * gap_s) AS sxx
+        |  FROM g WHERE gap_s IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |s AS (
+        |  SELECT user_id, n_gaps,
+        |         CAST(sx AS DOUBLE) / n_gaps AS mu,
+        |         sqrt(CAST((CAST(n_gaps AS DECIMAL(38,6)) * sxx
+        |               - CAST(sx AS DECIMAL(38,6)) * sx)
+        |              / (CAST(n_gaps AS DECIMAL(38,6)) * n_gaps) AS DOUBLE)) AS sigma
+        |  FROM a)
+        |SELECT user_id, n_gaps, round(mu, 6) AS mean_gap_s,
+        |       CASE WHEN mu > 0 THEN round(sigma / mu, 6) END AS cv,
+        |       CASE WHEN sigma + mu > 0
+        |            THEN round((sigma - mu) / (sigma + mu), 6) END AS burstiness
+        |FROM s""".stripMargin,
     // same user-parity variant split and pooled-z closed form over the
     // same four exact integer counts
     "q161_ab_test" ->
