@@ -1738,7 +1738,66 @@ object RelationalQueries {
           .as("burstiness"))
   }
 
+  // q178: sorted-neighborhood record linkage — sort customers on the
+  // name key, compare each record against only its next w=2 neighbors
+  // (lead windows, NOT a self-join), keep candidate pairs within edit
+  // distance 2: the classic blocking strategy that turns O(n²) fuzzy
+  // matching into O(n·w) (q130's wildcard-key join is the other
+  // blocking family). DETERMINISM: the sort order is the total order
+  // (c_name, c_custkey); Levenshtein distance is exact integer in both
+  // engines. Scale shape: window + projection, no join at all; the
+  // global sort is the SNM spec — at 100 TB you'd range-partition on
+  // the key (sortWithinPartitions + per-boundary overlap of w rows)
+  // and the window parallelizes per partition.
+  def q178SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_name"), col("c_custkey"))
+    val c = t(spark, dir, "customer").select("c_custkey", "c_name")
+      .withColumn("n1", lead(col("c_name"), 1).over(w))
+      .withColumn("k1", lead(col("c_custkey"), 1).over(w))
+      .withColumn("n2", lead(col("c_name"), 2).over(w))
+      .withColumn("k2", lead(col("c_custkey"), 2).over(w))
+    c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      explode(array(
+        struct(col("k1").as("id_b"), col("n1").as("name_b")),
+        struct(col("k2").as("id_b"), col("n2").as("name_b")))).as("nb"))
+      .select(col("id_a"), col("nb.id_b").as("id_b"),
+        levenshtein(col("name_a"), col("nb.name_b")).as("dist"))
+      .filter(col("id_b").isNotNull && col("dist") <= 2)
+  }
+
+  // q180: Lorenz curve of customer revenue concentration — revenue
+  // deciles (ascending exact-decimal revenue, custkey tie-break) with
+  // each decile's share and the cumulative share: the curve behind
+  // q169's single Gini number ("the bottom 50% of customers hold 18%
+  // of revenue"). DETERMINISM: decile sums stay DECIMAL until the one
+  // final division; the cumulative window runs over the 10-row decile
+  // table. Scale shape: customer-grain agg + the q173 ntile trade;
+  // output is 10 rows.
+  def q180LorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(spark, dir, "orders").groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val dec = rev
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("rev"), col("o_custkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+    val tot = dec.agg(sum(col("drev")).as("trev"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.crossJoin(broadcast(tot))
+      .withColumn("crev", sum(col("drev")).over(wCum))
+      .select(col("decile"), col("n_customers"),
+        round(col("drev").cast("double") / col("trev").cast("double"), 6)
+          .as("rev_share"),
+        round(col("crev").cast("double") / col("trev").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_sorted_neighborhood" -> q178SortedNeighborhood _,
+    "q180_lorenz_curve" -> q180LorenzCurve _,
     "q173_rfm_segments" -> q173RfmSegments _,
     "q174_rolling_revenue" -> q174RollingRevenue _,
     "q175_kaplan_meier" -> q175KaplanMeier _,
@@ -1821,6 +1880,42 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (c_name, c_custkey) total order, same w=2 lead pairing, same
+    // exact Levenshtein threshold
+    "q178_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT c_custkey, c_name,
+        |         lead(c_name, 1) OVER w AS n1,
+        |         lead(c_custkey, 1) OVER w AS k1,
+        |         lead(c_name, 2) OVER w AS n2,
+        |         lead(c_custkey, 2) OVER w AS k2
+        |  FROM customer
+        |  WINDOW w AS (ORDER BY c_name, c_custkey)),
+        |p AS (
+        |  SELECT c_custkey AS id_a, k1 AS id_b,
+        |         levenshtein(c_name, n1) AS dist FROM s WHERE k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey AS id_a, k2 AS id_b,
+        |         levenshtein(c_name, n2) AS dist FROM s WHERE k2 IS NOT NULL)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2""".stripMargin,
+    // same ascending (rev, custkey) ntile order, decimal sums, one
+    // final division per share
+    "q180_lorenz_curve" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |dec AS (
+        |  SELECT ntile(10) OVER (ORDER BY rev, o_custkey) AS decile, rev
+        |  FROM rev),
+        |g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS drev
+        |      FROM dec GROUP BY 1),
+        |t AS (SELECT sum(drev) AS trev FROM g)
+        |SELECT decile, n_customers,
+        |       round(CAST(drev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS rev_share,
+        |       round(CAST(sum(drev) OVER (ORDER BY decile
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS cum_share
+        |FROM g CROSS JOIN t""".stripMargin,
     // same (metric, custkey) total orders under the same SQL ntile
     // semantics; monetary ordered and summed as exact decimal
     "q173_rfm_segments" ->

@@ -110,6 +110,82 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q177: pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the symmetric, bounded ([0, ln 2]) companion of
+    // q170's KL-from-corpus: the source-similarity MATRIX a mixture
+    // designer reads before weighting domains. Zero-frequency words are
+    // materialized via the source×vocab grid so each pair sees the full
+    // union vocabulary (a p=0 side contributes 0 by the 0·ln0 = 0
+    // convention; the mixture m is then strictly positive on every kept
+    // row). DETERMINISM: each pair term is quantized to a 1e9
+    // fixed-point long BEFORE the per-pair sum (q170's idiom).
+    // Scale shape: one token scan → (source, word) agg; the grid and
+    // pair join are word-keyed and shuffle-parallel; output is
+    // |sources|²/2 rows. The dense grid costs |sources|·|vocab| rows —
+    // fine while the source count is bounded (it's a per-PAIR statistic;
+    // with thousands of sources you'd threshold to top-vocab first).
+    "q177_js_divergence" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tok = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+      val sw = tok.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val st = sw.groupBy("source").agg(sum(col("c")).as("tot_s"))
+      val words = sw.select("word").distinct()
+      val grid = st.crossJoin(words)
+        .join(sw, Seq("source", "word"), "left")
+        .select(col("source"), col("word"),
+          (coalesce(col("c"), lit(0L)).cast("double") / col("tot_s")).as("p"))
+      val a = grid.select(col("source").as("src_a"), col("word"),
+        col("p").as("pa"))
+      val b = grid.select(col("source").as("src_b"), col("word"),
+        col("p").as("pb"))
+      val m = (col("pa") + col("pb")) / 2
+      a.join(b, Seq("word"))
+        .filter(col("src_a") < col("src_b"))
+        .filter(col("pa") + col("pb") > 0)
+        .select(col("src_a"), col("src_b"),
+          round((when(col("pa") > 0, col("pa") * log(col("pa") / m))
+            .otherwise(lit(0.0))
+            + when(col("pb") > 0, col("pb") * log(col("pb") / m))
+              .otherwise(lit(0.0))) / 2 * lit(1e9)).cast("long").as("term_fp"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("term_fp")).as("s_fp"))
+        .select(col("src_a"), col("src_b"),
+          round(col("s_fp").cast("double") / lit(1e9), 6).as("js"))
+    }),
+    // q179: decile lift / gains table of the q165 scorer ("n_chars
+    // predicts English") — the campaign-targeting readout: per score
+    // decile (1 = highest score), the response rate, lift over the base
+    // rate, and cumulative gain. DETERMINISM: decile assignment is
+    // ntile(10) over the TOTAL order (score DESC, doc_id) — unique
+    // bucket per row under ties, identical SQL ntile semantics in both
+    // engines; every rate is exact-integer-derived with one final
+    // division; the cumulative window runs over the 10-row decile
+    // table. Scale shape: like q173, the ntile is an unpartitioned sort
+    // of the scored table — swap in broadcast quantile boundaries
+    // (q128) at corpus scale; everything downstream is 10 rows.
+    "q179_lift_table" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir).select(
+        col("doc_id"), col("n_chars").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val dec = scored
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val tot = dec.agg(sum(col("n")).as("tn"), sum(col("n_pos")).as("tp"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+          round((col("n_pos").cast("double") / col("n"))
+            / (col("tp").cast("double") / col("tn")), 6).as("lift"),
+          round(col("cum_pos").cast("double") / col("tp"), 6).as("cum_gain"))
+    }),
     "q20_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "text", "doc_id")),
     "q21_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "text", "doc_id")),
     "q22_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text", "doc_id")),
@@ -615,6 +691,53 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same source×vocab zero-materializing grid, same 0·ln0 = 0 guards,
+    // same 1e9 fixed-point pair terms before the integer sum
+    "q177_js_divergence" ->
+      s"""$WordsCte,
+         |tok AS (SELECT d.source, unnest(w.w) AS word
+         |        FROM wd w JOIN documents d ON d.doc_id = w.doc_id),
+         |sw AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2),
+         |st AS (SELECT source, sum(c) AS tot_s FROM sw GROUP BY 1),
+         |vocab AS (SELECT DISTINCT word FROM sw),
+         |grid AS (
+         |  SELECT st.source, vocab.word,
+         |         CAST(coalesce(sw.c, 0) AS DOUBLE) / st.tot_s AS p
+         |  FROM st CROSS JOIN vocab
+         |  LEFT JOIN sw ON sw.source = st.source AND sw.word = vocab.word),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(round((CASE WHEN a.p > 0
+         |                 THEN a.p * ln(a.p / ((a.p + b.p) / 2)) ELSE 0 END
+         |               + CASE WHEN b.p > 0
+         |                 THEN b.p * ln(b.p / ((a.p + b.p) / 2)) ELSE 0 END)
+         |              / 2 * 1000000000) AS BIGINT) AS term_fp
+         |  FROM grid a JOIN grid b ON a.word = b.word AND a.source < b.source
+         |  WHERE a.p + b.p > 0)
+         |SELECT src_a, src_b,
+         |       round(CAST(sum(term_fp) AS DOUBLE) / 1000000000.0, 6) AS js
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    // same (score DESC, doc_id) ntile order, same exact-integer decile
+    // margins and one-division rates
+    "q179_lift_table" ->
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |dec AS (
+        |  SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile, pos
+        |  FROM scored),
+        |g AS (SELECT decile, count(*) AS n, sum(pos) AS n_pos
+        |      FROM dec GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM g)
+        |SELECT decile, n, n_pos,
+        |       round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+        |       round((CAST(n_pos AS DOUBLE) / n)
+        |             / (CAST(tp AS DOUBLE) / tn), 6) AS lift,
+        |       round(CAST(sum(n_pos) OVER (ORDER BY decile
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / tp, 6) AS cum_gain
+        |FROM g CROSS JOIN t""".stripMargin,
     // mirrors q88 op-for-op: same tokenizer CTE, fixed-point-quantized
     // per-token ln BEFORE the sum (integer agg = order-invariant on both
     // engines), double division only at the end
