@@ -1795,7 +1795,91 @@ object RelationalQueries {
           .as("cum_share"))
   }
 
+  // q183: five-number summary + Tukey outlier count per event type —
+  // min/Q1/median/Q3/max with quartiles under percentile_disc semantics
+  // (the value at rank ⌈q·n⌉ — a VALUE FROM THE DATA, q163's idiom, so
+  // no interpolation arithmetic can drift), then the 1.5·IQR fence
+  // count. DETERMINISM: rank picks are exact integers; the fences are
+  // two IEEE ops (one multiply, one subtract/add) on the SAME two
+  // quartile doubles in both engines — bit-identical, so the outlier
+  // comparisons agree exactly. Scale shape: the rank window partitions
+  // by event_type (shuffle-parallel); the fence count re-joins the tiny
+  // per-type quartile table broadcast onto one more scan.
+  def q183FiveNumber(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir).select(col("event_type"), col("value"),
+      col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val ranked = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val q = ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(col("value")).as("vmin"),
+        max(when(col("rn") === ceil(col("n") * 0.25), col("value"))).as("q1"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("med"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("value"))).as("q3"),
+        max(col("value")).as("vmax"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    val out = e.join(broadcast(q), Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    q.join(out, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("vmin"), col("q1"),
+        col("med"), col("q3"), col("vmax"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
+  // q184: DAU / trailing-7-day WAU / stickiness per day — the
+  // engagement dashboard readout. WAU is computed WITHOUT a range
+  // self-join: each distinct (user, day) fans out to the 7 window
+  // targets it serves (day .. day+6) and a distinct-count lands per
+  // target day — linear 7× expansion, shuffle-parallel, the q137
+  // densify trick applied to a sliding COUNT DISTINCT (a RANGE frame
+  // can't deduplicate users; this can). Targets are inner-joined back
+  // to real activity days so no phantom trailing days appear.
+  // DETERMINISM: pure integer counts; one final division. Scale shape:
+  // two user-day-grain aggs + the 7× explode; no window at all.
+  def q184Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day_num"))
+      .distinct()
+    val dau = ud.groupBy("day_num").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day_num"), col("day_num") + 6)).as("day_num"))
+      .distinct()
+      .groupBy("day_num").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day_num")
+      .select(col("day_num"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  // q185: new vs returning users per day — a user's first-ever activity
+  // day marks them new exactly once; every later active day counts them
+  // returning (the acquisition/retention split of a growth dashboard).
+  // DETERMINISM: min(day) is an exact integer agg; margins are counts.
+  // Scale shape: user-day dedup agg + a user-grain min-agg broadcast
+  // back (both map-side combinable); no window.
+  def q185NewReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day_num"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day_num")).as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy("day_num")
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("day_num") === col("first_day")).cast("long")).as("n_new"))
+      .select(col("day_num"), col("n_users"), col("n_new"),
+        (col("n_users") - col("n_new")).as("n_returning"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_five_number" -> q183FiveNumber _,
+    "q184_stickiness" -> q184Stickiness _,
+    "q185_new_returning" -> q185NewReturning _,
     "q178_sorted_neighborhood" -> q178SortedNeighborhood _,
     "q180_lorenz_curve" -> q180LorenzCurve _,
     "q173_rfm_segments" -> q173RfmSegments _,
@@ -1880,6 +1964,59 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same rank-at-⌈q·n⌉ quartile picks, same two-IEEE-op fences, same
+    // exact outlier comparisons
+    "q183_five_number" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |q AS (
+        |  SELECT event_type, max(n) AS n, min(value) AS vmin,
+        |         max(CASE WHEN rn = ceil(n * 0.25) THEN value END) AS q1,
+        |         max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med,
+        |         max(CASE WHEN rn = ceil(n * 0.75) THEN value END) AS q3,
+        |         max(value) AS vmax
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT *, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |      FROM q),
+        |o AS (
+        |  SELECT e.event_type, count(*) AS n_outliers
+        |  FROM events e JOIN f ON f.event_type = e.event_type
+        |  WHERE e.value < f.lo OR e.value > f.hi GROUP BY 1)
+        |SELECT f.event_type, f.n, f.vmin, f.q1, f.med, f.q3, f.vmax,
+        |       coalesce(o.n_outliers, 0) AS n_outliers
+        |FROM f LEFT JOIN o ON o.event_type = f.event_type""".stripMargin,
+    // same user-day dedup, same 7-target fanout, inner-joined to real
+    // activity days
+    "q184_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+        |  FROM events),
+        |dau AS (SELECT day_num, count(*) AS dau FROM ud GROUP BY 1),
+        |fan AS (
+        |  SELECT DISTINCT user_id, day_num + off AS day_num
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off)),
+        |wau AS (SELECT day_num, count(*) AS wau FROM fan GROUP BY 1)
+        |SELECT d.day_num, d.dau, w.wau,
+        |       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w ON w.day_num = d.day_num""".stripMargin,
+    // same first-day rule over the same user-day dedup
+    "q185_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+        |  FROM events),
+        |f AS (SELECT user_id, min(day_num) AS first_day FROM ud GROUP BY 1)
+        |SELECT ud.day_num, count(*) AS n_users,
+        |       sum(CASE WHEN ud.day_num = f.first_day THEN 1 ELSE 0 END) AS n_new,
+        |       count(*) - sum(CASE WHEN ud.day_num = f.first_day THEN 1 ELSE 0 END)
+        |         AS n_returning
+        |FROM ud JOIN f ON f.user_id = ud.user_id
+        |GROUP BY 1""".stripMargin,
     // same (c_name, c_custkey) total order, same w=2 lead pairing, same
     // exact Levenshtein threshold
     "q178_sorted_neighborhood" ->

@@ -153,6 +153,71 @@ object TextQueries {
         .select(col("src_a"), col("src_b"),
           round(col("s_fp").cast("double") / lit(1e9), 6).as("js"))
     }),
+    // q181: Zipf's-law fit — OLS slope of ln(frequency) on ln(rank)
+    // over the corpus vocabulary (the tokenizer-design diagnostic: a
+    // healthy natural-language corpus sits near slope −1; synthetic or
+    // boilerplate-heavy corpora bend away). DETERMINISM: q167's
+    // closed-form OLS, but both regressors pass through the q170
+    // quantization first — x = round(ln(rank)·1e9), y =
+    // round(ln(cnt)·1e9) as longs — so Σx/Σy are exact integer sums and
+    // Σxy/Σxx are exact DECIMAL(38,0) sums of long products; slope is
+    // scale-invariant to the 1e9 factor, the intercept divides it back
+    // out once. Rank is the total order (cnt DESC, word ASC).
+    // Scale shape: one token scan → vocab-sized agg; the rank window is
+    // a vocab-sized sort (the q87 trade); the moment agg is one row.
+    "q181_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val xy = freq
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word").asc)))
+        .select(
+          round(log(col("rank").cast("double")) * lit(1e9)).cast("long").as("x"),
+          round(log(col("cnt").cast("double")) * lit(1e9)).cast("long").as("y"))
+      val m = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      val n = col("n").cast("decimal(38,0)")
+      val num = (n * col("sxy") - col("sx").cast("decimal(38,0)")
+        * col("sy")).cast("double")
+      val den = (n * col("sxx") - col("sx").cast("decimal(38,0)")
+        * col("sx")).cast("double")
+      m.select(col("n").as("n_vocab"),
+        round(num / den, 6).as("slope"),
+        round((col("sy").cast("double") - num / den
+          * col("sx").cast("double")) / col("n") / lit(1e9), 6).as("intercept"))
+    }),
+    // q182: Heaps'-law vocabulary growth curve — cumulative distinct
+    // vocabulary vs cumulative token count in doc_id ingestion order
+    // (the "how fast does my vocab table grow" capacity curve).
+    // DETERMINISM: a word's first occurrence is min(doc_id) — an exact
+    // integer agg — so the curve is two integer prefix sums over the
+    // doc-grain table; no doubles anywhere. Scale shape: token agg +
+    // word-grain min-agg (both map-side combinable), one doc-grain
+    // window; at corpus scale you'd checkpoint the curve at sampled
+    // doc_ids instead of every document.
+    "q182_heaps_law" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val firstSeen = tok.groupBy("word").agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(firstSeen, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .withColumn("cum_vocab", sum(col("n_new")).over(w))
+        .select("doc_id", "cum_tokens", "cum_vocab")
+    }),
     // q179: decile lift / gains table of the q165 scorer ("n_chars
     // predicts English") — the campaign-targeting readout: per score
     // decile (1 = highest score), the response rate, lift over the base
@@ -691,6 +756,48 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (cnt DESC, word) rank order, same 1e9-quantized regressors,
+    // same DECIMAL(38,0) moment sums and closed-form slope
+    "q181_zipf_fit" ->
+      s"""$WordsCte,
+         |tok AS (SELECT unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+         |xy AS (
+         |  SELECT CAST(round(ln(CAST(row_number() OVER
+         |           (ORDER BY cnt DESC, word ASC) AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+         |         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS y
+         |  FROM freq),
+         |m AS (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         |         sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+         |  FROM xy)
+         |SELECT n AS n_vocab,
+         |       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+         |               - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |             / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+         |               - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS slope,
+         |       round((CAST(sy AS DOUBLE)
+         |              - CAST(CAST(n AS DECIMAL(38,0)) * sxy
+         |                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         |                / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+         |                  - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+         |                * CAST(sx AS DOUBLE)) / n / 1e9, 6) AS intercept
+         |FROM m""".stripMargin,
+    // same min(doc_id) first-occurrence rule, pure integer prefix sums
+    "q182_heaps_law" ->
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+         |first_seen AS (
+         |  SELECT fd AS doc_id, count(*) AS n_new FROM (
+         |    SELECT word, min(doc_id) AS fd FROM tok GROUP BY 1) GROUP BY 1)
+         |SELECT p.doc_id,
+         |       sum(p.n_tok) OVER (ORDER BY p.doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         |       sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+         |FROM per_doc p LEFT JOIN first_seen f ON f.doc_id = p.doc_id""".stripMargin,
     // same source×vocab zero-materializing grid, same 0·ln0 = 0 guards,
     // same 1e9 fixed-point pair terms before the integer sum
     "q177_js_divergence" ->
