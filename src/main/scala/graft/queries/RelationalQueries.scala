@@ -1876,7 +1876,73 @@ object RelationalQueries {
         (col("n_users") - col("n_new")).as("n_returning"))
   }
 
+  /** q188: Spearman rank correlation of quantity vs extended price per
+    * return flag — the monotone-association companion of q167's OLS
+    * slope and q158's Pearson matrix (robust to the price outliers that
+    * bend Pearson). Tie handling is the textbook average-rank rule,
+    * carried EXACTLY: avg-rank×2 = 2·rank() + tie_count − 1 is an
+    * integer, so both regressors are integers and rho is q167's
+    * closed-form Pearson over DECIMAL(38,0) moment sums — one double
+    * division at the end. Scale shape: two windows over the same
+    * flag-partition (one sort each, flag cardinality bounds skew at 3),
+    * then a 3-row moment agg; no driver state.
+    */
+  def q188Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(spark, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val ranked = li
+      .withColumn("rx",
+        lit(2L) * rank().over(Window.partitionBy("flag").orderBy("x")) +
+          count(lit(1)).over(Window.partitionBy("flag", "x")) - 1)
+      .withColumn("ry",
+        lit(2L) * rank().over(Window.partitionBy("flag").orderBy("y")) +
+          count(lit(1)).over(Window.partitionBy("flag", "y")) - 1)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val m = ranked.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("rx"))).as("sx"), sum(d38(col("ry"))).as("sy"),
+      sum(d38(col("rx")) * col("ry")).as("sxy"),
+      sum(d38(col("rx")) * col("rx")).as("sxx"),
+      sum(d38(col("ry")) * col("ry")).as("syy"))
+    val n = d38(col("n"))
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("flag").as("l_returnflag"), col("n").as("n_rows"),
+      round(num / sqrt(dx * dy), 6).as("spearman_rho"))
+  }
+
+  /** q189: Mann–Kendall trend test over the daily-revenue series — the
+    * nonparametric "is revenue trending" readout (S = Σ_{i<j}
+    * sign(rev_j − rev_i) over date order, plus Kendall's tau-a against
+    * time). DETERMINISM: daily revenue is an exact DECIMAL sum, sign
+    * comparisons are exact decimal compares, S is an integer sum; one
+    * division for tau. Scale shape: the series is DAY-grain — bounded
+    * by the calendar, not the data — so the i<j pair join is a
+    * broadcast of a tiny table against itself (~n²/2 day pairs,
+    * independent of row count); the only corpus-sized work is the
+    * one map-side-combinable date agg.
+    */
+  def q189MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val day = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .persist()
+    val a = day.select(col("d").as("d_i"), col("rev").as("r_i"))
+    val b = day.select(col("d").as("d_j"), col("rev").as("r_j"))
+    val s = a.join(broadcast(b), col("d_i") < col("d_j"))
+      .agg(sum(when(col("r_j") > col("r_i"), 1L)
+        .when(col("r_j") < col("r_i"), -1L).otherwise(0L)).as("s_stat"))
+    val n = day.agg(count(lit(1)).as("n_days"))
+    n.crossJoin(s).select(col("n_days"), col("s_stat"),
+      round(col("s_stat").cast("double") /
+        (col("n_days") * (col("n_days") - 1) / 2), 6).as("tau_a"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_spearman" -> q188Spearman _,
+    "q189_mann_kendall" -> q189MannKendall _,
     "q183_five_number" -> q183FiveNumber _,
     "q184_stickiness" -> q184Stickiness _,
     "q185_new_returning" -> q185NewReturning _,
@@ -1964,6 +2030,43 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same avg-rank×2 integerization, same DECIMAL(38,0) moments, same
+    // closed-form Pearson-on-ranks
+    "q188_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT flag, count(*) AS n,
+        |    sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy,
+        |    sum(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+        |    sum(CAST(ry AS DECIMAL(38,0)) * ry) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT flag AS l_returnflag, n AS n_rows,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |             CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+        |FROM m""".stripMargin,
+    // same exact-decimal daily revenue, same sign-pair sum over date
+    // order, same tau-a normalization
+    "q189_mann_kendall" ->
+      """WITH day AS (
+        |  SELECT o_orderdate AS d, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+        |                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM day a JOIN day b ON a.d < b.d),
+        |n AS (SELECT count(*) AS n_days FROM day)
+        |SELECT n_days, s_stat,
+        |  round(CAST(s_stat AS DOUBLE) / (n_days * (n_days - 1) / 2), 6) AS tau_a
+        |FROM n CROSS JOIN s""".stripMargin,
     // same rank-at-⌈q·n⌉ quartile picks, same two-IEEE-op fences, same
     // exact outlier comparisons
     "q183_five_number" ->

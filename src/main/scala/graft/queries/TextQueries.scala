@@ -110,6 +110,57 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q186: per-source hapax-legomena profile — the vocabulary size of
+    // each source and how much of it is corpus-frequency-1 (hapax). A
+    // high hapax ratio flags OCR noise / random-suffix boilerplate; a
+    // low one flags template spam — both standard pre-training corpus
+    // triage signals. DETERMINISM: pure integer counting (a word's
+    // corpus frequency is an exact sum over its per-source counts), one
+    // final division. Scale shape: token scan → (word, source) hash agg
+    // (map-side combinable) → vocab-sized global re-agg → join back on
+    // `word` (both sides vocab-grain, exchange reused) → source-grain
+    // agg. No window, no driver state; skew-free because the hot axis
+    // is `word`, not `source`.
+    "q186_hapax_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ws = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+        .groupBy("word", "source").agg(count(lit(1)).as("c"))
+      val glob = ws.groupBy("word").agg(sum(col("c")).as("cnt"))
+      ws.join(glob, Seq("word"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+        .select(col("source"), col("n_vocab"), col("n_hapax"),
+          round(col("n_hapax").cast("double") / col("n_vocab"), 6)
+            .as("hapax_ratio"))
+    }),
+    // q187: per-document sentence statistics — segment on [.!?]+ runs,
+    // trim, drop empties; report sentence count, mean and max sentence
+    // length in characters (the readability/segmentation profile a
+    // chunking pipeline reads before picking window sizes).
+    // DETERMINISM: split/trim/length are exact string ops; the only
+    // division is the final mean. Scale shape: a SHUFFLE-FREE
+    // projection — the array never leaves its row (size / aggregate /
+    // array_max are per-row folds), so this runs at scan speed and
+    // composes with streaming ingest unchanged.
+    "q187_sentence_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val segs = filter(
+        transform(split(col("text"), "[.!?]+"), x => trim(x)),
+        x => length(x) > 0)
+      docs(s, dir)
+        .select(col("doc_id"), segs.as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).as("n_sentences"),
+          aggregate(col("segs"), lit(0L), (acc, x) => acc + length(x)).as("chars"),
+          coalesce(array_max(transform(col("segs"), x => length(x))), lit(0))
+            .as("max_sentence_chars"))
+        .select(col("doc_id"), col("n_sentences"),
+          round(col("chars").cast("double") /
+            greatest(col("n_sentences"), lit(1)), 6).as("mean_sentence_chars"),
+          col("max_sentence_chars"))
+    }),
     // q177: pairwise Jensen-Shannon divergence between source unigram
     // distributions — the symmetric, bounded ([0, ln 2]) companion of
     // q170's KL-from-corpus: the source-similarity MATRIX a mixture
@@ -756,6 +807,40 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same tokenizer, same (word, source)-grain counting, same
+    // corpus-frequency-1 hapax rule
+    "q186_hapax_stats" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(
+        |      list_transform(string_split_regex(lower(text), '\s+'),
+        |                     t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |      x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |ws AS (SELECT word, source, count(*) AS c FROM tok GROUP BY 1, 2),
+        |gw AS (SELECT word, sum(c) AS cnt FROM ws GROUP BY 1)
+        |SELECT ws.source,
+        |  count(*) AS n_vocab,
+        |  CAST(sum(CASE WHEN gw.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(sum(CASE WHEN gw.cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS hapax_ratio
+        |FROM ws JOIN gw USING (word) GROUP BY 1""".stripMargin,
+    // same [.!?]+ segmentation, same trim/non-empty filter, same
+    // char-length folds
+    "q187_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |                               x -> trim(x)),
+        |                x -> length(x) > 0) AS segs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(segs) AS n_sentences,
+        |  round(CAST(coalesce(list_sum(list_transform(segs, x -> length(x))), 0)
+        |          AS DOUBLE) / greatest(len(segs), 1), 6) AS mean_sentence_chars,
+        |  coalesce(list_max(list_transform(segs, x -> length(x))), 0)
+        |    AS max_sentence_chars
+        |FROM s""".stripMargin,
     // same (cnt DESC, word) rank order, same 1e9-quantized regressors,
     // same DECIMAL(38,0) moment sums and closed-form slope
     "q181_zipf_fit" ->
