@@ -1940,7 +1940,88 @@ object RelationalQueries {
         (col("n_days") * (col("n_days") - 1) / 2), 6).as("tau_a"))
   }
 
+  /** q190: autocorrelation function of the daily-revenue series at lags
+    * 1–7 — the seasonality fingerprint read before fitting any forecast
+    * (a weekly cycle shows as a lag-7 peak; q172 then explains it).
+    * DETERMINISM: revenue is exact integer cents; every moment in the
+    * textbook estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² is
+    * carried mean-free via the n²-scaled closed form (n²c_k = n²Σx_t·x_{t−k}
+    * − nS(Σ_a+Σ_b) + m_k·S², all DECIMAL(38,0) integer sums), so the
+    * only doubles are the 7 final divisions. Scale shape: one
+    * map-side-combinable date agg is the only corpus-sized work; the
+    * series itself is DAY-grain (calendar-bounded), so the single
+    * 7-lag window and the 1-row moment agg are O(days) regardless of
+    * row count.
+    */
+  def q190Acf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxLag = 7
+    val day = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val w = Window.orderBy("d")
+    val lagged = day.select(
+      col("x") +: (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(d38(col("x"))).as("s"),
+        sum(d38(col("x")) * col("x")).as("sxx")) ++
+        (1 to maxLag).flatMap { k =>
+          Seq(
+            sum(d38(col("x")) * col(s"l$k")).as(s"sp$k"),
+            sum(when(col(s"l$k").isNotNull, d38(col("x")))).as(s"sa$k"),
+            sum(d38(col(s"l$k"))).as(s"sb$k"),
+            count(col(s"l$k")).as(s"m$k"))
+        }
+    val m = lagged.agg(aggs.head, aggs.tail: _*)
+    val n = d38(col("n"))
+    val c0 = (n * (n * col("sxx") - col("s") * col("s"))).cast("double")
+    val rows = (1 to maxLag).map { k =>
+      val ck = (n * n * col(s"sp$k")
+        - n * col("s") * (col(s"sa$k") + col(s"sb$k"))
+        + d38(col(s"m$k")) * col("s") * col("s")).cast("double")
+      struct(lit(k).as("lag"), col(s"m$k").as("n_pairs"),
+        round(ck / c0, 6).as("acf"))
+    }
+    m.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.n_pairs").as("n_pairs"),
+        col("p.acf").as("acf"))
+  }
+
+  /** q192: FIFO allocation of each customer's account balance across
+    * their orders in date order — the classic settlement/matching
+    * kernel (payments-to-invoices, credit-to-shipments): order i gets
+    * clamp(balance − spend_before_i, 0, price_i). DETERMINISM: pure
+    * integer-cents arithmetic over a total order (date, orderkey); no
+    * doubles at all. Scale shape: ONE hash exchange on o_custkey feeds
+    * both the customer join and the per-customer running-sum window
+    * (AQE broadcasts the customer side below threshold); per-partition
+    * state is one running sum — streaming-friendly and skew-bounded by
+    * orders-per-customer.
+    */
+  def q192FifoAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("bal"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("price"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("spent", coalesce(sum(col("price")).over(w), lit(0L)))
+      .select(col("o_orderkey"), col("o_custkey"),
+        greatest(lit(0L), least(col("bal") - col("spent"), col("price")))
+          .as("alloc_cents"),
+        col("price").as("price_cents"))
+      .filter(col("alloc_cents") > 0)
+      .withColumn("fully_covered", (col("alloc_cents") === col("price_cents")).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_acf" -> q190Acf _,
+    "q192_fifo_allocation" -> q192FifoAllocation _,
     "q188_spearman" -> q188Spearman _,
     "q189_mann_kendall" -> q189MannKendall _,
     "q183_five_number" -> q183FiveNumber _,
@@ -2030,6 +2111,61 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same integer-cents series, same n²-scaled mean-free closed form
+    // (HUGEINT is DuckDB's exact int128 twin of the DECIMAL(38,0) sums)
+    "q190_acf" ->
+      """WITH day AS (
+        |  SELECT o_orderdate AS d,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT x,
+        |    lag(x, 1) OVER (ORDER BY d) AS l1, lag(x, 2) OVER (ORDER BY d) AS l2,
+        |    lag(x, 3) OVER (ORDER BY d) AS l3, lag(x, 4) OVER (ORDER BY d) AS l4,
+        |    lag(x, 5) OVER (ORDER BY d) AS l5, lag(x, 6) OVER (ORDER BY d) AS l6,
+        |    lag(x, 7) OVER (ORDER BY d) AS l7
+        |  FROM day),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * l1) AS sp1, sum(CASE WHEN l1 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa1, sum(CAST(l1 AS HUGEINT)) AS sb1, CAST(count(l1) AS HUGEINT) AS m1,
+        |    sum(CAST(x AS HUGEINT) * l2) AS sp2, sum(CASE WHEN l2 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa2, sum(CAST(l2 AS HUGEINT)) AS sb2, CAST(count(l2) AS HUGEINT) AS m2,
+        |    sum(CAST(x AS HUGEINT) * l3) AS sp3, sum(CASE WHEN l3 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa3, sum(CAST(l3 AS HUGEINT)) AS sb3, CAST(count(l3) AS HUGEINT) AS m3,
+        |    sum(CAST(x AS HUGEINT) * l4) AS sp4, sum(CASE WHEN l4 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa4, sum(CAST(l4 AS HUGEINT)) AS sb4, CAST(count(l4) AS HUGEINT) AS m4,
+        |    sum(CAST(x AS HUGEINT) * l5) AS sp5, sum(CASE WHEN l5 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa5, sum(CAST(l5 AS HUGEINT)) AS sb5, CAST(count(l5) AS HUGEINT) AS m5,
+        |    sum(CAST(x AS HUGEINT) * l6) AS sp6, sum(CASE WHEN l6 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa6, sum(CAST(l6 AS HUGEINT)) AS sb6, CAST(count(l6) AS HUGEINT) AS m6,
+        |    sum(CAST(x AS HUGEINT) * l7) AS sp7, sum(CASE WHEN l7 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sa7, sum(CAST(l7 AS HUGEINT)) AS sb7, CAST(count(l7) AS HUGEINT) AS m7
+        |  FROM lagged),
+        |k AS (
+        |  SELECT unnest([1,2,3,4,5,6,7]) AS lag,
+        |    unnest([m1,m2,m3,m4,m5,m6,m7]) AS mk,
+        |    unnest([sp1,sp2,sp3,sp4,sp5,sp6,sp7]) AS spk,
+        |    unnest([sa1,sa2,sa3,sa4,sa5,sa6,sa7]) AS sak,
+        |    unnest([sb1,sb2,sb3,sb4,sb5,sb6,sb7]) AS sbk,
+        |    n, s, sxx
+        |  FROM m)
+        |SELECT lag, CAST(mk AS BIGINT) AS n_pairs,
+        |  round(CAST(n * n * spk - n * s * (sak + sbk) + mk * s * s AS DOUBLE)
+        |        / CAST(n * (n * sxx - s * s) AS DOUBLE), 6) AS acf
+        |FROM k""".stripMargin,
+    // same integer-cents clamp over the same (date, orderkey) total order
+    "q192_fifo_allocation" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price,
+        |         coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spent
+        |  FROM orders),
+        |j AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |         greatest(0, least(CAST(round(c.c_acctbal * 100) AS BIGINT) - o.spent,
+        |                           o.price)) AS alloc_cents,
+        |         o.price AS price_cents
+        |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT o_orderkey, o_custkey, alloc_cents, price_cents,
+        |       CAST(alloc_cents = price_cents AS INT) AS fully_covered
+        |FROM j WHERE alloc_cents > 0""".stripMargin,
     // same avg-rank×2 integerization, same DECIMAL(38,0) moments, same
     // closed-form Pearson-on-ranks
     "q188_spearman" ->

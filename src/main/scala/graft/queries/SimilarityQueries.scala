@@ -141,6 +141,45 @@ object SimilarityQueries {
           graft.functions.TextFunctions.toDouble(col("embedding")).as("v")),
       "label")
 
+  /** q193: centroid-silhouette margin per label — for every vector, the
+    * 6dp cosine to its OWN label centroid minus the best cosine to any
+    * OTHER centroid; per label, the mean margin and how many vectors
+    * the centroids separate (margin > 0). The cheap O(N·k) stand-in for
+    * O(N²) silhouette that answers the same "are my labels real
+    * clusters" question at corpus scale. DETERMINISM: centroids are
+    * q43's fixed-point means; cosines are rounded to 6dp and the margin
+    * is carried as an exact 1e6 fixed-point long BEFORE the per-label
+    * mean (one final division). Scale shape: the centroid table is
+    * k×dim — a broadcast — so the scoring pass is one corpus scan with
+    * no shuffle; the per-label agg is map-side combinable.
+    */
+  def q193Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        graft.functions.TextFunctions.toDouble(col("embedding")).as("v"))
+    val carr = Similarity.labelCentroids(e.select(col("label"), col("v")), "label")
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("c"))
+    val sc = e.crossJoin(broadcast(carr))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(graft.functions.TextFunctions.cosine(col("v"), col("c")), 6).as("cos"))
+      .persist()
+    val own = sc.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cos").as("cos_own"))
+    val oth = sc.filter(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(max(col("cos")).as("cos_oth"))
+    own.join(oth, Seq("vec_id"))
+      .select(col("label"),
+        (round(col("cos_own") * 1e6).cast("long")
+          - round(col("cos_oth") * 1e6).cast("long")).as("m"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("m")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_margin"),
+        sum((col("m") > 0).cast("long")).as("n_separated"))
+  }
+
   /** q83: symmetric int8 quantization stats per embedding — the
     * compression audit a pipeline runs before committing to a quantized
     * ANN index (see [[graft.functions.QuantizeInt8]]): dequant scale,
@@ -344,6 +383,7 @@ object SimilarityQueries {
     "q42_ann_ivf" -> (q42AnnIvf _),
     "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
     "q43_label_centroids" -> (q43LabelCentroids _),
+    "q193_silhouette" -> (q193Silhouette _),
     "q83_quantize_embed" -> (q83QuantizeEmbed _),
     "q85_knn_quantized" -> (q85KnnQuantized _))
 
@@ -734,6 +774,35 @@ object SimilarityQueries {
          |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.30""".stripMargin,
+    // q43's centroid formula re-listed per label, q40's
+    // list_cosine_similarity, same 1e6 fixed-point margin
+    "q193_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label AS clabel, dim,
+        |         round(SUM(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6)
+        |           AS centroid
+        |  FROM comp GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(centroid ORDER BY dim) AS c FROM cd GROUP BY 1),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, cent.clabel,
+        |         round(list_cosine_similarity(e.v, cent.c), 6) AS cos
+        |  FROM e CROSS JOIN cent),
+        |own AS (SELECT vec_id, label, cos AS cos_own FROM sc WHERE label = clabel),
+        |oth AS (SELECT vec_id, max(cos) AS cos_oth FROM sc WHERE label <> clabel GROUP BY 1),
+        |j AS (
+        |  SELECT own.label,
+        |         CAST(round(cos_own * 1e6) AS BIGINT)
+        |           - CAST(round(cos_oth * 1e6) AS BIGINT) AS m
+        |  FROM own JOIN oth USING (vec_id))
+        |SELECT label, count(*) AS n_vecs,
+        |       round(CAST(sum(m) AS DOUBLE) / count(*) / 1e6, 6) AS mean_margin,
+        |       CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
+        |FROM j GROUP BY 1""".stripMargin,
     "q43_label_centroids" ->
       """WITH comp AS (
         |  SELECT label, unnest(range(0, len(embedding))) AS dim,

@@ -161,6 +161,41 @@ object TextQueries {
             greatest(col("n_sentences"), lit(1)), 6).as("mean_sentence_chars"),
           col("max_sentence_chars"))
     }),
+    // q191: per-source two-sample Kolmogorov–Smirnov statistic — each
+    // source's document-length distribution vs the REST of the corpus
+    // (the distribution-drift alarm that PSI (q157) bins away: KS is
+    // binning-free, so it catches shape shifts PSI's fixed deciles
+    // smooth over). The CDF gap is evaluated on the source×value grid
+    // (q177's idiom) so jumps contributed only by the complement are
+    // seen. DETERMINISM: the sup is maximized over INTEGER cross
+    // products |cum_s·n_rest − cum_rest·n_src| and divided once at the
+    // end. Scale shape: value-grain agg (distinct n_chars is small) →
+    // sources×values grid → one cumsum window partitioned BY SOURCE
+    // (each partition is values-sized); corpus rows are touched once.
+    "q191_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val perSV = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val srcTot = perSV.groupBy("source").agg(sum(col("c")).as("n_src"))
+      val values = perSV.groupBy("n_chars").agg(sum(col("c")).as("cg"))
+      val tot = values.agg(sum(col("cg")).as("n_all"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+      srcTot.crossJoin(values)
+        .join(perSV, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_s", sum(col("c")).over(w))
+        .withColumn("cum_g", sum(col("cg")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_src"), (col("n_all") - col("n_src")).as("n_rest"),
+          abs(col("cum_s") * (col("n_all") - col("n_src"))
+            - (col("cum_g") - col("cum_s")) * col("n_src")).as("gap"))
+        .groupBy("source", "n_src", "n_rest")
+        .agg(max(col("gap")).as("gmax"))
+        .select(col("source"), col("n_src"), col("n_rest"),
+          round(col("gmax").cast("double") / (col("n_src") * col("n_rest")), 6)
+            .as("ks_d"))
+    }),
     // q177: pairwise Jensen-Shannon divergence between source unigram
     // distributions — the symmetric, bounded ([0, ln 2]) companion of
     // q170's KL-from-corpus: the source-similarity MATRIX a mixture
@@ -807,6 +842,29 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same source×value grid, same integer cross-product sup, one
+    // final division
+    "q191_ks_test" ->
+      """WITH sv AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM sv GROUP BY 1),
+        |vals AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS cg FROM sv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS n_all FROM vals),
+        |grid AS (
+        |  SELECT st.source, st.n_src, vals.n_chars, vals.cg,
+        |         coalesce(sv.c, 0) AS c
+        |  FROM st CROSS JOIN vals
+        |  LEFT JOIN sv ON sv.source = st.source AND sv.n_chars = vals.n_chars),
+        |cums AS (
+        |  SELECT source, n_src, cg, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+        |    sum(cg) OVER (PARTITION BY source ORDER BY n_chars) AS cum_g
+        |  FROM grid)
+        |SELECT source, n_src, n_all - n_src AS n_rest,
+        |  round(CAST(max(abs(cum_s * (n_all - n_src) - (cum_g - cum_s) * n_src))
+        |          AS DOUBLE) / (n_src * (n_all - n_src)), 6) AS ks_d
+        |FROM cums CROSS JOIN tot
+        |GROUP BY source, n_src, n_all""".stripMargin,
     // same tokenizer, same (word, source)-grain counting, same
     // corpus-frequency-1 hapax rule
     "q186_hapax_stats" ->
