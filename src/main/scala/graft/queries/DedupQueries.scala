@@ -274,7 +274,34 @@ object DedupQueries {
   def q152PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixFilterJaccard(docs(spark, dir), "text", "doc_id", threshold = 0.5)
 
+  /** q194: asymmetric shingle-CONTAINMENT pairs — |A∩B| / |A| ≥ 0.5,
+    * emitted per DIRECTION. The sub-document duplication detector
+    * Jaccard structurally misses: a short doc fully quoted inside a
+    * long one has tiny Jaccard (union is the long doc) but containment
+    * 1.0 from the short side — exactly the "boilerplate/quotation
+    * absorbed into a bigger page" case a training-dedup pass must
+    * catch. Same shared-shingle equi-join plan as q32 (per-shingle
+    * fan-out C(df,2), no cross product); only the normalizer changes —
+    * |A| instead of the union — so the candidate stage is shared work
+    * at corpus scale, and the direction asymmetry costs nothing (both
+    * directions fall out of one aggregated pair row).
+    */
+  def q194ContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
+    val sizes = sh.groupBy(col("doc_id").as("id")).agg(count(lit(1)).as("n"))
+    sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("na"), 6).as("containment"),
+        col("na").as("n_shingles_a"))
+      .filter(col("containment") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_containment_pairs" -> (q194ContainmentPairs _),
     "q152_prefix_filter_join" -> (q152PrefixFilterJoin _),
     "q114_cluster_weights" -> (q114ClusterWeights _),
     "q37_dup_clusters" -> (q37DupClusters _),
@@ -345,6 +372,19 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same shingle join, |A|-normalized, same round-then-threshold rule
+    "q194_containment_pairs" ->
+      s"""$ShingleCte,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (sh)
+         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id AS id_a, count(*) AS na FROM sh GROUP BY 1)
+         |SELECT id_a, id_b,
+         |       round(CAST(inter AS DOUBLE) / na, 6) AS containment,
+         |       na AS n_shingles_a
+         |FROM cand JOIN sz USING (id_a)
+         |WHERE round(CAST(inter AS DOUBLE) / na, 6) >= 0.5""".stripMargin,
     // the PLAIN exact-Jaccard join at τ=0.5: the prefix filter is
     // semantics-neutral, so the oracle is the un-filtered formulation
     "q152_prefix_filter_join" ->

@@ -2019,7 +2019,124 @@ object RelationalQueries {
       .withColumn("fully_covered", (col("alloc_cents") === col("price_cents")).cast("int"))
   }
 
+  /** q195: ABC inventory classification — parts ranked by discounted
+    * revenue; class A carries the first 80% of cumulative revenue, B
+    * the next 15%, C the tail (the warehouse-ops twin of q180's Lorenz
+    * curve: same cumulative machinery, but the deliverable is the CLASS
+    * ASSIGNMENT summary a stocking policy consumes). DETERMINISM:
+    * revenue is exact decimal; class boundaries compare cum·100 ≤
+    * total·80 / total·95 in EXACT decimal (no double thresholds); the
+    * final shares are the only doubles. Scale shape: part-grain agg →
+    * one part-grain ranked window (swap in broadcast quantile
+    * boundaries at catalog scale) → 3-row agg.
+    */
+  def q195AbcClasses(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev")).as("trev"))
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("trev") * 80, "A")
+          .when(col("cum") * 100 <= col("trev") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("class_rev"),
+        max(col("trev")).as("trev"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("class_rev").cast("double"), 2).as("revenue"),
+        round((col("class_rev") / col("trev")).cast("double"), 6).as("rev_share"))
+  }
+
+  /** q196: Wald–Wolfowitz runs test on daily revenue — is the sequence
+    * of above/below-median days random, or does revenue cluster in
+    * streaks (autocorrelation q190 then quantifies)? DETERMINISM: the
+    * median is carried DOUBLED in integer cents (sum of the two middle
+    * order statistics — no fractional median), days equal to the
+    * median are excluded per the standard treatment, the run count is
+    * an integer lag-compare sum, and the z-score's μ/σ are evaluated
+    * once from integer counts. Scale shape: corpus-sized work is the
+    * one date agg; everything after runs on the calendar-bounded day
+    * series (two windows + a 1-row agg).
+    */
+  def q196RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .persist()
+    val n = day.count()
+    val k1 = ((n + 1) / 2).toInt
+    val k2 = ((n + 2) / 2).toInt
+    val med2 = day
+      .withColumn("r", row_number().over(Window.orderBy(col("x"), col("d"))))
+      .filter(col("r") === k1 || col("r") === k2)
+      .agg((sum(col("x")) * when(lit(k1) === k2, 2).otherwise(1)).as("med2"))
+    val signed = day.crossJoin(broadcast(med2))
+      .filter(col("x") * 2 =!= col("med2"))
+      .withColumn("s", (col("x") * 2 > col("med2")).cast("int"))
+    val runs = signed
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy("d")))
+      .agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("runs"),
+        sum(col("s").cast("long")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val mu = lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    val sig = sqrt(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      round((col("runs").cast("double") - mu) / sig, 6).as("z"))
+  }
+
+  /** q197: Hill tail-index estimator over customer revenue — the
+    * power-law exponent of the spend distribution's upper tail
+    * (k = 100 top spenders), the statistic that says whether "whales"
+    * follow a Pareto tail and how heavy (the parametric companion of
+    * q169's Gini / q180's Lorenz). DETERMINISM: revenues are exact
+    * integer cents; each ln is quantized to a 1e9 fixed-point long
+    * (q181's idiom) so the Hill sum is exact integer arithmetic with
+    * one final division. Scale shape: customer-grain agg, then a
+    * k+1-row top-k (rank window at this scale; a TakeOrdered/TopKAgg
+    * at catalog scale) and a 1-row agg — the tail never shuffles the
+    * corpus.
+    */
+  def q197HillTail(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val rev = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .filter(col("x") > 0)
+    val top = rev
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("x").desc, col("o_custkey"))))
+      .filter(col("r") <= k + 1)
+      .withColumn("lnx", round(log(col("x").cast("double")) * 1e9).cast("long"))
+    val tail = top.filter(col("r") === k + 1)
+      .select(col("x").as("x_tail"), col("lnx").as("ln_tail"))
+    top.filter(col("r") <= k)
+      .agg(sum(col("lnx")).as("s_ln"), count(lit(1)).as("kk"))
+      .crossJoin(broadcast(tail))
+      .select(col("kk").as("k"), col("x_tail").as("x_kplus1_cents"),
+        round(col("kk").cast("double") * 1e9 /
+          (col("s_ln") - col("kk") * col("ln_tail")).cast("double"), 6)
+          .as("hill_alpha"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_abc_classes" -> q195AbcClasses _,
+    "q196_runs_test" -> q196RunsTest _,
+    "q197_hill_tail" -> q197HillTail _,
     "q190_acf" -> q190Acf _,
     "q192_fifo_allocation" -> q192FifoAllocation _,
     "q188_spearman" -> q188Spearman _,
@@ -2111,6 +2228,80 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same exact-decimal revenue, same cum·100 vs total·80/95 integer
+    // class boundaries over the same (rev DESC, partkey) order
+    "q195_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS trev FROM rev),
+        |c AS (
+        |  SELECT rev, trev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev CROSS JOIN t),
+        |cls AS (
+        |  SELECT CASE WHEN cum * 100 <= trev * 80 THEN 'A'
+        |              WHEN cum * 100 <= trev * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class, rev, trev
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+        |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(trev) AS DOUBLE), 6) AS rev_share
+        |FROM cls GROUP BY 1""".stripMargin,
+    // same doubled-integer-cents median, same tie exclusion, same
+    // run-boundary count and closed-form z
+    "q196_runs_test" ->
+      """WITH day AS (
+        |  SELECT o_orderdate AS d,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM day),
+        |rk AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, d) AS r FROM day),
+        |med AS (
+        |  SELECT sum(x) * (CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2 ELSE 1 END)
+        |           AS med2
+        |  FROM rk CROSS JOIN nn
+        |  WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+        |  GROUP BY n),
+        |sg AS (
+        |  SELECT d, CAST(x * 2 > med2 AS INT) AS s
+        |  FROM day CROSS JOIN med WHERE x * 2 <> med2),
+        |lg AS (
+        |  SELECT s, lag(s, 1) OVER (ORDER BY d) AS prev FROM sg)
+        |SELECT CAST(sum(s) AS BIGINT) AS n1,
+        |  CAST(sum(1 - s) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS runs,
+        |  round((CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+        |            AS DOUBLE)
+        |         - (2.0 * sum(s) * sum(1 - s) / count(*) + 1))
+        |        / sqrt(2.0 * sum(s) * sum(1 - s)
+        |               * (2.0 * sum(s) * sum(1 - s) - sum(s) - sum(1 - s))
+        |               / (CAST(count(*) AS DOUBLE) * count(*) * (count(*) - 1))), 6)
+        |    AS z
+        |FROM lg""".stripMargin,
+    // same integer-cents revenue, same (rev DESC, custkey) top-k+1,
+    // same 1e9-quantized ln sums
+    "q197_hill_tail" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |  HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0),
+        |top AS (
+        |  SELECT x, CAST(round(ln(CAST(x AS DOUBLE)) * 1e9) AS BIGINT) AS lnx,
+        |         row_number() OVER (ORDER BY x DESC, o_custkey) AS r
+        |  FROM rev),
+        |tail AS (SELECT x AS x_tail, lnx AS ln_tail FROM top WHERE r = 101),
+        |hd AS (SELECT sum(lnx) AS s_ln, count(*) AS kk FROM top WHERE r <= 100)
+        |SELECT kk AS k, x_tail AS x_kplus1_cents,
+        |  round(CAST(kk AS DOUBLE) * 1e9 / CAST(s_ln - kk * ln_tail AS DOUBLE), 6)
+        |    AS hill_alpha
+        |FROM hd CROSS JOIN tail""".stripMargin,
     // same integer-cents series, same n²-scaled mean-free closed form
     // (HUGEINT is DuckDB's exact int128 twin of the DECIMAL(38,0) sums)
     "q190_acf" ->
