@@ -2133,7 +2133,71 @@ object RelationalQueries {
           .as("hill_alpha"))
   }
 
+  /** q199: synchronous label-propagation communities (5 rounds) on the
+    * co-purchase graph — the community-detection companion of q150's
+    * triangle count and q37's connected components: LPA finds DENSE
+    * neighborhoods (each node adopts its neighbors' majority label),
+    * not mere reachability, and the fixed round count makes it
+    * deterministic AND bounded — the properties a scheduled corpus job
+    * needs. Ties break to the smallest label (argmax carried as
+    * max(struct(count, −label)), exact integers). Scale shape: each
+    * round is ONE edge⋈labels equi-join + two hash aggs — 5 rounds =
+    * 5 bounded shuffles (q37's CC analysis applies); the edge list is
+    * reused across rounds from one persist.
+    */
+  def q199LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 5) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** q200: unpivot/melt — the wide→long reshape (`Dataset.unpivot`,
+    * Spark's native MELT) of lineitem's four measures into
+    * (flag, metric, value) long form, re-aggregated per metric. The
+    * relational-surface twin of q57's pivot. DETERMINISM: exact
+    * decimal sums, divisions only in the final projection. Scale
+    * shape: unpivot is a shuffle-free per-row generator (rows×4, no
+    * exchange); the agg is a 12-group hash agg.
+    */
+  def q200Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,4)").as("quantity"),
+        col("l_extendedprice").cast("decimal(18,4)").as("extendedprice"),
+        col("l_discount").cast("decimal(18,4)").as("discount"),
+        col("l_tax").cast("decimal(18,4)").as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "metric", "value")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("s"))
+      .select(col("l_returnflag"), col("metric"), col("n_rows"),
+        round(col("s").cast("double"), 2).as("total"),
+        round(col("s").cast("double") / col("n_rows"), 6).as("mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_label_propagation" -> q199LabelPropagation _,
+    "q200_unpivot" -> q200Unpivot _,
     "q195_abc_classes" -> q195AbcClasses _,
     "q196_runs_test" -> q196RunsTest _,
     "q197_hill_tail" -> q197HillTail _,
@@ -2228,6 +2292,44 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same support-2 co-purchase edges, same 5 synchronous rounds,
+    // same (count DESC, label ASC) vote rule
+    "q199_label_propagation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |r0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+        |c1 AS (SELECT e.a AS node, l.label, count(*) AS c FROM e JOIN r0 l ON e.b = l.node GROUP BY 1, 2),
+        |r1 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a AS node, l.label, count(*) AS c FROM e JOIN r1 l ON e.b = l.node GROUP BY 1, 2),
+        |r2 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.a AS node, l.label, count(*) AS c FROM e JOIN r2 l ON e.b = l.node GROUP BY 1, 2),
+        |r3 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT e.a AS node, l.label, count(*) AS c FROM e JOIN r3 l ON e.b = l.node GROUP BY 1, 2),
+        |r4 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c4) WHERE rn = 1),
+        |c5 AS (SELECT e.a AS node, l.label, count(*) AS c FROM e JOIN r4 l ON e.b = l.node GROUP BY 1, 2),
+        |r5 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c5) WHERE rn = 1)
+        |SELECT label AS community, count(*) AS n_nodes FROM r5 GROUP BY 1""".stripMargin,
+    // same four measures UNION ALL'd long, same exact-decimal agg
+    "q200_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'quantity' AS metric,
+        |         CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice',
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount',
+        |         CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax',
+        |         CAST(l_tax AS DECIMAL(18,4)) FROM lineitem)
+        |SELECT l_returnflag, metric, count(*) AS n_rows,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS total,
+        |  round(CAST(sum(value) AS DOUBLE) / count(*), 6) AS mean
+        |FROM long GROUP BY 1, 2""".stripMargin,
     // same exact-decimal revenue, same cum·100 vs total·80/95 integer
     // class boundaries over the same (rev DESC, partkey) order
     "q195_abc_classes" ->

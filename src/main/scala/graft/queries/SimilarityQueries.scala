@@ -180,6 +180,46 @@ object SimilarityQueries {
         sum((col("m") > 0).cast("long")).as("n_separated"))
   }
 
+  /** q198: exact embedding covariance matrix (upper triangle) — the
+    * dim×dim second-moment table that whitening / PCA / decorrelation
+    * preprocessing starts from. DETERMINISM: components are quantized
+    * to 1e6 fixed-point longs, so Σxᵢ, Σxᵢxⱼ and the closed form
+    * cov = (nΣxᵢxⱼ − ΣxᵢΣxⱼ)/n² are exact integer arithmetic
+    * (DECIMAL(38,0)) with ONE double division per cell. Scale shape:
+    * the pair products are generated PER ROW by a nested array
+    * transform (no self-join, no shuffle before the agg), and the agg
+    * output is dim²/2 cells — independent of corpus size; marginals
+    * come from a posexplode agg of the same quantized components.
+    */
+  def q198EmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val qarr = transform(
+      graft.functions.TextFunctions.toDouble(col("embedding")),
+      x => round(x * lit(1e6)).cast("long"))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), qarr.as("q"))
+      .persist()
+    val nDim = size(col("q"))
+    val pairs = e.select(explode(flatten(
+      transform(sequence(lit(0), nDim - 1), i =>
+        transform(sequence(i, nDim - 1), j =>
+          struct(i.as("dim_i"), j.as("dim_j"),
+            (element_at(col("q"), i + 1).cast("decimal(38,0)")
+              * element_at(col("q"), j + 1)).as("xy")))))).as("p"))
+      .groupBy(col("p.dim_i").as("dim_i"), col("p.dim_j").as("dim_j"))
+      .agg(sum(col("p.xy")).as("sxy"), count(lit(1)).as("n"))
+    val marg = e
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(sum(col("x").cast("decimal(38,0)")).as("sx"))
+    pairs
+      .join(marg.select(col("dim").as("dim_i"), col("sx").as("sxi")), Seq("dim_i"))
+      .join(marg.select(col("dim").as("dim_j"), col("sx").as("sxj")), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"),
+        // + 0.0 canonicalizes IEEE −0.0 → +0.0 (the oracle does the same)
+        (round((col("n").cast("decimal(38,0)") * col("sxy")
+          - col("sxi") * col("sxj")).cast("double")
+          / (col("n").cast("double") * col("n") * 1e12), 6) + lit(0.0)).as("cov"))
+  }
+
   /** q83: symmetric int8 quantization stats per embedding — the
     * compression audit a pipeline runs before committing to a quantized
     * ANN index (see [[graft.functions.QuantizeInt8]]): dequant scale,
@@ -384,6 +424,7 @@ object SimilarityQueries {
     "q80_ann_ivf_scaled" -> (q80AnnIvfScaled _),
     "q43_label_centroids" -> (q43LabelCentroids _),
     "q193_silhouette" -> (q193Silhouette _),
+    "q198_embed_covariance" -> (q198EmbedCovariance _),
     "q83_quantize_embed" -> (q83QuantizeEmbed _),
     "q85_knn_quantized" -> (q85KnnQuantized _))
 
@@ -774,6 +815,26 @@ object SimilarityQueries {
          |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.30""".stripMargin,
+    // same 1e6 quantization, same exact-integer closed form; the
+    // self-join on vec_id is the SQL analog of the per-row pair
+    // generator
+    "q198_embed_covariance" ->
+      """WITH comp AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |         sum(CAST(a.q AS HUGEINT) * b.q) AS sxy, count(*) AS n
+        |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT dim, sum(CAST(q AS HUGEINT)) AS sx FROM comp GROUP BY 1)
+        |SELECT p.dim_i, p.dim_j,
+        |  round(CAST(p.n * p.sxy - mi.sx * mj.sx AS DOUBLE)
+        |        / (CAST(p.n AS DOUBLE) * p.n * 1e12), 6) + 0.0 AS cov
+        |FROM pairs p
+        |JOIN marg mi ON mi.dim = p.dim_i
+        |JOIN marg mj ON mj.dim = p.dim_j""".stripMargin,
     // q43's centroid formula re-listed per label, q40's
     // list_cosine_similarity, same 1e6 fixed-point margin
     "q193_silhouette" ->

@@ -161,6 +161,31 @@ object TextQueries {
             greatest(col("n_sentences"), lit(1)), 6).as("mean_sentence_chars"),
           col("max_sentence_chars"))
     }),
+    // q201: top-10 character trigrams per language — the classic
+    // char-n-gram language profile (the feature table a production
+    // lang-ID model is trained on; q25's n-gram heuristic reads
+    // exactly this kind of table). Text is lowercased, non-alnum runs
+    // collapsed to single spaces, so trigrams straddle word boundaries
+    // the way char-LM features do. DETERMINISM: pure string ops +
+    // integer counts; rank is the (count DESC, trigram ASC) total
+    // order. Scale shape: trigram generation is a per-row generator
+    // (no shuffle); the agg is (lang × trigram)-grain, bounded by 37³
+    // per language; the top-10 window runs on that bounded table.
+    "q201_char_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      val tris = when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      docs(s, dir)
+        .select(col("lang"), explode(tris).as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri").asc)))
+        .filter(col("rank") <= 10)
+        .select("lang", "rank", "tri", "cnt")
+    }),
     // q191: per-source two-sample Kolmogorov–Smirnov statistic — each
     // source's document-length distribution vs the REST of the corpus
     // (the distribution-drift alarm that PSI (q157) bins away: KS is
@@ -842,6 +867,23 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same lowercase/collapse normalization, same boundary-straddling
+    // trigrams, same (count DESC, trigram ASC) rank
+    "q201_char_trigrams" ->
+      """WITH s AS (
+        |  SELECT lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT lang, substr(t, CAST(i AS INT), 3) AS tri
+        |  FROM s, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+        |  WHERE length(t) >= 3),
+        |cnts AS (SELECT lang, tri, count(*) AS cnt FROM tg GROUP BY 1, 2)
+        |SELECT lang, rank, tri, cnt FROM (
+        |  SELECT lang, tri, cnt,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY cnt DESC, tri ASC) AS rank
+        |  FROM cnts)
+        |WHERE rank <= 10""".stripMargin,
     // same source×value grid, same integer cross-product sup, one
     // final division
     "q191_ks_test" ->
