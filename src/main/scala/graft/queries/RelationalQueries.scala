@@ -22,15 +22,23 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-    * read the raw INT64 nanos (legacy conf) and floor-convert to micros —
-    * the identical truncation DuckDB's `epoch_us` applies, keeping the
-    * oracle comparison exact.
+  /** `events.ts` has shipped as either TIMESTAMP(NANOS) — which Spark's
+    * parquet reader rejects without the legacy conf — or plain
+    * TIMESTAMP(MICROS), depending on the generator version. Adapt to the
+    * file's actual physical type: raw INT64 nanos are floor-converted to
+    * micros (the identical truncation DuckDB's `epoch_us` applies), a
+    * native timestamp (read as NTZ for tz-less parquet) is cast to the
+    * session-UTC TIMESTAMP both engines agree on. Either path yields the
+    * same micro-resolution instants, keeping the oracle comparison exact.
     */
   private[queries] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact decimal sum emitted as double. */
@@ -2195,7 +2203,160 @@ object RelationalQueries {
         round(col("s").cast("double") / col("n_rows"), 6).as("mean"))
   }
 
+  /** q202: peak-concurrency sweep — each event opens a 30-minute activity
+    * window [ts, ts+30 min); per day, the maximum number of simultaneously
+    * open windows (the "max concurrent users" capacity statistic). The
+    * classic O(n log n) boundary sweep, NEVER an interval self-join:
+    * windows are split at the midnight boundary (a 30-min window spans at
+    * most two days), each segment emits a +1/−1 boundary pair keyed to the
+    * day of ITS OWN start, and per-day concurrency is the running sum over
+    * boundaries ordered (t, delta) with ends before starts — exact
+    * half-open semantics. DETERMINISM: pure integer arithmetic end-to-end;
+    * among equal (t, delta) ties the prefix-sum multiset is
+    * order-invariant, so the per-day max is exact. Scale shape: one scan →
+    * ≤2 segments/event → ≤4 boundary rows/event, ONE hash exchange on day
+    * and a per-day window sort — day partitions are independent, no global
+    * order anywhere.
+    */
+  def q202MaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val iv = events(spark, dir)
+      .select(expr("unix_micros(ts)").as("s"))
+      .withColumn("e", col("s") + lit(1800000000L))
+      .withColumn("bnd", col("s") - pmod(col("s"), lit(DayUs)) + lit(DayUs))
+    val segs = iv.select(explode(
+      when(col("e") <= col("bnd"),
+        array(struct(col("s").as("t0"), col("e").as("t1"))))
+        .otherwise(array(
+          struct(col("s").as("t0"), col("bnd").as("t1")),
+          struct(col("bnd").as("t0"), col("e").as("t1"))))).as("seg"))
+    val b = segs.select(
+        (col("seg.t0") - pmod(col("seg.t0"), lit(DayUs))).as("day_us"),
+        explode(array(
+          struct(col("seg.t0").as("t"), lit(1).as("d")),
+          struct(col("seg.t1").as("t"), lit(-1).as("d")))).as("x"))
+      .select(col("day_us"), col("x.t").as("t"), col("x.d").as("d"))
+    val w = Window.partitionBy(col("day_us"))
+      .orderBy(col("t").asc, col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("ld", sum(col("d")).over(w))
+      .groupBy(col("day_us"))
+      .agg(count(when(col("d") === 1, lit(1))).as("n_segments"),
+        max(col("ld")).as("peak_concurrency"))
+      .select(expr("day_us div 86400000000").as("day_num"),
+        col("n_segments"), col("peak_concurrency"))
+  }
+
+  /** q203: multi-source BFS hop distances — 3 propagation rounds from the
+    * 5 lowest-id nodes of the co-purchase graph (q199's edge set), each
+    * node labeled with its minimum hop count; output is the per-hop node
+    * census with an id checksum. The bounded-rounds frontier-join shape of
+    * connected components q37 / PageRank q115: every round is one
+    * equi-join (frontier ⋈ edges on the source endpoint) + one min-hash
+    * agg — never a transitive-closure self-join, and state is exactly one
+    * (node, hop) row per reached node. DETERMINISM: integer hops, min-agg;
+    * the seed pick is a 5-row TakeOrdered on the total node order. Scale
+    * shape: the frontier is the small side every round; at 100 TB the
+    * edge table would be pre-partitioned on the join key once (q37's
+    * trick) so rounds reuse one exchange.
+    */
+  def q203BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seeds = e.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(5).withColumn("hop", lit(0))
+    var dist = seeds.select(col("node"), col("hop"))
+    for (h <- 1 to 3) {
+      val frontier = dist.filter(col("hop") === h - 1).select(col("node").as("a"))
+      val nxt = e.join(frontier, Seq("a"))
+        .select(col("b").as("node")).distinct().withColumn("hop", lit(h))
+      dist = dist.unionByName(nxt)
+        .groupBy("node").agg(min(col("hop")).as("hop"))
+    }
+    dist.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
+  }
+
+  /** q204: deterministic bootstrap confidence interval for the mean order
+    * total — B=100 resamples-with-replacement, each draw indexed by the
+    * md5 coin (q138's idiom) so both engines replay the identical
+    * resample; the 95% CI is the (3rd, 98th) order statistic of the B
+    * resample means (⌈0.025·B⌉ / ⌈0.975·B⌉ rank-at picks, q163's idiom —
+    * no interpolation arithmetic to drift). DETERMINISM: draw j =
+    * md5(b|i) mod n is exact integer; per-resample means divide an exact
+    * decimal sum once; the CI is selection, not summation; the point
+    * estimate divides the decimal grand sum once. Scale shape: one
+    * total-order row_number to index rows (at 100 TB: the q90 md5-shard
+    * index swap), then B·n draw rows through ONE equi-join on the drawn
+    * rank — work scales linearly in B·n with no self-join; B means fold
+    * to one row.
+    */
+  def q204BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("p"))
+    val ranked = o
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+    val nDf = o.agg(count(lit(1)).as("n"))
+    val draws = ranked.select(col("rn").as("i")).crossJoin(broadcast(nDf))
+      .select(col("i"), col("n"),
+        explode(sequence(lit(1), lit(100))).as("b"))
+      .select(col("b"),
+        (conv(substring(md5(concat(lit("graft-bs-"), col("b").cast("string"),
+          lit("|"), col("i").cast("string"))), 1, 13), 16, 10).cast("long")
+          % col("n") + 1).as("j"))
+    val means = draws
+      .join(ranked.select(col("rn").as("j"), col("p")), Seq("j"))
+      .groupBy("b")
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("nb"))
+      .withColumn("m", col("sp").cast("double") / col("nb"))
+    means
+      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
+      .agg(count(lit(1)).as("b_reps"),
+        round(sum(col("sp")).cast("double") / sum(col("nb")), 6).as("boot_mean"),
+        round(max(when(col("rk") === 3, col("m"))), 6).as("lo95"),
+        round(max(when(col("rk") === 98, col("m"))), 6).as("hi95"))
+  }
+
+  /** q205: golden-record entity resolution — q178's sorted-neighborhood
+    * fuzzy-match pairs closed into clusters by connected components
+    * (operators.Dedup.connectedComponents — the same pointer-doubling
+    * min-label rounds as dup clusters q37), then one golden record per
+    * cluster: the minimum custkey is the canonical id (exactly the CC
+    * min-label, so no extra pass), its name the canonical name, plus the
+    * member count and id checksum. The blocking → linkage → clustering →
+    * survivorship pipeline of an MDM system, each stage the code path its
+    * standalone query verifies. DETERMINISM: min-label CC is
+    * order-invariant; the survivorship rule is min(custkey). Scale shape:
+    * candidate pairs are O(n·w) from the window (no self-join), CC rounds
+    * are equi-joins on the pre-partitioned edge key, the name join is
+    * cluster-count-sized.
+    */
+  def q205GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q178SortedNeighborhood(spark, dir).select("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val names = t(spark, dir, "customer")
+      .select(col("c_custkey").as("canon_id"), col("c_name").as("canon_name"))
+    cc.groupBy(col("comp").as("canon_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_checksum"))
+      .join(names, Seq("canon_id"))
+      .select(col("canon_id"), col("canon_name"), col("n_members"),
+        col("member_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_max_concurrency" -> q202MaxConcurrency _,
+    "q203_bfs_hops" -> q203BfsHops _,
+    "q204_bootstrap_ci" -> q204BootstrapCi _,
+    "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
     "q200_unpivot" -> q200Unpivot _,
     "q195_abc_classes" -> q195AbcClasses _,
@@ -2292,6 +2453,106 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same 30-min half-open windows split at midnight, same
+    // ends-before-starts sweep order, same day-of-segment-start keying
+    "q202_max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e,
+        |         epoch_us(ts) - (epoch_us(ts) % 86400000000) + 86400000000 AS bnd
+        |  FROM events),
+        |seg AS (
+        |  SELECT s AS t0, CASE WHEN e <= bnd THEN e ELSE bnd END AS t1 FROM iv
+        |  UNION ALL
+        |  SELECT bnd AS t0, e AS t1 FROM iv WHERE e > bnd),
+        |b AS (
+        |  SELECT t0 - (t0 % 86400000000) AS day_us, t0 AS t, 1 AS d FROM seg
+        |  UNION ALL
+        |  SELECT t0 - (t0 % 86400000000) AS day_us, t1 AS t, -1 AS d FROM seg),
+        |r AS (
+        |  SELECT day_us, d,
+        |         sum(d) OVER (PARTITION BY day_us ORDER BY t, d
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ld
+        |  FROM b)
+        |SELECT day_us // 86400000000 AS day_num,
+        |       count(CASE WHEN d = 1 THEN 1 END) AS n_segments,
+        |       CAST(max(ld) AS BIGINT) AS peak_concurrency
+        |FROM r GROUP BY 1""".stripMargin,
+    // same support-2 co-purchase edges, same 5-lowest-node seed set,
+    // same three min-hop propagation rounds unrolled
+    "q203_bfs_hops" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |seeds AS (
+        |  SELECT node, 0 AS hop FROM (
+        |    SELECT DISTINCT a AS node FROM e ORDER BY node LIMIT 5)),
+        |f1 AS (SELECT DISTINCT e.b AS node FROM e JOIN seeds s ON e.a = s.node),
+        |d1 AS (SELECT node, min(hop) AS hop FROM (
+        |  SELECT node, hop FROM seeds UNION ALL SELECT node, 1 FROM f1) GROUP BY node),
+        |f2 AS (SELECT DISTINCT e.b AS node FROM e JOIN d1 ON e.a = d1.node AND d1.hop = 1),
+        |d2 AS (SELECT node, min(hop) AS hop FROM (
+        |  SELECT node, hop FROM d1 UNION ALL SELECT node, 2 FROM f2) GROUP BY node),
+        |f3 AS (SELECT DISTINCT e.b AS node FROM e JOIN d2 ON e.a = d2.node AND d2.hop = 2),
+        |d3 AS (SELECT node, min(hop) AS hop FROM (
+        |  SELECT node, hop FROM d2 UNION ALL SELECT node, 3 FROM f3) GROUP BY node)
+        |SELECT hop, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_checksum
+        |FROM d3 GROUP BY 1""".stripMargin,
+    // same md5(b|i) mod n draws over the same o_orderkey row order, same
+    // rank-3/rank-98 order-statistic CI, same decimal grand-sum estimate
+    "q204_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
+        |r AS (SELECT p, row_number() OVER (ORDER BY o_orderkey) AS rn FROM o),
+        |n AS (SELECT count(*) AS n FROM o),
+        |d AS (
+        |  SELECT g.b,
+        |         (CAST(('0x' || substr(md5('graft-bs-' || CAST(g.b AS VARCHAR) ||
+        |                '|' || CAST(r.rn AS VARCHAR)), 1, 13)) AS BIGINT)
+        |          % n.n) + 1 AS j
+        |  FROM r CROSS JOIN n CROSS JOIN (SELECT unnest(range(1, 101)) AS b) g),
+        |s AS (
+        |  SELECT d.b, sum(r2.p) AS sp, count(*) AS nb
+        |  FROM d JOIN r r2 ON r2.rn = d.j GROUP BY d.b),
+        |m AS (
+        |  SELECT sp, nb, CAST(sp AS DOUBLE) / nb AS m,
+        |         row_number() OVER (ORDER BY CAST(sp AS DOUBLE) / nb, b) AS rk
+        |  FROM s)
+        |SELECT count(*) AS b_reps,
+        |       round(CAST(sum(sp) AS DOUBLE) / CAST(sum(nb) AS BIGINT), 6) AS boot_mean,
+        |       round(max(CASE WHEN rk = 3 THEN m END), 6) AS lo95,
+        |       round(max(CASE WHEN rk = 98 THEN m END), 6) AS hi95
+        |FROM m""".stripMargin,
+    // same q178 candidate pairs, recursive closure in place of the
+    // pointer-doubling rounds, same min-custkey survivorship
+    "q205_golden_record" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT c_custkey, c_name,
+        |         lead(c_name, 1) OVER w AS n1,
+        |         lead(c_custkey, 1) OVER w AS k1,
+        |         lead(c_name, 2) OVER w AS n2,
+        |         lead(c_custkey, 2) OVER w AS k2
+        |  FROM customer
+        |  WINDOW w AS (ORDER BY c_name, c_custkey)),
+        |p0 AS (
+        |  SELECT c_custkey AS id_a, k1 AS id_b,
+        |         levenshtein(c_name, n1) AS dist FROM s WHERE k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey AS id_a, k2 AS id_b,
+        |         levenshtein(c_name, n2) AS dist FROM s WHERE k2 IS NOT NULL),
+        |p AS (SELECT id_a, id_b FROM p0 WHERE dist <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, min(r) AS canon_id FROM reach GROUP BY id)
+        |SELECT comp.canon_id, c.c_name AS canon_name,
+        |       count(*) AS n_members, CAST(sum(comp.id) AS BIGINT) AS member_checksum
+        |FROM comp JOIN customer c ON c.c_custkey = comp.canon_id
+        |GROUP BY 1, 2""".stripMargin,
     // same support-2 co-purchase edges, same 5 synchronous rounds,
     // same (count DESC, label ASC) vote rule
     "q199_label_propagation" ->
