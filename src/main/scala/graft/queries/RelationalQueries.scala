@@ -2352,7 +2352,41 @@ object RelationalQueries {
         col("member_checksum"))
   }
 
+  /** q206: weight-of-evidence categorical encoding + information value —
+    * c_mktsegment scored against the binary target "customer has at least
+    * one 'F'-status order" (the credit-scoring / feature-engineering
+    * encoder for categorical predictors). WOE = ln(odds ratio) with the
+    * standard 0.5 Laplace smoothing so single-class segments stay finite;
+    * the IV term multiplies the class-share gap by the ROUNDED WOE so
+    * both engines compose the same 6dp quantity. DETERMINISM: all counts
+    * are exact integers; each WOE/IV is a per-row closed form over
+    * (np, nn, tp, tn) computed once — no aggregated doubles anywhere.
+    * Scale shape: one semi-join-shaped left join on custkey, a
+    * |segments|-sized agg, and a broadcast one-row totals join.
+    */
+  def q206WoeEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val pos = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("is_pos", lit(1))
+    val seg = cust.join(pos, Seq("c_custkey"), "left")
+      .select(col("c_mktsegment"), coalesce(col("is_pos"), lit(0)).as("y"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), sum(col("y")).as("np"))
+      .withColumn("nn", col("n_customers") - col("np"))
+    val tot = seg.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+    seg.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        round(log(((col("np") + lit(0.5)) * (col("tn") + lit(0.5))) /
+          ((col("nn") + lit(0.5)) * (col("tp") + lit(0.5)))), 6))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("np").as("n_pos"), col("nn").as("n_neg"), col("woe"),
+        round((col("np").cast("double") / col("tp") -
+          col("nn").cast("double") / col("tn")) * col("woe"), 6).as("iv_term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_woe_encoding" -> q206WoeEncoding _,
     "q202_max_concurrency" -> q202MaxConcurrency _,
     "q203_bfs_hops" -> q203BfsHops _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
@@ -2453,6 +2487,30 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same 0.5-smoothed odds, same rounded-WOE composition into IV
+    "q206_woe_encoding" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |f AS (
+        |  SELECT c_mktsegment,
+        |         CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM customer c LEFT JOIN pos p ON p.o_custkey = c.c_custkey),
+        |seg AS (
+        |  SELECT c_mktsegment, count(*) AS n_customers,
+        |         CAST(sum(y) AS BIGINT) AS np
+        |  FROM f GROUP BY 1),
+        |s2 AS (SELECT c_mktsegment, n_customers, np, n_customers - np AS nn FROM seg),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |               CAST(sum(nn) AS BIGINT) AS tn FROM s2),
+        |w AS (
+        |  SELECT c_mktsegment, n_customers, np, nn, tp, tn,
+        |         round(ln(((np + 0.5) * (tn + 0.5)) /
+        |                  ((nn + 0.5) * (tp + 0.5))), 6) AS woe
+        |  FROM s2 CROSS JOIN tot)
+        |SELECT c_mktsegment, n_customers, np AS n_pos, nn AS n_neg, woe,
+        |       round((CAST(np AS DOUBLE) / tp - CAST(nn AS DOUBLE) / tn) * woe, 6)
+        |         AS iv_term
+        |FROM w""".stripMargin,
     // same 30-min half-open windows split at midnight, same
     // ends-before-starts sweep order, same day-of-segment-start keying
     "q202_max_concurrency" ->

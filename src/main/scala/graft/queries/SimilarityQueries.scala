@@ -407,7 +407,49 @@ object SimilarityQueries {
   def q99Kmeans(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeans(vectors(spark, dir), "vec_id", k = 8, passes = 2)
 
+  /** q207: inter-source semantic similarity matrix — each source's
+    * documents fold to ONE fixed-point centroid embedding (the q43
+    * idiom: components quantize to round(x·1e6) longs before the sum,
+    * so the distributed mean is exact integer arithmetic), then every
+    * source pair gets the cosine between centroids. The corpus-mix
+    * diagnostic: near-1 cosines flag redundant crawls, low ones show
+    * which sources add semantic diversity. DETERMINISM: centroid
+    * components re-quantize to 1e6 longs so the pair dot/norms are
+    * exact integer sums; the one double division + sqrt runs once per
+    * output row. Scale shape: one doc-grain equi-join (embeddings ⋈
+    * documents on id), one map-side-combinable |sources|·dim agg, and
+    * a |sources|²-bounded dim-equality join — no corpus-sized pair
+    * work anywhere.
+    */
+  def q207SourceCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val cent = spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(src, Seq("vec_id"))
+      .select(col("source"),
+        posexplode(graft.functions.TextFunctions.toDouble(col("embedding")))
+          .as(Seq("dim", "x")))
+      .groupBy("source", "dim")
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("source"), col("dim"),
+        round(col("s") / 1e6 / col("n") * lit(1e6)).cast("long").as("ci"))
+    val p = cent
+      .select(col("source").as("source_a"), col("dim"), col("ci").as("ca"))
+      .join(cent.select(col("source").as("source_b"), col("dim"),
+        col("ci").as("cb")), Seq("dim"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("ca") * col("cb")).as("dp"),
+        sum(col("ca") * col("ca")).as("na2"),
+        sum(col("cb") * col("cb")).as("nb2"))
+    p.select(col("source_a"), col("source_b"),
+      round(col("dp").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_source_centroid_sim" -> (q207SourceCentroidSim _),
     "q109_pq_encode" -> (q109PqEncode _),
     "q110_pq_adc_knn" -> (q110PqAdcKnn _),
     "q112_ivf_pq_knn" -> (q112IvfPqKnn _),
@@ -481,6 +523,29 @@ object SimilarityQueries {
       |  WHERE r = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same 1e6 fixed-point centroid components, same re-quantized
+    // integer dot/norm sums, one final double division + sqrt
+    "q207_source_centroid_sim" ->
+      """WITH src AS (
+        |  SELECT d.source, unnest(range(0, len(e.embedding))) AS dim,
+        |         unnest(e.embedding::DOUBLE[]) AS x
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |cent AS (
+        |  SELECT source, dim,
+        |         CAST(round(SUM(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0
+        |               / count(*) * 1000000) AS BIGINT) AS ci
+        |  FROM src GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         sum(a.ci * b.ci) AS dp,
+        |         sum(a.ci * a.ci) AS na2,
+        |         sum(b.ci * b.ci) AS nb2
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |       round(CAST(dp AS DOUBLE) /
+        |             sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)), 6) AS cos
+        |FROM p""".stripMargin,
     // mirrors q109: codebook + argmin CTEs, codes pivoted to columns,
     // err = the ascending-s fold of the winning distances
     "q109_pq_encode" ->

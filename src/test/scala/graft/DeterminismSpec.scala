@@ -49,7 +49,19 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q163_conversion_lag",
     "q164_confusion_matrix", "q165_auc_rank", "q166_calibration",
     "q167_groupwise_ols", "q168_benford", "q169_gini",
-    "q170_source_kl", "q171_cusum_changepoint", "q172_dow_seasonality")
+    "q170_source_kl", "q171_cusum_changepoint", "q172_dow_seasonality",
+    "q173_rfm_segments", "q174_rolling_revenue", "q175_kaplan_meier",
+    "q176_burstiness", "q177_js_divergence", "q178_sorted_neighborhood",
+    "q179_lift_table", "q180_lorenz_curve",
+    "q181_zipf_fit", "q182_heaps_law", "q183_five_number",
+    "q184_stickiness", "q185_new_returning", "q186_hapax_stats",
+    "q187_sentence_stats", "q188_spearman", "q189_mann_kendall",
+    "q190_acf", "q191_ks_test", "q192_fifo_allocation",
+    "q193_silhouette", "q194_containment_pairs", "q195_abc_classes",
+    "q196_runs_test", "q197_hill_tail", "q198_embed_covariance",
+    "q199_label_propagation", "q200_unpivot", "q201_char_trigrams",
+    "q202_max_concurrency", "q203_bfs_hops", "q204_bootstrap_ci",
+    "q205_golden_record", "q206_woe_encoding", "q207_source_centroid_sim")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
