@@ -2385,7 +2385,41 @@ object RelationalQueries {
           col("nn").cast("double") / col("tn")) * col("woe"), 6).as("iv_term"))
   }
 
+  /** q209: Theil–Sen robust slope of the daily-revenue series — the
+    * median of all pairwise slopes (r_j−r_i)/(d_j−d_i), the
+    * outlier-resistant trend estimator that pairs with q189's
+    * Mann–Kendall significance test (MK says IF there's a trend,
+    * Theil–Sen says HOW STEEP). DETERMINISM: each slope divides an exact
+    * decimal difference by an exact integer day gap once; the median is
+    * SELECTION, not arithmetic — the value at rank ⌈n/2⌉ under the total
+    * (slope, d_i, d_j) order (q163's percentile_disc idiom). Scale shape:
+    * the pair join and its rank window run on the DAY-GRAIN table —
+    * O(days²) rows regardless of corpus size (q189's bound); the
+    * revenue rollup is the only corpus-sized pass.
+    */
+  def q209TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = t(spark, dir, "orders")
+      .groupBy(unix_date(to_date(col("o_orderdate"))).as("dn"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .persist()
+    val slopes = day.select(col("dn").as("d_i"), col("rev").as("r_i"))
+      .join(broadcast(day.select(col("dn").as("d_j"), col("rev").as("r_j"))),
+        col("d_i") < col("d_j"))
+      .select(col("d_i"), col("d_j"),
+        ((col("r_j") - col("r_i")).cast("double") /
+          (col("d_j") - col("d_i"))).as("slope"))
+    val ranked = slopes.withColumn("rk",
+      row_number().over(Window.orderBy(col("slope"), col("d_i"), col("d_j"))))
+    val np = slopes.agg(count(lit(1)).as("n_pairs"))
+    val med = ranked.crossJoin(broadcast(np))
+      .filter(col("rk") === ceil(col("n_pairs") * lit(0.5)))
+      .select(col("n_pairs"), round(col("slope"), 6).as("ts_slope"))
+    day.agg(count(lit(1)).as("n_days")).crossJoin(med)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_theil_sen" -> q209TheilSen _,
     "q206_woe_encoding" -> q206WoeEncoding _,
     "q202_max_concurrency" -> q202MaxConcurrency _,
     "q203_bfs_hops" -> q203BfsHops _,
@@ -2487,6 +2521,24 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same day-grain pairwise slopes, same rank-at-ceil(n/2) median
+    // selection under the (slope, d_i, d_j) total order
+    "q209_theil_sen" ->
+      """WITH day AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT a.dn AS d_i, b.dn AS d_j,
+        |         CAST(b.rev - a.rev AS DOUBLE) / (b.dn - a.dn) AS slope
+        |  FROM day a JOIN day b ON a.dn < b.dn),
+        |r AS (
+        |  SELECT slope, row_number() OVER (ORDER BY slope, d_i, d_j) AS rk,
+        |         count(*) OVER () AS n FROM p),
+        |nd AS (SELECT count(*) AS n_days FROM day)
+        |SELECT nd.n_days, r.n AS n_pairs, round(r.slope, 6) AS ts_slope
+        |FROM r CROSS JOIN nd
+        |WHERE r.rk = CAST(ceil(r.n * 0.5) AS BIGINT)""".stripMargin,
     // same 0.5-smoothed odds, same rounded-WOE composition into IV
     "q206_woe_encoding" ->
       """WITH pos AS (

@@ -19,7 +19,45 @@ object SearchQueries {
   /** BM25 query terms — high-df corpus words chosen so every sf matches. */
   private val Bm25Terms = Seq("hash", "join", "scan")
 
+  /** q208: reciprocal-rank-fusion hybrid retrieval — the modern RAG/search
+    * serving recipe: a lexical candidate list (single-term BM25 top-20 for
+    * "hash") and a dense candidate list (exact cosine top-20 for query
+    * vector 0) fused by RRF(d) = Σ 1/(60+rank_d), final top-10. Each leg
+    * is the very code path its standalone query verifies (q9's
+    * `Ranking.bm25`, q40's `Similarity.bruteForceTopK`). DETERMINISM:
+    * ranks are integers under total (score desc, id asc) orders; the
+    * fused score adds two exact-input doubles once per row. Scale shape:
+    * each leg is a bounded top-k (TakeOrdered / bounded TopKAgg — never a
+    * global sort), fusion is a 40-row full-outer join; at 100 TB the legs
+    * are served by the prebuilt inverted index (q27/q76) and ANN index
+    * (q80/q112), same fusion.
+    */
+  def q208RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    val sparse = Ranking.bm25(docs(spark, dir), "text", "doc_id", Seq("hash"))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .withColumn("ra",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("ra"))
+    val v = Similarity.prepared(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+    val dense = Similarity.bruteForceTopK(v.filter(col("vec_id") === 0), v, "vec_id", 20)
+      .select(col("cand_id").as("doc_id"), col("rank").as("rb"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("ra") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rb") + 60), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("rrf"), col("ra"), col("rb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_rrf_hybrid" -> (q208RrfHybrid _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
@@ -68,6 +106,43 @@ object SearchQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same BM25 leg (q9's formula, term 'hash'), same rounded-cosine
+    // dense leg (q40's order), same 1/(60+rank) fusion and tie-breaks
+    "q208_rrf_hybrid" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM wd WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM toks
+         |       WHERE word = 'hash' GROUP BY doc_id),
+         |dfx AS (SELECT count(*) AS df FROM tf),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |         round(ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |               * tf.tf * (1.2 + 1.0)
+         |               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |               6) AS bm25
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfx CROSS JOIN stats),
+         |sp AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS ra
+         |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dn AS (
+         |  SELECT cand_id AS doc_id, CAST(rank AS INTEGER) AS rb FROM (
+         |    SELECT c.vec_id AS cand_id,
+         |           row_number() OVER (
+         |             ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+         |                      c.vec_id ASC) AS rank
+         |    FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0)
+         |  WHERE rank <= 20),
+         |f AS (
+         |  SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id, sp.ra, dn.rb,
+         |         round(coalesce(CAST(1.0 AS DOUBLE) / (sp.ra + 60), 0) +
+         |               coalesce(CAST(1.0 AS DOUBLE) / (dn.rb + 60), 0), 6) AS rrf
+         |  FROM sp FULL OUTER JOIN dn ON dn.doc_id = sp.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+         |       doc_id, rrf, ra, rb
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q8_tfidf" ->
       s"""$WordsCte,
          |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),

@@ -61,7 +61,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q196_runs_test", "q197_hill_tail", "q198_embed_covariance",
     "q199_label_propagation", "q200_unpivot", "q201_char_trigrams",
     "q202_max_concurrency", "q203_bfs_hops", "q204_bootstrap_ci",
-    "q205_golden_record", "q206_woe_encoding", "q207_source_centroid_sim")
+    "q205_golden_record", "q206_woe_encoding", "q207_source_centroid_sim",
+    "q208_rrf_hybrid", "q209_theil_sen")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
