@@ -2418,7 +2418,41 @@ object RelationalQueries {
     day.agg(count(lit(1)).as("n_days")).crossJoin(med)
   }
 
+  /** q210: temporal event-type co-occurrence — ordered (typeₐ → type_b)
+    * pair counts for events of the SAME user within 5 minutes, capped at
+    * the next w=3 events (the market-basket signal of event streams;
+    * q133's association rules count whole-history baskets, this counts
+    * tight temporal windows). The sorted-neighborhood trick in TIME
+    * (q178's idiom): each event pairs only with its next 3 same-user
+    * events via lead windows — O(n·w) candidates, NO time-range
+    * self-join. DETERMINISM: the per-user order is the total
+    * (ts, event_id); gaps are exact integer micros. Scale shape: one
+    * user-partitioned window + a |types|²-bounded agg; no join at all.
+    */
+  def q210TemporalCooccur(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("u1", lead(col("us"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("u2", lead(col("us"), 2).over(w))
+      .withColumn("t3", lead(col("event_type"), 3).over(w))
+      .withColumn("u3", lead(col("us"), 3).over(w))
+    e.select(col("event_type").as("type_a"), col("us"), explode(array(
+        struct(col("t1").as("tb"), col("u1").as("ub")),
+        struct(col("t2").as("tb"), col("u2").as("ub")),
+        struct(col("t3").as("tb"), col("u3").as("ub")))).as("nb"))
+      .filter(col("nb.tb").isNotNull &&
+        col("nb.ub") - col("us") <= lit(300000000L))
+      .groupBy(col("type_a"), col("nb.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_temporal_cooccur" -> q210TemporalCooccur _,
     "q209_theil_sen" -> q209TheilSen _,
     "q206_woe_encoding" -> q206WoeEncoding _,
     "q202_max_concurrency" -> q202MaxConcurrency _,
@@ -2521,6 +2555,25 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (ts, event_id) per-user order, same w=3 lead neighbors,
+    // same 5-minute integer-micro gap gate
+    "q210_temporal_cooccur" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         lead(event_type, 1) OVER w AS t1, lead(epoch_us(ts), 1) OVER w AS u1,
+        |         lead(event_type, 2) OVER w AS t2, lead(epoch_us(ts), 2) OVER w AS u2,
+        |         lead(event_type, 3) OVER w AS t3, lead(epoch_us(ts), 3) OVER w AS u3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |p AS (
+        |  SELECT event_type AS type_a, t1 AS type_b, u1 - us AS gap
+        |  FROM s WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, t2, u2 - us FROM s WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, t3, u3 - us FROM s WHERE t3 IS NOT NULL)
+        |SELECT type_a, type_b, count(*) AS n_pairs
+        |FROM p WHERE gap <= 300000000 GROUP BY 1, 2""".stripMargin,
     // same day-grain pairwise slopes, same rank-at-ceil(n/2) median
     // selection under the (slope, d_i, d_j) total order
     "q209_theil_sen" ->

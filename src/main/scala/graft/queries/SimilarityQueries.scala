@@ -448,7 +448,78 @@ object SimilarityQueries {
         sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6).as("cos"))
   }
 
+  /** q211: per-dimension embedding distribution profile — n / mean / std /
+    * min / max for every embedding dimension, the embedding-space
+    * complement of q104's table profile (the sanity pass before
+    * quantization q83, PQ q109, or whitening decisions; a dead or
+    * exploding dimension shows up here first). DETERMINISM: components
+    * quantize to round(x·1e6) longs, so Σx is exact int64 and Σx² exact
+    * decimal — mean and population std are closed forms over exact
+    * integers, one double sqrt/division per output row. Scale shape: one
+    * posexplode scan into a map-side-combinable |dims|-group agg; output
+    * is dims-sized.
+    */
+  def q211EmbedProfile(spark: SparkSession, dir: String): DataFrame = {
+    val comp = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(posexplode(
+        graft.functions.TextFunctions.toDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+      .select(col("dim"), round(col("x") * 1e6).cast("long").as("xq"))
+    comp.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"),
+        sum(col("xq").cast("decimal(38,0)") * col("xq")).as("sxx"),
+        min(col("xq")).as("mnq"),
+        max(col("xq")).as("mxq"))
+      .select(col("dim"), col("n"),
+        round(col("sx") / 1e6 / col("n"), 6).as("mean"),
+        round(sqrt((col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
+          / (col("n").cast("double") * 1e6), 6).as("std"),
+        round(col("mnq") / 1e6, 6).as("min_x"),
+        round(col("mxq") / 1e6, 6).as("max_x"))
+  }
+
+  /** q212: nDCG@10 of the production IVF index vs the exact ranking —
+    * the graded-relevance IR metric that q124's recall@10 flattens:
+    * recall counts hits anywhere in the top-10, nDCG also scores WHERE
+    * they land (rel = 11 − exact_rank, discounted by 1/log2(rank+1)).
+    * Run over the same 50-query sample, same ⌈√N⌉-cell nProbe=3 index.
+    * DETERMINISM: every DCG term quantizes to round(term·1e9) longs
+    * before the per-query sum (q156's idiom — a parallel double sum is
+    * order-dependent), so DCG/IDCG are exact integer sums with ONE
+    * final double division. Scale shape: both legs are the bounded
+    * top-k paths their standalone queries verify; the DCG agg runs on
+    * |sample|·k rows.
+    */
+  def q212NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(v.filter(col("vec_id") < 50), v, "vec_id", k)
+      .persist()
+    val cells = math.ceil(math.sqrt(v.count().toDouble)).toInt
+    val ivf = Similarity.ivfTopK(v, "vec_id", k, cells, nProbe = 3)
+      .filter(col("query_id") < 50)
+    val rel = exact.select(col("query_id"), col("cand_id"),
+      (lit(11) - col("rank")).as("rel"))
+    val dcg = ivf.join(rel, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("rel"), lit(0)).cast("double")
+          / log2(col("rank") + 1) * 1e9).cast("long").as("tq"))
+      .groupBy("query_id").agg(sum(col("tq")).as("dcgq"))
+    val idcg = exact.select(col("query_id"),
+        round((lit(11) - col("rank")).cast("double")
+          / log2(col("rank") + 1) * 1e9).cast("long").as("ti"))
+      .groupBy("query_id").agg(sum(col("ti")).as("idcgq"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcgq"), lit(0L)).cast("double") / col("idcgq"), 6)
+          .as("ndcg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_embed_profile" -> (q211EmbedProfile _),
+    "q212_ndcg_eval" -> (q212NdcgEval _),
     "q207_source_centroid_sim" -> (q207SourceCentroidSim _),
     "q109_pq_encode" -> (q109PqEncode _),
     "q110_pq_adc_knn" -> (q110PqAdcKnn _),
@@ -523,6 +594,88 @@ object SimilarityQueries {
       |  WHERE r = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same 1e6 component quantization, same exact integer moments,
+    // same closed-form population std
+    "q211_embed_profile" ->
+      """WITH c0 AS (
+        |  SELECT unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |comp AS (SELECT dim, CAST(round(x * 1000000) AS BIGINT) AS xq FROM c0),
+        |a AS (
+        |  SELECT dim, count(*) AS n, sum(xq) AS sx,
+        |         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+        |         min(xq) AS mnq, max(xq) AS mxq
+        |  FROM comp GROUP BY dim)
+        |SELECT dim, n,
+        |       round(sx / 1000000.0 / n, 6) AS mean,
+        |       round(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS std,
+        |       round(mnq / 1000000.0, 6) AS min_x,
+        |       round(mxq / 1000000.0, 6) AS max_x
+        |FROM a""".stripMargin,
+    // q124's IVF + exact CTEs with ranks retained; same 1e9-quantized
+    // DCG terms, same 11-rank relevance, one final division
+    "q212_ndcg_eval" ->
+      s"""$CosCte,
+         |seeds AS (
+         |  SELECT cell, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v,
+         |           count(*) OVER () AS n
+         |    FROM e)
+         |  WHERE cell < CAST(ceil(sqrt(n)) AS INT)),
+         |sc AS (
+         |  SELECT e.vec_id, s.cell,
+         |    0.0 - (list_reduce(list_transform(range(1, 65), i -> e.v[i] * s.v[i]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), (x, y) -> x + y))))
+         |      AS negcos
+         |  FROM e CROSS JOIN seeds s),
+         |rc AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY negcos ASC, cell ASC) AS r
+         |  FROM sc),
+         |assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cell AS probe FROM rc WHERE r <= 3 AND vec_id < 50),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT query_id, cand_id, round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |            JOIN e ec ON ec.vec_id = cand.cand_id),
+         |ivf AS (
+         |  SELECT query_id, cand_id, rank FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (
+         |             PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 10),
+         |ex AS (
+         |  SELECT query_id, cand_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |           row_number() OVER (
+         |             PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id ASC) AS rank
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 50)
+         |  WHERE rank <= 10),
+         |relx AS (SELECT query_id, cand_id, 11 - rank AS rel FROM ex),
+         |dcg AS (
+         |  SELECT i.query_id,
+         |         sum(CAST(round(coalesce(r.rel, 0) / log2(i.rank + 1)
+         |                        * 1000000000) AS BIGINT)) AS dcgq
+         |  FROM ivf i LEFT JOIN relx r
+         |    ON r.query_id = i.query_id AND r.cand_id = i.cand_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT query_id,
+         |         sum(CAST(round((11 - rank) / log2(rank + 1)
+         |                        * 1000000000) AS BIGINT)) AS idcgq
+         |  FROM ex GROUP BY 1)
+         |SELECT idcg.query_id,
+         |       round(CAST(coalesce(dcg.dcgq, 0) AS DOUBLE) / idcg.idcgq, 6) AS ndcg
+         |FROM idcg LEFT JOIN dcg ON dcg.query_id = idcg.query_id""".stripMargin,
     // same 1e6 fixed-point centroid components, same re-quantized
     // integer dot/norm sums, one final double division + sqrt
     "q207_source_centroid_sim" ->
