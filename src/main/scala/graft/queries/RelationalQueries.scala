@@ -2285,45 +2285,48 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
   }
 
-  /** q204: deterministic bootstrap confidence interval for the mean order
-    * total — B=100 resamples-with-replacement, each draw indexed by the
-    * md5 coin (q138's idiom) so both engines replay the identical
-    * resample; the 95% CI is the (3rd, 98th) order statistic of the B
-    * resample means (⌈0.025·B⌉ / ⌈0.975·B⌉ rank-at picks, q163's idiom —
-    * no interpolation arithmetic to drift). DETERMINISM: draw j =
-    * md5(b|i) mod n is exact integer; per-resample means divide an exact
-    * decimal sum once; the CI is selection, not summation; the point
-    * estimate divides the decimal grand sum once. Scale shape: one
-    * total-order row_number to index rows (at 100 TB: the q90 md5-shard
-    * index swap), then B·n draw rows through ONE equi-join on the drawn
-    * rank — work scales linearly in B·n with no self-join; B means fold
-    * to one row.
+  /** q204: deterministic bootstrap confidence interval for mean daily
+    * revenue — B=200 resamples-with-replacement of the DAY-GRAIN series,
+    * each draw indexed by the md5 coin (q138's idiom) so both engines
+    * replay the identical resample; the 95% CI is the (5th, 195th) order
+    * statistic of the B resample means (⌈0.025·B⌉ / ⌈0.975·B⌉ rank-at
+    * picks, q163's idiom — no interpolation arithmetic to drift).
+    * DETERMINISM: draw j = md5(b|i) mod n is exact integer; per-resample
+    * means divide an exact decimal sum once; the CI is selection, not
+    * summation; the point estimate divides the decimal grand sum once.
+    * Scale shape: the ONLY corpus-sized pass is the day rollup — the
+    * resample base, its row_number index, and all B·days draw rows are
+    * day-grain (corpus-size-INDEPENDENT, q189/q209's bound), so the
+    * bootstrap costs the same at 100 TB as at sf0.1; resampling raw
+    * orders instead would put B full corpus passes through the draw join.
     */
   def q204BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val o = t(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("p"))
-    val ranked = o
-      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
-    val nDf = o.agg(count(lit(1)).as("n"))
+    val day = t(spark, dir, "orders")
+      .groupBy(unix_date(to_date(col("o_orderdate"))).as("dn"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .persist()
+    val ranked = day
+      .withColumn("rn", row_number().over(Window.orderBy(col("dn"))))
+    val nDf = day.agg(count(lit(1)).as("n"))
     val draws = ranked.select(col("rn").as("i")).crossJoin(broadcast(nDf))
       .select(col("i"), col("n"),
-        explode(sequence(lit(1), lit(100))).as("b"))
+        explode(sequence(lit(1), lit(200))).as("b"))
       .select(col("b"),
         (conv(substring(md5(concat(lit("graft-bs-"), col("b").cast("string"),
           lit("|"), col("i").cast("string"))), 1, 13), 16, 10).cast("long")
           % col("n") + 1).as("j"))
     val means = draws
-      .join(ranked.select(col("rn").as("j"), col("p")), Seq("j"))
+      .join(ranked.select(col("rn").as("j"), col("rev")), Seq("j"))
       .groupBy("b")
-      .agg(sum(col("p")).as("sp"), count(lit(1)).as("nb"))
+      .agg(sum(col("rev")).as("sp"), count(lit(1)).as("nb"))
       .withColumn("m", col("sp").cast("double") / col("nb"))
     means
       .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
       .agg(count(lit(1)).as("b_reps"),
         round(sum(col("sp")).cast("double") / sum(col("nb")), 6).as("boot_mean"),
-        round(max(when(col("rk") === 3, col("m"))), 6).as("lo95"),
-        round(max(when(col("rk") === 98, col("m"))), 6).as("hi95"))
+        round(max(when(col("rk") === 5, col("m"))), 6).as("lo95"),
+        round(max(when(col("rk") === 195, col("m"))), 6).as("hi95"))
   }
 
   /** q205: golden-record entity resolution — q178's sorted-neighborhood
@@ -2665,18 +2668,20 @@ object RelationalQueries {
     // same md5(b|i) mod n draws over the same o_orderkey row order, same
     // rank-3/rank-98 order-statistic CI, same decimal grand-sum estimate
     "q204_bootstrap_ci" ->
-      """WITH o AS (
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders),
-        |r AS (SELECT p, row_number() OVER (ORDER BY o_orderkey) AS rn FROM o),
-        |n AS (SELECT count(*) AS n FROM o),
+      """WITH day AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev, row_number() OVER (ORDER BY dn) AS rn FROM day),
+        |n AS (SELECT count(*) AS n FROM day),
         |d AS (
         |  SELECT g.b,
         |         (CAST(('0x' || substr(md5('graft-bs-' || CAST(g.b AS VARCHAR) ||
         |                '|' || CAST(r.rn AS VARCHAR)), 1, 13)) AS BIGINT)
         |          % n.n) + 1 AS j
-        |  FROM r CROSS JOIN n CROSS JOIN (SELECT unnest(range(1, 101)) AS b) g),
+        |  FROM r CROSS JOIN n CROSS JOIN (SELECT unnest(range(1, 201)) AS b) g),
         |s AS (
-        |  SELECT d.b, sum(r2.p) AS sp, count(*) AS nb
+        |  SELECT d.b, sum(r2.rev) AS sp, count(*) AS nb
         |  FROM d JOIN r r2 ON r2.rn = d.j GROUP BY d.b),
         |m AS (
         |  SELECT sp, nb, CAST(sp AS DOUBLE) / nb AS m,
@@ -2684,8 +2689,8 @@ object RelationalQueries {
         |  FROM s)
         |SELECT count(*) AS b_reps,
         |       round(CAST(sum(sp) AS DOUBLE) / CAST(sum(nb) AS BIGINT), 6) AS boot_mean,
-        |       round(max(CASE WHEN rk = 3 THEN m END), 6) AS lo95,
-        |       round(max(CASE WHEN rk = 98 THEN m END), 6) AS hi95
+        |       round(max(CASE WHEN rk = 5 THEN m END), 6) AS lo95,
+        |       round(max(CASE WHEN rk = 195 THEN m END), 6) AS hi95
         |FROM m""".stripMargin,
     // same q178 candidate pairs, recursive closure in place of the
     // pointer-doubling rounds, same min-custkey survivorship
