@@ -2454,7 +2454,52 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** q214: exact median via two-pass binning — the "selection without a
+    * global sort" technique: pass 1 builds a 1024-bin equi-width
+    * histogram (one hash agg) and locates the bin holding global rank
+    * ⌈n/2⌉ from the cumulative counts; pass 2 ranks ONLY that bin's ~n/1024
+    * rows and picks rank (r − cum_prev). Correct because binning is
+    * monotone in the value and equal values share a bin, so within-bin
+    * rank + prior-bin mass IS the global rank — the oracle is therefore
+    * the NAIVE global rank-at-⌈n/2⌉ selection, making the driver compare
+    * prove two-pass == naive (q119's must-equal-naive contract).
+    * DETERMINISM: bin ids are floor of identical double arithmetic;
+    * selection runs under the total (price, orderkey) order. Scale
+    * shape: two scans + a 1024-row cumulative pass; the pass-2 sort
+    * touches n/1024 rows — the recursion trick (re-bin the candidate
+    * bin) extends this to any quantile at any scale, vs q58's
+    * full-width rank window.
+    */
+  def q214BinnedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+      .select(col("o_totalprice").as("p"), col("o_orderkey"))
+    val stats = o.agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = o.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(floor((col("p") - col("mn")) * 1024 / (col("mx") - col("mn"))),
+            lit(1023L)))
+          .otherwise(lit(0L)))
+      .select(col("p"), col("o_orderkey"), col("bin"))
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cand = cum.crossJoin(broadcast(stats.select(col("n"))))
+      .filter(col("cum") >= ceil(col("n") * lit(0.5)))
+      .orderBy(col("bin")).limit(1)
+      .select(col("bin").as("cbin"), (col("cum") - col("c")).as("prev"), col("n"))
+    binned.join(broadcast(cand), col("bin") === col("cbin"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("p"), col("o_orderkey"))))
+      .filter(col("rk") === ceil(col("n") * lit(0.5)) - col("prev"))
+      .select(col("n").as("n_rows"), col("p").as("median"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_binned_median" -> q214BinnedMedian _,
     "q210_temporal_cooccur" -> q210TemporalCooccur _,
     "q209_theil_sen" -> q209TheilSen _,
     "q206_woe_encoding" -> q206WoeEncoding _,
@@ -2558,6 +2603,15 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the NAIVE global rank-at-ceil(n/2) selection — the driver compare
+    // proves the two-pass binned plan equals it (q119-style contract)
+    "q214_binned_median" ->
+      """WITH o AS (SELECT o_totalprice AS p, o_orderkey FROM orders),
+        |n AS (SELECT count(*) AS n FROM o),
+        |r AS (SELECT p, row_number() OVER (ORDER BY p, o_orderkey) AS rk FROM o)
+        |SELECT n.n AS n_rows, r.p AS median
+        |FROM r CROSS JOIN n
+        |WHERE r.rk = CAST(ceil(n.n * 0.5) AS BIGINT)""".stripMargin,
     // same (ts, event_id) per-user order, same w=3 lead neighbors,
     // same 5-minute integer-micro gap gate
     "q210_temporal_cooccur" ->

@@ -110,6 +110,42 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q213: KMV sketch MERGE — per-source k-minimum-values vocabulary
+    // sketches (q73's deterministic md5 sketch, k=16) plus the '__merged'
+    // row built ONLY from the per-source sketches (k smallest of their
+    // union — exactly the global sketch, the mergeability that lets a
+    // 1000-executor corpus fold sketches instead of words). DETERMINISM:
+    // md5 order is a total order; estimates are one double division from
+    // exact integers and a hex prefix. Scale shape: per-source top-k via
+    // a source-partitioned window over the vocab-grain distinct (q121's
+    // bounded TopKAgg is the swap if one source's vocab dominates);
+    // the merge works on |sources|·k rows.
+    "q213_kmv_union" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val k = 16
+      val sk = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+        // the generator also emits `pos` — project to (source, word)
+        // BEFORE distinct or the dedup key silently includes position
+        .select(col("source"), col("word")).distinct()
+        .select(col("source"), md5(col("word")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h").asc)))
+        .filter(col("rk") <= k)
+        .persist()
+      val per = sk.groupBy("source")
+        .agg(count(lit(1)).as("k_actual"), max(col("h")).as("hmax"))
+      val merged = sk.select(col("h")).distinct()
+        .orderBy(col("h").asc).limit(k)
+        .agg(count(lit(1)).as("k_actual"), max(col("h")).as("hmax"))
+        .select(lit("__merged").as("source"), col("k_actual"), col("hmax"))
+      per.unionByName(merged)
+        .select(col("source"), col("k_actual"),
+          round((col("k_actual") - 1).cast("double") /
+            (conv(substring(col("hmax"), 1, 8), 16, 10).cast("double")
+              / 4294967296.0), 6).as("est_vocab"))
+    }),
     // q186: per-source hapax-legomena profile — the vocabulary size of
     // each source and how much of it is corpus-frequency-1 (hapax). A
     // high hapax ratio flags OCR noise / random-suffix boilerplate; a
@@ -872,6 +908,32 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same md5 order, same per-source k=16 minima, same merged sketch
+    // from the union of per-source sketches, same q73 estimator
+    "q213_kmv_union" ->
+      """WITH sw AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |h AS (SELECT DISTINCT source, md5(word) AS h FROM sw),
+        |rk AS (SELECT source, h,
+        |              row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |       FROM h),
+        |sk AS (SELECT source, h FROM rk WHERE rk <= 16),
+        |per AS (SELECT source, count(*) AS k_actual, max(h) AS hmax
+        |        FROM sk GROUP BY 1),
+        |m0 AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 16),
+        |mg AS (SELECT '__merged' AS source, count(*) AS k_actual, max(h) AS hmax
+        |       FROM m0),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM mg)
+        |SELECT source, k_actual,
+        |       round((k_actual - 1) * 1.0 /
+        |             (CAST(('0x' || substr(hmax, 1, 8)) AS BIGINT) / 4294967296.0),
+        |             6) AS est_vocab
+        |FROM u""".stripMargin,
     // same lowercase/collapse normalization, same boundary-straddling
     // trigrams, same (count DESC, trigram ASC) rank
     "q201_char_trigrams" ->

@@ -89,7 +89,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // co-purchase pairs: basket self-join must stay keyed on order
         "q148_copurchase_recs",
         // split leakage: eval↔train candidates must stay shingle-keyed
-        "q159_split_leakage")) {
+        "q159_split_leakage",
+        // containment pairs: same shared-shingle skeleton as q32
+        "q194_containment_pairs",
+        // graph rounds: co-purchase edges and every propagation/frontier
+        // round must stay order-/node-keyed
+        "q199_label_propagation", "q203_bfs_hops",
+        // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
+        "q205_golden_record",
+        // centroid similarity: the pair dot must join on dim, never all²
+        "q207_source_centroid_sim")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plans a cartesian product:\n$p")
@@ -97,6 +106,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"$q plans a broadcast nested-loop join:\n$p")
       spark.catalog.clearCache()
       org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    }
+  }
+
+  test("q202/q210: boundary sweep and temporal co-occurrence plan no join at all") {
+    // both are window-then-agg shapes: the sweep would be quadratic as an
+    // interval self-join, the co-occurrence as a time-range self-join —
+    // the whole point of their designs is that no Join node ever appears
+    for (q <- Seq("q202_max_concurrency", "q210_temporal_cooccur")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay window+agg only:\n$p")
+      spark.catalog.clearCache()
     }
   }
 
