@@ -2498,7 +2498,49 @@ object RelationalQueries {
       .select(col("n").as("n_rows"), col("p").as("median"))
   }
 
+  /** q215: consistent-hashing reshard audit — what fraction of documents
+    * moves when a 4-shard layout grows to 5, under (a) mod-N hashing
+    * (≈ 4/5 of all keys move — every re-partition is a full reshuffle)
+    * vs (b) a 32-vnode consistent-hash ring (≈ 1/5 moves — only keys
+    * whose ring successor becomes a new-shard vnode). The capacity-
+    * planning measurement behind bucketed-table layouts at 100 TB: mod-N
+    * bucketing (Spark's default) pays a full rewrite on reshard, a ring
+    * keeps N−1/N of the data in place. DETERMINISM: positions and key
+    * hashes are md5-derived 52-bit integers; the ring successor is
+    * argmin of an exact modular delta with the shard packed into the low
+    * bits as tie-break (min(delta·8+s)). Scale shape: the 160-row vnode
+    * ring is a broadcast constant — per-doc assignment is a 160-way
+    * fanout into a doc-keyed map-side-combinable min-agg, then a 1-row
+    * fold; no shuffle carries more than |docs| rows.
+    */
+  def q215ReshardAudit(spark: SparkSession, dir: String): DataFrame = {
+    val Ring = 4503599627370496L // 2^52, the md5-prefix hash space
+    val vn = spark.range(5).select(col("id").as("s"))
+      .select(col("s"), explode(sequence(lit(0), lit(31))).as("v"))
+      .select(col("s"), conv(substring(md5(concat(lit("graft-vn-"),
+        col("s").cast("string"), lit("|"), col("v").cast("string"))), 1, 13),
+        16, 10).cast("long").as("pos"))
+    val h = t(spark, dir, "documents")
+      .select(col("doc_id"), conv(substring(md5(concat(lit("graft-ring-"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long").as("h"))
+    val packed = ((col("pos") - col("h") + lit(Ring)) % lit(Ring)) * 8 + col("s")
+    val assign = h.crossJoin(broadcast(vn))
+      .groupBy("doc_id", "h")
+      .agg(min(when(col("s") < 4, packed)).as("a4"), min(packed).as("a5"))
+    val m = assign.agg(
+      count(lit(1)).as("n"),
+      count(when(col("h") % 4 =!= col("h") % 5, lit(1))).as("mod_moved"),
+      count(when(col("a4") % 8 =!= col("a5") % 8, lit(1))).as("ch_moved"))
+    m.select(lit("consistent").as("scheme"), col("n").as("n_docs"),
+        col("ch_moved").as("n_moved"),
+        round(col("ch_moved").cast("double") / col("n"), 6).as("moved_frac"))
+      .unionByName(m.select(lit("mod").as("scheme"), col("n").as("n_docs"),
+        col("mod_moved").as("n_moved"),
+        round(col("mod_moved").cast("double") / col("n"), 6).as("moved_frac")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_reshard_audit" -> q215ReshardAudit _,
     "q214_binned_median" -> q214BinnedMedian _,
     "q210_temporal_cooccur" -> q210TemporalCooccur _,
     "q209_theil_sen" -> q209TheilSen _,
@@ -2603,6 +2645,34 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same md5 ring positions and key hashes, same min(delta*8+s)
+    // successor pick, same mod-4/mod-5 comparison
+    "q215_reshard_audit" ->
+      """WITH vn AS (
+        |  SELECT s, CAST(('0x' || substr(md5('graft-vn-' || CAST(s AS VARCHAR) ||
+        |         '|' || CAST(v AS VARCHAR)), 1, 13)) AS BIGINT) AS pos
+        |  FROM (SELECT unnest(range(0, 5)) AS s)
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS v)),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('graft-ring-' || CAST(doc_id AS VARCHAR)),
+        |               1, 13)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, h,
+        |         min(CASE WHEN s < 4 THEN
+        |               ((pos - h + 4503599627370496) % 4503599627370496) * 8 + s END) AS a4,
+        |         min(((pos - h + 4503599627370496) % 4503599627370496) * 8 + s) AS a5
+        |  FROM h CROSS JOIN vn GROUP BY 1, 2),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         count(CASE WHEN h % 4 <> h % 5 THEN 1 END) AS mod_moved,
+        |         count(CASE WHEN a4 % 8 <> a5 % 8 THEN 1 END) AS ch_moved
+        |  FROM c)
+        |SELECT 'consistent' AS scheme, n AS n_docs, ch_moved AS n_moved,
+        |       round(ch_moved * 1.0 / n, 6) AS moved_frac FROM m
+        |UNION ALL
+        |SELECT 'mod', n, mod_moved, round(mod_moved * 1.0 / n, 6) FROM m""".stripMargin,
     // the NAIVE global rank-at-ceil(n/2) selection — the driver compare
     // proves the two-pass binned plan equals it (q119-style contract)
     "q214_binned_median" ->
