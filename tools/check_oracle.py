@@ -18,7 +18,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
             return "[" + " ".join(str(x) for x in v) + "]"
         return str(v)
-    out = df.applymap(cell)
+    out = df.map(cell) if hasattr(df, "map") else df.applymap(cell)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 def main(sf_dir, out_dir):
