@@ -2539,7 +2539,42 @@ object RelationalQueries {
         round(col("mod_moved").cast("double") / col("n"), 6).as("moved_frac")))
   }
 
+  /** q216: quantile estimation from a mergeable bottom-k sample — the
+    * k=1024 rows with the smallest md5(orderkey) are a uniform random
+    * sample that MERGES like q213's KMV sketch (the global bottom-k is
+    * the bottom-k of per-partition bottom-k's — TakeOrdered, never a
+    * full sort), so a 1000-executor cluster estimates any quantile from
+    * k rows of state; emitted next to the EXACT median (q214's rank-at
+    * selection) with the relative error as the audit column — the
+    * accuracy report a pipeline checks before trusting sampled
+    * percentiles. DETERMINISM: the sample is md5-selected (no RNG), both
+    * medians are rank-at-⌈n/2⌉ selections under total orders. Scale
+    * shape: one TakeOrdered(k) scan for the sample + q214's two-scan
+    * exact path for the audit; the quantile math runs on k rows.
+    */
+  def q216SampleQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("p"))
+    val k = 1024
+    val samp = o
+      .withColumn("h", md5(concat(lit("graft-sq-"), col("o_orderkey").cast("string"))))
+      .orderBy(col("h").asc).limit(k)
+    val sMed = samp
+      .withColumn("rk", row_number().over(Window.orderBy(col("p"), col("o_orderkey"))))
+      .crossJoin(broadcast(samp.agg(count(lit(1)).as("ks"))))
+      .filter(col("rk") === ceil(col("ks") * lit(0.5)))
+      .select(col("ks").as("sample_k"), col("p").as("sample_median"))
+    val eMed = q214BinnedMedian(spark, dir)
+    eMed.crossJoin(sMed)
+      .select(col("n_rows"), col("sample_k"), col("median").as("exact_median"),
+        col("sample_median"),
+        round(abs(col("sample_median") - col("median")) / col("median"), 6)
+          .as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_sample_quantile" -> q216SampleQuantile _,
     "q215_reshard_audit" -> q215ReshardAudit _,
     "q214_binned_median" -> q214BinnedMedian _,
     "q210_temporal_cooccur" -> q210TemporalCooccur _,
@@ -2645,6 +2680,30 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same md5 bottom-k sample, same rank-at medians on sample and
+    // full data, same relative-error audit
+    "q216_sample_quantile" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice AS p FROM orders),
+        |samp AS (
+        |  SELECT o_orderkey, p,
+        |         md5('graft-sq-' || CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM o ORDER BY h LIMIT 1024),
+        |ks AS (SELECT count(*) AS ks FROM samp),
+        |sr AS (SELECT p, row_number() OVER (ORDER BY p, o_orderkey) AS rk FROM samp),
+        |sm AS (
+        |  SELECT ks.ks AS sample_k, sr.p AS sample_median
+        |  FROM sr CROSS JOIN ks
+        |  WHERE sr.rk = CAST(ceil(ks.ks * 0.5) AS BIGINT)),
+        |n AS (SELECT count(*) AS n FROM o),
+        |r AS (SELECT p, row_number() OVER (ORDER BY p, o_orderkey) AS rk FROM o),
+        |em AS (
+        |  SELECT n.n AS n_rows, r.p AS exact_median
+        |  FROM r CROSS JOIN n
+        |  WHERE r.rk = CAST(ceil(n.n * 0.5) AS BIGINT))
+        |SELECT em.n_rows, sm.sample_k, em.exact_median, sm.sample_median,
+        |       round(abs(sm.sample_median - em.exact_median) / em.exact_median, 6)
+        |         AS rel_err
+        |FROM em CROSS JOIN sm""".stripMargin,
     // same md5 ring positions and key hashes, same min(delta*8+s)
     // successor pick, same mod-4/mod-5 comparison
     "q215_reshard_audit" ->
