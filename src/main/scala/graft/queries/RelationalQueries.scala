@@ -2483,6 +2483,11 @@ object RelationalQueries {
             lit(1023L)))
           .otherwise(lit(0L)))
       .select(col("p"), col("o_orderkey"), col("bin"))
+      // three consumers (histogram, candidate-bin lookup, pass-2 rank);
+      // without the persist each one re-scans orders AND re-derives the
+      // min/max stats — 10 parquet scans instead of 2 (runner owns the
+      // cache lifecycle and clears it per query)
+      .persist()
     val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum", sum(col("c")).over(
       Window.orderBy(col("bin"))
