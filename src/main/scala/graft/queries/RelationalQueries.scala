@@ -2578,7 +2578,52 @@ object RelationalQueries {
           .as("rel_err"))
   }
 
+  /** q217: attribution-model comparison — the same 24 h touch sets as
+    * q131, scored under first-touch, last-touch, and linear models and
+    * rolled up by touch position (first / middle / last of each
+    * conversion's touch list): the side-by-side readout a marketing team
+    * uses to see how model choice shifts credit mass (first-touch puts
+    * everything on the 'first' bucket by construction; linear spreads it —
+    * the divergence IS the business decision). DETERMINISM: position
+    * ranks are integers under the total (view_ts, view_id) per-purchase
+    * order; linear credits quantize to round(1e6/n) longs before the sum
+    * (q156's idiom), so every aggregate is exact integer arithmetic.
+    * Scale shape: q131's user-keyed equi-join + per-purchase windows
+    * (bounded by the attribution window), then a 3-row agg.
+    */
+  def q217AttributionModels(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val touches = views.join(purchases, Seq("user_id"))
+      .filter(col("view_ts") < col("purchase_ts")
+        && col("view_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+    val wr = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("view_ts"), col("view_id"))
+    val wn = Window.partitionBy(col("purchase_id"))
+    touches
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(
+        when(col("rk") === 1, "first")
+          .when(col("rk") === col("n"), "last")
+          .otherwise("middle").as("bucket"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("cf"),
+        when(col("rk") === col("n"), 1L).otherwise(0L).as("cl"),
+        round(lit(1e6) / col("n")).cast("long").as("cq"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("cf")).as("first_credit"),
+        sum(col("cl")).as("last_credit"),
+        round(sum(col("cq")) / 1e6, 6).as("linear_credit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_attribution_models" -> q217AttributionModels _,
     "q216_sample_quantile" -> q216SampleQuantile _,
     "q215_reshard_audit" -> q215ReshardAudit _,
     "q214_binned_median" -> q214BinnedMedian _,
@@ -2685,6 +2730,39 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same q131 touch sets, same (view_ts, view_id) position order,
+    // same CASE bucket precedence, same 1e6-quantized linear credits
+    "q217_attribution_models" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t0 AS (
+        |  SELECT v.view_id, v.view_ts, p.purchase_id
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |  WHERE v.view_ts < p.purchase_ts
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 24 HOURS),
+        |t1 AS (
+        |  SELECT purchase_id,
+        |         row_number() OVER (PARTITION BY purchase_id
+        |                            ORDER BY view_ts, view_id) AS rk,
+        |         count(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM t0),
+        |t2 AS (
+        |  SELECT CASE WHEN rk = 1 THEN 'first'
+        |              WHEN rk = n THEN 'last'
+        |              ELSE 'middle' END AS bucket,
+        |         CASE WHEN rk = 1 THEN 1 ELSE 0 END AS cf,
+        |         CASE WHEN rk = n THEN 1 ELSE 0 END AS cl,
+        |         CAST(round(1000000.0 / n) AS BIGINT) AS cq
+        |  FROM t1)
+        |SELECT bucket, count(*) AS n_touches,
+        |       CAST(sum(cf) AS BIGINT) AS first_credit,
+        |       CAST(sum(cl) AS BIGINT) AS last_credit,
+        |       round(sum(cq) / 1000000.0, 6) AS linear_credit
+        |FROM t2 GROUP BY 1""".stripMargin,
     // same md5 bottom-k sample, same rank-at medians on sample and
     // full data, same relative-error audit
     "q216_sample_quantile" ->

@@ -64,7 +64,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q205_golden_record", "q206_woe_encoding", "q207_source_centroid_sim",
     "q208_rrf_hybrid", "q209_theil_sen", "q210_temporal_cooccur",
     "q211_embed_profile", "q212_ndcg_eval", "q213_kmv_union",
-    "q214_binned_median", "q215_reshard_audit", "q216_sample_quantile")
+    "q214_binned_median", "q215_reshard_audit", "q216_sample_quantile",
+    "q217_attribution_models")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
