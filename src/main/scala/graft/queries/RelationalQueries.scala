@@ -2622,7 +2622,69 @@ object RelationalQueries {
         round(sum(col("cq")) / 1e6, 6).as("linear_credit"))
   }
 
+  /** q218: retention-curve exponential fit — the earliest purchase
+    * cohort's weekly retention series rate(k) = n_active(k)/cohort_size,
+    * fitted as ln(rate) = a + b·k by OLS; the decay rate b and the
+    * implied half-life are THE two numbers a growth model consumes from
+    * q123's whole retention triangle. Restricted to the earliest cohort
+    * so every point is fully observed (no right-censoring correction
+    * needed — q175's Kaplan-Meier is the censoring-aware tool).
+    * DETERMINISM: rates are exact integer ratios; ln terms quantize to
+    * 1e9 longs before the OLS moment sums (q156's idiom), so the slope
+    * divides two exact integers once. Scale shape: reuses q123's
+    * aggregation; the fit runs on ≤ #weeks points.
+    */
+  def q218RetentionFit(spark: SparkSession, dir: String): DataFrame = {
+    val r = q123Retention(spark, dir).persist()
+    val c0 = r.agg(min(col("cohort_us")).as("c0"))
+    val s = r.crossJoin(broadcast(c0)).filter(col("cohort_us") === col("c0"))
+    val base = s.filter(col("week_offset") === 0)
+      .select(col("n_users").as("n0"))
+    val pts = s.filter(col("week_offset") >= 1)
+      .crossJoin(broadcast(base))
+      .select(col("week_offset").cast("long").as("x"),
+        round(log(col("n_users").cast("double") / col("n0")) * 1e9)
+          .cast("long").as("yq"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yq")).as("sy"), sum(col("x") * col("yq")).as("sxy"))
+      .withColumn("b",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")) / 1e9)
+      .select(col("n").as("n_points"), round(col("b"), 6).as("decay_rate"),
+        when(col("b") < 0, round(-log(lit(2.0)) / col("b"), 6))
+          .as("half_life_weeks"))
+  }
+
+  /** q219: arrival overdispersion per event type — the variance-to-mean
+    * ratio (index of dispersion) of DAILY event counts over the full
+    * observed day span: ≈1 is Poisson arrivals, >1 flags bursty/clumped
+    * traffic (the per-type capacity sibling of q176's per-user
+    * burstiness). Days with zero events count — the denominator is the
+    * calendar span, and absent days contribute 0 to both moment sums, so
+    * no day grid is ever materialized. DETERMINISM: dispersion =
+    * (D·Σn² − (Σn)²)/(D·Σn) is ONE division of exact integers. Scale
+    * shape: one scan → (type, day) hash agg → |types| moment rows + a
+    * broadcast 1-row span.
+    */
+  def q219Overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"), unix_date(to_date(col("ts"))).as("d"))
+    val span = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    e.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
+      .crossJoin(broadcast(span))
+      .withColumn("dd", col("d1") - col("d0") + 1)
+      .select(col("event_type"), col("dd").as("n_days"),
+        round(col("sn").cast("double") / col("dd"), 6).as("mean_daily"),
+        round((col("dd") * col("snn") - col("sn") * col("sn")).cast("double") /
+          (col("dd") * col("sn")), 6).as("dispersion"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_overdispersion" -> q219Overdispersion _,
+    "q218_retention_fit" -> q218RetentionFit _,
     "q217_attribution_models" -> q217AttributionModels _,
     "q216_sample_quantile" -> q216SampleQuantile _,
     "q215_reshard_audit" -> q215ReshardAudit _,
@@ -2730,6 +2792,60 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same calendar-span denominator (zero days implicit), same
+    // one-division exact-integer dispersion
+    "q219_overdispersion" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |daily AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS sn,
+        |         CAST(sum(n * n) AS BIGINT) AS snn
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, d1 - d0 + 1 AS n_days,
+        |       round(CAST(sn AS DOUBLE) / (d1 - d0 + 1), 6) AS mean_daily,
+        |       round(CAST((d1 - d0 + 1) * snn - sn * sn AS DOUBLE) /
+        |             ((d1 - d0 + 1) * sn), 6) AS dispersion
+        |FROM m CROSS JOIN span""".stripMargin,
+    // same earliest-cohort series, same 1e9-quantized ln rates, same
+    // closed-form OLS slope and half-life
+    "q218_retention_fit" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+        |r AS (
+        |  SELECT epoch_us(c.cohort_week) AS cohort_us,
+        |         CAST((epoch_us(wk.week) - epoch_us(c.cohort_week))
+        |              // 604800000000 AS INTEGER) AS week_offset,
+        |         count(*) AS n_users
+        |  FROM wk JOIN c ON wk.user_id = c.user_id
+        |  GROUP BY 1, 2),
+        |c0 AS (SELECT min(cohort_us) AS c0 FROM r),
+        |s AS (SELECT week_offset, n_users FROM r CROSS JOIN c0
+        |      WHERE cohort_us = c0),
+        |base AS (SELECT n_users AS n0 FROM s WHERE week_offset = 0),
+        |pts AS (
+        |  SELECT CAST(week_offset AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(n_users AS DOUBLE) / n0) * 1000000000)
+        |              AS BIGINT) AS yq
+        |  FROM s CROSS JOIN base WHERE week_offset >= 1),
+        |a AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(yq) AS BIGINT) AS sy,
+        |         CAST(sum(x * yq) AS BIGINT) AS sxy
+        |  FROM pts),
+        |b AS (
+        |  SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            (n * sxx - sx * sx) / 1000000000 AS b
+        |  FROM a)
+        |SELECT n AS n_points, round(b, 6) AS decay_rate,
+        |       CASE WHEN b < 0 THEN round(-ln(2.0) / b, 6) END AS half_life_weeks
+        |FROM b""".stripMargin,
     // same q131 touch sets, same (view_ts, view_id) position order,
     // same CASE bucket precedence, same 1e6-quantized linear credits
     "q217_attribution_models" ->
