@@ -300,7 +300,36 @@ object DedupQueries {
       .filter(col("containment") >= 0.5)
   }
 
+  /** q220: cross-method dedup agreement — the MinHash-LSH near-dup pairs
+    * (q31, verified Jaccard ≥ 0.05) set-compared against the 64-bit
+    * SimHash pairs (q77, Hamming ≤ 7): pair counts per method, the
+    * intersection, and the Jaccard of the two PAIR SETS. The methodology
+    * audit a dedup pipeline runs before switching detectors — low
+    * agreement means the two thresholds are not measuring the same
+    * notion of "near-duplicate" on this corpus. Each leg is the exact
+    * code path its standalone query verifies; the comparison is one
+    * full-outer join on the (id_a, id_b) key plus a 1-row count fold.
+    * DETERMINISM: set membership and counts only. Scale shape: both
+    * legs are the cross-product-free candidate pipelines PlanSpec
+    * guards; the agreement join is pair-set-sized.
+    */
+  def q220DedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val a = q31MinhashLsh(spark, dir).filter(col("jaccard") >= 0.05)
+      .select(col("id_a"), col("id_b")).withColumn("ia", lit(1))
+    val b = q77Simhash64Pairs(spark, dir)
+      .select(col("id_a"), col("id_b")).withColumn("ib", lit(1))
+    a.join(b, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("ia")).as("n_minhash"), count(col("ib")).as("n_simhash"),
+        count(when(col("ia").isNotNull && col("ib").isNotNull, lit(1)))
+          .as("n_both"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_minhash") + col("n_simhash") - col("n_both")), 6)
+          .as("method_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_dedup_agreement" -> (q220DedupAgreement _),
     "q194_containment_pairs" -> (q194ContainmentPairs _),
     "q152_prefix_filter_join" -> (q152PrefixFilterJoin _),
     "q114_cluster_weights" -> (q114ClusterWeights _),
@@ -372,6 +401,67 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q31's LSH+verify chain (>= 0.05) and q77's simhash chain composed
+    // in one WITH; agreement = full-outer pair-set compare
+    "q220_dedup_agreement" ->
+      s"""$ShingleCte,
+         |mh AS (
+         |  SELECT doc_id, j,
+         |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+         |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
+         |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+         |  WHERE e.j % 2 = 0),
+         |candm AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM candm c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ja AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b
+         |  WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.05),
+         |words AS (
+         |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(w) AS w FROM wd)),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |         SUM(CASE WHEN (strpos('0123456789abcdef',
+         |               substr(CASE WHEN i < 32 THEN md5(w) ELSE md5('1|' || w) END,
+         |                      (i % 32) + 1, 1)) - 1) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+         |  GROUP BY doc_id, i),
+         |sh64 AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN v <= 0 THEN 0
+         |                       WHEN i = 63 THEN -9223372036854775807 - 1
+         |                       ELSE (1::BIGINT << i) END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |sp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+         |f AS (
+         |  SELECT count(ja.id_a) AS n_minhash, count(sp.id_a) AS n_simhash,
+         |         count(CASE WHEN ja.id_a IS NOT NULL AND sp.id_a IS NOT NULL
+         |                    THEN 1 END) AS n_both
+         |  FROM ja FULL OUTER JOIN sp
+         |    ON sp.id_a = ja.id_a AND sp.id_b = ja.id_b)
+         |SELECT n_minhash, n_simhash, n_both,
+         |       round(n_both * 1.0 / (n_minhash + n_simhash - n_both), 6)
+         |         AS method_jaccard
+         |FROM f""".stripMargin,
     // same shingle join, |A|-normalized, same round-then-threshold rule
     "q194_containment_pairs" ->
       s"""$ShingleCte,
