@@ -109,6 +109,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q213/q216: bottom-k sketch/sample plan TakeOrdered, never a full sort") {
+    // the mergeability story depends on it: TakeOrdered is k rows per
+    // partition + a driver merge; a global Sort would be a full shuffle
+    for (q <- Seq("q213_kmv_union", "q216_sample_quantile")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must plan its bottom-k as TakeOrdered:\n$p")
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    }
+  }
+
   test("q202/q210: boundary sweep and temporal co-occurrence plan no join at all") {
     // both are window-then-agg shapes: the sweep would be quadratic as an
     // interval self-join, the co-occurrence as a time-range self-join —
