@@ -517,7 +517,61 @@ object SimilarityQueries {
           .as("ndcg"))
   }
 
+  /** q221: per-dimension embedding MEDIANS via grouped two-pass binning —
+    * q214's selection-without-a-global-sort run once per dimension: one
+    * 256-bin histogram pass per dim (a single (dim, bin) hash agg for
+    * all dims), the rank-⌈n/2⌉ bin located per dim from a 256-row
+    * cumulative window, then only candidate-bin rows ranked within their
+    * dim. The robust center q211's mean/std profile misses when a
+    * dimension has outliers. DETERMINISM: components quantize to 1e6
+    * longs first, so bin ids and the final selection run on exact
+    * integers under the total (xq, vec_id) per-dim order. Scale shape:
+    * two posexplode scans + dims-bounded window work; the pass-2 rank
+    * touches ~n/256 rows per dim. Oracle is the NAIVE per-dim rank-at
+    * selection — the driver proves grouped two-pass == naive.
+    */
+  def q221EmbedMedians(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), posexplode(
+        graft.functions.TextFunctions.toDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x") * 1e6).cast("long").as("xq"))
+      .persist()
+    val stats = comp.groupBy("dim")
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"),
+        count(lit(1)).as("n"))
+    val binned = comp.join(broadcast(stats), Seq("dim"))
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(((col("xq") - col("mn")) * 256 / (col("mx") - col("mn")))
+            .cast("long"), lit(255L)))
+          .otherwise(lit(0L)))
+      .select(col("dim"), col("vec_id"), col("xq"), col("bin"))
+    val cum = binned.groupBy("dim", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("dim")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cand = cum.join(broadcast(stats.select(col("dim"), col("n"))), Seq("dim"))
+      .filter(col("cum") >= ceil(col("n") * lit(0.5)))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("dim")).orderBy(col("bin"))))
+      .filter(col("pick") === 1)
+      .select(col("dim"), col("bin").as("cbin"),
+        (col("cum") - col("c")).as("prev"), col("n"))
+    binned.join(broadcast(cand),
+        binned("dim") === cand("dim") && col("bin") === col("cbin"))
+      .drop(cand("dim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("dim")).orderBy(col("xq"), col("vec_id"))))
+      .filter(col("rk") === ceil(col("n") * lit(0.5)) - col("prev"))
+      .select(col("dim"), col("n"),
+        round(col("xq") / 1e6, 6).as("median_x"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_embed_medians" -> (q221EmbedMedians _),
     "q211_embed_profile" -> (q211EmbedProfile _),
     "q212_ndcg_eval" -> (q212NdcgEval _),
     "q207_source_centroid_sim" -> (q207SourceCentroidSim _),
@@ -594,6 +648,22 @@ object SimilarityQueries {
       |  WHERE r = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the NAIVE per-dim rank-at-ceil(n/2) selection — the driver compare
+    // proves the grouped two-pass binned plan equals it
+    "q221_embed_medians" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |comp AS (SELECT vec_id, dim, CAST(round(x * 1000000) AS BIGINT) AS xq FROM c0),
+        |n AS (SELECT dim, count(*) AS n FROM comp GROUP BY 1),
+        |r AS (
+        |  SELECT dim, xq,
+        |         row_number() OVER (PARTITION BY dim ORDER BY xq, vec_id) AS rk
+        |  FROM comp)
+        |SELECT r.dim, n.n, round(r.xq / 1000000.0, 6) AS median_x
+        |FROM r JOIN n ON n.dim = r.dim
+        |WHERE r.rk = CAST(ceil(n.n * 0.5) AS BIGINT)""".stripMargin,
     // same 1e6 component quantization, same exact integer moments,
     // same closed-form population std
     "q211_embed_profile" ->
