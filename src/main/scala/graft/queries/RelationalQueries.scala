@@ -2682,7 +2682,116 @@ object RelationalQueries {
           (col("dd") * col("sn")), 6).as("dispersion"))
   }
 
+  /** q222: engagement-to-revenue deciles — users deciled by total event
+    * count (the engagement axis, from `events`) against their lifetime
+    * order revenue (the monetary axis, from `orders`): the cross-DATASET
+    * join that answers "does product engagement predict spend" — q179's
+    * lift table with the score replaced by behavior from a different
+    * table. Users with no orders stay in their decile with 0 revenue
+    * (left join). DETERMINISM: deciles are ntile over the total
+    * (n_events desc, user_id) order; revenue sums are exact decimal.
+    * Scale shape: two grain-reducing aggs (user-grain), one user-keyed
+    * left join, a 10-row rollup; the ntile window is user-grain (q128's
+    * boundary-broadcast swap is the 100 TB path, as with q173).
+    */
+  def q222EngagementRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eng = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val rev = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val d = eng.join(rev, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("rev"), lit(0).cast("decimal(18,4)")).as("rev"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("n_events").desc, col("user_id"))))
+    val g = d.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("tot_events"),
+        sum(col("rev")).as("srev"))
+    val tot = g.agg(sum(col("srev")).as("trev"), sum(col("n_users")).as("tn"))
+    g.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("tot_events"),
+        round(col("srev").cast("double"), 2).as("revenue"),
+        round((col("srev").cast("double") / col("n_users")) /
+          (col("trev").cast("double") / col("tn")), 6).as("rev_lift"))
+  }
+
+  /** q223: seasonal-naive forecast backtest — predict each day's revenue
+    * with the same-weekday-last-week value (the baseline every real
+    * forecasting model must beat) and score MAE and MAPE over the
+    * evaluable days: the model-eval harness of a demand pipeline, as a
+    * query. DETERMINISM: the lag-7 pairing is a RANGE-free exact
+    * self-join on day number (day-grain, like q190's ACF); errors are
+    * exact decimal differences; MAPE terms quantize per-day to 1e9
+    * longs before the mean (q156's idiom). Scale shape: one corpus
+    * rollup to day grain, then day-grain joins/aggs — corpus-size-
+    * independent like q189/q204/q209.
+    */
+  def q223ForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val day = t(spark, dir, "orders")
+      .groupBy(unix_date(to_date(col("o_orderdate"))).as("dn"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .persist()
+    val scored = day
+      .join(day.select((col("dn") + 7).as("dn"), col("rev").as("pred")), Seq("dn"))
+      .select(col("dn"), col("rev"), col("pred"),
+        abs(col("rev") - col("pred")).as("ae"),
+        round(abs(col("rev") - col("pred")).cast("double") /
+          col("rev").cast("double") * 1e9).cast("long").as("apeq"))
+    scored.agg(count(lit(1)).as("n_days"),
+        sum(col("ae")).as("sae"), sum(col("apeq")).as("sapeq"))
+      .select(col("n_days"),
+        round(col("sae").cast("double") / col("n_days"), 2).as("mae"),
+        round(col("sapeq") / 1e9 / col("n_days"), 6).as("mape"))
+  }
+
+  /** q224: pairwise Welch t-test of mean order value across market
+    * segments — the unequal-variance two-sample test (q161's pooled z
+    * assumes user parity; Welch is what you run when groups differ in
+    * size and spread). All C(5,2)=10 segment pairs, t statistic and
+    * Welch-Satterthwaite degrees of freedom from ONE moment table.
+    * DETERMINISM: per-segment moments are exact (count, decimal Σx,
+    * decimal Σx²); t and df are per-row closed forms over the exact
+    * moments with divisions only in the final projection. Scale shape:
+    * one scan → |segments| moment rows → a 10-row pair join.
+    */
+  def q224WelchPairs(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("sx"),
+        sum((col("o_totalprice").cast("decimal(18,4)") *
+          col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,8)"))
+          .as("sxx"))
+      .select(col("c_mktsegment").as("seg"), col("n"),
+        col("sx").cast("double").as("sx"), col("sxx").cast("double").as("sxx"))
+    val a = m.select(col("seg").as("seg_a"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = m.select(col("seg").as("seg_b"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .withColumn("ma", col("sxa") / col("na"))
+      .withColumn("mb", col("sxb") / col("nb"))
+      .withColumn("va",
+        (col("sxxa") - col("sxa") * col("sxa") / col("na")) / (col("na") - 1))
+      .withColumn("vb",
+        (col("sxxb") - col("sxb") * col("sxb") / col("nb")) / (col("nb") - 1))
+      .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+      .select(col("seg_a"), col("seg_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("va") * col("va") / (col("na") * col("na") * (col("na") - 1)) +
+            col("vb") * col("vb") / (col("nb") * col("nb") * (col("nb") - 1))), 6)
+          .as("welch_df"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_engagement_revenue" -> q222EngagementRevenue _,
+    "q223_forecast_backtest" -> q223ForecastBacktest _,
+    "q224_welch_pairs" -> q224WelchPairs _,
     "q219_overdispersion" -> q219Overdispersion _,
     "q218_retention_fit" -> q218RetentionFit _,
     "q217_attribution_models" -> q217AttributionModels _,
@@ -2792,6 +2901,71 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (n_events desc, user_id) ntile order, same decimal revenue,
+    // same per-decile lift vs the grand mean
+    "q222_engagement_revenue" ->
+      """WITH eng AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |rev AS (
+        |  SELECT o_custkey AS user_id,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT eng.user_id, eng.n_events,
+        |         coalesce(rev.rev, CAST(0 AS DECIMAL(18,4))) AS rev,
+        |         ntile(10) OVER (ORDER BY eng.n_events DESC, eng.user_id) AS decile
+        |  FROM eng LEFT JOIN rev ON rev.user_id = eng.user_id),
+        |g AS (
+        |  SELECT decile, count(*) AS n_users,
+        |         CAST(sum(n_events) AS BIGINT) AS tot_events,
+        |         sum(rev) AS srev
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT sum(srev) AS trev, CAST(sum(n_users) AS BIGINT) AS tn FROM g)
+        |SELECT decile, n_users, tot_events,
+        |       round(CAST(srev AS DOUBLE), 2) AS revenue,
+        |       round((CAST(srev AS DOUBLE) / n_users) /
+        |             (CAST(trev AS DOUBLE) / tn), 6) AS rev_lift
+        |FROM g CROSS JOIN tot""".stripMargin,
+    // same lag-7 day-number pairing, same decimal errors, same
+    // 1e9-quantized MAPE terms
+    "q223_forecast_backtest" ->
+      """WITH day AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT a.dn, a.rev, p.rev AS pred, abs(a.rev - p.rev) AS ae,
+        |         CAST(round(CAST(abs(a.rev - p.rev) AS DOUBLE) /
+        |                    CAST(a.rev AS DOUBLE) * 1000000000) AS BIGINT) AS apeq
+        |  FROM day a JOIN day p ON a.dn = p.dn + 7)
+        |SELECT count(*) AS n_days,
+        |       round(CAST(sum(ae) AS DOUBLE) / count(*), 2) AS mae,
+        |       round(sum(apeq) / 1000000000.0 / count(*), 6) AS mape
+        |FROM s""".stripMargin,
+    // same exact per-segment moments, same Welch t and
+    // Welch-Satterthwaite df closed forms
+    "q224_welch_pairs" ->
+      """WITH m AS (
+        |  SELECT c.c_mktsegment AS seg, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(19,4)) *
+        |                       CAST(o_totalprice AS DECIMAL(19,4))
+        |                  AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS na, b.n AS nb,
+        |         a.sx / a.n AS ma, b.sx / b.n AS mb,
+        |         (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS va,
+        |         (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vb
+        |  FROM m a JOIN m b ON a.seg < b.seg),
+        |w AS (SELECT *, va / na + vb / nb AS se2 FROM p)
+        |SELECT seg_a, seg_b, na, nb,
+        |       round((ma - mb) / sqrt(se2), 6) AS t_stat,
+        |       round(se2 * se2 /
+        |             (va * va / (na * na * (na - 1)) +
+        |              vb * vb / (nb * nb * (nb - 1))), 6) AS welch_df
+        |FROM w""".stripMargin,
     // same calendar-span denominator (zero days implicit), same
     // one-division exact-integer dispersion
     "q219_overdispersion" ->

@@ -66,7 +66,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q211_embed_profile", "q212_ndcg_eval", "q213_kmv_union",
     "q214_binned_median", "q215_reshard_audit", "q216_sample_quantile",
     "q217_attribution_models", "q218_retention_fit", "q219_overdispersion",
-    "q220_dedup_agreement", "q221_embed_medians")
+    "q220_dedup_agreement", "q221_embed_medians", "q222_engagement_revenue",
+    "q223_forecast_backtest", "q224_welch_pairs")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
