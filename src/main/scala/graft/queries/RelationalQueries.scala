@@ -2788,7 +2788,49 @@ object RelationalQueries {
           .as("welch_df"))
   }
 
+  /** q225: discount elasticity — per discount level: line counts, total
+    * quantity, revenue; plus the ln-ln OLS of mean quantity per line on
+    * the price multiplier (1 − discount), whose slope is the demand
+    * elasticity a pricing team reads. The discount column is a small
+    * exact-value domain, so the regression runs on |levels| points from
+    * one corpus rollup. DETERMINISM: level keys are exact integer cents
+    * (round(d·100)); per-level sums are integers/decimals; both ln terms
+    * quantize to 1e9 longs before the OLS moment sums (q218's idiom).
+    * Scale shape: one scan → |levels| rows → a 1-row closed-form fit
+    * emitted per level row for the driver hash.
+    */
+  def q225DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = t(spark, dir, "lineitem")
+      .groupBy(round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("qty"),
+        sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,8)")).as("revenue"))
+      .persist()
+    val pts = lvl.select(
+      round(log(lit(1.0) - col("disc_pct") / lit(100.0)) * 1e9).cast("long").as("xq"),
+      round(log(col("qty").cast("double") / col("n_lines")) * 1e9).cast("long").as("yq"))
+      .filter(col("disc_pct") < 100)
+    val fit = pts.agg(count(lit(1)).as("np"), sum(col("xq")).as("sx"),
+        sum((col("xq").cast("decimal(38,0)") * col("xq"))).as("sxx"),
+        sum(col("yq")).as("sy"),
+        sum((col("xq").cast("decimal(38,0)") * col("yq"))).as("sxy"))
+      .select(round(
+        (col("np").cast("decimal(38,0)") * col("sxy")
+          - col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (col("np").cast("decimal(38,0)") * col("sxx")
+            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"), 6)
+        .as("elasticity"))
+    lvl.crossJoin(broadcast(fit))
+      .select(col("disc_pct"), col("n_lines"),
+        round(col("qty").cast("double"), 2).as("total_qty"),
+        round(col("revenue").cast("double"), 2).as("revenue"),
+        col("elasticity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_discount_elasticity" -> q225DiscountElasticity _,
     "q222_engagement_revenue" -> q222EngagementRevenue _,
     "q223_forecast_backtest" -> q223ForecastBacktest _,
     "q224_welch_pairs" -> q224WelchPairs _,
@@ -2901,6 +2943,35 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same integer-cent discount levels, same 1e9-quantized ln-ln
+    // points, same closed-form OLS elasticity
+    "q225_discount_elasticity" ->
+      """WITH lvl AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |         count(*) AS n_lines,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty,
+        |         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |                  (1 - CAST(l_discount AS DECIMAL(19,4)))
+        |             AS DECIMAL(38,8))) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (
+        |  SELECT CAST(round(ln(1.0 - disc_pct / 100.0) * 1000000000) AS BIGINT) AS xq,
+        |         CAST(round(ln(CAST(qty AS DOUBLE) / n_lines) * 1000000000) AS BIGINT) AS yq
+        |  FROM lvl WHERE disc_pct < 100),
+        |f AS (
+        |  SELECT count(*) AS np, CAST(sum(xq) AS BIGINT) AS sx,
+        |         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+        |         CAST(sum(yq) AS BIGINT) AS sy,
+        |         sum(CAST(xq AS HUGEINT) * yq) AS sxy
+        |  FROM pts),
+        |e AS (
+        |  SELECT round(CAST(np * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |               CAST(np * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+        |           AS elasticity
+        |  FROM f)
+        |SELECT disc_pct, n_lines, round(CAST(qty AS DOUBLE), 2) AS total_qty,
+        |       round(CAST(revenue AS DOUBLE), 2) AS revenue, e.elasticity
+        |FROM lvl CROSS JOIN e""".stripMargin,
     // same (n_events desc, user_id) ntile order, same decimal revenue,
     // same per-decile lift vs the grand mean
     "q222_engagement_revenue" ->
