@@ -328,7 +328,44 @@ object DedupQueries {
           .as("method_jaccard"))
   }
 
+  /** q227: MinHash estimator calibration — for every LSH candidate pair,
+    * the signature-estimated Jaccard (fraction of the 8 minhash slots
+    * that agree — the unbiased estimator the sketch theory promises)
+    * next to the EXACT shingle Jaccard, with the absolute error: the
+    * sketch-quality audit run before trusting signature-only dedup at a
+    * scale where exact verification is unaffordable. Slots are the very
+    * construction q31's candidate generator uses. DETERMINISM: slot
+    * matches are integer counts; est = m/8 and the error are one
+    * subtraction per pair. Scale shape: q31's pipeline plus one
+    * signature equi-join on the candidate pairs — pair-set-sized.
+    */
+  def q227MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
+    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8).persist()
+    val exact = Dedup.jaccardVerify(cand, sh, "doc_id")
+    val withH = sh.select(col("doc_id"), md5(col("sh")).as("h0"),
+      md5(concat(lit("1|"), col("sh"))).as("h1"))
+    val sigCols = (0 until 8).map { j =>
+      min(substring(col(s"h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
+    }
+    val mh = withH.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val mhA = mh.select(col("doc_id").as("id_a") +:
+      (0 until 8).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val mhB = mh.select(col("doc_id").as("id_b") +:
+      (0 until 8).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val matches = (0 until 8)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    exact.join(mhA, Seq("id_a")).join(mhB, Seq("id_b"))
+      .withColumn("m", matches)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(col("m").cast("double") / 8, 6).as("est_jaccard"),
+        round(abs(col("m").cast("double") / 8 - col("jaccard")), 6).as("abs_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_minhash_calibration" -> (q227MinhashCalibration _),
     "q220_dedup_agreement" -> (q220DedupAgreement _),
     "q194_containment_pairs" -> (q194ContainmentPairs _),
     "q152_prefix_filter_join" -> (q152PrefixFilterJoin _),
@@ -401,6 +438,48 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q31's signature/candidate/verify chain with the slot-match count
+    // joined back per pair; est = m/8, error one subtraction
+    "q227_minhash_calibration" ->
+      s"""$ShingleCte,
+         |mh AS (
+         |  SELECT doc_id, j,
+         |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+         |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
+         |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+         |  WHERE e.j % 2 = 0),
+         |candm AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM candm c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ex AS (
+         |  SELECT i.id_a, i.id_b,
+         |         round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b),
+         |mm AS (
+         |  SELECT c.id_a, c.id_b,
+         |         count(CASE WHEN a.mh = b.mh THEN 1 END) AS m
+         |  FROM candm c
+         |  JOIN mh a ON a.doc_id = c.id_a
+         |  JOIN mh b ON b.doc_id = c.id_b AND b.j = a.j
+         |  GROUP BY 1, 2)
+         |SELECT ex.id_a, ex.id_b, ex.jaccard,
+         |       round(mm.m / 8.0, 6) AS est_jaccard,
+         |       round(abs(mm.m / 8.0 - ex.jaccard), 6) AS abs_err
+         |FROM ex JOIN mm ON mm.id_a = ex.id_a AND mm.id_b = ex.id_b""".stripMargin,
     // q31's LSH+verify chain (>= 0.05) and q77's simhash chain composed
     // in one WITH; agreement = full-outer pair-set compare
     "q220_dedup_agreement" ->

@@ -2829,7 +2829,32 @@ object RelationalQueries {
         col("elasticity"))
   }
 
+  /** q226: activity-streak distribution — per user, maximal runs of
+    * CONSECUTIVE active days via gaps-and-islands (day_num − per-user
+    * row_number is constant exactly within a consecutive run — q125
+    * SCD2's island key on the activity grid), folded to the
+    * longest-streak histogram (streak length → user count): the
+    * engagement metric behind "7-day streak" product mechanics.
+    * DETERMINISM: pure integer island arithmetic on the deduped
+    * (user, day) grid under the total per-user day order. Scale shape:
+    * one dedup agg + one user-partitioned window + two user-bounded
+    * aggs; no join.
+    */
+  def q226StreakHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = events(spark, dir)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("d"))
+      .distinct()
+    val runs = ud
+      .withColumn("grp", col("d") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("d"))))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+    runs.groupBy("user_id").agg(max(col("len")).as("best_streak"))
+      .groupBy("best_streak").agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_streak_histogram" -> q226StreakHistogram _,
     "q225_discount_elasticity" -> q225DiscountElasticity _,
     "q222_engagement_revenue" -> q222EngagementRevenue _,
     "q223_forecast_backtest" -> q223ForecastBacktest _,
@@ -2943,6 +2968,21 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same deduped (user, day) grid, same day−row_number island key,
+    // same longest-streak histogram
+    "q226_streak_histogram" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id,
+        |         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM ud),
+        |rl AS (SELECT user_id, grp, count(*) AS len FROM runs GROUP BY 1, 2),
+        |best AS (SELECT user_id, max(len) AS best_streak FROM rl GROUP BY 1)
+        |SELECT best_streak, count(*) AS n_users
+        |FROM best GROUP BY 1""".stripMargin,
     // same integer-cent discount levels, same 1e9-quantized ln-ln
     // points, same closed-form OLS elasticity
     "q225_discount_elasticity" ->

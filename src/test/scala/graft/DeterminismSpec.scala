@@ -67,7 +67,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q214_binned_median", "q215_reshard_audit", "q216_sample_quantile",
     "q217_attribution_models", "q218_retention_fit", "q219_overdispersion",
     "q220_dedup_agreement", "q221_embed_medians", "q222_engagement_revenue",
-    "q223_forecast_backtest", "q224_welch_pairs", "q225_discount_elasticity")
+    "q223_forecast_backtest", "q224_welch_pairs", "q225_discount_elasticity",
+    "q226_streak_histogram", "q227_minhash_calibration")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
