@@ -2853,7 +2853,44 @@ object RelationalQueries {
       .groupBy("best_streak").agg(count(lit(1)).as("n_users"))
   }
 
+  /** q228: year-over-year Laspeyres price index — for each consecutive
+    * year pair, Σ p₁·q₀ / Σ p₀·q₀ over the parts traded in BOTH years
+    * (base-year quantities weight current-year unit prices — the
+    * inflation statistic agencies publish, here over the order book).
+    * Unit price per (part, year) = Σ extendedprice / Σ quantity, both
+    * exact decimals. DETERMINISM: the index is a ratio of two sums of
+    * per-part closed forms; products quantize to round(·1e6) longs
+    * before the final sums so the aggregation is exact integer
+    * arithmetic. Scale shape: one (part, year) rollup, a self-join on
+    * part between adjacent years (part-grain, key-equality), a
+    * |years|-sized output.
+    */
+  def q228PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val py = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        year(col("o_orderdate")).as("yr")), Seq("l_orderkey"))
+      .groupBy(col("l_partkey").as("pk"), col("yr"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("qty"))
+      .persist()
+    val base = py.select(col("pk"), col("yr").as("y0"),
+      (col("rev").cast("double") / col("qty").cast("double")).as("p0"),
+      col("qty").cast("double").as("q0"))
+    val cur = py.select(col("pk"), (col("yr") - 1).as("y0"),
+      (col("rev").cast("double") / col("qty").cast("double")).as("p1"))
+    base.join(cur, Seq("pk", "y0"))
+      .select(col("y0"), (col("y0") + 1).as("y1"),
+        round(col("p1") * col("q0") * 1e6).cast("long").as("num"),
+        round(col("p0") * col("q0") * 1e6).cast("long").as("den"))
+      .groupBy("y0", "y1")
+      .agg(count(lit(1)).as("n_parts"), sum(col("num")).as("sn"),
+        sum(col("den")).as("sd"))
+      .select(col("y0"), col("y1"), col("n_parts"),
+        round(col("sn").cast("double") / col("sd"), 6).as("laspeyres"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_price_index" -> q228PriceIndex _,
     "q226_streak_histogram" -> q226StreakHistogram _,
     "q225_discount_elasticity" -> q225DiscountElasticity _,
     "q222_engagement_revenue" -> q222EngagementRevenue _,
@@ -2968,6 +3005,33 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (part, year) unit prices, same common-part pairing, same
+    // 1e6-quantized products into exact integer sums
+    "q228_price_index" ->
+      """WITH py AS (
+        |  SELECT l_partkey AS pk, CAST(year(o_orderdate) AS INT) AS yr,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT pk, yr AS y0,
+        |         CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS p0,
+        |         CAST(qty AS DOUBLE) AS q0
+        |  FROM py),
+        |cur AS (
+        |  SELECT pk, yr - 1 AS y0,
+        |         CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS p1
+        |  FROM py),
+        |j AS (
+        |  SELECT base.y0, base.y0 + 1 AS y1,
+        |         CAST(round(cur.p1 * base.q0 * 1000000) AS BIGINT) AS num,
+        |         CAST(round(base.p0 * base.q0 * 1000000) AS BIGINT) AS den
+        |  FROM base JOIN cur ON cur.pk = base.pk AND cur.y0 = base.y0)
+        |SELECT y0, y1, count(*) AS n_parts,
+        |       round(CAST(sum(num) AS DOUBLE) / CAST(sum(den) AS BIGINT), 6)
+        |         AS laspeyres
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // same deduped (user, day) grid, same day−row_number island key,
     // same longest-streak histogram
     "q226_streak_histogram" ->

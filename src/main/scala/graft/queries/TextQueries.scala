@@ -110,6 +110,38 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q229: lexical source similarity — cosine between source
+    // word-FREQUENCY vectors through a shared-word equi-join (the
+    // inverted-index dot-product trick of q153 at source grain): the
+    // surface-form twin of q207's embedding-centroid matrix — when the
+    // two disagree, sources share vocabulary but not meaning (or vice
+    // versa). DETERMINISM: exact integer dot/norm sums, one double
+    // division+sqrt per pair. Scale shape: pair work is bounded by
+    // vocab × |sources|² — vocabulary-grain, never corpus²; norms are
+    // one |sources|-sized agg off the same frequency table.
+    "q229_source_lexical_sim" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wf = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+        .groupBy("source", "word").agg(count(lit(1)).as("f"))
+        .persist()
+      val norms = wf.groupBy("source").agg(sum(col("f") * col("f")).as("n2"))
+      val dots = wf
+        .select(col("source").as("source_a"), col("word"), col("f").as("fa"))
+        .join(wf.select(col("source").as("source_b"), col("word"),
+          col("f").as("fb")), Seq("word"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(sum(col("fa") * col("fb")).as("dot"))
+      dots
+        .join(norms.select(col("source").as("source_a"), col("n2").as("na2")),
+          Seq("source_a"))
+        .join(norms.select(col("source").as("source_b"), col("n2").as("nb2")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(col("dot").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6)
+            .as("cos"))
+    }),
     // q213: KMV sketch MERGE — per-source k-minimum-values vocabulary
     // sketches (q73's deterministic md5 sketch, k=16) plus the '__merged'
     // row built ONLY from the per-source sketches (k smallest of their
@@ -908,6 +940,29 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same word-frequency vectors, same exact integer dot/norm sums,
+    // one final double division per pair
+    "q229_source_lexical_sim" ->
+      """WITH sw AS (
+        |  SELECT source,
+        |         unnest(list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |wf AS (SELECT source, word, count(*) AS f FROM sw GROUP BY 1, 2),
+        |norms AS (SELECT source, sum(f * f) AS n2 FROM wf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         sum(a.f * b.f) AS dot
+        |  FROM wf a JOIN wf b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT d.source_a, d.source_b,
+        |       round(CAST(dot AS DOUBLE) /
+        |             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
+        |FROM dots d
+        |JOIN norms na ON na.source = d.source_a
+        |JOIN norms nb ON nb.source = d.source_b""".stripMargin,
     // same md5 order, same per-source k=16 minima, same merged sketch
     // from the union of per-source sketches, same q73 estimator
     "q213_kmv_union" ->

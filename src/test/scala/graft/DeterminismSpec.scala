@@ -68,7 +68,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q217_attribution_models", "q218_retention_fit", "q219_overdispersion",
     "q220_dedup_agreement", "q221_embed_medians", "q222_engagement_revenue",
     "q223_forecast_backtest", "q224_welch_pairs", "q225_discount_elasticity",
-    "q226_streak_histogram", "q227_minhash_calibration")
+    "q226_streak_histogram", "q227_minhash_calibration", "q228_price_index",
+    "q229_source_lexical_sim")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
