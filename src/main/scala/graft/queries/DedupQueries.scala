@@ -364,7 +364,37 @@ object DedupQueries {
         round(abs(col("m").cast("double") / 8 - col("jaccard")), 6).as("abs_err"))
   }
 
+  /** q230: LSH recall/precision audit — the b=4,r=2 MinHash-LSH candidate
+    * set (q31's generator) scored against the EXACT shared-shingle
+    * Jaccard ≥ 0.05 ground truth (q32's formulation): recall says what
+    * fraction of true near-dup pairs the index surfaces, candidate
+    * precision says what fraction of surfaced pairs survive
+    * verification (the verify-cost knob). The acceptance test before
+    * running signature-only dedup at a scale where the exact join is
+    * unaffordable — q227 audits the estimator's VALUES, this audits the
+    * candidate SET. DETERMINISM: set membership and counts through one
+    * full-outer pair join. Scale shape: both legs are the PlanSpec-
+    * guarded keyed pipelines; the compare is pair-set-sized.
+    */
+  def q230LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val exact = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
+      .select(col("id_a"), col("id_b")).withColumn("ie", lit(1))
+    val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
+    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8)
+      .withColumn("ic", lit(1))
+    exact.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("ie")).as("n_exact"), count(col("ic")).as("n_candidates"),
+        count(when(col("ie").isNotNull && col("ic").isNotNull, lit(1)))
+          .as("n_hits"))
+      .select(col("n_exact"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"),
+        round(col("n_hits").cast("double") / col("n_candidates"), 6)
+          .as("cand_precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_lsh_recall" -> (q230LshRecall _),
     "q227_minhash_calibration" -> (q227MinhashCalibration _),
     "q220_dedup_agreement" -> (q220DedupAgreement _),
     "q194_containment_pairs" -> (q194ContainmentPairs _),
@@ -438,6 +468,45 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q32's exact >= 0.05 ground truth vs q31's LSH candidate chain;
+    // recall/precision from one full-outer pair compare
+    "q230_lsh_recall" ->
+      s"""$ShingleCte,
+         |inter0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ex AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter0 i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b
+         |  WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.05),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+         |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
+         |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+         |  WHERE e.j % 2 = 0),
+         |candm AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+         |f AS (
+         |  SELECT count(ex.id_a) AS n_exact, count(candm.id_a) AS n_candidates,
+         |         count(CASE WHEN ex.id_a IS NOT NULL AND candm.id_a IS NOT NULL
+         |                    THEN 1 END) AS n_hits
+         |  FROM ex FULL OUTER JOIN candm
+         |    ON candm.id_a = ex.id_a AND candm.id_b = ex.id_b)
+         |SELECT n_exact, n_candidates, n_hits,
+         |       round(n_hits * 1.0 / n_exact, 6) AS recall,
+         |       round(n_hits * 1.0 / n_candidates, 6) AS cand_precision
+         |FROM f""".stripMargin,
     // q31's signature/candidate/verify chain with the slot-match count
     // joined back per pair; est = m/8, error one subtraction
     "q227_minhash_calibration" ->
