@@ -48,7 +48,9 @@ object Bench {
     "q117_index_compaction",
     "q122_funnel",
     "q124_ann_recall",
-    "q126_incremental_agg")
+    "q126_incremental_agg",
+    "q202_max_concurrency",
+    "q214_binned_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
