@@ -393,7 +393,29 @@ object DedupQueries {
           .as("cand_precision"))
   }
 
+  /** q231: candidate-Jaccard histogram — q31's verified candidate pairs
+    * bucketed into 0.05-wide similarity bins with a from-the-top
+    * cumulative count: the threshold-sensitivity curve ("how many pairs
+    * would a cutoff of t keep") a dedup operator reads before committing
+    * to a threshold. DETERMINISM: bins are identical double arithmetic
+    * on the 6dp-rounded jaccard in both engines; the cumulative window
+    * runs over ≤20 bin rows. Scale shape: q31's pipeline + a bin-sized
+    * agg and window.
+    */
+  def q231JaccardHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    q31MinhashLsh(spark, dir)
+      .select(least(floor(col("jaccard") * 20), lit(19L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+        Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(round(col("bin") * 0.05, 2).as("bin_lo"), col("n_pairs"),
+        col("n_at_or_above"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_jaccard_histogram" -> (q231JaccardHistogram _),
     "q230_lsh_recall" -> (q230LshRecall _),
     "q227_minhash_calibration" -> (q227MinhashCalibration _),
     "q220_dedup_agreement" -> (q220DedupAgreement _),
@@ -468,6 +490,45 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q31's verified pairs, same 0.05-wide double bins, same
+    // from-the-top cumulative over <=20 rows
+    "q231_jaccard_histogram" ->
+      s"""$ShingleCte,
+         |mh AS (
+         |  SELECT doc_id, j,
+         |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+         |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
+         |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+         |  WHERE e.j % 2 = 0),
+         |candm AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM candm c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ex AS (
+         |  SELECT round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b),
+         |h AS (
+         |  SELECT least(CAST(floor(jaccard * 20) AS BIGINT), 19) AS bin,
+         |         count(*) AS n_pairs
+         |  FROM ex GROUP BY 1)
+         |SELECT round(bin * 0.05, 2) AS bin_lo, n_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS n_at_or_above
+         |FROM h""".stripMargin,
     // q32's exact >= 0.05 ground truth vs q31's LSH candidate chain;
     // recall/precision from one full-outer pair compare
     "q230_lsh_recall" ->

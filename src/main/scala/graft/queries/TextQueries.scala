@@ -110,6 +110,36 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q232: quality-vs-duplication audit — documents deciled by
+    // stopword ratio (q21's graded quality axis) against their exact-
+    // duplicate rate (md5-fingerprint multiplicity > 1, q30's notion):
+    // the curation diagnostic that tests the web-scale prior that
+    // low-quality text is disproportionately boilerplate/duplicated —
+    // whether dedup and quality filters will remove the SAME or
+    // DIFFERENT mass. DETERMINISM: the decile is ntile over the total
+    // (ratio, doc_id) order; dup flags are integer fingerprint counts.
+    // Scale shape: one DocStats scan + one fingerprint hash agg (via a
+    // fp-keyed count window) + a 10-row rollup; the ntile window is
+    // doc-grain (q128's boundary-broadcast swap at 100 TB, as q173).
+    "q232_quality_dup_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.operators.TextAnalysis.quality(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("stopword_ratio"))
+      val dup = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("is_dup",
+          when(count(lit(1)).over(Window.partitionBy(col("fp"))) > 1, 1)
+            .otherwise(0))
+        .select(col("doc_id"), col("is_dup"))
+      q.join(dup, Seq("doc_id"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("stopword_ratio"), col("doc_id"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+        .select(col("decile"), col("n_docs"), col("n_dups"),
+          round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"))
+    }),
     // q229: lexical source similarity — cosine between source
     // word-FREQUENCY vectors through a shared-word equi-join (the
     // inverted-index dot-product trick of q153 at source grain): the
@@ -940,6 +970,27 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same q21 stopword ratio, same md5 fingerprint multiplicity,
+    // same (ratio, doc_id) ntile order
+    "q232_quality_dup_rate" ->
+      s"""$WordsCte,
+         |s AS (
+         |  SELECT doc_id,
+         |         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+         |               / greatest(len(w), 1), 6) AS sr
+         |  FROM wd),
+         |f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |dupe AS (
+         |  SELECT doc_id,
+         |         CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS is_dup
+         |  FROM f),
+         |d AS (
+         |  SELECT s.doc_id, s.sr, dupe.is_dup,
+         |         ntile(10) OVER (ORDER BY s.sr, s.doc_id) AS decile
+         |  FROM s JOIN dupe ON dupe.doc_id = s.doc_id)
+         |SELECT decile, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |       round(sum(is_dup) * 1.0 / count(*), 6) AS dup_rate
+         |FROM d GROUP BY 1""".stripMargin,
     // same word-frequency vectors, same exact integer dot/norm sums,
     // one final double division per pair
     "q229_source_lexical_sim" ->
