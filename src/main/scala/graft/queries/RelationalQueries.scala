@@ -2889,7 +2889,32 @@ object RelationalQueries {
         round(col("sn").cast("double") / col("sd"), 6).as("laspeyres"))
   }
 
+  /** q233: temporal co-occurrence PMI — q210's 5-minute (typeₐ → type_b)
+    * pair counts scored as pointwise mutual information against the
+    * marginal pair-slot distribution: which event sequences happen MORE
+    * than their types' frequencies predict (the signal q210's raw counts
+    * bury under popular types; q133's lift for baskets, this for tight
+    * temporal windows). DETERMINISM: marginals are exact integer sums of
+    * the |types|²-bounded pair table; each PMI is one ln of a ratio of
+    * four exact integers, computed once per output row. Scale shape:
+    * q210's window pipeline + two broadcast marginal joins on a
+    * |types|²-sized table.
+    */
+  def q233TemporalPmi(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q210TemporalCooccur(spark, dir).persist()
+    val ma = pairs.groupBy("type_a").agg(sum(col("n_pairs")).as("na"))
+    val mb = pairs.groupBy("type_b").agg(sum(col("n_pairs")).as("nb"))
+    val tot = pairs.agg(sum(col("n_pairs")).as("nt"))
+    pairs.join(broadcast(ma), Seq("type_a"))
+      .join(broadcast(mb), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_pairs"),
+        round(log((col("n_pairs") * col("nt")).cast("double") /
+          (col("na") * col("nb")).cast("double")), 6).as("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_temporal_pmi" -> q233TemporalPmi _,
     "q228_price_index" -> q228PriceIndex _,
     "q226_streak_histogram" -> q226StreakHistogram _,
     "q225_discount_elasticity" -> q225DiscountElasticity _,
@@ -3005,6 +3030,35 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q210's pair counts with exact integer marginals; each PMI one ln
+    // of a four-integer ratio
+    "q233_temporal_pmi" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         lead(event_type, 1) OVER w AS t1, lead(epoch_us(ts), 1) OVER w AS u1,
+        |         lead(event_type, 2) OVER w AS t2, lead(epoch_us(ts), 2) OVER w AS u2,
+        |         lead(event_type, 3) OVER w AS t3, lead(epoch_us(ts), 3) OVER w AS u3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |p AS (
+        |  SELECT event_type AS type_a, t1 AS type_b, u1 - us AS gap
+        |  FROM s WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, t2, u2 - us FROM s WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, t3, u3 - us FROM s WHERE t3 IS NOT NULL),
+        |c AS (SELECT type_a, type_b, count(*) AS n_pairs
+        |      FROM p WHERE gap <= 300000000 GROUP BY 1, 2),
+        |ma AS (SELECT type_a, CAST(sum(n_pairs) AS BIGINT) AS na FROM c GROUP BY 1),
+        |mb AS (SELECT type_b, CAST(sum(n_pairs) AS BIGINT) AS nb FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS nt FROM c)
+        |SELECT c.type_a, c.type_b, c.n_pairs,
+        |       round(ln(CAST(c.n_pairs * tot.nt AS DOUBLE) /
+        |                CAST(ma.na * mb.nb AS DOUBLE)), 6) AS pmi
+        |FROM c
+        |JOIN ma ON ma.type_a = c.type_a
+        |JOIN mb ON mb.type_b = c.type_b
+        |CROSS JOIN tot""".stripMargin,
     // same (part, year) unit prices, same common-part pairing, same
     // 1e6-quantized products into exact integer sums
     "q228_price_index" ->
