@@ -56,7 +56,29 @@ object SearchQueries {
       .select(col("rank"), col("doc_id"), col("rrf"), col("ra"), col("rb"))
   }
 
+  /** q234: per-term BM25 serving top-k — for every query term, the top-5
+    * documents by (bm25 desc, doc_id) through the bounded `TopKAgg`
+    * (q121's shape on the search index): only k rows per term per
+    * partition ever cross the shuffle, vs a window's full per-term sort
+    * — the result-page materialization step of the serving stack q140's
+    * boolean search and q208's fusion sit on. DETERMINISM: ranks under
+    * the 6dp-rounded-score + doc-id total order. Scale shape: q9's
+    * one-scan scoring + one bounded-state agg keyed by term; output is
+    * |terms|·k rows.
+    */
+  def q234Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scored = Ranking.bm25(docs(spark, dir), "text", "doc_id", Bm25Terms)
+    val topk = udaf(graft.functions.TopKAgg(5))
+    scored.groupBy("word")
+      .agg(topk(col("bm25"), col("doc_id")).as("tops"))
+      .select(col("word"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("word"), (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("doc_id"), col("t._1").as("bm25"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_bm25_topk" -> (q234Bm25TopK _),
     "q208_rrf_hybrid" -> (q208RrfHybrid _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
@@ -106,6 +128,28 @@ object SearchQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q9's scoring with a per-term (bm25 desc, doc_id) rank <= 5 window
+    "q234_bm25_topk" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM wd WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+         |       WHERE word IN ('hash', 'join', 'scan') GROUP BY doc_id, word),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |bm AS (
+         |  SELECT tf.word, tf.doc_id,
+         |         round(ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |               * tf.tf * (1.2 + 1.0)
+         |               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |               6) AS bm25
+         |  FROM tf JOIN dfx USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT word, CAST(rank AS INTEGER) AS rank, doc_id, bm25 FROM (
+         |  SELECT word, doc_id, bm25,
+         |         row_number() OVER (
+         |           PARTITION BY word ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |  FROM bm)
+         |WHERE rank <= 5""".stripMargin,
     // same BM25 leg (q9's formula, term 'hash'), same rounded-cosine
     // dense leg (q40's order), same 1/(60+rank) fusion and tie-breaks
     "q208_rrf_hybrid" ->
