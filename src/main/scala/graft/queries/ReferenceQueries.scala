@@ -103,7 +103,44 @@ object ReferenceQueries {
           6).as("est_vocab"))
   }
 
+  /** Q235: postings-length histogram — the vocabulary bucketed by
+    * ⌊log2(df)⌋ with word and total-postings counts per bucket: the
+    * index-statistics readout that sizes compression (q76's delta-varint
+    * wins on the long tail) and flags the stop-word head that dominates
+    * shard bytes. DETERMINISM: the bucket is `length(bin(df)) − 1` —
+    * pure integer/string arithmetic, no floating log to drift at
+    * power-of-two boundaries. Scale: q3's vocab-sized df table folded to
+    * ≤ log2(N) rows.
+    */
+  def q235PostingsHistogram(spark: SparkSession, dir: String): DataFrame =
+    q3DocFrequency(spark, dir)
+      .select(col("df"), (length(bin(col("df"))) - 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_words"), sum(col("df")).as("n_postings"))
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("df_lo"),
+        col("n_words"), col("n_postings"))
+
+  /** Q236: letter-shard balance audit — per first letter: vocabulary
+    * size, postings entries, and each shard's share of total postings —
+    * the load-balance measurement for the reference's hardcoded 26-way
+    * reduce partition (O9/O11): q4 counts words per letter, this
+    * measures the BYTES-proportional axis (postings) that actually
+    * determines reduce-side runtime skew. DETERMINISM: exact integer
+    * counts, one division per row. Scale: two vocab-sized aggs.
+    */
+  def q236ShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perLetter = q3DocFrequency(spark, dir)
+      .groupBy(substring(col("word"), 1, 1).as("letter"))
+      .agg(count(lit(1)).as("n_words"), sum(col("df")).as("n_postings"))
+    perLetter
+      .crossJoin(broadcast(perLetter.agg(sum(col("n_postings")).as("tot"))))
+      .select(col("letter"), col("n_words"), col("n_postings"),
+        round(col("n_postings").cast("double") / col("tot"), 6).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_postings_histogram" -> q235PostingsHistogram _,
+    "q236_shard_balance" -> q236ShardBalance _,
     "q7_approx_vocab" -> q7ApproxVocabulary _,
     "q73_kmv_vocab" -> q73KmvVocab _,
     "q1_inverted_index" -> q1InvertedIndex _,
@@ -129,6 +166,28 @@ object ReferenceQueries {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same length(bin(df))-1 integer bucket, same 2^bucket lower bound
+    "q235_postings_histogram" ->
+      s"""$TokCte,
+         |dfx AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
+         |h AS (
+         |  SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+         |         count(*) AS n_words, CAST(sum(df) AS BIGINT) AS n_postings
+         |  FROM dfx GROUP BY 1)
+         |SELECT (1::BIGINT << bucket) AS df_lo, n_words, n_postings
+         |FROM h""".stripMargin,
+    // same per-letter postings mass, same share-of-total division
+    "q236_shard_balance" ->
+      s"""$TokCte,
+         |dfx AS (SELECT word, count(*) AS df FROM dw GROUP BY word),
+         |pl AS (
+         |  SELECT substr(word, 1, 1) AS letter, count(*) AS n_words,
+         |         CAST(sum(df) AS BIGINT) AS n_postings
+         |  FROM dfx GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_postings) AS BIGINT) AS tot FROM pl)
+         |SELECT letter, n_words, n_postings,
+         |       round(n_postings * 1.0 / tot.tot, 6) AS share
+         |FROM pl CROSS JOIN tot""".stripMargin,
     "q73_kmv_vocab" ->
       s"""$TokCte,
          |kmv AS (
