@@ -77,7 +77,42 @@ object SearchQueries {
         col("t._2").as("doc_id"), col("t._1").as("bm25"))
   }
 
+  /** q237: boolean search SERVED FROM the compressed index — the
+    * end-to-end integration q140's Scaladoc promises: a term-keyed
+    * delta-varint postings index (`CompressedPostingsAgg`, q76's
+    * bounded-state aggregation) is built for the query terms, each
+    * term's postings are DECODED (`PostingsCodec.decode`, a typed map
+    * over term-grain rows — each row one posting list, never the
+    * corpus), and the AND is the same doc-keyed count-equality as q140.
+    * The oracle is q140's PLAIN formulation, so the driver proves
+    * index-build → encode → decode → intersect ≡ direct scan.
+    * DETERMINISM: the codec round-trip is exact; everything after is
+    * integer counts. Scale shape: the term filter prunes the scan to
+    * the query terms' postings; index rows are |terms|-grain.
+    */
+  def q237ServeFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+      .filter(col("word").isin(Bm25Terms: _*))
+      .select(col("word"), col("doc_id")).distinct()
+    val agg = udaf(graft.functions.CompressedPostingsAgg)
+    val index = tok.groupBy("word").agg(agg(col("doc_id")).as("postings"))
+    val decoded = index.select(col("word"), col("postings"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (w, enc) =>
+        graft.functions.PostingsCodec.decode(enc).map(id => (w, id))
+      }
+      .toDF("word", "doc_id")
+    decoded.groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === Bm25Terms.length)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_serve_from_index" -> (q237ServeFromIndex _),
     "q234_bm25_topk" -> (q234Bm25TopK _),
     "q208_rrf_hybrid" -> (q208RrfHybrid _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
@@ -128,6 +163,16 @@ object SearchQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q140's PLAIN scan formulation — the driver compare proves the
+    // encode -> decode -> intersect index path equals the direct scan
+    "q237_serve_from_index" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |hit AS (SELECT doc_id FROM toks
+         |        WHERE word IN ('hash', 'join', 'scan')
+         |        GROUP BY doc_id HAVING count(DISTINCT word) = 3)
+         |SELECT h.doc_id, d.source
+         |FROM hit h JOIN documents d USING (doc_id)""".stripMargin,
     // q9's scoring with a per-term (bm25 desc, doc_id) rank <= 5 window
     "q234_bm25_topk" ->
       s"""$WordsCte,

@@ -71,7 +71,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q226_streak_histogram", "q227_minhash_calibration", "q228_price_index",
     "q229_source_lexical_sim", "q230_lsh_recall",
     "q231_jaccard_histogram", "q232_quality_dup_rate", "q233_temporal_pmi",
-    "q234_bm25_topk", "q235_postings_histogram", "q236_shard_balance")
+    "q234_bm25_topk", "q235_postings_histogram", "q236_shard_balance",
+    "q237_serve_from_index")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
