@@ -305,7 +305,7 @@ object HygieneQueries {
         |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
-        |SELECT source, (cum - n_chars) // 4000 AS bin, count(*) AS n_docs,
+        |SELECT source, CAST((cum - n_chars) // 4000 AS BIGINT) AS bin, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS bytes,
         |       min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM c GROUP BY 1, 2""".stripMargin,

@@ -3666,8 +3666,8 @@ object RelationalQueries {
         |  FROM orders),
         |j AS (
         |  SELECT o.o_orderkey, o.o_custkey,
-        |         greatest(0, least(CAST(round(c.c_acctbal * 100) AS BIGINT) - o.spent,
-        |                           o.price)) AS alloc_cents,
+        |         CAST(greatest(0, least(CAST(round(c.c_acctbal * 100) AS BIGINT) - o.spent,
+        |                                o.price)) AS BIGINT) AS alloc_cents,
         |         o.price AS price_cents
         |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey)
         |SELECT o_orderkey, o_custkey, alloc_cents, price_cents,
@@ -3758,9 +3758,10 @@ object RelationalQueries {
         |  FROM events),
         |f AS (SELECT user_id, min(day_num) AS first_day FROM ud GROUP BY 1)
         |SELECT ud.day_num, count(*) AS n_users,
-        |       sum(CASE WHEN ud.day_num = f.first_day THEN 1 ELSE 0 END) AS n_new,
-        |       count(*) - sum(CASE WHEN ud.day_num = f.first_day THEN 1 ELSE 0 END)
-        |         AS n_returning
+        |       CAST(sum(CASE WHEN ud.day_num = f.first_day THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_new,
+        |       CAST(count(*) - sum(CASE WHEN ud.day_num = f.first_day THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_returning
         |FROM ud JOIN f ON f.user_id = ud.user_id
         |GROUP BY 1""".stripMargin,
     // same (c_name, c_custkey) total order, same w=2 lead pairing, same
@@ -3854,7 +3855,8 @@ object RelationalQueries {
         |              ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9) AS BIGINT)
         |         END AS term_fp
         |  FROM risk WHERE d >= 1)
-        |SELECT dur AS dur_days, n_risk, d AS n_events, n_censored,
+        |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored,
         |       round(exp(CAST(sum(term_fp) OVER (ORDER BY dur
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         / 1e9), 6) AS survival
@@ -3902,7 +3904,8 @@ object RelationalQueries {
         |         sum(n_users) FILTER (variant = 1) AS n_b,
         |         sum(n_conv)  FILTER (variant = 1) AS c_b
         |  FROM g)
-        |SELECT n_a, c_a, n_b, c_b,
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
         |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
         |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
         |  round(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b, 6) AS lift,

@@ -1151,10 +1151,10 @@ object TextQueries {
          |  SELECT fd AS doc_id, count(*) AS n_new FROM (
          |    SELECT word, min(doc_id) AS fd FROM tok GROUP BY 1) GROUP BY 1)
          |SELECT p.doc_id,
-         |       sum(p.n_tok) OVER (ORDER BY p.doc_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-         |       sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+         |       CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |       CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
          |FROM per_doc p LEFT JOIN first_seen f ON f.doc_id = p.doc_id""".stripMargin,
     // same source×vocab zero-materializing grid, same 0·ln0 = 0 guards,
     // same 1e9 fixed-point pair terms before the integer sum
@@ -1192,7 +1192,7 @@ object TextQueries {
         |dec AS (
         |  SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile, pos
         |  FROM scored),
-        |g AS (SELECT decile, count(*) AS n, sum(pos) AS n_pos
+        |g AS (SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
         |      FROM dec GROUP BY 1),
         |t AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM g)
         |SELECT decile, n, n_pos,
@@ -1278,9 +1278,9 @@ object TextQueries {
          |bp AS (SELECT pred_lang AS cls, sum(n) AS n_pred FROM conf GROUP BY 1),
          |cls AS (SELECT cls FROM bg UNION SELECT cls FROM bp)
          |SELECT c.cls,
-         |       coalesce(tp, 0) AS tp,
-         |       coalesce(n_gold, 0) AS n_gold,
-         |       coalesce(n_pred, 0) AS n_pred,
+         |       CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |       CAST(coalesce(n_gold, 0) AS BIGINT) AS n_gold,
+         |       CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
          |       round(CAST(coalesce(tp, 0) AS DOUBLE)
          |             / NULLIF(coalesce(n_pred, 0), 0), 6) AS precision,
          |       round(CAST(coalesce(tp, 0) AS DOUBLE)
@@ -1304,7 +1304,7 @@ object TextQueries {
         |  SELECT sum(np * (2 * cb + n + 1)) AS s2,
         |         sum(np) AS n_pos, sum(n - np) AS n_neg
         |  FROM c)
-        |SELECT n_pos, n_neg,
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
         |       round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
         |             / (2.0 * n_pos * n_neg), 6) AS auc
         |FROM a""".stripMargin,
@@ -1342,7 +1342,7 @@ object TextQueries {
          |                         / (CAST(cw AS DOUBLE) / tot))
          |                    * 1000000000) AS BIGINT) AS term_fp
          |  FROM sw JOIN st USING (source) JOIN cw USING (word) CROSS JOIN tt)
-         |SELECT source, max(tot_s) AS n_tokens,
+         |SELECT source, CAST(max(tot_s) AS BIGINT) AS n_tokens,
          |       round(CAST(sum(term_fp) AS DOUBLE) / 1000000000.0, 6) AS kl
          |FROM terms GROUP BY source""".stripMargin,
     // q88's score CTEs + the WINDOW formulation of per-source top-3 —
