@@ -1599,18 +1599,18 @@ object RelationalQueries {
   // vs the corpus max date), frequency (order count), monetary (exact
   // decimal revenue), each cut into quintiles, rolled up to per-cell
   // counts + mean spend (the marketing-segmentation workhorse).
-  // DETERMINISM: every ntile runs over a TOTAL order (metric, custkey)
-  // so bucket assignment is unique; both engines share SQL ntile
-  // semantics (first ⌈n/5⌉-sized buckets absorb the remainder); the
-  // monetary quintile orders on the exact DECIMAL sum, never a double.
-  // Scale shape: one order scan → customer-grain agg (map-side
-  // combinable); the three ntile windows are unpartitioned sorts of the
-  // CUSTOMER-grain table — the exact-quantile trade. At 100 TB you'd
-  // swap ntile for percentile boundaries off the q128 equi-depth
-  // histogram (broadcast the 4 cut points, assign by comparison); the
-  // fixture keeps exact ntile as the spec. Output ≤ 5³ cells.
+  // DETERMINISM: every quintile runs over a TOTAL order (metric,
+  // custkey) so bucket assignment is unique; both engines share SQL
+  // ntile semantics (first ⌈n/5⌉-sized buckets absorb the remainder);
+  // the monetary quintile orders on the exact DECIMAL sum, never a
+  // double. Scale shape: one order scan → customer-grain agg (map-side
+  // combinable); each quintile is Quantiles.ntileExact — a range
+  // exchange + pid-partitioned row_number + broadcast rank offsets,
+  // bit-equal to ntile but with NO single-partition sort of the
+  // customer-grain table (the oracle keeps the ntile formulation as
+  // the correctness pin). Output ≤ 5³ cells.
   def q173RfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Quantiles.ntileExact
     val o = t(spark, dir, "orders")
     val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
     val per = o.groupBy("o_custkey")
@@ -1622,13 +1622,12 @@ object RelationalQueries {
       .select(col("o_custkey"),
         datediff(col("maxd"), col("lastd")).as("r_days"),
         col("f"), col("m"))
-    per
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy(col("r_days"), col("o_custkey"))))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy(col("f").desc, col("o_custkey"))))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy(col("m").desc, col("o_custkey"))))
+    val q3 = ntileExact(
+      ntileExact(
+        ntileExact(per, 5, Seq(col("r_days").asc, col("o_custkey").asc), "r_q"),
+        5, Seq(col("f").desc, col("o_custkey").asc), "f_q"),
+      5, Seq(col("m").desc, col("o_custkey").asc), "m_q")
+    q3
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m")).as("sm"))

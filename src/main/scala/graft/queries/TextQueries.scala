@@ -436,29 +436,31 @@ object TextQueries {
     // predicts English") — the campaign-targeting readout: per score
     // decile (1 = highest score), the response rate, lift over the base
     // rate, and cumulative gain. DETERMINISM: decile assignment is
-    // ntile(10) over the TOTAL order (score DESC, doc_id) — unique
-    // bucket per row under ties, identical SQL ntile semantics in both
-    // engines; every rate is exact-integer-derived with one final
-    // division; the cumulative window runs over the 10-row decile
-    // table. Scale shape: like q173, the ntile is an unpartitioned sort
-    // of the scored table — swap in broadcast quantile boundaries
-    // (q128) at corpus scale; everything downstream is 10 rows.
+    // exact SQL-ntile semantics over the TOTAL order (score DESC,
+    // doc_id) — unique bucket per row under ties; every rate is
+    // exact-integer-derived with one final division. Scale shape:
+    // Quantiles.ntileExact ranks the scored table via a range exchange
+    // + pid-partitioned row_number (bit-equal to the oracle's ntile,
+    // no single-partition sort); everything downstream is 10 rows —
+    // the cumulative gain is a bounded ≤-self-join of the decile
+    // table, so the whole plan is free of unpartitioned windows.
     "q179_lift_table" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       val scored = docs(s, dir).select(
         col("doc_id"), col("n_chars").as("score"),
         (col("lang") === "en").cast("long").as("pos"))
-      val dec = scored
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
+      val dec = graft.operators.Quantiles
+        .ntileExact(scored, 10, Seq(col("score").desc, col("doc_id").asc), "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .persist()
       val tot = dec.agg(sum(col("n")).as("tn"), sum(col("n_pos")).as("tp"))
-      val wCum = Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dec.crossJoin(broadcast(tot))
-        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      val cum = dec.select(col("decile").as("dc"))
+        .join(broadcast(dec.select(col("decile").as("d2"), col("n_pos").as("np2"))),
+          col("d2") <= col("dc"))
+        .groupBy(col("dc")).agg(sum(col("np2")).as("cum_pos"))
+      dec.join(broadcast(cum), col("decile") === col("dc"))
+        .crossJoin(broadcast(tot))
         .select(col("decile"), col("n"), col("n_pos"),
           round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
           round((col("n_pos").cast("double") / col("n"))

@@ -289,6 +289,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"Bloom key filter not in a codegen span:\n$p")
   }
 
+  test("q173/q179: exact-ntile swap plans no single-partition window") {
+    // the quintile/decile assignment runs as Quantiles.ntileExact (range
+    // exchange + pid-partitioned row_number); a regression back to
+    // ntile().over(Window.orderBy(...)) would still pass the oracle at
+    // fixture scale but serialize the whole input through one task
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q173_rfm_segments", "q179_lift_table")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val phys = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val bad = phys.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$q plans a single-partition window:\n${bad.mkString("\n")}")
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    }
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")

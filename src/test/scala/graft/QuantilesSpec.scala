@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential pin: Quantiles.ntileExact must reproduce SQL ntile
+  * bit-for-bit — including the remainder buckets (first n mod k buckets
+  * get the extra row) and the n < k degenerate case — since q173/q179
+  * rely on it hash-matching a DuckDB ntile oracle.
+  */
+class QuantilesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def compare(n: Int, k: Int): Unit = {
+    import spark.implicits._
+    // non-monotonic values with a unique tiebreak id, like the callers
+    val df = (1 to n).map(i => ((i * 37) % 19, i.toLong)).toDF("v", "id")
+    val expected = df.withColumn("b",
+      ntile(k).over(Window.orderBy(col("v").desc, col("id").asc)))
+    val got = graft.operators.Quantiles
+      .ntileExact(df, k, Seq(col("v").desc, col("id").asc), "b")
+    val mismatches = expected.as("e")
+      .join(got.as("g"), Seq("v", "id"))
+      .filter(col("e.b") =!= col("g.b"))
+      .count()
+    assert(mismatches == 0, s"n=$n k=$k: $mismatches bucket mismatches")
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+  }
+
+  test("ntileExact == ntile when k divides n")(compare(100, 5))
+  test("ntileExact == ntile with remainder buckets")(compare(103, 10))
+  test("ntileExact == ntile with n < k (one row per bucket)")(compare(7, 10))
+  test("ntileExact == ntile with k = 1")(compare(42, 1))
+}
