@@ -1274,27 +1274,16 @@ object RelationalQueries {
   }
 
   // q150: triangle counting — the graph-analytics cohesion statistic,
-  // run on the co-purchase graph (distinct basket pairs with support
-  // ≥ 2). Edges carry the a<b orientation, so each triangle is
-  // enumerated exactly once by two equi-joins: (a,b)⋈(b,c) extends
-  // wedges, (a,c) membership closes them — never a cross product. At
-  // power-law scale the same plan runs on a DEGREE-ordered orientation
-  // (hubs get out-degree ~√|E|, bounding wedge fanout); the id
-  // orientation here keeps the oracle portable.
+  // run on the co-purchase graph (shared build: Edges.coPurchase —
+  // basket-local pair generation, two exchanges, no self-join). Edges
+  // carry the a<b orientation, so each triangle is enumerated exactly
+  // once by two equi-joins: (a,b)⋈(b,c) extends wedges, (a,c)
+  // membership closes them — never a cross product. At power-law scale
+  // the same plan runs on a DEGREE-ordered orientation (hubs get
+  // out-degree ~√|E|, bounding wedge fanout); the id orientation here
+  // keeps the oracle portable.
   def q150TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .select(col("ok"), col("pk").as("pa"))
-      .join(
-        t(spark, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-          .select(col("ok"), col("pk").as("pb")),
-        Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 2)
-      .select(col("pa").as("a"), col("pb").as("b"))
-      .persist()
+    val e = graft.operators.Edges.coPurchase(spark, dir).persist()
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
     val tri = wedges.join(
@@ -2153,15 +2142,7 @@ object RelationalQueries {
     * reused across rounds from one persist.
     */
   def q199LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.select(col("ok"), col("pk").as("pa"))
-      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 2)
-      .select(col("pa").as("a"), col("pb").as("b"))
-    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val und = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to 5) {
@@ -2261,15 +2242,7 @@ object RelationalQueries {
     * trick) so rounds reuse one exchange.
     */
   def q203BfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e0 = li.select(col("ok"), col("pk").as("pa"))
-      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 2)
-      .select(col("pa").as("a"), col("pb").as("b"))
-    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+    val e = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
     val seeds = e.select(col("a").as("node")).distinct()
       .orderBy(col("node")).limit(5).withColumn("hop", lit(0))
     var dist = seeds.select(col("node"), col("hop"))
@@ -2277,8 +2250,14 @@ object RelationalQueries {
       val frontier = dist.filter(col("hop") === h - 1).select(col("node").as("a"))
       val nxt = e.join(frontier, Seq("a"))
         .select(col("b").as("node")).distinct().withColumn("hop", lit(h))
+      // persist per round: each round reads `dist` TWICE (frontier +
+      // union), so an unpersisted lineage recomputes all earlier rounds
+      // 2^h times — the actual q203 cost at sf0.1 was this blowup, not
+      // the edge build. State is one (node, hop) row per reached node;
+      // the runner frees the caches.
       dist = dist.unionByName(nxt)
         .groupBy("node").agg(min(col("hop")).as("hop"))
+        .persist()
     }
     dist.groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
