@@ -50,7 +50,13 @@ object Bench {
     "q124_ann_recall",
     "q126_incremental_agg",
     "q202_max_concurrency",
-    "q214_binned_median")
+    "q214_binned_median",
+    // index-serving hot path: BM25 top-k through the bounded TopKAgg and
+    // the full encode→decode→intersect boolean serve from the compressed
+    // postings index — the user-facing read side of the index the engine
+    // builds, promoted per round-7 verdict
+    "q234_bm25_topk",
+    "q237_serve_from_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

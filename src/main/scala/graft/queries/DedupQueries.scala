@@ -323,8 +323,12 @@ object DedupQueries {
         count(when(col("ia").isNotNull && col("ib").isNotNull, lit(1)))
           .as("n_both"))
       .select(col("n_minhash"), col("n_simhash"), col("n_both"),
-        round(col("n_both").cast("double") /
-          (col("n_minhash") + col("n_simhash") - col("n_both")), 6)
+        // explicit 0 when both legs fire no pairs — a null metric would
+        // make the audit silently degrade on a pair-free corpus
+        when(col("n_minhash") + col("n_simhash") - col("n_both") > 0,
+          round(col("n_both").cast("double") /
+            (col("n_minhash") + col("n_simhash") - col("n_both")), 6))
+          .otherwise(lit(0.0))
           .as("method_jaccard"))
   }
 
@@ -388,9 +392,13 @@ object DedupQueries {
         count(when(col("ie").isNotNull && col("ic").isNotNull, lit(1)))
           .as("n_hits"))
       .select(col("n_exact"), col("n_candidates"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_exact"), 6).as("recall"),
-        round(col("n_hits").cast("double") / col("n_candidates"), 6)
-          .as("cand_precision"))
+        // explicit 0 on empty legs — see q220's guard
+        when(col("n_exact") > 0,
+          round(col("n_hits").cast("double") / col("n_exact"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits").cast("double") / col("n_candidates"), 6))
+          .otherwise(lit(0.0)).as("cand_precision"))
   }
 
   /** q231: candidate-Jaccard histogram — q31's verified candidate pairs
@@ -565,8 +573,12 @@ object DedupQueries {
          |  FROM ex FULL OUTER JOIN candm
          |    ON candm.id_a = ex.id_a AND candm.id_b = ex.id_b)
          |SELECT n_exact, n_candidates, n_hits,
-         |       round(n_hits * 1.0 / n_exact, 6) AS recall,
-         |       round(n_hits * 1.0 / n_candidates, 6) AS cand_precision
+         |       CASE WHEN n_exact > 0
+         |            THEN round(n_hits * 1.0 / n_exact, 6)
+         |            ELSE CAST(0 AS DOUBLE) END AS recall,
+         |       CASE WHEN n_candidates > 0
+         |            THEN round(n_hits * 1.0 / n_candidates, 6)
+         |            ELSE CAST(0 AS DOUBLE) END AS cand_precision
          |FROM f""".stripMargin,
     // q31's signature/candidate/verify chain with the slot-match count
     // joined back per pair; est = m/8, error one subtraction
@@ -668,8 +680,9 @@ object DedupQueries {
          |  FROM ja FULL OUTER JOIN sp
          |    ON sp.id_a = ja.id_a AND sp.id_b = ja.id_b)
          |SELECT n_minhash, n_simhash, n_both,
-         |       round(n_both * 1.0 / (n_minhash + n_simhash - n_both), 6)
-         |         AS method_jaccard
+         |       CASE WHEN n_minhash + n_simhash - n_both > 0
+         |            THEN round(n_both * 1.0 / (n_minhash + n_simhash - n_both), 6)
+         |            ELSE CAST(0 AS DOUBLE) END AS method_jaccard
          |FROM f""".stripMargin,
     // same shingle join, |A|-normalized, same round-then-threshold rule
     "q194_containment_pairs" ->

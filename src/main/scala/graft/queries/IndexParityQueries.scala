@@ -36,28 +36,42 @@ object IndexParityQueries {
         array_join(col("p"), " ").as("postings"),
         size(col("p")).cast("long").as("df"))
 
-  /** q75: feed the corpus through a MemoryStream in `numBatches`
-    * micro-batches (ordered by doc_id, so the split is deterministic),
-    * run the streaming tokenize→clean→dedup with its cross-batch state,
-    * and index the accumulated pairs. MemoryStream + the driver-side
-    * feed loop are the test-harness SOURCE only (production reads Kafka/
-    * files via readStream); the operator under test is the unbounded
+  /** q75: feed the corpus through a MemoryStream in doc_id-ordered
+    * micro-batches (deterministic split), run the streaming
+    * tokenize→clean→dedup with its cross-batch state, and index the
+    * accumulated pairs. MemoryStream + the driver-side feed loop are the
+    * test-harness SOURCE only (production reads Kafka/files via
+    * readStream); the operator under test is the unbounded
     * [[StreamingOps.incrementalDocWords]] plan itself.
+    *
+    * Driver memory is BOUNDED: the feed streams a globally doc_id-sorted
+    * `toLocalIterator` (one partition resident at a time) in chunks of at
+    * most `maxChunk` docs — the corpus never sits on the driver whole, so
+    * the parity gate survives fixtures 100x this size. At fixture scale
+    * the chunking reproduces the original `numBatches` split exactly
+    * (ceil(n/numBatches) ≤ maxChunk there), so the result — and the
+    * batch/streaming parity it proves — is unchanged; larger corpora
+    * just run more micro-batches, which the cross-batch dedup state is
+    * indifferent to.
     */
   def q75IncrementalIndex(
-      spark: SparkSession, dir: String, numBatches: Int = 4): DataFrame = {
+      spark: SparkSession, dir: String, numBatches: Int = 4,
+      maxChunk: Int = 1024): DataFrame = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     val sink = "graft_q75_docwords"
     spark.catalog.dropTempView(sink) // re-runnable within one session
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().sortBy(_._1)
+      .sort("doc_id")
+    val n = docs.count()
+    val chunk = math.min(math.max(1L, (n + numBatches - 1) / numBatches),
+      maxChunk.toLong).toInt
     val ms = MemoryStream[(Long, String)](spark)
     val q = StreamingOps.incrementalDocWords(ms.toDF.toDF("doc_id", "text"))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
-      val per = math.max(1, (docs.length + numBatches - 1) / numBatches)
-      docs.grouped(per).foreach { batch =>
+      docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
         ms.addData(batch.toIndexedSeq)
         q.processAllAvailable() // barrier => each group is its own micro-batch
       }

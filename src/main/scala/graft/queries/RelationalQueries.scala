@@ -2543,6 +2543,10 @@ object RelationalQueries {
     val samp = o
       .withColumn("h", md5(concat(lit("graft-sq-"), col("o_orderkey").cast("string"))))
       .orderBy(col("h").asc).limit(k)
+      // persisted: consumed twice below (rank window + count) — without
+      // it the full orders scan + TakeOrdered runs once per consumer
+      // (q214's persist discipline; the runner clears caches per query)
+      .persist()
     val sMed = samp
       .withColumn("rk", row_number().over(Window.orderBy(col("p"), col("o_orderkey"))))
       .crossJoin(broadcast(samp.agg(count(lit(1)).as("ks"))))
@@ -3429,7 +3433,7 @@ object RelationalQueries {
         |SELECT hop, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_checksum
         |FROM d3 GROUP BY 1""".stripMargin,
     // same md5(b|i) mod n draws over the same o_orderkey row order, same
-    // rank-3/rank-98 order-statistic CI, same decimal grand-sum estimate
+    // rank-5/rank-195 order-statistic CI, same decimal grand-sum estimate
     "q204_bootstrap_ci" ->
       """WITH day AS (
         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
