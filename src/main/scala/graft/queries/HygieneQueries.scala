@@ -258,7 +258,89 @@ object HygieneQueries {
         max(col("doc_id")).as("last_id"))
   }
 
+  /** q238: quality-filter cascade funnel — the per-stage survival report
+    * of a Gopher/C4-style heuristic filter chain: (1) minimum length,
+    * (2) mean word length in [3, 8], (3) type-token ratio ≥ 0.3,
+    * (4) single-word dominance ≤ 10%. Stages gate CUMULATIVELY (a doc
+    * reaches stage k only if it passed 1..k-1), and the output is the
+    * funnel a curation team reads to see which rule costs what mass.
+    * DETERMINISM: every predicate is an exact INTEGER comparison — mean
+    * word length as 3·n_words ≤ Σlen ≤ 8·n_words, TTR as
+    * 10·n_types ≥ 3·n_words, dominance as 10·max_freq ≤ n_words — no
+    * division ever happens row-side; rates divide two exact longs once
+    * per output row (guarded to 0 on an empty stage). Scale shape: ONE
+    * map-side-combinable (doc, word) aggregation over the token stream,
+    * one doc-grain agg, one 1-row fold; the funnel explode is 4 rows.
+    */
+  def q238FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wc = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("max_freq"),
+        sum(length(col("word")) * col("cnt")).as("sum_len"))
+    val st = docs(spark, dir).select(col("doc_id"))
+      .join(wc, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("n_words"), lit(0L)).as("nw"),
+        coalesce(col("n_types"), lit(0L)).as("nt"),
+        coalesce(col("max_freq"), lit(0L)).as("mf"),
+        coalesce(col("sum_len"), lit(0L)).as("sl"))
+    val p1 = col("nw") >= 50
+    val p2 = lit(3) * col("nw") <= col("sl") && col("sl") <= lit(8) * col("nw")
+    val p3 = lit(10) * col("nt") >= lit(3) * col("nw")
+    val p4 = lit(10) * col("mf") <= col("nw")
+    val f = st.agg(
+      count(lit(1)).as("c0"),
+      count(when(p1, 1)).as("c1"),
+      count(when(p1 && p2, 1)).as("c2"),
+      count(when(p1 && p2 && p3, 1)).as("c3"),
+      count(when(p1 && p2 && p3 && p4, 1)).as("c4"))
+    val names = Seq("min_words", "mean_word_len", "type_token_ratio", "repetition")
+    f.select(explode(array((1 to 4).map { s =>
+        struct(lit(s).as("stage"), lit(names(s - 1)).as("rule"),
+          col(s"c${s - 1}").as("n_in"), col(s"c$s").as("n_pass"))
+      }: _*)).as("x"))
+      .select(col("x.stage"), col("x.rule"), col("x.n_in"), col("x.n_pass"),
+        when(col("x.n_in") > 0,
+          round(col("x.n_pass").cast("double") / col("x.n_in"), 6))
+          .otherwise(lit(0.0)).as("pass_rate"))
+  }
+
+  /** q242: temperature-scaled source mixing weights — the multi-corpus
+    * sampling-weight computation an LLM training pipeline runs before
+    * interleaving sources: per source, token count n_s; sampling weight
+    * w_s = n_s^α / Σ n_t^α at temperature α = 0.7 (upweights small
+    * sources vs proportional sampling); and the implied epochs over each
+    * source when drawing Σ n_t tokens under w (epochs > 1 ⇒ the source
+    * repeats — the oversampling readout). DETERMINISM: n_s are exact
+    * longs; n_s^α is computed once per SOURCE (|sources| values, not per
+    * row) as exp(α·ln n) and quantized to 1e6 fixed point BEFORE the
+    * (integer) sum, so the normalization denominator is exact; each
+    * output divides integers through doubles once. Scale shape: one
+    * map-side-combinable (source, token) count; everything after is
+    * |sources|-grain.
+    */
+  def q242MixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("source"), graft.functions.AlnumTokens(col("text")))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val afp = round(exp(lit(0.7) * log(col("n_tokens").cast("double"))) * 1e6)
+      .cast("long")
+    val w = tok.select(col("source"), col("n_tokens"), afp.as("a_fp"))
+    val tot = w.agg(sum(col("a_fp")).as("sa"), sum(col("n_tokens")).as("st"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("a_fp").cast("double") / col("sa"), 6).as("weight"),
+        round(col("a_fp").cast("double") / col("sa")
+          * col("st").cast("double") / col("n_tokens"), 6).as("epochs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_filter_funnel" -> (q238FilterFunnel _),
+    "q242_mix_temperature" -> (q242MixTemperature _),
     "q154_k_anonymity" -> (q154KAnonymity _),
     "q155_compaction_bins" -> (q155CompactionBins _),
     "q138_weighted_sample" -> (q138WeightedSample _),
@@ -285,6 +367,59 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same integer-compare stage predicates, same cumulative gating;
+    // counts are FILTERed count(*) (BIGINT), one divide per output row
+    "q238_filter_funnel" ->
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |wcnt AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nw, count(*) AS nt,
+         |         CAST(max(cnt) AS BIGINT) AS mf,
+         |         CAST(sum(length(word) * cnt) AS BIGINT) AS sl
+         |  FROM wcnt GROUP BY doc_id),
+         |st AS (
+         |  SELECT coalesce(p.nw, 0) AS nw, coalesce(p.nt, 0) AS nt,
+         |         coalesce(p.mf, 0) AS mf, coalesce(p.sl, 0) AS sl
+         |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+         |f AS (
+         |  SELECT count(*) AS c0,
+         |    count(*) FILTER (nw >= 50) AS c1,
+         |    count(*) FILTER (nw >= 50 AND 3 * nw <= sl AND sl <= 8 * nw) AS c2,
+         |    count(*) FILTER (nw >= 50 AND 3 * nw <= sl AND sl <= 8 * nw
+         |                     AND 10 * nt >= 3 * nw) AS c3,
+         |    count(*) FILTER (nw >= 50 AND 3 * nw <= sl AND sl <= 8 * nw
+         |                     AND 10 * nt >= 3 * nw AND 10 * mf <= nw) AS c4
+         |  FROM st)
+         |SELECT s.stage, s.rule,
+         |  CASE s.stage WHEN 1 THEN c0 WHEN 2 THEN c1 WHEN 3 THEN c2 ELSE c3 END AS n_in,
+         |  CASE s.stage WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 ELSE c4 END AS n_pass,
+         |  coalesce(round(
+         |    CASE s.stage WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 ELSE c4 END * 1.0
+         |    / NULLIF(CASE s.stage WHEN 1 THEN c0 WHEN 2 THEN c1 WHEN 3 THEN c2 ELSE c3 END, 0),
+         |    6), CAST(0 AS DOUBLE)) AS pass_rate
+         |FROM f CROSS JOIN (VALUES (1, 'min_words'), (2, 'mean_word_len'),
+         |                          (3, 'type_token_ratio'), (4, 'repetition'))
+         |                  AS s(stage, rule)""".stripMargin,
+    // same per-source token counts, same exp(0.7·ln n)·1e6 fixed-point
+    // quantization before the integer normalization sum
+    "q242_mix_temperature" ->
+      s"""$WordsCte,
+         |tok AS (SELECT d.source, unnest(w.w) AS word
+         |        FROM wd w JOIN documents d ON d.doc_id = w.doc_id),
+         |cnts AS (SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1),
+         |a AS (
+         |  SELECT source, n_tokens,
+         |         CAST(round(exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) * 1000000)
+         |              AS BIGINT) AS a_fp
+         |  FROM cnts),
+         |tot AS (SELECT CAST(sum(a_fp) AS BIGINT) AS sa,
+         |               CAST(sum(n_tokens) AS BIGINT) AS st FROM a)
+         |SELECT a.source, a.n_tokens,
+         |       round(CAST(a.a_fp AS DOUBLE) / tot.sa, 6) AS weight,
+         |       round(CAST(a.a_fp AS DOUBLE) / tot.sa
+         |             * CAST(tot.st AS DOUBLE) / a.n_tokens, 6) AS epochs
+         |FROM a CROSS JOIN tot""".stripMargin,
     // same two-level QI lattice; DuckDB's GROUPING SETS + grouping()
     "q154_k_anonymity" ->
       """WITH d AS (

@@ -2263,6 +2263,60 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
   }
 
+  /** q239: declarative data-quality expectations — the dbt-test /
+    * Great-Expectations-style gate a pipeline runs before publishing a
+    * table: six rules (price positivity, date range, status domain,
+    * quantity range, discount cap, line-key uniqueness) each reporting
+    * rows checked, rows failed, and the pass rate. Complements q142's
+    * referential-integrity audit (FK rules live there) and q104's
+    * profile (this ASSERTS, that DESCRIBES). The fixture fails two
+    * rules for real — dates past 2000 and duplicate (orderkey,
+    * linenumber) pairs — so the report is non-trivial. DETERMINISM:
+    * every rule is an exact predicate count; uniqueness failures are
+    * n_rows − n_distinct exact longs; one division per output row.
+    * Scale shape: ONE aggregate pass per table (all rules of a table
+    * fold in the same scan) + one distinct-count exchange for the
+    * uniqueness rule; the report explode is 6 rows.
+    */
+  def q239Expectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val ofc = o.agg(
+      count(lit(1)).as("o_n"),
+      count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1))
+        .as("f_price"),
+      count(when(col("o_orderdate").isNull
+        || col("o_orderdate") < lit("1995-01-01").cast("timestamp")
+        || col("o_orderdate") >= lit("2001-01-01").cast("timestamp"), 1))
+        .as("f_date"),
+      count(when(col("o_orderstatus").isNull
+        || !col("o_orderstatus").isin("O", "F", "P"), 1)).as("f_status"))
+    val lfc = li.agg(
+      count(lit(1)).as("l_n"),
+      count(when(col("l_quantity").isNull
+        || col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("f_qty"),
+      count(when(col("l_discount").isNull
+        || col("l_discount") < 0 || col("l_discount") > 0.08, 1)).as("f_disc"))
+    val ufc = li.select(col("l_orderkey"), col("l_linenumber")).distinct()
+      .agg(count(lit(1)).as("l_distinct"))
+    def rule(name: String, checked: Column, failed: Column) =
+      struct(lit(name).as("rule"), checked.as("n_checked"), failed.as("n_failed"))
+    ofc.crossJoin(broadcast(lfc)).crossJoin(broadcast(ufc))
+      .select(explode(array(
+        rule("o_price_positive", col("o_n"), col("f_price")),
+        rule("o_date_range", col("o_n"), col("f_date")),
+        rule("o_status_domain", col("o_n"), col("f_status")),
+        rule("l_quantity_range", col("l_n"), col("f_qty")),
+        rule("l_discount_max", col("l_n"), col("f_disc")),
+        rule("l_line_unique", col("l_n"), col("l_n") - col("l_distinct"))))
+        .as("x"))
+      .select(col("x.rule"), col("x.n_checked"), col("x.n_failed"),
+        when(col("x.n_checked") > 0,
+          round((col("x.n_checked") - col("x.n_failed")).cast("double")
+            / col("x.n_checked"), 6))
+          .otherwise(lit(0.0)).as("pass_rate"))
+  }
+
   /** q204: deterministic bootstrap confidence interval for mean daily
     * revenue — B=200 resamples-with-replacement of the DAY-GRAIN series,
     * each draw indexed by the md5 coin (q138's idiom) so both engines
@@ -2958,6 +3012,7 @@ object RelationalQueries {
     "q139_markov_transitions" -> q139MarkovTransitions _,
     "q141_standardize" -> q141Standardize _,
     "q142_ref_integrity" -> q142RefIntegrity _,
+    "q239_expectations" -> q239Expectations _,
     "q120_winsorize" -> q120Winsorize _,
     "q119_bloom_join_prune" -> q119BloomJoinPrune _,
     "q116_join_cardinality" -> q116JoinCardinality _,
@@ -3637,6 +3692,39 @@ object RelationalQueries {
         |  round(CAST(n * n * spk - n * s * (sak + sbk) + mk * s * s AS DOUBLE)
         |        / CAST(n * (n * sxx - s * s) AS DOUBLE), 6) AS acf
         |FROM k""".stripMargin,
+    // same six rule predicates folded per table scan; uniqueness via the
+    // same distinct-count subtraction (BIGINT − BIGINT stays BIGINT)
+    "q239_expectations" ->
+      """WITH ofc AS (
+        |  SELECT count(*) AS o_n,
+        |    count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS f_price,
+        |    count(*) FILTER (o_orderdate IS NULL
+        |                     OR o_orderdate < TIMESTAMP '1995-01-01'
+        |                     OR o_orderdate >= TIMESTAMP '2001-01-01') AS f_date,
+        |    count(*) FILTER (o_orderstatus IS NULL
+        |                     OR o_orderstatus NOT IN ('O', 'F', 'P')) AS f_status
+        |  FROM orders),
+        |lfc AS (
+        |  SELECT count(*) AS l_n,
+        |    count(*) FILTER (l_quantity IS NULL
+        |                     OR l_quantity < 1 OR l_quantity > 50) AS f_qty,
+        |    count(*) FILTER (l_discount IS NULL
+        |                     OR l_discount < 0 OR l_discount > 0.08) AS f_disc
+        |  FROM lineitem),
+        |ufc AS (SELECT count(*) AS l_distinct FROM
+        |        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |f AS (SELECT * FROM ofc CROSS JOIN lfc CROSS JOIN ufc),
+        |rules AS (
+        |  SELECT 'o_price_positive' AS rule, o_n AS n_checked, f_price AS n_failed FROM f
+        |  UNION ALL SELECT 'o_date_range', o_n, f_date FROM f
+        |  UNION ALL SELECT 'o_status_domain', o_n, f_status FROM f
+        |  UNION ALL SELECT 'l_quantity_range', l_n, f_qty FROM f
+        |  UNION ALL SELECT 'l_discount_max', l_n, f_disc FROM f
+        |  UNION ALL SELECT 'l_line_unique', l_n, l_n - l_distinct FROM f)
+        |SELECT rule, n_checked, n_failed,
+        |  coalesce(round((n_checked - n_failed) * 1.0 / NULLIF(n_checked, 0), 6),
+        |           CAST(0 AS DOUBLE)) AS pass_rate
+        |FROM rules""".stripMargin,
     // same integer-cents clamp over the same (date, orderkey) total order
     "q192_fifo_allocation" ->
       """WITH o AS (

@@ -111,7 +111,64 @@ object SearchQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** RBO@10 fixed-point weight factors: w_d·(2520/d) where
+    * w_d = 0.9^(d-1)·1e9 = 9^(d-1)·10^(10-d) is an EXACT integer for
+    * d ≤ 10 and 2520 = lcm(1..10) clears the /d — so every per-depth
+    * term, and their sum, is exact integer arithmetic on both engines;
+    * the one double division is by `RboDenom` = 2520·Σw_d at the end.
+    */
+  private val RboFactors: Seq[Long] = (1 to 10).map { d =>
+    (BigInt(9).pow(d - 1) * BigInt(10).pow(10 - d)).toLong * (2520L / d)
+  }
+  private val RboDenom: Double =
+    2520.0 * (1 to 10).map(d =>
+      (BigInt(9).pow(d - 1) * BigInt(10).pow(10 - d)).toLong).sum.toDouble
+
+  /** q241: rank-biased overlap between the BM25 and TF-IDF top-10
+    * rankings per query term — the ranker-swap audit (Webber's RBO,
+    * truncated at depth 10, p = 0.9) a search team reads before changing
+    * scoring functions: per term, how much of the served page actually
+    * changes. Each leg is the exact code path its standalone query
+    * verifies (q9's `Ranking.bm25`, q8's `Ranking.tfidf`); both rank the
+    * same term-posting candidate set under total (score desc, doc_id)
+    * orders. DETERMINISM: overlap-at-depth counts are integers; the RBO
+    * weights are the EXACT integer [[RboFactors]] (no `pow` at runtime —
+    * libm-dependent), so the weighted sum is exact and the single double
+    * division happens once per term. Scale shape: q9's one-scan scoring,
+    * two windows sharing one term-keyed exchange, then everything is
+    * ≤ 100 rows per term.
+    */
+  def q241RboRankings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val bm = Ranking.bm25(d, "text", "doc_id", Bm25Terms)
+      .select(col("word"), col("doc_id"), col("bm25"))
+    val tf = Ranking.tfidf(d, "text", "doc_id")
+      .filter(col("word").isin(Bm25Terms: _*))
+      .select(col("word"), col("doc_id"), col("tfidf"))
+    val wa = Window.partitionBy("word").orderBy(col("bm25").desc, col("doc_id").asc)
+    val wb = Window.partitionBy("word").orderBy(col("tfidf").desc, col("doc_id").asc)
+    val pairs = bm.join(tf, Seq("word", "doc_id"))
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") <= 10 && col("rb") <= 10)
+    pairs
+      .select(col("word"), col("ra"), col("rb"),
+        explode(sequence(lit(1), lit(10))).as("d"))
+      .groupBy("word", "d")
+      .agg(count(when(col("ra") <= col("d") && col("rb") <= col("d"), 1))
+        .as("inter"))
+      .groupBy("word")
+      .agg(
+        max(when(col("d") === 10, col("inter"))).as("n_overlap"),
+        max(when(col("d") === 1, col("inter"))).cast("int").as("top1_same"),
+        round(sum(element_at(typedlit(RboFactors), col("d")) * col("inter"))
+          .cast("double") / RboDenom, 6).as("rbo"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_rbo_rankings" -> (q241RboRankings _),
     "q237_serve_from_index" -> (q237ServeFromIndex _),
     "q234_bm25_topk" -> (q234Bm25TopK _),
     "q208_rrf_hybrid" -> (q208RrfHybrid _),
@@ -163,6 +220,47 @@ object SearchQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same q9/q8 scoring legs, same per-term rank windows, same exact
+    // integer RBO factors (injected from RboFactors) and one division
+    "q241_rbo_rankings" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM wd WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+         |       WHERE word IN ('hash', 'join', 'scan') GROUP BY doc_id, word),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |bm AS (
+         |  SELECT tf.word, tf.doc_id,
+         |         round(ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |               * tf.tf * (1.2 + 1.0)
+         |               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |               6) AS bm25
+         |  FROM tf JOIN dfx USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |tw AS (
+         |  SELECT tf.word, tf.doc_id,
+         |         round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfx.df), 6) AS tfidf
+         |  FROM tf JOIN dfx USING (word) CROSS JOIN nd),
+         |rk AS (
+         |  SELECT b.word, b.doc_id,
+         |         row_number() OVER (PARTITION BY b.word
+         |                            ORDER BY b.bm25 DESC, b.doc_id) AS ra,
+         |         row_number() OVER (PARTITION BY b.word
+         |                            ORDER BY t.tfidf DESC, b.doc_id) AS rb
+         |  FROM bm b JOIN tw t ON t.word = b.word AND t.doc_id = b.doc_id),
+         |p10 AS (SELECT word, ra, rb FROM rk WHERE ra <= 10 AND rb <= 10),
+         |dep AS (SELECT unnest(range(1, 11)) AS d),
+         |pd AS (
+         |  SELECT p.word, dep.d,
+         |         count(*) FILTER (p.ra <= dep.d AND p.rb <= dep.d) AS inter
+         |  FROM p10 p CROSS JOIN dep GROUP BY 1, 2)
+         |SELECT word,
+         |  max(CASE WHEN d = 10 THEN inter END) AS n_overlap,
+         |  CAST(max(CASE WHEN d = 1 THEN inter END) AS INT) AS top1_same,
+         |  round(CAST(sum(${RboFactors.mkString("[", ", ", "]")}[d] * inter)
+         |        AS DOUBLE) / $RboDenom, 6) AS rbo
+         |FROM pd GROUP BY word""".stripMargin,
     // q140's PLAIN scan formulation — the driver compare proves the
     // encode -> decode -> intersect index path equals the direct scan
     "q237_serve_from_index" ->

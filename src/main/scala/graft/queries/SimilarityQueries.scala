@@ -220,6 +220,79 @@ object SimilarityQueries {
           / (col("n").cast("double") * col("n") * 1e12), 6) + lit(0.0)).as("cov"))
   }
 
+  /** q240: top principal component of the embedding distribution by
+    * POWER ITERATION — data-parallel iterative linear algebra on the
+    * engine (the PCA direction a curation pipeline uses for whitening,
+    * outlier axes, or ABBA-style embedding drift checks). The covariance
+    * comes from q198's one-scan moment aggregation (full d² grid here,
+    * not just the upper triangle), quantized to 1e6 fixed point; four
+    * multiply-normalize rounds run as d²-grain equi-joins (corpus-size-
+    * INDEPENDENT after the moment scan — the iteration costs the same
+    * at 100 TB), and the output is the 64 loadings plus the Rayleigh
+    * eigenvalue estimate ‖C·v‖/‖v‖. DETERMINISM: C and every iterate v
+    * are fixed-point longs; the matrix-vector products and norms are
+    * exact decimal sums of integer products (partition-order-invariant);
+    * each round does ONE double sqrt+divide per component, immediately
+    * re-quantized to 1e9 — both engines replay identical IEEE ops on
+    * identical integers. The all-ones start vector pins the sign.
+    * Scale shape: after q198's scan, everything is ≤ d² = 4096 rows.
+    */
+  def q240PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val cov = q198EmbedCovariance(spark, dir)
+    // persisted: the mirror union below references cTri twice, and each
+    // un-cached branch would re-run the whole q198 moment scan
+    val cTri = cov.select(col("dim_i").as("i"), col("dim_j").as("j"),
+      round(col("cov") * 1e6).cast("long").as("c_fp"))
+      .persist()
+    val cfull = cTri.unionByName(
+      cTri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c_fp")))
+      .persist()
+    // The iterate v round-trips through the DRIVER as d = 64 longs per
+    // round (the kmeans per-pass centroid-collect pattern — bounded by
+    // dimension, corpus-size-independent): chaining the rounds as
+    // DataFrames instead keeps every prior round inside each new plan
+    // and Catalyst re-analysis grows GEOMETRICALLY (measured 0.5 s →
+    // 24.5 s per round by round 4 at d=64). C stays distributed; each
+    // round is one constant-size plan: IMR scan → product → 64-row agg.
+    // Driver arithmetic is exact BigInt (the SQL twin's HUGEINT), with
+    // BigDecimal HALF_UP for the one re-quantization round() — the same
+    // away-from-zero rule as Spark/DuckDB round (Math.round would pull
+    // negative halves toward +inf).
+    val dims = cfull.select(col("i")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    def toBig(d: java.math.BigDecimal): BigInt = BigInt(d.toBigInteger)
+    def quant(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    var v: Map[Int, Long] = dims.map(_ -> 1000000000L).toMap
+    var lastN2 = BigInt(0)
+    var lastVp2 = BigInt(0)
+    for (r <- 1 to 4) {
+      val vCol = element_at(typedlit(v), col("j"))
+      val w: Map[Int, BigInt] = cfull
+        .select(col("i"), (col("c_fp").cast("decimal(38,0)") * vCol).as("t"))
+        .groupBy(col("i"))
+        .agg(sum(col("t")).as("w"))
+        .collect().map(row => row.getInt(0) -> toBig(row.getDecimal(1))).toMap
+      val n2 = w.values.map(x => x * x).sum
+      if (r == 4) {
+        lastN2 = n2
+        lastVp2 = v.values.map(x => BigInt(x) * x).sum
+      }
+      val nrm = math.sqrt(n2.toDouble)
+      v = w.map { case (i, wi) => i -> quant(wi.toDouble / nrm * 1e9) }
+    }
+    // ÷1e6 undoes C's fixed-point scale → covariance-unit eigenvalue
+    val lambdaRaw =
+      math.sqrt(lastN2.toDouble) / math.sqrt(lastVp2.toDouble) / 1e6
+    import spark.implicits._
+    v.toSeq.sortBy(_._1).toDF("dim", "v_fp")
+      .select(col("dim"),
+        round(col("v_fp").cast("double") / 1e9, 6).as("loading"),
+        round(lit(lambdaRaw), 6).as("eigenvalue"))
+  }
+
   /** q83: symmetric int8 quantization stats per embedding — the
     * compression audit a pipeline runs before committing to a quantized
     * ANN index (see [[graft.functions.QuantizeInt8]]): dequant scale,
@@ -592,8 +665,26 @@ object SimilarityQueries {
     "q43_label_centroids" -> (q43LabelCentroids _),
     "q193_silhouette" -> (q193Silhouette _),
     "q198_embed_covariance" -> (q198EmbedCovariance _),
+    "q240_power_iteration" -> (q240PowerIteration _),
     "q83_quantize_embed" -> (q83QuantizeEmbed _),
     "q85_knn_quantized" -> (q85KnnQuantized _))
+
+  /** One q240 power-iteration round: w_k = C·v_{k-1} as exact integer
+    * products, n_k = ‖w_k‖², v_k re-quantized to 1e9 after the single
+    * sqrt+divide — the SQL twin of the Spark round loop.
+    */
+  private def piRoundSql(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    s"""w$k AS (
+       |  SELECT c.i, sum(CAST(c.c_fp AS HUGEINT) * p.v_fp) AS w
+       |  FROM c JOIN $prev p ON p.j = c.j GROUP BY 1),
+       |n$k AS (SELECT sum(w * w) AS n2 FROM w$k),
+       |v$k AS (
+       |  SELECT i AS j,
+       |         CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+       |                    * 1000000000) AS BIGINT) AS v_fp
+       |  FROM w$k CROSS JOIN n$k)""".stripMargin
+  }
 
   /** DuckDB cosine with explicit sequential arithmetic matching
     * TextFunctions.cosine (double-cast floats, left-to-right fold).
@@ -1103,6 +1194,38 @@ object SimilarityQueries {
          |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.30""".stripMargin,
+    // q198's moment algebra on the FULL d² grid, same 1e6-quantized C,
+    // same four multiply-normalize rounds with 1e9 re-quantization
+    "q240_power_iteration" ->
+      s"""WITH comp AS (
+         |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+         |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.dim AS i, b.dim AS j,
+         |         sum(CAST(a.q AS HUGEINT) * b.q) AS sxy, count(*) AS n
+         |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+         |  GROUP BY 1, 2),
+         |marg AS (SELECT dim, sum(CAST(q AS HUGEINT)) AS sx FROM comp GROUP BY 1),
+         |c AS (
+         |  SELECT p.i, p.j,
+         |         CAST(round((round(CAST(p.n * p.sxy - mi.sx * mj.sx AS DOUBLE)
+         |                / (CAST(p.n AS DOUBLE) * p.n * 1e12), 6) + 0.0)
+         |              * 1000000) AS BIGINT) AS c_fp
+         |  FROM pairs p
+         |  JOIN marg mi ON mi.dim = p.i
+         |  JOIN marg mj ON mj.dim = p.j),
+         |v0 AS (SELECT DISTINCT i AS j, CAST(1000000000 AS BIGINT) AS v_fp FROM c),
+         |${piRoundSql(1)},
+         |${piRoundSql(2)},
+         |${piRoundSql(3)},
+         |vp AS (SELECT sum(CAST(v_fp AS HUGEINT) * v_fp) AS vp2 FROM v3),
+         |${piRoundSql(4)}
+         |SELECT v4.j AS dim,
+         |       round(CAST(v4.v_fp AS DOUBLE) / 1000000000, 6) AS loading,
+         |       round(sqrt(CAST(n4.n2 AS DOUBLE)) / sqrt(CAST(vp.vp2 AS DOUBLE))
+         |             / 1000000, 6) AS eigenvalue
+         |FROM v4 CROSS JOIN n4 CROSS JOIN vp""".stripMargin,
     // same 1e6 quantization, same exact-integer closed form; the
     // self-join on vec_id is the SQL analog of the per-row pair
     // generator

@@ -72,7 +72,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q229_source_lexical_sim", "q230_lsh_recall",
     "q231_jaccard_histogram", "q232_quality_dup_rate", "q233_temporal_pmi",
     "q234_bm25_topk", "q235_postings_histogram", "q236_shard_balance",
-    "q237_serve_from_index")
+    "q237_serve_from_index",
+    "q238_filter_funnel", "q239_expectations", "q240_power_iteration",
+    "q241_rbo_rankings", "q242_mix_temperature")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

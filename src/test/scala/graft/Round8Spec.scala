@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-8 queries — properties the oracle
+  * hash can't see failing for the right reason: funnel conservation,
+  * probability bounds, eigenvector norm, PSD eigenvalue dominance.
+  */
+class Round8Spec extends AnyFunSuite with SparkTestBase {
+
+  private def rows(q: String) = {
+    val r = SparkEntry.queries(q)(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    r
+  }
+
+  test("q238: funnel conserves mass — each stage's n_in is the prior stage's n_pass") {
+    val f = rows("q238_filter_funnel").sortBy(_.getInt(0))
+    assert(f.length == 4)
+    f.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"n_pass > n_in at stage ${r.getInt(0)}")
+    }
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3),
+        s"stage ${b.getInt(0)} n_in != stage ${a.getInt(0)} n_pass")
+    }
+  }
+
+  test("q239: every rule reports failed <= checked and a rate in [0, 1]") {
+    val r = rows("q239_expectations")
+    assert(r.length == 6)
+    r.foreach { row =>
+      assert(row.getLong(2) >= 0 && row.getLong(2) <= row.getLong(1))
+      val rate = row.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("q240: loadings are unit-norm; eigenvalue dominates every diagonal variance") {
+    val v = rows("q240_power_iteration")
+    assert(v.length == 64)
+    val norm = v.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm² = $norm")
+    val lambda = v.head.getDouble(2)
+    // for a PSD covariance the top eigenvalue bounds every diagonal entry
+    val maxVar = rows("q198_embed_covariance")
+      .filter(r => r.getInt(0) == r.getInt(1)).map(_.getDouble(2)).max
+    assert(lambda >= maxVar - 1e-6, s"lambda $lambda < max variance $maxVar")
+  }
+
+  test("q241: RBO and overlap stay inside their bounds") {
+    val r = rows("q241_rbo_rankings")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 0 && row.getLong(1) <= 10)
+      assert(row.getInt(2) == 0 || row.getInt(2) == 1)
+      val rbo = row.getDouble(3)
+      assert(rbo >= 0.0 && rbo <= 1.0, s"rbo out of bounds: $rbo")
+    }
+  }
+
+  test("q242: weights sum to ~1 and temperature upweights small sources") {
+    val r = rows("q242_mix_temperature")
+    val total = r.map(_.getLong(1)).sum.toDouble
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    // alpha < 1: every source smaller than proportional share gets MORE
+    // than its proportional weight, larger sources get less
+    r.foreach { row =>
+      val prop = row.getLong(1) / total
+      val w = row.getDouble(2)
+      if (prop < 1.0 / r.length) assert(w >= prop)
+      else if (prop > 1.0 / r.length) assert(w <= prop)
+    }
+  }
+}
