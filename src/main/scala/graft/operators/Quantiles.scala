@@ -4,56 +4,75 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact rank-based quantile assignment without the single-partition sort
-  * that `ntile(k).over(Window.orderBy(...))` plans.
+/** Exact rank / ntile / prefix-sum over a TOTAL order without the
+  * single-partition sort that `Window.orderBy(...)` (no partition key)
+  * plans.
   *
-  * SQL `ntile` is a pure function of a row's RANK in the total order
-  * (first `n mod k` buckets get `⌈n/k⌉` rows, the rest `⌊n/k⌋`), so an
-  * exact distributed global rank reproduces it bit-for-bit:
-  *
-  *   1. `repartitionByRange` on the sort expressions — each partition
-  *      holds a contiguous key range, at full parallelism;
-  *   2. per-partition `row_number` (window PARTITIONED by the range
-  *      partition id — a parallel window, never SinglePartition);
-  *   3. per-partition row counts (one tiny aggregate, ≤ #partitions
-  *      rows) collected and turned into broadcast rank offsets;
-  *   4. `rank = offset(pid) + local row_number`, bucket from the closed
-  *      form via exact integer `DIV`.
-  *
-  * The count collect is bounded by the shuffle-partition count (the same
-  * contract as the k-seed collects in Similarity) — no corpus row ever
-  * reaches the driver. Rank arithmetic assumes `n < 2^63` and is exact
-  * integer throughout. The ranged table is persisted so the offset pass
-  * and the rank pass see the SAME partitioning (exchange reuse across
+  * Shared machinery: `repartitionByRange` on the sort expressions (each
+  * partition holds a contiguous key range, full parallelism), a bounded
+  * per-partition aggregate (≤ #shuffle-partitions rows) collected into
+  * broadcast OFFSETS, and a partition-id-partitioned window that adds
+  * the local contribution — `global = offset(pid) + local`. The collect
+  * is bounded by the shuffle-partition count (the same contract as the
+  * k-seed collects in Similarity); no input row ever reaches the
+  * driver. The ranged table is persisted so the offset pass and the
+  * window pass see the SAME partitioning (exchange reuse across
   * separate jobs is not guaranteed); the query runner owns the cache
   * lifecycle.
   *
-  * Requires the sort to be a TOTAL order (unique keys — callers append a
-  * tiebreak id column), which is also what makes `ntile` deterministic
-  * in the oracle.
+  * All callers must supply a total order (append a tiebreak id column)
+  * — which is also what makes the oracle-side window formulations
+  * deterministic.
   */
 object Quantiles {
 
+  /** Range-partitioned input + per-partition offsets of `perPart`
+    * (a bounded aggregate evaluated per range partition, accumulated in
+    * ascending partition order), + the grand total.
+    */
+  private def rangedWithOffsets(
+      df: DataFrame, order: Seq[Column], pid: String,
+      perPart: Column): (DataFrame, Map[Int, Long], Long) = {
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(pid, spark_partition_id())
+      .persist()
+    val cnts = ranged.groupBy(col(pid)).agg(perPart.as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = cnts.map { case (p, c) => val o = (p, acc); acc += c; o }.toMap
+    (ranged, offsets, acc)
+  }
+
+  private def offsetCol(offsets: Map[Int, Long], pid: String): Column =
+    coalesce(element_at(typedlit(offsets), col(pid)), lit(0L))
+
+  /** Adds column `out` = exact 1-based global rank (`row_number()` over
+    * a global ORDER BY, but planned as one range exchange + one
+    * pid-partitioned window — no single-partition stage).
+    */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val pid = "_gr_pid"
+    val rn = "_gr_rn"
+    val (ranged, offsets, _) = rangedWithOffsets(df, order, pid, count(lit(1)))
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+    ranged
+      .withColumn(rn, row_number().over(w))
+      .withColumn(out, offsetCol(offsets, pid) + col(rn))
+      .drop(pid, rn)
+  }
+
   /** Adds column `out` = exact SQL `ntile(k)` over `order` (must be a
-    * total order). Plan shape: one range exchange + one pid-partitioned
-    * window — no single-partition stage touches the input grain.
+    * total order): the bucket is the closed form of the global rank
+    * (first `n mod k` buckets take `⌈n/k⌉` rows) via exact integer
+    * `DIV` — bit-equal to `ntile(k).over(Window.orderBy(...))`, without
+    * its single-partition sort.
     */
   def ntileExact(df: DataFrame, k: Int, order: Seq[Column], out: String): DataFrame = {
     require(k > 0, "ntileExact needs k > 0")
     val pid = "_nt_pid"
     val rn = "_nt_rn"
     val rk = "_nt_rank"
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn(pid, spark_partition_id())
-      .persist()
-    // bounded: one row per range partition
-    val cnts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = cnts.map(_._2).sum
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      cnts.map { case (p, c) => val o = (p, acc); acc += c; o }.toMap
-    }
+    val (ranged, offsets, n) = rangedWithOffsets(df, order, pid, count(lit(1)))
     val sz = n / k
     val rem = n % k
     val bucket =
@@ -64,8 +83,42 @@ object Quantiles {
     val w = Window.partitionBy(col(pid)).orderBy(order: _*)
     ranged
       .withColumn(rn, row_number().over(w))
-      .withColumn(rk, coalesce(element_at(typedlit(offsets), col(pid)), lit(0L)) + col(rn))
+      .withColumn(rk, offsetCol(offsets, pid) + col(rn))
       .withColumn(out, expr(bucket))
       .drop(pid, rn, rk)
+  }
+
+  /** Adds, for each `(valueCol, outCol)` pair, the exact inclusive
+    * running total of `valueCol` over `order` — the distributed prefix
+    * sum: per-partition window sums plus broadcast per-partition value
+    * offsets. Equivalent to `sum(v).over(Window.orderBy(...))` with no
+    * single-partition stage; all value columns share ONE range exchange
+    * and ONE pid window. Values must be integral (LongType) so the
+    * offset accumulation is exact.
+    */
+  def prefixSums(
+      df: DataFrame, order: Seq[Column],
+      sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "prefixSums needs at least one value column")
+    val pid = "_ps_pid"
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(pid, spark_partition_id())
+      .persist()
+    val aggs = sums.map { case (v, _) => sum(col(v)).as(s"_ps_$v") }
+    val rows = ranged.groupBy(col(pid)).agg(aggs.head, aggs.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    val offsetMaps: Seq[Map[Int, Long]] = sums.indices.map { i =>
+      var acc = 0L
+      rows.map { r =>
+        val o = (r.getInt(0), acc)
+        if (!r.isNullAt(i + 1)) acc += r.getLong(i + 1)
+        o
+      }.toMap
+    }
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.zip(offsetMaps).foldLeft(ranged) { case (d, ((v, out), m)) =>
+      d.withColumn(out, offsetCol(m, pid) + sum(col(v)).over(w))
+    }.drop(pid)
   }
 }

@@ -1452,12 +1452,13 @@ object RelationalQueries {
       .agg(min(col("ts")).as("t_buy"))
       .select(col("user_id"),
         (unix_micros(col("t_buy")) - unix_micros(col("t_view"))).as("lag_us"))
-    val ranked = lag
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("lag_us"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy()))
-    ranked.agg(
+    // global rank via Quantiles.withGlobalRank (range exchange + pid
+    // window + broadcast offsets) — no single-partition sort of the
+    // user-grain lag table; n joins back from a 1-row broadcast
+    val ranked = graft.operators.Quantiles
+      .withGlobalRank(lag, Seq(col("lag_us").asc, col("user_id").asc), "rn")
+    val nDf = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(nDf)).agg(
       count(lit(1)).as("n_users"),
       round(sum(col("lag_us")).cast("double") / count(lit(1)) / lit(1e6), 6)
         .as("avg_sec"),

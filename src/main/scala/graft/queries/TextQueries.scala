@@ -417,19 +417,20 @@ object TextQueries {
     // doc_ids instead of every document.
     "q182_heaps_law" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       val tok = docs(s, dir)
         .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
       val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
       val firstSeen = tok.groupBy("word").agg(min(col("doc_id")).as("fd"))
         .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new"))
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perDoc.join(firstSeen, Seq("doc_id"), "left")
+      val base = perDoc.join(firstSeen, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
           coalesce(col("n_new"), lit(0L)).as("n_new"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
-        .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      // distributed prefix sums (Quantiles.prefixSums): range exchange +
+      // pid window + broadcast offsets — the doc-grain curve never passes
+      // through a single-partition window
+      graft.operators.Quantiles
+        .prefixSums(base, Seq(col("doc_id").asc),
+          Seq("n_tok" -> "cum_tokens", "n_new" -> "cum_vocab"))
         .select("doc_id", "cum_tokens", "cum_vocab")
     }),
     // q179: decile lift / gains table of the q165 scorer ("n_chars

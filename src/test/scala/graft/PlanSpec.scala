@@ -289,14 +289,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"Bloom key filter not in a codegen span:\n$p")
   }
 
-  test("q173/q179: exact-ntile swap plans no single-partition window") {
-    // the quintile/decile assignment runs as Quantiles.ntileExact (range
-    // exchange + pid-partitioned row_number); a regression back to
-    // ntile().over(Window.orderBy(...)) would still pass the oracle at
-    // fixture scale but serialize the whole input through one task
+  test("q173/q179/q182/q163: corpus-grain rank/prefix ops plan no single-partition window") {
+    // quintiles/deciles run as Quantiles.ntileExact, the Heaps curve as
+    // Quantiles.prefixSums, the lag percentiles as withGlobalRank (all:
+    // range exchange + pid-partitioned window + broadcast offsets); a
+    // regression back to Window.orderBy(...) with no partition key would
+    // still pass the oracle at fixture scale but serialize the whole
+    // input through one task
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q173_rfm_segments", "q179_lift_table")) {
+    for (q <- Seq("q173_rfm_segments", "q179_lift_table",
+        "q182_heaps_law", "q163_conversion_lag")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan

@@ -32,4 +32,35 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
   test("ntileExact == ntile with remainder buckets")(compare(103, 10))
   test("ntileExact == ntile with n < k (one row per bucket)")(compare(7, 10))
   test("ntileExact == ntile with k = 1")(compare(42, 1))
+
+  test("withGlobalRank == row_number over a global ORDER BY") {
+    import spark.implicits._
+    val df = (1 to 97).map(i => ((i * 53) % 17, i.toLong)).toDF("v", "id")
+    val expected = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+    val got = graft.operators.Quantiles
+      .withGlobalRank(df, Seq(col("v").desc, col("id").asc), "r")
+    assert(expected.as("e").join(got.as("g"), Seq("v", "id"))
+      .filter(col("e.r") =!= col("g.r")).count() == 0)
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+  }
+
+  test("prefixSums == windowed running totals over a global ORDER BY") {
+    import spark.implicits._
+    val df = (1 to 113).map(i => (i.toLong, (i * 7 % 23).toLong, (i % 5).toLong))
+      .toDF("id", "a", "b")
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+    val got = graft.operators.Quantiles
+      .prefixSums(df, Seq(col("id").asc), Seq("a" -> "ca", "b" -> "cb"))
+    assert(expected.as("e").join(got.as("g"), Seq("id"))
+      .filter(col("e.ca") =!= col("g.ca") || col("e.cb") =!= col("g.cb"))
+      .count() == 0)
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+  }
 }
