@@ -422,7 +422,37 @@ object DedupQueries {
         col("n_at_or_above"))
   }
 
+  /** q243: n-gram novelty of the incremental crawl — for every NEW-source
+    * document (src10+), the fraction of its distinct 5-grams never seen
+    * anywhere in the OLD corpus (src0-src9): the memorization/novelty
+    * audit a pipeline reads next to q97's dedup decision — high overlap
+    * with the standing corpus means the "new" crawl adds little. Gram
+    * construction is [[graft.functions.WordNgrams]] (short docs fall
+    * back to the whole-document gram, q31's shingle rule). DETERMINISM:
+    * distinct-gram membership and counts; one division per output row.
+    * Scale shape: the old-corpus gram set and the new-doc grams meet in
+    * ONE gram-keyed equi-join (bucketed by gram, never doc×doc); grams
+    * are fingerprintable to longs at 100 TB (q101's trick) so the
+    * shuffle carries hashes, not text.
+    */
+  def q243NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sn = substring(col("source"), 4, 10).cast("int")
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.functions.WordNgrams(col("text"), 5).as("sh"))
+    val newG = grams(d.filter(sn >= 10))
+    val oldG = grams(d.filter(sn < 10))
+      .select(col("sh")).distinct().withColumn("seen", lit(1))
+    newG.join(oldG, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("seen")).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_ngram_novelty" -> (q243NgramNovelty _),
     "q231_jaccard_histogram" -> (q231JaccardHistogram _),
     "q230_lsh_recall" -> (q230LshRecall _),
     "q227_minhash_calibration" -> (q227MinhashCalibration _),
@@ -498,6 +528,32 @@ object DedupQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same 5-gram construction (whole-doc fallback for short docs), same
+    // old/new source split, same distinct-gram left join and counts
+    "q243_ngram_novelty" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |           unnest(CASE WHEN len(w) >= 5
+        |                  THEN list_transform(range(1, len(w) - 3),
+        |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                            || ' ' || w[i+3] || ' ' || w[i+4])
+        |                  ELSE [array_to_string(w, ' ')] END) AS sh
+        |    FROM wd WHERE len(w) > 0)),
+        |src AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn FROM documents),
+        |oldg AS (SELECT DISTINCT g.sh FROM g JOIN src USING (doc_id) WHERE src.sn < 10),
+        |newg AS (SELECT g.doc_id, g.sh FROM g JOIN src USING (doc_id) WHERE src.sn >= 10)
+        |SELECT n.doc_id, count(*) AS n_grams, count(o.sh) AS n_seen,
+        |       round(1.0 - count(o.sh) * 1.0 / count(*), 6) AS novelty
+        |FROM newg n LEFT JOIN oldg o ON o.sh = n.sh
+        |GROUP BY 1""".stripMargin,
     // q31's verified pairs, same 0.05-wide double bins, same
     // from-the-top cumulative over <=20 rows
     "q231_jaccard_histogram" ->

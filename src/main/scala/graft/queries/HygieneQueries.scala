@@ -338,7 +338,42 @@ object HygieneQueries {
           * col("st").cast("double") / col("n_tokens"), 6).as("epochs"))
   }
 
+  /** q244: length-bucketed batch padding efficiency — the batch-shaping
+    * decision a training pipeline makes before fixing its bucketing: for
+    * B ∈ {1, 2, 4, 8} equal-count length buckets (exact SQL-ntile
+    * semantics over (token count, doc_id) via
+    * [[graft.operators.Quantiles.ntileExact]] — no single-partition
+    * sort), the padded token count if every doc pads to its bucket's
+    * max, and the waste fraction. B=1 is "one global max-length batch"
+    * (worst case); the curve shows the marginal value of finer
+    * bucketing. DETERMINISM: bucket assignment is the exact rank closed
+    * form; padded totals are Σ n_d·max_d exact longs; one division per
+    * output row. Scale shape: ONE token-count agg (persisted, shared by
+    * the four bucketings), each bucketing a range exchange + pid window
+    * + B-row rollup.
+    */
+  def q244PaddingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      .persist()
+    val tot = perDoc.agg(sum(col("n_tok")).as("total_tokens"))
+    val parts = Seq(1, 2, 4, 8).map { b =>
+      graft.operators.Quantiles
+        .ntileExact(perDoc, b, Seq(col("n_tok").asc, col("doc_id").asc), "bk")
+        .groupBy("bk").agg(count(lit(1)).as("nd"), max(col("n_tok")).as("mx"))
+        .agg(sum(col("nd") * col("mx")).as("padded_tokens"))
+        .select(lit(b).as("n_buckets"), col("padded_tokens"))
+    }
+    parts.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot))
+      .select(col("n_buckets"), col("total_tokens"), col("padded_tokens"),
+        round((col("padded_tokens") - col("total_tokens")).cast("double")
+          / col("padded_tokens"), 6).as("waste_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_padding_efficiency" -> (q244PaddingEfficiency _),
     "q238_filter_funnel" -> (q238FilterFunnel _),
     "q242_mix_temperature" -> (q242MixTemperature _),
     "q154_k_anonymity" -> (q154KAnonymity _),
@@ -367,6 +402,28 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same per-doc token counts, same ntile bucketings (the engine's
+    // ntileExact is bit-equal to SQL ntile), same Σ n·max padded totals
+    "q244_padding_efficiency" -> {
+      def block(b: Int): String =
+        s"""b$b AS (SELECT ntile($b) OVER (ORDER BY n_tok, doc_id) AS bk, n_tok FROM per),
+           |g$b AS (SELECT bk, count(*) AS nd, max(n_tok) AS mx FROM b$b GROUP BY 1),
+           |p$b AS (SELECT CAST(sum(nd * mx) AS BIGINT) AS padded FROM g$b)""".stripMargin
+      def row(b: Int): String =
+        s"""SELECT $b AS n_buckets, tot.total AS total_tokens,
+           |       p$b.padded AS padded_tokens,
+           |       round((p$b.padded - tot.total) * 1.0 / p$b.padded, 6) AS waste_frac
+           |FROM p$b CROSS JOIN tot""".stripMargin
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |per AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM per),
+         |${block(1)},
+         |${block(2)},
+         |${block(4)},
+         |${block(8)}
+         |${Seq(1, 2, 4, 8).map(row).mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+    },
     // same integer-compare stage predicates, same cumulative gating;
     // counts are FILTERed count(*) (BIGINT), one divide per output row
     "q238_filter_funnel" ->

@@ -516,6 +516,58 @@ object TextQueries {
     // and the grand total (the runner owns the cache lifecycle and clears
     // it per query); the ordered window runs over the TOP-K ONLY (the
     // vocabulary-sized global sort is a TakeOrdered, never a full sort).
+    // q245: token-mass coverage at candidate vocabulary sizes — the
+    // tokenizer-sizing curve (what fraction of all token occurrences the
+    // top-k words cover, k ∈ {100, 1k, 10k}): q87 lists the top-20 words,
+    // this sizes the vocab. Vocabulary ranks come from
+    // Quantiles.withGlobalRank over (freq desc, word) — vocab-grain, no
+    // single-partition sort — and all three coverage sums fold in ONE
+    // aggregate over the ranked table. DETERMINISM: exact integer counts,
+    // one division per output row.
+    "q245_coverage_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val freq = docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.operators.Quantiles
+        .withGlobalRank(freq, Seq(col("cnt").desc, col("word").asc), "rk")
+      val f = ranked.agg(
+        sum(col("cnt")).as("total"),
+        sum(when(col("rk") <= 100, col("cnt"))).as("c100"),
+        sum(when(col("rk") <= 1000, col("cnt"))).as("c1000"),
+        sum(when(col("rk") <= 10000, col("cnt"))).as("c10000"))
+      f.select(col("total"), explode(array(
+          struct(lit(100).as("vocab_size"), col("c100").as("cov")),
+          struct(lit(1000).as("vocab_size"), col("c1000").as("cov")),
+          struct(lit(10000).as("vocab_size"), col("c10000").as("cov")))).as("x"))
+        .select(col("x.vocab_size"), col("total").as("total_tokens"),
+          coalesce(col("x.cov"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("x.cov"), lit(0L)).cast("double") / col("total"), 6)
+            .as("coverage"))
+    }),
+    // q246: declared-vs-detected language audit — per source, how many
+    // documents the q20 classifier reads as a DIFFERENT language than
+    // their metadata declares (plus the unknowns): the label-trust gate
+    // before using `lang` for rebalancing (q98) or per-language filters.
+    // Each leg is the exact q20 code path. DETERMINISM: integer counts,
+    // one division per source row. Scale: one classifier scan + one
+    // |sources|-row agg.
+    "q246_lang_mismatch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pred = graft.operators.TextAnalysis
+        .langId(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("pred_lang"))
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+        .join(pred, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pred_lang") === "und", 1)).as("n_unknown"),
+          count(when(col("pred_lang") =!= "und"
+            && col("pred_lang") =!= col("lang"), 1)).as("n_mismatch"))
+        .select(col("source"), col("n_docs"), col("n_unknown"), col("n_mismatch"),
+          round(col("n_mismatch").cast("double") / col("n_docs"), 6)
+            .as("mismatch_rate"))
+    }),
     "q87_vocab_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -973,6 +1025,39 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (freq desc, word) vocabulary ranks, same one-fold coverage
+    // sums at the three candidate sizes
+    "q245_coverage_curve" ->
+      s"""$WordsCte,
+         |tok AS (SELECT unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |r AS (SELECT cnt,
+         |             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+         |      FROM freq),
+         |f AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |         CAST(coalesce(sum(cnt) FILTER (rk <= 100), 0) AS BIGINT) AS c100,
+         |         CAST(coalesce(sum(cnt) FILTER (rk <= 1000), 0) AS BIGINT) AS c1000,
+         |         CAST(coalesce(sum(cnt) FILTER (rk <= 10000), 0) AS BIGINT) AS c10000
+         |  FROM r)
+         |SELECT 100 AS vocab_size, total AS total_tokens, c100 AS covered_tokens,
+         |       round(c100 * 1.0 / total, 6) AS coverage FROM f
+         |UNION ALL
+         |SELECT 1000, total, c1000, round(c1000 * 1.0 / total, 6) FROM f
+         |UNION ALL
+         |SELECT 10000, total, c10000, round(c10000 * 1.0 / total, 6) FROM f""".stripMargin,
+    // the q20 classifier replica per source; same und-exclusion rule
+    "q246_lang_mismatch" ->
+      s"""$WordsCte, $LangPredCte
+         |SELECT d.source, count(*) AS n_docs,
+         |       count(*) FILTER (p.pred_lang = 'und') AS n_unknown,
+         |       count(*) FILTER (p.pred_lang <> 'und'
+         |                        AND p.pred_lang <> d.lang) AS n_mismatch,
+         |       round(count(*) FILTER (p.pred_lang <> 'und'
+         |                              AND p.pred_lang <> d.lang) * 1.0
+         |             / count(*), 6) AS mismatch_rate
+         |FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
     // same q21 stopword ratio, same md5 fingerprint multiplicity,
     // same (ratio, doc_id) ntile order
     "q232_quality_dup_rate" ->

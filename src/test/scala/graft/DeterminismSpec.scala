@@ -74,7 +74,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q234_bm25_topk", "q235_postings_histogram", "q236_shard_balance",
     "q237_serve_from_index",
     "q238_filter_funnel", "q239_expectations", "q240_power_iteration",
-    "q241_rbo_rankings", "q242_mix_temperature")
+    "q241_rbo_rankings", "q242_mix_temperature",
+    "q243_ngram_novelty", "q244_padding_efficiency",
+    "q245_coverage_curve", "q246_lang_mismatch")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -60,6 +60,48 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q243: novelty stays in [0, 1] with n_seen <= n_grams") {
+    val r = rows("q243_ngram_novelty")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1))
+      val nov = row.getDouble(3)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+  }
+
+  test("q244: padding waste is non-increasing in bucket count") {
+    val r = rows("q244_padding_efficiency").sortBy(_.getInt(0))
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    r.foreach(row => assert(row.getLong(2) >= row.getLong(1),
+      "padded must be >= total"))
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(3) <= a.getDouble(3) + 1e-9,
+        s"waste increased from B=${a.getInt(0)} to B=${b.getInt(0)}")
+    }
+  }
+
+  test("q245: coverage is non-decreasing in vocabulary size, within [0, 1]") {
+    val r = rows("q245_coverage_curve").sortBy(_.getInt(0))
+    assert(r.map(_.getInt(0)).toSeq == Seq(100, 1000, 10000))
+    r.foreach { row =>
+      val c = row.getDouble(3)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(3) >= a.getDouble(3) - 1e-9)
+    }
+  }
+
+  test("q246: per-source counts partition correctly") {
+    val r = rows("q246_lang_mismatch")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) + row.getLong(3) <= row.getLong(1),
+        "unknown + mismatch must not exceed n_docs")
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
