@@ -141,14 +141,53 @@ object IndexParityQueries {
       .toDF("word", "postings", "df")
   }
 
+  /** q249: tombstone deletes compacted OUT of the index — the LSM delete
+    * path q117's merge doesn't cover: the standing compressed index
+    * (built over ALL docs) plus a tombstone predicate (docs with
+    * `doc_id % 7 == 0` deleted — the fixture stand-in for a GDPR purge /
+    * retraction list) compact into an index that must hash-equal q1
+    * REBUILT over only the surviving documents. Deletion is a linear
+    * decode → filter → render pass over term-grain rows (compaction
+    * cost independent of corpus row count — the LSM point); words whose
+    * postings empty out drop from the index entirely.
+    * DETERMINISM: codec round-trip exact; integer filters.
+    */
+  def q249TombstoneCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ReferenceQueries.docWords(spark, dir)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapValues(_._1)
+      .agg(CompressedPostingsAgg.toColumn.name("enc"))
+      .map { case (word, enc) =>
+        val ids = PostingsCodec.decode(enc).filter(_ % 7 != 0)
+        (word, ids.mkString(" "), ids.length.toLong)
+      }
+      .toDF("word", "postings", "df")
+      .filter(col("df") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_incremental_index" -> ((s, dir) => q75IncrementalIndex(s, dir)),
     "q76_compressed_index" -> (q76CompressedIndex _),
-    "q117_index_compaction" -> (q117IndexCompaction _))
+    "q117_index_compaction" -> (q117IndexCompaction _),
+    "q249_tombstone_compaction" -> (q249TombstoneCompaction _))
 
-  /** All three queries must equal q1 exactly — they share its oracle SQL. */
-  val oracleSql: Map[String, String] = Map(
-    "q75_incremental_index" -> ReferenceQueries.oracleSql("q1_inverted_index"),
-    "q76_compressed_index" -> ReferenceQueries.oracleSql("q1_inverted_index"),
-    "q117_index_compaction" -> ReferenceQueries.oracleSql("q1_inverted_index"))
+  /** q75/q76/q117 must equal q1 exactly — they share its oracle SQL;
+    * q249's oracle is q1 REBUILT over only the surviving documents
+    * (the tombstone predicate applied before aggregation), so the
+    * driver proves compact-with-deletes ≡ rebuild-without-deleted.
+    */
+  val oracleSql: Map[String, String] = {
+    val q1 = ReferenceQueries.oracleSql("q1_inverted_index")
+    val q1Surviving = q1.replace(
+      "FROM dw GROUP BY word",
+      "FROM dw WHERE doc_id % 7 <> 0 GROUP BY word")
+    require(q1Surviving != q1, "q1 oracle shape changed; fix q249's rewrite")
+    Map(
+      "q75_incremental_index" -> q1,
+      "q76_compressed_index" -> q1,
+      "q117_index_compaction" -> q1,
+      "q249_tombstone_compaction" -> q1Surviving)
+  }
 }

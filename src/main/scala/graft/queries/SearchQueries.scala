@@ -167,7 +167,88 @@ object SearchQueries {
           .cast("double") / RboDenom, 6).as("rbo"))
   }
 
+  /** q247: phrase search served FROM a compressed POSITIONAL index —
+    * q237's proof extended to positions: per (term, doc) the ascending
+    * occurrence positions are delta-varint-encoded
+    * (`PostingsCodec.encode`, q76's codec — positions are ascending
+    * distinct longs exactly like doc ids), then the phrase "hash join"
+    * is answered by DECODING both terms' position lists per doc and
+    * counting the sorted-merge intersection of `positions(hash)` with
+    * `positions(join) − 1`. The oracle is q26's PLAIN positional-join
+    * formulation, so the driver proves encode → decode → positional
+    * intersect ≡ direct scan. DETERMINISM: codec round-trip is exact;
+    * counts are integers. Scale shape: the index rows are (term, doc)
+    * grain with 1-2 bytes per position; the serve join touches only
+    * the two phrase terms' postings (never the corpus), and the merge
+    * is linear in the two lists.
+    */
+  def q247PhraseFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val phrase = Seq("hash", "join")
+    val tp = Ranking.tokensWithPos(docs(spark, dir), "text", "doc_id")
+      .filter(col("word").isin(phrase: _*))
+    val index = tp.groupBy("word", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .as[(String, Long, Seq[Int])]
+      .map { case (w, d, ps) =>
+        (w, d, graft.functions.PostingsCodec.encode(ps.map(_.toLong).toArray))
+      }
+      .toDF("word", "doc_id", "enc")
+      .persist()
+    val a = index.filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("enc").as("ea"))
+    val b = index.filter(col("word") === phrase(1))
+      .select(col("doc_id"), col("enc").as("eb"))
+    a.join(b, Seq("doc_id")).as[(Long, Array[Byte], Array[Byte])]
+      .map { case (d, ea, eb) =>
+        val pa = graft.functions.PostingsCodec.decode(ea)
+        val pb = graft.functions.PostingsCodec.decode(eb).map(_ - 1)
+        var i = 0; var j = 0; var n = 0L
+        while (i < pa.length && j < pb.length) {
+          if (pa(i) == pb(j)) { n += 1; i += 1; j += 1 }
+          else if (pa(i) < pb(j)) i += 1
+          else j += 1
+        }
+        (d, n)
+      }
+      .toDF("doc_id", "n")
+      .filter(col("n") > 0)
+  }
+
+  /** q248: minimal proximity window — for every document containing all
+    * three query terms, the length of the shortest position span
+    * covering at least one occurrence of each (the snippet-selection /
+    * proximity-scoring primitive under phrase-less multi-term queries).
+    * The classic one-pass sweep, distributed: per doc-PARTITIONED
+    * window over positions, each term-hit row carries the latest seen
+    * position of every term (`max(CASE …) OVER`), and the candidate
+    * window ending at the current hit is `pos − least(last_h, last_j,
+    * last_s) + 1`; the answer is the per-doc min. Never a positions
+    * cross-join — cost is O(hits · log hits) per doc, partitions
+    * independent. DETERMINISM: pure integer positions.
+    */
+  def q248MinWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val tp = Ranking.tokensWithPos(docs(spark, dir), "text", "doc_id")
+      .filter(col("word").isin(Bm25Terms: _*))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last = Bm25Terms.map(t =>
+      max(when(col("word") === t, col("pos"))).over(w).as(s"l_$t"))
+    tp.select(col("doc_id") +: col("pos") +: last: _*)
+      .filter(Bm25Terms.map(t => col(s"l_$t").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        (col("pos") - least(Bm25Terms.map(t => col(s"l_$t")): _*) + 1)
+          .cast("long").as("span"))
+      .groupBy("doc_id")
+      .agg(min(col("span")).as("min_window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_phrase_from_index" -> (q247PhraseFromIndex _),
+    "q248_min_window" -> (q248MinWindow _),
     "q241_rbo_rankings" -> (q241RboRankings _),
     "q237_serve_from_index" -> (q237ServeFromIndex _),
     "q234_bm25_topk" -> (q234Bm25TopK _),
@@ -220,6 +301,37 @@ object SearchQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q26's PLAIN positional formulation — the driver compare proves the
+    // positional encode -> decode -> intersect path equals the scan
+    "q247_phrase_from_index" ->
+      s"""$WordsCte
+         |SELECT doc_id, n FROM (
+         |  SELECT doc_id,
+         |         len(list_filter(range(1, len(w)),
+         |                         i -> w[i] = 'hash' AND w[i+1] = 'join')) AS n
+         |  FROM wd)
+         |WHERE n > 0""".stripMargin,
+    // same doc-partitioned last-seen sweep, same span arithmetic
+    "q248_min_window" ->
+      s"""$WordsCte,
+         |tp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS word
+         |  FROM wd),
+         |f AS (SELECT doc_id, pos, word FROM tp
+         |      WHERE word IN ('hash', 'join', 'scan')),
+         |lw AS (
+         |  SELECT doc_id, pos,
+         |         max(CASE WHEN word = 'hash' THEN pos END) OVER sw AS lh,
+         |         max(CASE WHEN word = 'join' THEN pos END) OVER sw AS lj,
+         |         max(CASE WHEN word = 'scan' THEN pos END) OVER sw AS ls
+         |  FROM f
+         |  WINDOW sw AS (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT doc_id,
+         |       CAST(min(pos - least(lh, lj, ls) + 1) AS BIGINT) AS min_window
+         |FROM lw
+         |WHERE lh IS NOT NULL AND lj IS NOT NULL AND ls IS NOT NULL
+         |GROUP BY 1""".stripMargin,
     // same q9/q8 scoring legs, same per-term rank windows, same exact
     // integer RBO factors (injected from RboFactors) and one division
     "q241_rbo_rankings" ->

@@ -76,7 +76,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q238_filter_funnel", "q239_expectations", "q240_power_iteration",
     "q241_rbo_rankings", "q242_mix_temperature",
     "q243_ngram_novelty", "q244_padding_efficiency",
-    "q245_coverage_curve", "q246_lang_mismatch")
+    "q245_coverage_curve", "q246_lang_mismatch",
+    "q247_phrase_from_index", "q248_min_window",
+    "q249_tombstone_compaction")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -102,6 +102,23 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q248: every minimal window spans at least the three distinct terms") {
+    val r = rows("q248_min_window")
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(1) >= 3,
+      s"a window covering 3 distinct terms needs >= 3 positions, got ${row.getLong(1)}"))
+  }
+
+  test("q249: compacted postings contain no tombstoned doc ids") {
+    val r = rows("q249_tombstone_compaction")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val ids = row.getString(1).split(" ").map(_.toLong)
+      assert(ids.forall(_ % 7 != 0), s"tombstoned id survived in '${row.getString(0)}'")
+      assert(ids.length == row.getLong(2))
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
