@@ -78,4 +78,53 @@ object AsOfJoin {
       .filter(col(side) === 1)
       .drop(t, side)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key (next-event lookup — the
+    * time-reversed twin of [[apply]]). Same union-window plan, scanned in
+    * DESCENDING time so `last(..., ignoreNulls)` carries the nearest
+    * FUTURE right payload backward; ordering `(t DESC, side)` with
+    * right=0 < left=1 keeps a right row at exactly leftTime visible
+    * (`>=` semantics). One hash exchange on `key`, no cross product.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val t = "__asof_t"
+    val side = "__asof_side"
+
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(1))
+      .select(
+        Seq(col(key), col(t), col(side)) ++
+          leftCols.filterNot(_ == key).map(col) ++
+          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+
+    val r = right
+      .withColumn(t, col(rightTime))
+      .withColumn(side, lit(0))
+      .select(
+        Seq(col(key), col(t), col(side)) ++
+          leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map(c => col(c).as(s"asof_$c")): _*)
+
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(t).desc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .filter(col(side) === 1)
+      .drop(t, side)
+  }
 }

@@ -2318,6 +2318,81 @@ object RelationalQueries {
           .otherwise(lit(0.0)).as("pass_rate"))
   }
 
+  /** q251: Holt linear-trend forecast backtest — double exponential
+    * smoothing (α = β = 1/2) folded over the day-grain revenue series
+    * minus its last 7 days, then scored against those 7 held-out days
+    * (MAE) beside the last-level persistence baseline — q223's
+    * seasonal-naive backtest upgraded with a trend state. DETERMINISM:
+    * daily revenue is exact integer cents; the fold is a SEQUENTIAL
+    * higher-order `aggregate` over the sorted day array (q143's EWMA
+    * idiom — both engines replay the identical left fold, and every
+    * operation is a correctly-rounded IEEE op in the same order); the
+    * error sums are explicit left folds too, never a parallel double
+    * sum. Scale shape: one corpus scan → day-grain rollup; the fold
+    * runs on the bounded |days| array (corpus-size-independent, the
+    * q204/q223 bound).
+    */
+  def q251HoltBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val day = t(spark, dir, "orders")
+      .groupBy(unix_date(to_date(col("o_orderdate"))).as("dn"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    day.agg(sort_array(collect_list(struct(col("dn"), col("cents")))).as("xs"))
+      .select(expr(
+        """named_struct(
+          |  'n_days', size(xs),
+          |  'st', aggregate(
+          |    slice(transform(slice(xs, 1, size(xs) - 7),
+          |                    x -> CAST(x.cents AS DOUBLE)),
+          |          2, size(xs) - 8),
+          |    named_struct(
+          |      'l', CAST(element_at(xs, 1).cents AS DOUBLE), 'b', CAST(0 AS DOUBLE)),
+          |    (acc, x) -> named_struct(
+          |      'l', (x + acc.l + acc.b) / 2,
+          |      'b', ((x + acc.l + acc.b) / 2 - acc.l + acc.b) / 2)),
+          |  'test', transform(slice(xs, size(xs) - 6, 7),
+          |                    x -> CAST(x.cents AS DOUBLE)))""".stripMargin).as("s"))
+      .select(
+        col("s.n_days").cast("long").as("n_days"),
+        round(col("s.st.l") / 100.0, 6).as("level"),
+        round(col("s.st.b") / 100.0, 6).as("trend"),
+        round(expr(
+          """aggregate(
+            |  transform(sequence(1, 7),
+            |    h -> abs(s.st.l + h * s.st.b - element_at(s.test, h))),
+            |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin) / 7.0 / 100.0, 6)
+          .as("mae_7"),
+        round(expr(
+          """aggregate(
+            |  transform(s.test, x -> abs(s.st.l - x)),
+            |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin) / 7.0 / 100.0, 6)
+          .as("naive_mae_7"))
+  }
+
+  /** q252: forward as-of join — for every view event, the user's NEXT
+    * purchase at-or-after it ([[graft.operators.AsOfJoin.forward]]: the
+    * union-window formulation scanned in descending time — ONE hash
+    * exchange on user_id, never a |views|×|purchases| product) with the
+    * per-view gap: the per-IMPRESSION time-to-conversion table under
+    * q163's aggregate lag percentiles. The oracle is the naive
+    * min-over-qualifying-join formulation, so the driver proves the
+    * window plan ≡ the quadratic definition. DETERMINISM: integer
+    * microseconds; purchases deduped per (user, ts) so the carried
+    * payload is unique.
+    */
+  def q252NextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("view_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .distinct()
+    graft.operators.AsOfJoin
+      .forward(views, purchases, "user_id", "view_us", "p_us", Seq("p_us"))
+      .select(col("user_id"), col("event_id"), col("view_us"),
+        col("asof_p_us").as("next_purchase_us"),
+        (col("asof_p_us") - col("view_us")).as("gap_us"))
+  }
+
   /** q204: deterministic bootstrap confidence interval for mean daily
     * revenue — B=200 resamples-with-replacement of the DAY-GRAIN series,
     * each draw indexed by the md5 coin (q138's idiom) so both engines
@@ -3014,6 +3089,8 @@ object RelationalQueries {
     "q141_standardize" -> q141Standardize _,
     "q142_ref_integrity" -> q142RefIntegrity _,
     "q239_expectations" -> q239Expectations _,
+    "q251_holt_backtest" -> q251HoltBacktest _,
+    "q252_next_purchase" -> q252NextPurchase _,
     "q120_winsorize" -> q120Winsorize _,
     "q119_bloom_join_prune" -> q119BloomJoinPrune _,
     "q116_join_cardinality" -> q116JoinCardinality _,
@@ -3693,6 +3770,55 @@ object RelationalQueries {
         |  round(CAST(n * n * spk - n * s * (sak + sbk) + mk * s * s AS DOUBLE)
         |        / CAST(n * (n * sxx - s * s) AS DOUBLE), 6) AS acf
         |FROM k""".stripMargin,
+    // same integer-cents day series; the coupled (l, b) fold runs as a
+    // RECURSIVE CTE (DuckDB's list_reduce rebinds struct accumulator
+    // fields mid-row — the 'b' expression would see the NEW 'l' — so a
+    // struct-lambda fold is NOT Spark's pure fold); scalar error folds
+    // via list_reduce are hazard-free, same /7 /100 finishes
+    "q251_holt_backtest" ->
+      """WITH RECURSIVE day AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ser AS (
+        |  SELECT list(CAST(cents AS DOUBLE) ORDER BY dn) AS xs,
+        |         count(*) AS n FROM day),
+        |fold AS (
+        |  SELECT 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b FROM ser
+        |  UNION ALL
+        |  SELECT f.i + 1,
+        |         (s.xs[f.i + 1] + f.l + f.b) / 2,
+        |         ((s.xs[f.i + 1] + f.l + f.b) / 2 - f.l + f.b) / 2
+        |  FROM fold f, ser s WHERE f.i < s.n - 7),
+        |st AS (
+        |  SELECT s.n, f.l, f.b, list_slice(s.xs, s.n - 6, s.n) AS test
+        |  FROM ser s JOIN fold f ON f.i = s.n - 7)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |       round(l / 100.0, 6) AS level,
+        |       round(b / 100.0, 6) AS trend,
+        |       round(list_reduce(
+        |               list_transform(range(1, 8),
+        |                 h -> abs(l + h * b - test[CAST(h AS INT)])),
+        |               (a, x) -> a + x) / 7.0 / 100.0, 6) AS mae_7,
+        |       round(list_reduce(
+        |               list_transform(test, x -> abs(l - x)),
+        |               (a, x) -> a + x) / 7.0 / 100.0, 6) AS naive_mae_7
+        |FROM st""".stripMargin,
+    // the naive min-over-qualifying-join definition of forward as-of —
+    // the driver compare proves the union-window plan equals it
+    "q252_next_purchase" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS view_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id, v.view_us,
+        |       min(p.p_us) AS next_purchase_us,
+        |       min(p.p_us) - v.view_us AS gap_us
+        |FROM v LEFT JOIN p
+        |  ON p.user_id = v.user_id AND p.p_us >= v.view_us
+        |GROUP BY 1, 2, 3""".stripMargin,
     // same six rule predicates folded per table scan; uniqueness via the
     // same distinct-count subtraction (BIGINT − BIGINT stays BIGINT)
     "q239_expectations" ->

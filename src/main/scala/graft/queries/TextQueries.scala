@@ -208,6 +208,69 @@ object TextQueries {
             (conv(substring(col("hmax"), 1, 8), 16, 10).cast("double")
               / 4294967296.0), 6).as("est_vocab"))
     }),
+    // q250: KMV sketch SET OPERATIONS — per source pair, the union and
+    // intersection vocabulary estimates derived ONLY from the per-source
+    // k=16 sketches (pair-merged sketch for the union, inclusion-
+    // exclusion for the intersection, clamped at 0), with the EXACT
+    // intersection beside them as the audit column: q213 proves sketches
+    // merge; this proves the merged algebra answers overlap questions —
+    // the sketch path for q127's cross-source contamination matrix when
+    // exact vocab joins are unaffordable. DETERMINISM: md5 total order,
+    // exact integer counts, the estimate divisions in one fixed
+    // expression per row, round 6. Scale shape: sketch algebra touches
+    // |sources|·k rows (|sources|²·2k for the pair merge); only the
+    // audit column's vocab self-join is vocabulary-sized.
+    "q250_kmv_setops" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val k = 16
+      val vocab = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+        .select(col("source"), col("word")).distinct()
+        .persist()
+      val sk = vocab
+        .select(col("source"), md5(col("word")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h").asc)))
+        .filter(col("rk") <= k)
+        .persist()
+      def est(ka: org.apache.spark.sql.Column,
+          hm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (ka - 1).cast("double") /
+          (conv(substring(hm, 1, 8), 16, 10).cast("double") / 4294967296.0)
+      val per = sk.groupBy("source")
+        .agg(count(lit(1)).as("ka"), max(col("h")).as("hm"))
+      val pairs = per
+        .select(col("source").as("source_a"), col("ka").as("ka_a"), col("hm").as("hm_a"))
+        .crossJoin(per.select(col("source").as("source_b"),
+          col("ka").as("ka_b"), col("hm").as("hm_b")))
+        .filter(col("source_a") < col("source_b"))
+      val grid = pairs.select("source_a", "source_b")
+      val u = grid.join(sk.select(col("source").as("source_a"), col("h")), Seq("source_a"))
+        .select("source_a", "source_b", "h")
+        .unionByName(
+          grid.join(sk.select(col("source").as("source_b"), col("h")), Seq("source_b"))
+            .select("source_a", "source_b", "h"))
+        .distinct()
+      val mu = u
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source_a", "source_b").orderBy(col("h").asc)))
+        .filter(col("rk") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("ka_u"), max(col("h")).as("hm_u"))
+      val ex = vocab.select(col("source").as("source_a"), col("word"))
+        .join(vocab.select(col("source").as("source_b"), col("word")), Seq("word"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("nx"))
+      pairs.join(mu, Seq("source_a", "source_b"))
+        .join(ex, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          round(est(col("ka_u"), col("hm_u")), 6).as("est_union"),
+          round(greatest(lit(0.0),
+            est(col("ka_a"), col("hm_a")) + est(col("ka_b"), col("hm_b"))
+              - est(col("ka_u"), col("hm_u"))), 6).as("est_intersect"),
+          coalesce(col("nx"), lit(0L)).as("n_exact_intersect"))
+    }),
     // q186: per-source hapax-legomena profile — the vocabulary size of
     // each source and how much of it is corpus-frequency-1 (hapax). A
     // high hapax ratio flags OCR noise / random-suffix boilerplate; a
@@ -1025,6 +1088,53 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same md5 bottom-16 sketches, same pair-merged union sketch, same
+    // inclusion-exclusion with the 0 clamp, same exact-join audit column
+    "q250_kmv_setops" ->
+      s"""$WordsCte,
+         |vocab AS (
+         |  SELECT DISTINCT d.source, t.word
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM wd) t
+         |  JOIN documents d ON d.doc_id = t.doc_id),
+         |sk AS (SELECT source, h FROM (
+         |  SELECT source, md5(word) AS h,
+         |         row_number() OVER (PARTITION BY source ORDER BY md5(word)) AS rk
+         |  FROM vocab) WHERE rk <= 16),
+         |per AS (SELECT source, count(*) AS ka, max(h) AS hm FROM sk GROUP BY 1),
+         |grid AS (SELECT a.source AS source_a, b.source AS source_b
+         |         FROM per a JOIN per b ON a.source < b.source),
+         |u AS (
+         |  SELECT DISTINCT source_a, source_b, h FROM (
+         |    SELECT g.source_a, g.source_b, s.h
+         |    FROM grid g JOIN sk s ON s.source = g.source_a
+         |    UNION ALL
+         |    SELECT g.source_a, g.source_b, s.h
+         |    FROM grid g JOIN sk s ON s.source = g.source_b)),
+         |mu AS (SELECT source_a, source_b, count(*) AS ka_u, max(h) AS hm_u FROM (
+         |  SELECT source_a, source_b, h,
+         |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk
+         |  FROM u) WHERE rk <= 16 GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS nx
+         |  FROM vocab a JOIN vocab b ON a.word = b.word AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT m.source_a, m.source_b,
+         |  round((m.ka_u - 1) * 1.0
+         |        / (CAST(('0x' || substr(m.hm_u, 1, 8)) AS BIGINT) / 4294967296.0),
+         |        6) AS est_union,
+         |  round(greatest(CAST(0 AS DOUBLE),
+         |      (pa.ka - 1) * 1.0
+         |        / (CAST(('0x' || substr(pa.hm, 1, 8)) AS BIGINT) / 4294967296.0)
+         |    + (pb.ka - 1) * 1.0
+         |        / (CAST(('0x' || substr(pb.hm, 1, 8)) AS BIGINT) / 4294967296.0)
+         |    - (m.ka_u - 1) * 1.0
+         |        / (CAST(('0x' || substr(m.hm_u, 1, 8)) AS BIGINT) / 4294967296.0)),
+         |    6) AS est_intersect,
+         |  coalesce(ex.nx, 0) AS n_exact_intersect
+         |FROM mu m
+         |JOIN per pa ON pa.source = m.source_a
+         |JOIN per pb ON pb.source = m.source_b
+         |LEFT JOIN ex ON ex.source_a = m.source_a AND ex.source_b = m.source_b""".stripMargin,
     // same (freq desc, word) vocabulary ranks, same one-fold coverage
     // sums at the three candidate sizes
     "q245_coverage_curve" ->

@@ -78,7 +78,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q243_ngram_novelty", "q244_padding_efficiency",
     "q245_coverage_curve", "q246_lang_mismatch",
     "q247_phrase_from_index", "q248_min_window",
-    "q249_tombstone_compaction")
+    "q249_tombstone_compaction", "q250_kmv_setops",
+    "q251_holt_backtest", "q252_next_purchase")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

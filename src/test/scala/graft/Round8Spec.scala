@@ -119,6 +119,38 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q250: sketch set-op estimates respect set algebra bounds") {
+    val r = rows("q250_kmv_setops")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val estU = row.getDouble(2)
+      val estI = row.getDouble(3)
+      assert(estU > 0.0)
+      assert(estI >= 0.0)
+      assert(estI <= estU + 1e-6, "intersection estimate exceeds union estimate")
+    }
+  }
+
+  test("q251: Holt backtest emits a full-coverage split and finite errors") {
+    val r = rows("q251_holt_backtest")
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) > 14, "need enough days for a 7-day holdout")
+    assert(row.getDouble(3) >= 0.0 && !row.getDouble(3).isNaN)
+    assert(row.getDouble(4) >= 0.0 && !row.getDouble(4).isNaN)
+  }
+
+  test("q252: every matched next purchase is at or after its view") {
+    val r = rows("q252_next_purchase")
+    assert(r.nonEmpty)
+    val matched = r.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty, "fixture should produce some conversions")
+    matched.foreach { row =>
+      assert(row.getLong(4) >= 0, "gap must be non-negative")
+      assert(row.getLong(3) == row.getLong(2) + row.getLong(4))
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
