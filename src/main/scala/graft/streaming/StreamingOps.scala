@@ -190,6 +190,41 @@ object StreamingOps {
       }
   }
 
+  case class HoltState(l: Double, b: Double, n: Long)
+  case class HoltUpdate(user_id: Long, n_events: Long, level: Double, trend: Double)
+
+  /** Per-key Holt linear-trend state (α = β = ½) — q251's coupled
+    * (level, trend) fold run incrementally on an unbounded stream:
+    * state per key is O(1) (l, b, count); the first event seeds
+    * (l = x, b = 0) and each subsequent event applies the identical
+    * IEEE steps l' = (x + l + b)/2, b' = (l' − l + b)/2 the batch fold
+    * uses, so for in-order delivery the stream's final state bit-equals
+    * the batch `aggregate` over the full history (parity asserted in
+    * StreamingSpec). The continuously-maintained one-step forecast is
+    * l + b — the state a live anomaly gate reads without ever
+    * recomputing the series.
+    */
+  def holtPerKey(events: Dataset[ValEvent]): Dataset[HoltUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[HoltState, HoltUpdate](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[HoltState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.n == 0L) HoltState(e.value, 0.0, 1L)
+              else {
+                val l2 = (e.value + st.l + st.b) / 2
+                HoltState(l2, (l2 - st.l + st.b) / 2, st.n + 1)
+              }
+          }
+          state.update(st)
+          HoltUpdate(uid, st.n, st.l, st.b)
+      }
+  }
+
   /** Gap-based sessionization (30-min inactivity) with event-time timeout.
     * State per user is O(1) (start, lastSeen, count) — the custom-state
     * pattern (KeyValueGroupedDataset.flatMapGroupsWithState) that covers

@@ -256,6 +256,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Holt state equals the batch fold across micro-batches (q251 twin)") {
+    import graft.streaming.StreamingOps.{ValEvent, HoltUpdate}
+    val ms = MemoryStream[ValEvent](spark)
+    val q = StreamingOps.holtPerKey(ms.toDS())
+      .writeStream.format("memory").queryName("holt").outputMode("update").start()
+    val batch1 = Seq(
+      ValEvent(1L, ts("10:00"), 1L, 10.0), ValEvent(1L, ts("10:05"), 2L, 30.0),
+      ValEvent(2L, ts("10:01"), 3L, 7.5))
+    val batch2 = Seq(
+      ValEvent(1L, ts("10:20"), 4L, 50.0),
+      ValEvent(2L, ts("10:21"), 5L, 2.5), ValEvent(2L, ts("10:22"), 6L, 4.0))
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("holt").as[HoltUpdate].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      // independent batch fold over the full in-order history (q251's lambda)
+      def fold(xs: Seq[Double]): (Double, Double) =
+        xs.tail.foldLeft((xs.head, 0.0)) { case ((l, b), x) =>
+          val l2 = (x + l + b) / 2
+          (l2, (l2 - l + b) / 2)
+        }
+      val all = (batch1 ++ batch2).groupBy(_.user_id).view
+        .mapValues(es => es.sortBy(e => (e.ts.getTime, e.event_id)).map(_.value)).toMap
+      all.foreach { case (u, vs) =>
+        val (l, b) = fold(vs)
+        assert(got(u).n_events == vs.length)
+        assert(got(u).level == l && got(u).trend == b,
+          s"user $u stream/batch Holt state differ")
+      }
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on inactivity gap") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingOps.sessionize(ms.toDS())
