@@ -222,6 +222,39 @@ object DedupQueries {
           .as("rep_ratio"))
   }
 
+  /** q256: quality-aware survivorship — q37's near-dup clusters with
+    * the keeper elected by CONTENT QUALITY (most words, tie-broken by
+    * lowest id) instead of q38's min-id rule: per cluster, its size,
+    * the elected keeper and the keeper's word count. Production dedup
+    * pipelines keep the best-quality member of each duplicate group
+    * (the longest / least-truncated crawl of a page), not an arbitrary
+    * one — this is that election, isolated and oracle-pinned.
+    * DETERMINISM: word counts are exact ints; the election is a total
+    * (n_words desc, id asc) order per cluster. Scale shape: clustering
+    * is q37's bounded-rounds CC; the election joins the cluster-member
+    * table (near-dup-volume-sized, not corpus-sized) to a narrow
+    * (id, n_words) projection and runs one window partitioned by the
+    * cluster label — no global sort, no corpus shuffle.
+    */
+  def q256QualitySurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
+        .select(col("id_a"), col("id_b")))
+    val words = d.select(col("doc_id"),
+      size(graft.functions.TextFunctions.wordsArr(col("text"))).as("n_words"))
+    labels.join(words, labels("id") === words("doc_id"))
+      .select(col("comp"), col("id"), col("n_words"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("comp")
+          .orderBy(col("n_words").desc, col("id").asc)))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("comp")))
+      .filter(col("rk") === 1)
+      .select(col("comp").as("cluster"), col("n_members"),
+        col("id").as("keeper_id"), col("n_words").as("keeper_words"))
+  }
+
   /** q37: near-duplicate clusters — connected components (min-id label)
     * over the q32 shared-shingle Jaccard pair graph; the "turn pairs
     * into dedup groups" step. The oracle computes the same transitive
@@ -461,6 +494,7 @@ object DedupQueries {
     "q152_prefix_filter_join" -> (q152PrefixFilterJoin _),
     "q114_cluster_weights" -> (q114ClusterWeights _),
     "q37_dup_clusters" -> (q37DupClusters _),
+    "q256_quality_survivorship" -> (q256QualitySurvivorship _),
     "q38_dedup_apply" -> (q38DedupApply _),
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
@@ -787,6 +821,20 @@ object DedupQueries {
     "q37_dup_clusters" ->
       s"""$ClusterCte
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // q37's closure with the (n_words desc, id asc) keeper election and
+    // per-cluster member count
+    "q256_quality_survivorship" ->
+      s"""$ClusterCte,
+         |labels AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, len(w) AS n_words FROM wd)
+         |SELECT cluster, n_members, keeper_id, keeper_words FROM (
+         |  SELECT l.comp AS cluster, l.id AS keeper_id,
+         |         q.n_words AS keeper_words,
+         |         row_number() OVER (PARTITION BY l.comp
+         |                            ORDER BY q.n_words DESC, l.id ASC) AS rk,
+         |         count(*) OVER (PARTITION BY l.comp) AS n_members
+         |  FROM labels l JOIN q ON q.doc_id = l.id)
+         |WHERE rk = 1""".stripMargin,
     // mirrors q114: q38's keeper predicate, plus the component size as
     // the carried weight (unclustered docs weight 1)
     "q114_cluster_weights" ->

@@ -211,6 +211,38 @@ object HygieneQueries {
     * the Expand doubles the scan rows but the shuffle carries only group
     * keys; the violation filter runs on the (tiny) group table.
     */
+  /** q258: differentially-private histogram release — per (source, lang)
+    * document counts with deterministic Laplace(b=1) noise, the
+    * governance sibling of k-anonymity q154: the noised counts are what
+    * a pipeline may publish externally when the raw per-slice counts
+    * are themselves sensitive. The noise draw inverts the Laplace CDF
+    * at a uniform derived from md5(source|lang|dp) — a REPLAYABLE
+    * release: the same groups noise identically on any engine or
+    * re-run, so published artifacts are reproducible and auditable
+    * (true ε-DP would use a secret seed; the mechanism and calibration
+    * are identical). DETERMINISM: the uniform is an exact 32-bit
+    * dyadic rational from md5; the single ln is 1e9-quantized before
+    * use (the q197/q218 idiom); everything else is integer/exact.
+    * Scale shape: one |groups|-row hash agg + a per-row noise
+    * projection — no join, no window, no corpus re-scan.
+    */
+  def q258DpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(md5(concat_ws("|", col("source"), col("lang"),
+      lit("dp"))), 1, 8), 16, 10).cast("double")
+    val u = v / 4294967296.0 - 0.5
+    val lnq = round(log(greatest(lit(1e-12),
+      lit(1.0) - lit(2.0) * abs(u))) * 1e9, 0).cast("long")
+    docs(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lq", lnq)
+      .withColumn("u", u)
+      .select(col("source"), col("lang"), col("n"),
+        round(col("n") +
+          when(col("u") >= 0, -col("lq")).otherwise(col("lq")) / 1e9, 6)
+          .as("noisy_n"))
+  }
+
   def q154KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
       .select(col("lang"), col("source"),
@@ -377,6 +409,7 @@ object HygieneQueries {
     "q238_filter_funnel" -> (q238FilterFunnel _),
     "q242_mix_temperature" -> (q242MixTemperature _),
     "q154_k_anonymity" -> (q154KAnonymity _),
+    "q258_dp_counts" -> (q258DpCounts _),
     "q155_compaction_bins" -> (q155CompactionBins _),
     "q138_weighted_sample" -> (q138WeightedSample _),
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
@@ -402,6 +435,25 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same md5-derived 32-bit uniform, same 1e9-quantized ln, same
+    // inverse-CDF sign rule
+    "q258_dp_counts" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |x AS (
+        |  SELECT source, lang, n,
+        |    CAST(('0x' || substr(md5(source || '|' || lang || '|dp'), 1, 8))
+        |         AS BIGINT) / 4294967296.0 - 0.5 AS u
+        |  FROM g),
+        |l AS (
+        |  SELECT source, lang, n, u,
+        |    CAST(round(ln(greatest(1e-12, 1.0 - 2.0 * abs(u))) * 1e9)
+        |         AS BIGINT) AS lq
+        |  FROM x)
+        |SELECT source, lang, n,
+        |  round(n + (CASE WHEN u >= 0 THEN -lq ELSE lq END) / 1e9, 6)
+        |    AS noisy_n
+        |FROM l""".stripMargin,
     // same per-doc token counts, same ntile bucketings (the engine's
     // ntileExact is bit-equal to SQL ntile), same Σ n·max padded totals
     "q244_padding_efficiency" -> {

@@ -2142,6 +2142,52 @@ object RelationalQueries {
     * 5 bounded shuffles (q37's CC analysis applies); the edge list is
     * reused across rounds from one persist.
     */
+  /** q254: bipartite HITS over the customer→part purchase graph — two
+    * hub/authority rounds (customers are hubs, parts authorities) with
+    * max-normalization after every half-step, reporting the top-15
+    * authority parts (the "consensus bestsellers" bought by the
+    * broadest high-activity customers — degree q148 reweighted by WHO
+    * buys). Same bounded-rounds family as PageRank q240 / label
+    * propagation q199, but bipartite with per-half-step renorm.
+    * DETERMINISM: scores are 1e9 fixed-point longs; every half-step is
+    * an exact integer sum followed by integer division by the max (a
+    * 1-row broadcast), so results are partition-order invariant and
+    * engine-replayable bit-for-bit. Scale shape: the edge build is one
+    * orderkey equi-join + distinct (corpus-grain, two exchanges,
+    * persisted across rounds); each half-step is an equi-join of edges
+    * with a node-grain score table + a hash agg — never a cross
+    * product; normalization broadcasts one scalar. The top-15 is a
+    * TakeOrdered, never a full sort.
+    */
+  def q254Hits(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().persist()
+    // half-step 1: auth <- Σ hub0 (hub0 = 1e9 for every customer)
+    val a1 = edges.groupBy("p")
+      .agg((count(lit(1)) * lit(1000000000L)).as("a"))
+    val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("am"))))
+      .select(col("p"),
+        expr("(CAST(a AS DECIMAL(38,0)) * 1000000000) div am").as("a"))
+    // half-step 2: hub <- Σ auth over the customer's parts
+    val h1 = edges.join(a1n, Seq("p")).groupBy("c").agg(sum(col("a")).as("h"))
+    val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("hm"))))
+      .select(col("c"),
+        expr("(CAST(h AS DECIMAL(38,0)) * 1000000000) div hm").as("h"))
+    // half-step 3: auth round 2 from the renormalized hubs
+    val a2 = edges.join(h1n, Seq("c")).groupBy("p")
+      .agg(sum(col("h")).as("a2"), count(lit(1)).as("n_buyers"))
+    a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("am2"))))
+      .select(col("p").as("l_partkey"), col("n_buyers"),
+        expr("(CAST(a2 AS DECIMAL(38,0)) * 1000000000) div am2")
+          .as("authority_fp"))
+      .orderBy(col("authority_fp").desc, col("l_partkey").asc)
+      .limit(15)
+      .withColumn("authority", round(col("authority_fp") / 1e9, 6))
+  }
+
   def q199LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     val und = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
     var labels = und.select(col("a").as("node")).distinct()
@@ -3026,6 +3072,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_hits" -> q254Hits _,
     "q233_temporal_pmi" -> q233TemporalPmi _,
     "q228_price_index" -> q228PriceIndex _,
     "q226_streak_histogram" -> q226StreakHistogram _,
@@ -3145,6 +3192,37 @@ object RelationalQueries {
       |GROUP BY n_name, r_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same distinct purchase edges, same three 1e9 fixed-point
+    // half-steps (HUGEINT is the exact int128 twin of DECIMAL(38,0)),
+    // same integer-div renorm, same (authority desc, part asc) top-15
+    "q254_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (
+        |  SELECT p, count(*) * CAST(1000000000 AS HUGEINT) AS a
+        |  FROM e GROUP BY 1),
+        |a1n AS (
+        |  SELECT p, (a * 1000000000) // (SELECT max(a) FROM a1) AS a
+        |  FROM a1),
+        |h1 AS (
+        |  SELECT e.c, sum(a.a) AS h FROM e JOIN a1n a ON a.p = e.p
+        |  GROUP BY 1),
+        |h1n AS (
+        |  SELECT c, (CAST(h AS HUGEINT) * 1000000000)
+        |              // (SELECT max(h) FROM h1) AS h
+        |  FROM h1),
+        |a2 AS (
+        |  SELECT e.p, sum(h.h) AS a2, count(*) AS n_buyers
+        |  FROM e JOIN h1n h ON h.c = e.c GROUP BY 1),
+        |a2n AS (
+        |  SELECT p, n_buyers,
+        |         CAST((CAST(a2 AS HUGEINT) * 1000000000)
+        |              // (SELECT max(a2) FROM a2) AS BIGINT) AS authority_fp
+        |  FROM a2)
+        |SELECT p AS l_partkey, n_buyers, authority_fp,
+        |       round(authority_fp / 1e9, 6) AS authority
+        |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
     // q210's pair counts with exact integer marginals; each PMI one ln
     // of a four-integer ratio
     "q233_temporal_pmi" ->

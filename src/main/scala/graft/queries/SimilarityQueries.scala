@@ -42,6 +42,38 @@ object SimilarityQueries {
       v.filter(col("vec_id") < 10), v, "vec_id", k = 5, maxCos = 0.30)
   }
 
+  /** q255: embedding-space decontamination — every corpus vector
+    * (vec_id >= 20) whose 6dp cosine against ANY held-out eval vector
+    * (vec_id < 20) reaches the near-dup threshold (0.30), with the
+    * match count, the closest eval item and its cosine. This is the
+    * SEMANTIC complement of the n-gram decontamination pair (exact q78
+    * / Bloom q93): paraphrased benchmark leakage that shares no
+    * surface n-grams still collides in embedding space. Plan contract:
+    * the eval side is the broadcast side (benchmarks are
+    * thousands-of-rows, never corpus-scale), the corpus STREAMS
+    * through one scan with a codegen'd [[graft.functions.VectorDot]]
+    * per (row × eval) — cost |eval|·N flat per corpus row, no
+    * corpus-side shuffle until the per-hit window, which is
+    * hit-volume-sized and partitioned by the corpus id. DETERMINISM:
+    * same 6dp cosine and (cos desc, id asc) tie rule as q40.
+    */
+  def q255EmbedDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val pairs = Similarity.bruteForcePairs(
+      v.filter(col("vec_id") < 20), v.filter(col("vec_id") >= 20),
+      "vec_id", minCos = 0.30)
+    import org.apache.spark.sql.expressions.Window
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cand_id")
+          .orderBy(col("cos").desc, col("query_id").asc)))
+      .withColumn("n_eval_matches",
+        count(lit(1)).over(Window.partitionBy("cand_id")))
+      .filter(col("rk") === 1)
+      .select(col("cand_id").as("vec_id"), col("n_eval_matches"),
+        col("query_id").as("closest_eval_id"), col("cos").as("max_cos"))
+  }
+
   /** q124: ANN quality evaluation — recall@10 of the production-parameter
     * IVF index (q80's `cells = ⌈√N⌉`, nProbe = 3) against the exact
     * top-10, over a 50-query sample. This is the operator an embedding
@@ -658,6 +690,7 @@ object SimilarityQueries {
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
     "q118_hard_negatives" -> (q118HardNegatives _),
+    "q255_embed_decontaminate" -> (q255EmbedDecontaminate _),
     "q124_ann_recall" -> (q124AnnRecall _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_ann_ivf" -> (q42AnnIvf _),
@@ -739,6 +772,24 @@ object SimilarityQueries {
       |  WHERE r = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same eval/corpus split, same 6dp cosine threshold, same
+    // (cos desc, eval id asc) closest-match rule and per-corpus-id count
+    "q255_embed_decontaminate" ->
+      s"""$CosCte,
+         |p AS (
+         |  SELECT c.vec_id AS cand_id, q.vec_id AS query_id,
+         |         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20
+         |  WHERE round(list_cosine_similarity(q.v, c.v), 6) >= 0.30)
+         |SELECT cand_id AS vec_id, n_eval_matches,
+         |       query_id AS closest_eval_id, cos AS max_cos
+         |FROM (
+         |  SELECT cand_id, query_id, cos,
+         |         row_number() OVER (PARTITION BY cand_id
+         |                            ORDER BY cos DESC, query_id ASC) AS rk,
+         |         count(*) OVER (PARTITION BY cand_id) AS n_eval_matches
+         |  FROM p)
+         |WHERE rk = 1""".stripMargin,
     // the NAIVE per-dim rank-at-ceil(n/2) selection — the driver compare
     // proves the grouped two-pass binned plan equals it
     "q221_embed_medians" ->

@@ -110,6 +110,71 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q253: tokenizer fertility by (source, lang) — per corpus slice,
+    // the cost profile a training pipeline reads before budgeting
+    // tokens: document/char/word counts, sub-token count under the
+    // BPE-ish pre-tokenizer split (q22's per-doc counters, rolled up),
+    // fertility = subtokens per whitespace word (the multiplier that
+    // turns a word budget into a token budget; code/digit-heavy
+    // sources run high), and chars per subtoken (compression the
+    // tokenizer achieves on that slice). DETERMINISM: exact integer
+    // sums; the two ratios are single divisions of longs, round 6.
+    // Scale shape: ONE scan with per-row regexp counters folded
+    // map-side into a |sources×langs|-row hash agg — no join, no
+    // window, composes with streaming ingest unchanged.
+    "q253_token_fertility" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir)
+        .select(col("source"), col("lang"),
+          length(col("text")).as("nc"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).as("nw"),
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_subtokens"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+          col("n_words"), col("n_subtokens"),
+          when(col("n_words") > 0,
+            round(col("n_subtokens").cast("double") / col("n_words"), 6))
+            .otherwise(lit(0.0)).as("fertility"),
+          when(col("n_subtokens") > 0,
+            round(col("n_chars").cast("double") / col("n_subtokens"), 6))
+            .otherwise(lit(0.0)).as("chars_per_token"))
+    }),
+    // q257: feature-hashing (hashing-trick) collision profile — the
+    // corpus vocabulary folded into 32 hash buckets (md5 16-bit prefix
+    // mod 32, the same portable coin as the split/sampling ops), per
+    // bucket: distinct words landing there (collision load), total
+    // corpus term frequency, and the bucket's share of all tokens.
+    // This is the audit a pipeline runs before swapping unbounded
+    // vocab embeddings for a fixed-width hashed TF vector (the q8
+    // term table with bounded dimensionality): skewed shares mean
+    // hash-feature collisions will dominate the signal.
+    // DETERMINISM: md5 is engine-independent; counts are exact longs,
+    // one final division. Scale shape: token scan → vocab-grain hash
+    // agg (map-side combinable) → 32-row agg; the 1-row total
+    // broadcasts back. No corpus-grain shuffle beyond the token agg.
+    "q257_feature_hash" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tf = docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .select(col("word"))
+        .groupBy("word").agg(count(lit(1)).as("tf"))
+        .select(
+          (conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long") % 32)
+            .as("bucket"),
+          col("tf"))
+      val tot = tf.agg(sum(col("tf")).as("t"))
+      tf.groupBy("bucket")
+        .agg(count(lit(1)).as("n_words"), sum(col("tf")).as("total_tf"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_words"), col("total_tf"),
+          round(col("total_tf").cast("double") / col("t"), 6).as("tf_share"))
+    }),
     // q232: quality-vs-duplication audit — documents deciled by
     // stopword ratio (q21's graded quality axis) against their exact-
     // duplicate rate (md5-fingerprint multiplicity > 1, q30's notion):
@@ -1088,6 +1153,46 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same per-row regex counters (q22's definitions), same integer
+    // sums, same zero-guarded single divisions
+    "q253_token_fertility" ->
+      """WITH t AS (
+        |  SELECT source, lang, length(text) AS nc,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> length(x) > 0)) AS nw,
+        |    len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(nt) AS BIGINT) AS n_subtokens,
+        |  CASE WHEN sum(nw) > 0
+        |       THEN round(sum(nt) * 1.0 / sum(nw), 6) ELSE 0.0 END
+        |    AS fertility,
+        |  CASE WHEN sum(nt) > 0
+        |       THEN round(sum(nc) * 1.0 / sum(nt), 6) ELSE 0.0 END
+        |    AS chars_per_token
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    // same cleaned-word vocabulary, same md5 16-bit-prefix mod-32
+    // bucket, same exact counts and one share division
+    "q257_feature_hash" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    list_transform(string_split_regex(lower(text), '\s+'),
+        |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT word, count(*) AS tf FROM w GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) % 32
+        |           AS bucket, tf
+        |  FROM tf),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM b)
+        |SELECT bucket, count(*) AS n_words,
+        |       CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       round(CAST(sum(tf) AS BIGINT) * 1.0 / t, 6) AS tf_share
+        |FROM b CROSS JOIN tot GROUP BY bucket, t""".stripMargin,
     // same md5 bottom-16 sketches, same pair-merged union sketch, same
     // inclusion-exclusion with the 0 clamp, same exact-join audit column
     "q250_kmv_setops" ->

@@ -151,6 +151,71 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q253: fertility >= 1 (every word is at least one subtoken) and chars >= subtokens") {
+    val r = rows("q253_token_fertility")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nChars, nWords, nSub) = (row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(nSub >= nWords, "a whitespace token yields >= 1 BPE-ish piece")
+      assert(nChars >= nSub, "every subtoken is >= 1 char")
+      if (nWords > 0) assert(row.getDouble(6) >= 1.0)
+    }
+  }
+
+  test("q254: authorities are 1e9-normalized, 15 rows, max attained") {
+    val r = rows("q254_hits")
+    assert(r.length == 15)
+    r.foreach { row =>
+      assert(row.getLong(1) > 0, "every ranked part has buyers")
+      assert(row.getLong(2) >= 0 && row.getLong(2) <= 1000000000L)
+    }
+    assert(r.map(_.getLong(2)).max == 1000000000L,
+      "the argmax authority part renormalizes to exactly 1e9")
+  }
+
+  test("q255: hits respect the eval/corpus split and the threshold") {
+    val r = rows("q255_embed_decontaminate")
+    assert(r.nonEmpty, "fixture should surface semantic contamination")
+    r.foreach { row =>
+      assert(row.getLong(0) >= 20, "flagged ids are corpus-side")
+      assert(row.getLong(1) >= 1)
+      assert(row.getLong(2) < 20, "closest match is eval-side")
+      assert(row.getDouble(3) >= 0.30)
+    }
+  }
+
+  test("q256: keeper election is consistent with q37's clusters") {
+    val clusters = rows("q37_dup_clusters")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val r = rows("q256_quality_survivorship")
+    assert(r.length == clusters.size, "one keeper per q37 cluster")
+    r.foreach { row =>
+      val members = clusters(row.getLong(0))
+      assert(row.getLong(1) == members.size, "n_members matches q37")
+      assert(members.contains(row.getLong(2)), "keeper is a member")
+      assert(members.size >= 2, "clusters are non-trivial")
+    }
+  }
+
+  test("q257: bucket shares sum to 1 over at most 32 buckets") {
+    val r = rows("q257_feature_hash")
+    assert(r.length <= 32 && r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(0) >= 0 && row.getLong(0) < 32)
+      assert(row.getLong(1) > 0 && row.getLong(2) >= row.getLong(1))
+    }
+    assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
+  test("q258: Laplace noise is bounded by the 32-bit inverse-CDF tail") {
+    val r = rows("q258_dp_counts")
+    assert(r.nonEmpty)
+    // |noise| <= b * ln(2^32) ~ 22.18 for a 32-bit uniform at b = 1
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(3) - row.getLong(2)) <= 23.0)
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
