@@ -2165,20 +2165,23 @@ object RelationalQueries {
     val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct().persist()
-    // half-step 1: auth <- Σ hub0 (hub0 = 1e9 for every customer)
+    // half-step 1: auth <- Σ hub0 (hub0 = 1e9 for every customer).
+    // Each score table feeds both its own max (the renorm scalar) and
+    // the next join — persist so the aggregation runs once, not twice.
     val a1 = edges.groupBy("p")
-      .agg((count(lit(1)) * lit(1000000000L)).as("a"))
+      .agg((count(lit(1)) * lit(1000000000L)).as("a")).persist()
     val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("am"))))
       .select(col("p"),
         expr("(CAST(a AS DECIMAL(38,0)) * 1000000000) div am").as("a"))
     // half-step 2: hub <- Σ auth over the customer's parts
     val h1 = edges.join(a1n, Seq("p")).groupBy("c").agg(sum(col("a")).as("h"))
+      .persist()
     val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("hm"))))
       .select(col("c"),
         expr("(CAST(h AS DECIMAL(38,0)) * 1000000000) div hm").as("h"))
     // half-step 3: auth round 2 from the renormalized hubs
     val a2 = edges.join(h1n, Seq("c")).groupBy("p")
-      .agg(sum(col("h")).as("a2"), count(lit(1)).as("n_buyers"))
+      .agg(sum(col("h")).as("a2"), count(lit(1)).as("n_buyers")).persist()
     a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("am2"))))
       .select(col("p").as("l_partkey"), col("n_buyers"),
         expr("(CAST(a2 AS DECIMAL(38,0)) * 1000000000) div am2")
