@@ -12,7 +12,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SearchQueries.queries ++ IndexParityQueries.queries ++
-      HygieneQueries.queries
+      HygieneQueries.queries ++ StreamParityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +20,5 @@ object SparkEntry {
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SearchQueries.oracleSql ++ IndexParityQueries.oracleSql ++
-      HygieneQueries.oracleSql
+      HygieneQueries.oracleSql ++ StreamParityQueries.oracleSql
 }

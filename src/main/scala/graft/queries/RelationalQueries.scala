@@ -2142,6 +2142,108 @@ object RelationalQueries {
     * 5 bounded shuffles (q37's CC analysis applies); the edge list is
     * reused across rounds from one persist.
     */
+  /** q260: cohort lifetime-value curve — customers cohorted by their
+    * first-order month; per (cohort, month offset), cohort size,
+    * cumulative revenue and cumulative LTV per customer. The
+    * subscription/retention economics readout (q123's retention
+    * triangle with revenue as the measure). DETERMINISM: revenue is
+    * integer cents end to end; the cumulative sum is a window over
+    * month offsets PARTITIONED by cohort (bounded partitions — the
+    * calendar span), divisions happen once in the final projection.
+    * Scale shape: one orders scan → customer-grain first-order agg →
+    * one custkey equi-join back → (cohort, offset) agg; every exchange
+    * is keyed, no global sort, and the cohort output grid is
+    * months²-bounded.
+    */
+  def q260CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val fo = o.groupBy("o_custkey").agg(min(col("mon")).as("cohort")).persist()
+    val sz = fo.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+    val mr = o.join(fo, Seq("o_custkey"))
+      .groupBy(col("cohort"),
+        months_between(col("mon"), col("cohort")).cast("long").as("offset_m"))
+      .agg(sum(col("cents")).as("rev"))
+    mr.withColumn("cum_cents", sum(col("rev")).over(
+        Window.partitionBy("cohort").orderBy("offset_m")))
+      .join(sz, Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM").as("cohort"),
+        col("offset_m"), col("n_customers"),
+        round(col("cum_cents") / 100.0, 2).as("cum_revenue"),
+        round(col("cum_cents") / 100.0 / col("n_customers"), 6)
+          .as("ltv_per_customer"))
+  }
+
+  /** q261: event-sequence perplexity — per user, the mean negative log
+    * likelihood of their event-type sequence under the corpus MLE
+    * first-order Markov model (q139's transition matrix): the sequence
+    * anomaly score that flags bot-like or broken navigation paths.
+    * DETERMINISM: each transition's −ln P(next|cur) is 1e9-quantized
+    * to an integer BEFORE the per-user sum (order-free exact
+    * addition), one division at the end. Scale shape: one
+    * user-partitioned lead window builds transitions; the transition
+    * matrix is a |types|²-bounded agg broadcast back onto the
+    * transition stream; the per-user rollup is one keyed hash agg.
+    * No global sort, no driver state beyond the tiny matrix.
+    */
+  def q261SeqPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("cur"), col("next_type"))
+      .persist()
+    val mat = tr.groupBy("cur", "next_type").agg(count(lit(1)).as("c"))
+      .withColumn("ct", sum(col("c")).over(Window.partitionBy("cur")))
+      .select(col("cur"), col("next_type"),
+        round(-log(col("c").cast("double") / col("ct")) * 1e9, 0)
+          .cast("long").as("nll_q"))
+    tr.join(broadcast(mat), Seq("cur", "next_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_transitions"), sum(col("nll_q")).as("s"))
+      .select(col("user_id"), col("n_transitions"),
+        round(col("s") / 1e9 / col("n_transitions"), 6).as("avg_nll"))
+  }
+
+  /** q262: right-to-be-forgotten cascade audit — the deletion-impact
+    * report a governance pipeline produces BEFORE purging: for the
+    * deterministic forget set (customers with custkey % 97 = 0), the
+    * rows that would be removed from customer, orders (by custkey) and
+    * lineitem (via the purged orders), per table beside its survivor
+    * count. DETERMINISM: pure integer counting. Scale shape: the
+    * forget predicate is a pushed-down scan filter on customer and
+    * orders; lineitem's cascade is ONE semi-join against the purged
+    * orderkeys (never a full orders⋈lineitem materialization); the
+    * report is three 1-row aggs unioned.
+    */
+  def q262ForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"))
+    val cGone = cust.filter(col("c_custkey") % 97 === 0)
+    val oGone = o.filter(col("o_custkey") % 97 === 0).persist()
+    val liGone = li.join(oGone.select(col("o_orderkey")),
+      li("l_orderkey") === col("o_orderkey"), "left_semi")
+    val cRow = cust.agg(count(lit(1)).as("n_total"))
+      .crossJoin(cGone.agg(count(lit(1)).as("n_purged")))
+      .select(lit("customer").as("table_name"), col("n_total"), col("n_purged"))
+    val oRow = o.agg(count(lit(1)).as("n_total"))
+      .crossJoin(oGone.agg(count(lit(1)).as("n_purged")))
+      .select(lit("orders").as("table_name"), col("n_total"), col("n_purged"))
+    val lRow = li.agg(count(lit(1)).as("n_total"))
+      .crossJoin(liGone.agg(count(lit(1)).as("n_purged")))
+      .select(lit("lineitem").as("table_name"), col("n_total"), col("n_purged"))
+    cRow.unionByName(oRow).unionByName(lRow)
+      .select(col("table_name"), col("n_total"), col("n_purged"),
+        (col("n_total") - col("n_purged")).as("n_kept"),
+        round(col("n_purged").cast("double") / col("n_total"), 6)
+          .as("purge_frac"))
+  }
+
   /** q254: bipartite HITS over the customer→part purchase graph — two
     * hub/authority rounds (customers are hubs, parts authorities) with
     * max-normalization after every half-step, reporting the top-15
@@ -3076,6 +3178,9 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_hits" -> q254Hits _,
+    "q260_cohort_ltv" -> q260CohortLtv _,
+    "q261_seq_perplexity" -> q261SeqPerplexity _,
+    "q262_forget_audit" -> q262ForgetAudit _,
     "q233_temporal_pmi" -> q233TemporalPmi _,
     "q228_price_index" -> q228PriceIndex _,
     "q226_streak_histogram" -> q226StreakHistogram _,
@@ -3226,6 +3331,71 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same first-order-month cohorts, same integer-cents revenue, same
+    // cohort-partitioned cumulative window, same final divisions
+    "q260_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fo AS (SELECT o_custkey, min(mon) AS cohort FROM o GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS n_customers FROM fo GROUP BY 1),
+        |mr AS (
+        |  SELECT f.cohort, date_diff('month', f.cohort, o.mon) AS offset_m,
+        |         CAST(sum(o.cents) AS BIGINT) AS rev
+        |  FROM o JOIN fo f USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, offset_m,
+        |         CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY offset_m)
+        |              AS BIGINT) AS cum_cents
+        |  FROM mr)
+        |SELECT strftime(c.cohort, '%Y-%m') AS cohort,
+        |       CAST(c.offset_m AS BIGINT) AS offset_m, s.n_customers,
+        |       round(c.cum_cents / 100.0, 2) AS cum_revenue,
+        |       round(c.cum_cents / 100.0 / s.n_customers, 6)
+        |         AS ltv_per_customer
+        |FROM cum c JOIN sz s USING (cohort)""".stripMargin,
+    // same (ts, event_id) transition order, same MLE matrix, same
+    // 1e9-quantized per-transition -ln p summed as exact integers
+    "q261_seq_perplexity" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS cur,
+        |         lead(event_type, 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT user_id, cur, nxt FROM s WHERE nxt IS NOT NULL),
+        |m AS (SELECT cur, nxt, count(*) AS c FROM tr GROUP BY 1, 2),
+        |mt AS (
+        |  SELECT cur, nxt,
+        |         CAST(round(-ln(c * 1.0 / sum(c) OVER (PARTITION BY cur)) * 1e9)
+        |              AS BIGINT) AS nll_q
+        |  FROM m)
+        |SELECT t.user_id, count(*) AS n_transitions,
+        |       round(CAST(sum(mt.nll_q) AS BIGINT) / 1e9 / count(*), 6)
+        |         AS avg_nll
+        |FROM tr t JOIN mt ON mt.cur = t.cur AND mt.nxt = t.nxt
+        |GROUP BY 1""".stripMargin,
+    // same % 97 forget set, same orderkey cascade semi-join, same
+    // three-table purge/keep report
+    "q262_forget_audit" ->
+      """WITH cg AS (
+        |  SELECT count(*) AS t, count(*) FILTER (c_custkey % 97 = 0) AS p
+        |  FROM customer),
+        |og AS (
+        |  SELECT count(*) AS t, count(*) FILTER (o_custkey % 97 = 0) AS p
+        |  FROM orders),
+        |lg AS (
+        |  SELECT count(*) AS t,
+        |         count(*) FILTER (l_orderkey IN (
+        |           SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0)) AS p
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'customer' AS table_name, t, p FROM cg
+        |  UNION ALL SELECT 'orders', t, p FROM og
+        |  UNION ALL SELECT 'lineitem', t, p FROM lg)
+        |SELECT table_name, t AS n_total, p AS n_purged, t - p AS n_kept,
+        |       round(p * 1.0 / t, 6) AS purge_frac
+        |FROM r""".stripMargin,
     // q210's pair counts with exact integer marginals; each PMI one ln
     // of a four-integer ratio
     "q233_temporal_pmi" ->

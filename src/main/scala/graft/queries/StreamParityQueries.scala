@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Streaming operators run against the REAL corpus and checked by the
+  * driver's DuckDB oracle — extending the hard correctness gate from
+  * the index parity pair (q75/q76) to the ingest-hygiene surface.
+  * MemoryStream + the chunked driver feed are the test-harness SOURCE
+  * only (production reads Kafka/files via readStream); the operator
+  * under test is the unbounded plan itself.
+  */
+object StreamParityQueries {
+
+  /** Feed `(doc_id, text)` rows through a MemoryStream in doc_id-sorted
+    * chunks of at most `maxChunk` docs, each chunk its own micro-batch
+    * (q75's bounded-driver-memory harness, shared).
+    */
+  private def runChunked(
+      spark: SparkSession, dir: String, sink: String,
+      plan: DataFrame => DataFrame, numBatches: Int = 4,
+      maxChunk: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    spark.catalog.dropTempView(sink) // re-runnable within one session
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .sort("doc_id")
+    val n = docs.count()
+    val chunk = math.min(math.max(1L, (n + numBatches - 1) / numBatches),
+      maxChunk.toLong).toInt
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = plan(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable() // barrier => each group is its own micro-batch
+      }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  /** q259: exact dedup ON INGEST, driver-verified — the corpus arrives
+    * over micro-batches through [[StreamingOps.dedupOnIngest]] (streaming
+    * `dropDuplicates` keeps the seen-fingerprint set as cross-batch
+    * operator state), and the emitted survivors are folded to
+    * (fingerprint, n_emitted). The oracle pins every distinct normalized
+    * content to EXACTLY ONE emission: if the cross-batch state ever
+    * leaked (a fingerprint re-admitted in a later micro-batch),
+    * n_emitted would read 2 and the hash would fail — so the driver's
+    * gate, not just a spec, proves the streaming dedup equals batch
+    * q30's semantics. The fingerprint grain (rather than the survivor
+    * doc ids) is deliberate: within one micro-batch `dropDuplicates`
+    * keeps an arbitrary member of a tie, so the SET of fingerprints is
+    * the deterministic contract, matching what batch dedup guarantees
+    * under partition-order freedom.
+    */
+  def q259StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    // maxChunk 4096 (vs q75's 1024): still bounded driver memory (~4 MB
+    // of text per chunk), 4× fewer micro-batch barriers on big fixtures;
+    // at gate scale (sf0.01) the ceil(n/4) split is identical either way
+    runChunked(spark, dir, "graft_q259_survivors",
+      df => StreamingOps.dedupOnIngest(df, "text"), maxChunk = 4096)
+      .select(md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_emitted"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_stream_dedup" -> (q259StreamDedup _))
+
+  val oracleSql: Map[String, String] = Map(
+    // one emission per distinct normalized content — the batch q30
+    // grain; any cross-batch state leak shows up as n_emitted = 2
+    "q259_stream_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       CAST(1 AS BIGINT) AS n_emitted
+        |FROM documents GROUP BY 1""".stripMargin)
+}

@@ -216,6 +216,55 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q259: streaming dedup emits every fingerprint exactly once across micro-batches") {
+    val r = rows("q259_stream_dedup")
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(1) == 1L), "a cross-batch state leak would re-emit")
+    assert(r.map(_.getString(0)).distinct.length == r.length)
+  }
+
+  test("q260: LTV curve is non-decreasing within each cohort and consistent with size") {
+    val r = rows("q260_cohort_ltv")
+    assert(r.nonEmpty)
+    r.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getDouble(3) >= a.getDouble(3))
+        case _ => ()
+      }
+    }
+    r.foreach { row =>
+      val expect = row.getDouble(3) / row.getLong(2)
+      assert(math.abs(row.getDouble(4) - expect) < 1e-4)
+    }
+  }
+
+  test("q261: sequence NLL is non-negative and transition mass conserves") {
+    val r = rows("q261_seq_perplexity")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 1)
+      assert(row.getDouble(2) >= 0.0)
+    }
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(r.map(_.getLong(1)).sum == nEvents - nUsers,
+      "every user contributes (events - 1) transitions")
+  }
+
+  test("q262: forget cascade conserves rows and fires on every table") {
+    val r = rows("q262_forget_audit")
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2) + row.getLong(3))
+    }
+    val m = r.map(row => row.getString(0) -> row.getLong(2)).toMap
+    assert(m("customer") > 0 && m("orders") > 0)
+    assert(m("lineitem") >= m("orders"),
+      "each purged order cascades to >= 1 lineitem on this fixture")
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
