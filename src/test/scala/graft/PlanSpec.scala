@@ -313,6 +313,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q255: the eval set is the broadcast side of the decontamination scan") {
+    val p = plan("q255_embed_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "never a partitioned cross product")
+  }
+
+  test("q262: the lineitem cascade plans a semi join, never a full join") {
+    val p = plan("q262_forget_audit")
+    assert(p.contains("LeftSemi"), s"cascade must stay semi:\n$p")
+  }
+
+  test("q254: HITS half-steps plan equi-joins only; renorm scalars broadcast") {
+    val df = SparkEntry.queries("q254_hits")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(!p.contains("CartesianProduct"), s"no partitioned cross product:\n$p")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).size >= 1,
+      "the 1-row max tables must broadcast")
+  }
+
   test("every Bench headline name resolves to a registered query") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"Bench would silently skip: $missing")
