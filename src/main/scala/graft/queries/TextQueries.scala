@@ -175,6 +175,61 @@ object TextQueries {
         .select(col("bucket"), col("n_words"), col("total_tf"),
           round(col("total_tf").cast("double") / col("t"), 6).as("tf_share"))
     }),
+    // q263: BPE merge learning — five rounds of the byte-pair-encoding
+    // vocabulary construction loop over the corpus word types: start
+    // from character symbols, and each round (a) count every adjacent
+    // symbol pair weighted by word frequency, (b) pick the most
+    // frequent pair (ties: lexicographic), (c) greedily left-to-right
+    // merge it in every word. q105 counts ONE round's pairs; this runs
+    // the actual iterative learner a tokenizer build executes.
+    // DETERMINISM: pair counts are exact integer sums; the per-round
+    // winner has a total (cnt desc, a asc, b asc) order; the merge is
+    // the standard greedy left fold (both engines fold left-to-right:
+    // Spark `aggregate`, DuckDB `list_reduce`). Scale shape: the loop
+    // state is VOCABULARY-grain (word types × symbol arrays, persisted
+    // per round) — corpus row count prices only the initial word-count
+    // agg; each round is one explode + hash agg + a 1-ROW driver
+    // round-trip (the kmeans bounded-state pattern: the chosen pair is
+    // a plan literal, so no corpus- or vocab-grain driver state) + a
+    // narrow fold projection. Rounds are a constant (5).
+    "q263_bpe_learn" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      var syms = docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .select("word", "freq", "syms").persist()
+      val out = collection.mutable.Buffer.empty[(Int, String, String, Long, String)]
+      for (r <- 1 to 5) {
+        val top = syms.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS a,
+              |              element_at(syms, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        out += ((r, a, b, cnt, a + b))
+        val merged = syms.withColumn("syms", expr(
+          s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a'
+             |            AND x = '$b'
+             |       THEN concat(slice(acc, 1, size(acc) - 1),
+             |                   array('$a' || '$b'))
+             |       ELSE concat(acc, array(x)) END)""".stripMargin))
+          .persist()
+        merged.count() // materialize before releasing the parent round
+        syms.unpersist()
+        syms = merged
+      }
+      syms.unpersist()
+      import s.implicits._
+      out.toSeq.toDF("round", "lhs", "rhs", "pair_freq", "merged_token")
+    }),
     // q232: quality-vs-duplication audit — documents deciled by
     // stopword ratio (q21's graded quality axis) against their exact-
     // duplicate rate (md5-fingerprint multiplicity > 1, q30's notion):
@@ -1153,6 +1208,43 @@ object TextQueries {
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same char-symbol start, five unrolled (pair-count → top-1 →
+    // greedy left-fold merge) rounds; DuckDB's list slice end is
+    // INCLUSIVE, so dropping the accumulator's last element is [:-2]
+    "q263_bpe_learn" -> {
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT s.syms[CAST(i AS INT)] AS a,
+           |         s.syms[CAST(i AS INT) + 1] AS b,
+           |         CAST(sum(s.freq) AS BIGINT) AS cnt
+           |  FROM s${r - 1} s, unnest(range(1, len(s.syms))) AS u(i)
+           |  GROUP BY 1, 2),
+           |t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$r AS (
+           |  SELECT w.word, w.freq,
+           |         list_reduce(list_transform(w.syms, s -> [s]),
+           |           (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+           |                       THEN list_append(acc[:-2], t.a || t.b)
+           |                       ELSE list_concat(acc, x) END) AS syms
+           |  FROM s${r - 1} w CROSS JOIN t$r t)""".stripMargin
+      def row(r: Int): String =
+        s"""SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_freq,
+           |       a || b AS merged_token FROM t$r""".stripMargin
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+         |    x -> length(x) > 0)) AS word
+         |  FROM documents),
+         |wt AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+         |s0 AS (
+         |  SELECT word, freq,
+         |         list_transform(range(1, length(word) + 1),
+         |                        i -> substr(word, CAST(i AS INT), 1)) AS syms
+         |  FROM wt),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |${(1 to 5).map(row).mkString("\nUNION ALL ")}""".stripMargin
+    },
     // same per-row regex counters (q22's definitions), same integer
     // sums, same zero-guarded single divisions
     "q253_token_fertility" ->

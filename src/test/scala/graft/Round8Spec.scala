@@ -265,6 +265,21 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
       "each purged order cascades to >= 1 lineitem on this fixture")
   }
 
+  test("q263: BPE winners are concatenations and max pair frequency never increases") {
+    val r = rows("q263_bpe_learn").sortBy(_.getInt(0))
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getString(4) == row.getString(1) + row.getString(2))
+      assert(row.getLong(3) > 0)
+    }
+    // a merge can only create pairs at most as frequent as the merged one
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(3) <= a.getLong(3),
+        s"round ${b.getInt(0)} freq ${b.getLong(3)} > round ${a.getInt(0)} ${a.getLong(3)}")
+      case _ => ()
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
