@@ -2244,6 +2244,33 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q265: daily-active and cumulative-unique users — per day: DAU,
+    * first-time users, and the running total of distinct users ever
+    * seen (the growth-accounting triplet every product dashboard
+    * leads with). Computing cumulative uniques naively needs a
+    * distinct over an ever-growing prefix per day; this plan gets it
+    * exactly from first-seen dates: cum_users(d) = Σ new_users(≤d).
+    * DETERMINISM: pure integer counting over exact dates (UTC
+    * session). Scale shape: ONE (user, day) dedup agg is the only
+    * corpus-sized exchange; DAU and first-seen fold from it; the
+    * running sum is a day-grain window (calendar-bounded partition).
+    */
+  def q265CumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct().persist()
+    val daily = du.groupBy("d").agg(count(lit(1)).as("daily_active"))
+    val nw = du.groupBy("user_id").agg(min(col("d")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    daily.join(nw, Seq("d"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy("d")))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("daily_active"), col("new_users"), col("cum_users"))
+  }
+
   /** q254: bipartite HITS over the customer→part purchase graph — two
     * hub/authority rounds (customers are hubs, parts authorities) with
     * max-normalization after every half-step, reporting the top-15
@@ -3179,6 +3206,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_hits" -> q254Hits _,
     "q260_cohort_ltv" -> q260CohortLtv _,
+    "q265_cumulative_uniques" -> q265CumulativeUniques _,
     "q261_seq_perplexity" -> q261SeqPerplexity _,
     "q262_forget_audit" -> q262ForgetAudit _,
     "q233_temporal_pmi" -> q233TemporalPmi _,
@@ -3331,6 +3359,21 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same (user, day) dedup grain, same first-seen derivation, same
+    // day-ordered running sum
+    "q265_cumulative_uniques" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |daily AS (SELECT d, count(*) AS daily_active FROM du GROUP BY 1),
+        |f AS (SELECT user_id, min(d) AS d FROM du GROUP BY 1),
+        |nw AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1),
+        |j AS (
+        |  SELECT daily.d, daily.daily_active,
+        |         coalesce(nw.new_users, CAST(0 AS BIGINT)) AS new_users
+        |  FROM daily LEFT JOIN nw USING (d))
+        |SELECT strftime(d, '%Y-%m-%d') AS day, daily_active, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+        |FROM j""".stripMargin,
     // same first-order-month cohorts, same integer-cents revenue, same
     // cohort-partitioned cumulative window, same final divisions
     "q260_cohort_ltv" ->

@@ -109,6 +109,56 @@ object TextQueries {
       .select("id_a", "id_b", "shared", "containment")
   }
 
+  /** Shared BPE learning loop (q263 merges / q264 compression curve):
+    * `rounds` iterations of count-adjacent-pairs → (cnt desc, lex)
+    * winner → greedy left-to-right merge over the persisted
+    * VOCABULARY-grain symbol table. Driver state per round is bounded:
+    * the 1-row winning pair (a plan literal for the merge fold — the
+    * kmeans pattern) and one Σ freq·|syms| scalar. Returns the merge
+    * log and the per-round corpus token totals (index 0 = characters).
+    */
+  private def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) = {
+    import org.apache.spark.sql.functions._
+    var syms = docs(s, dir)
+      .select(graft.functions.AlnumTokens(col("text")))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select("word", "freq", "syms").persist()
+    def total(df: DataFrame): Long =
+      df.agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
+    val merges = collection.mutable.Buffer.empty[(Int, String, String, Long, String)]
+    val totals = collection.mutable.Buffer((0, total(syms)))
+    for (r <- 1 to rounds) {
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, a, b, cnt, a + b))
+      val merged = syms.withColumn("syms", expr(
+        s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+           |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a'
+           |            AND x = '$b'
+           |       THEN concat(slice(acc, 1, size(acc) - 1),
+           |                   array('$a' || '$b'))
+           |       ELSE concat(acc, array(x)) END)""".stripMargin))
+        .persist()
+      totals += ((r, total(merged))) // also materializes before release
+      syms.unpersist()
+      syms = merged
+    }
+    syms.unpersist()
+    (merges.toSeq, totals.toSeq)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q253: tokenizer fertility by (source, lang) — per corpus slice,
     // the cost profile a training pipeline reads before budgeting
@@ -193,42 +243,24 @@ object TextQueries {
     // a plan literal, so no corpus- or vocab-grain driver state) + a
     // narrow fold projection. Rounds are a constant (5).
     "q263_bpe_learn" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      var syms = docs(s, dir)
-        .select(graft.functions.AlnumTokens(col("text")))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("syms", expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .select("word", "freq", "syms").persist()
-      val out = collection.mutable.Buffer.empty[(Int, String, String, Long, String)]
-      for (r <- 1 to 5) {
-        val top = syms.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  i -> struct(element_at(syms, i) AS a,
-              |              element_at(syms, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()(0)
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        out += ((r, a, b, cnt, a + b))
-        val merged = syms.withColumn("syms", expr(
-          s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a'
-             |            AND x = '$b'
-             |       THEN concat(slice(acc, 1, size(acc) - 1),
-             |                   array('$a' || '$b'))
-             |       ELSE concat(acc, array(x)) END)""".stripMargin))
-          .persist()
-        merged.count() // materialize before releasing the parent round
-        syms.unpersist()
-        syms = merged
-      }
-      syms.unpersist()
       import s.implicits._
-      out.toSeq.toDF("round", "lhs", "rhs", "pair_freq", "merged_token")
+      bpeRounds(s, dir, 5)._1
+        .toDF("round", "lhs", "rhs", "pair_freq", "merged_token")
+    }),
+    // q264: BPE compression curve — corpus token totals after each of
+    // q263's merge rounds (round 0 = raw characters), with the
+    // compression ratio vs the character baseline: the "is the
+    // vocabulary earning its size" readout a tokenizer build tracks
+    // per merge. DETERMINISM/scale: same loop as q263 (shared helper);
+    // the totals are one exact Σ freq·|syms| scalar per round.
+    "q264_bpe_compression" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val totals = bpeRounds(s, dir, 5)._2
+      val t0 = totals.head._2
+      totals.toDF("round", "corpus_tokens")
+        .withColumn("compression_ratio",
+          round(lit(t0).cast("double") / col("corpus_tokens"), 6))
     }),
     // q232: quality-vs-duplication audit — documents deciled by
     // stopword ratio (q21's graded quality axis) against their exact-
@@ -1207,43 +1239,64 @@ object TextQueries {
       |              WHEN s_en > s_de THEN 'en'
       |              ELSE 'de' END) IN ('en', 'de'))""".stripMargin
 
+  /** q263/q264's shared DuckDB chain: word frequencies → char symbols
+    * (s0) → `rounds` unrolled (pair-count p_r → winner t_r → merge-fold
+    * s_r) rounds. SQL twin of [[bpeRounds]].
+    */
+  private def bpeCte(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT s.syms[CAST(i AS INT)] AS a,
+         |         s.syms[CAST(i AS INT) + 1] AS b,
+         |         CAST(sum(s.freq) AS BIGINT) AS cnt
+         |  FROM s${r - 1} s, unnest(range(1, len(s.syms))) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT w.word, w.freq,
+         |         list_reduce(list_transform(w.syms, s -> [s]),
+         |           (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+         |                       THEN list_append(acc[:-2], t.a || t.b)
+         |                       ELSE list_concat(acc, x) END) AS syms
+         |  FROM s${r - 1} w CROSS JOIN t$r t)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT unnest(list_filter(
+       |    list_transform(string_split_regex(lower(text), '\\s+'),
+       |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+       |    x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |wt AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+       |s0 AS (
+       |  SELECT word, freq,
+       |         list_transform(range(1, length(word) + 1),
+       |                        i -> substr(word, CAST(i AS INT), 1)) AS syms
+       |  FROM wt),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // same char-symbol start, five unrolled (pair-count → top-1 →
     // greedy left-fold merge) rounds; DuckDB's list slice end is
     // INCLUSIVE, so dropping the accumulator's last element is [:-2]
     "q263_bpe_learn" -> {
-      def round(r: Int): String =
-        s"""p$r AS (
-           |  SELECT s.syms[CAST(i AS INT)] AS a,
-           |         s.syms[CAST(i AS INT) + 1] AS b,
-           |         CAST(sum(s.freq) AS BIGINT) AS cnt
-           |  FROM s${r - 1} s, unnest(range(1, len(s.syms))) AS u(i)
-           |  GROUP BY 1, 2),
-           |t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$r AS (
-           |  SELECT w.word, w.freq,
-           |         list_reduce(list_transform(w.syms, s -> [s]),
-           |           (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
-           |                       THEN list_append(acc[:-2], t.a || t.b)
-           |                       ELSE list_concat(acc, x) END) AS syms
-           |  FROM s${r - 1} w CROSS JOIN t$r t)""".stripMargin
       def row(r: Int): String =
         s"""SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_freq,
            |       a || b AS merged_token FROM t$r""".stripMargin
-      s"""WITH w AS (
-         |  SELECT unnest(list_filter(
-         |    list_transform(string_split_regex(lower(text), '\\s+'),
-         |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
-         |    x -> length(x) > 0)) AS word
-         |  FROM documents),
-         |wt AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
-         |s0 AS (
-         |  SELECT word, freq,
-         |         list_transform(range(1, length(word) + 1),
-         |                        i -> substr(word, CAST(i AS INT), 1)) AS syms
-         |  FROM wt),
-         |${(1 to 5).map(round).mkString(",\n")}
+      s"""${bpeCte(5)}
          |${(1 to 5).map(row).mkString("\nUNION ALL ")}""".stripMargin
+    },
+    // the same unrolled chain read at the symbol-total grain per round
+    "q264_bpe_compression" -> {
+      def tot(r: Int): String =
+        s"""SELECT $r AS round,
+           |       CAST(sum(freq * len(syms)) AS BIGINT) AS corpus_tokens
+           |FROM s$r""".stripMargin
+      s"""${bpeCte(5)},
+         |tot0 AS (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS t0 FROM s0),
+         |tr AS (${(0 to 5).map(tot).mkString("\nUNION ALL ")})
+         |SELECT round, corpus_tokens,
+         |       round(t0 * 1.0 / corpus_tokens, 6) AS compression_ratio
+         |FROM tr CROSS JOIN tot0""".stripMargin
     },
     // same per-row regex counters (q22's definitions), same integer
     // sums, same zero-guarded single divisions

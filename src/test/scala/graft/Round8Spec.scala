@@ -280,6 +280,35 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q264: token totals strictly decrease per merge round; ratio >= 1 and consistent") {
+    val r = rows("q264_bpe_compression").sortBy(_.getInt(0))
+    assert(r.length == 6)
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(1) < a.getLong(1),
+        "every merge with positive frequency removes >= 1 symbol occurrence")
+      case _ => ()
+    }
+    val t0 = r.head.getLong(1)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(2) - t0.toDouble / row.getLong(1)) < 1e-4)
+    }
+  }
+
+  test("q265: DAU bounds new users; cumulative uniques match the distinct-user total") {
+    val r = rows("q265_cumulative_uniques").sortBy(_.getString(0))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1), "new users are active that day")
+    }
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(3) == a.getLong(3) + b.getLong(2))
+      case _ => ()
+    }
+    val total = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.last.getLong(3) == total)
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
