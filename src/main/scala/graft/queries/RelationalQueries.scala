@@ -2244,6 +2244,82 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q266: Markov removal-effect attribution — the data-driven
+    * multi-touch model beyond q217's positional heuristics: build the
+    * first-order journey chain (START → pre-first-purchase touch
+    * sequence → CONV/NULL), and score each channel by how much the
+    * chain's 12-step conversion probability from START drops when that
+    * channel is removed (its transitions redirected to NULL) — the
+    * Shapley-flavored "what actually drives conversion" readout.
+    * DETERMINISM: the chain iterates in 1e9 fixed point with integer
+    * division by each state's exact out-degree — every iterate is an
+    * exact integer on any engine; the horizon is a constant (12), so
+    * the metric is the DEFINED 12-step absorption probability, not a
+    * convergence-dependent limit. Scale shape: journeys/transitions
+    * are two user-partitioned windows + one hash agg (corpus-sized,
+    * keyed); the chain itself is a ≤|types|²-row driver solve (the
+    * kmeans bounded-state pattern) — scenarios × states × 12 rounds of
+    * scalar arithmetic, corpus-size-independent.
+    */
+  def q266MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pos = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pos", row_number().over(w))
+    val cut = pos.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("pos")).as("cut"))
+    val pre = pos.join(cut, Seq("user_id"), "left")
+      .filter(col("cut").isNull || col("pos") < col("cut"))
+      .select(col("user_id"), col("event_type"), col("pos"), col("cut"))
+    val w2 = Window.partitionBy("user_id").orderBy("pos")
+    val steps = pre
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .withColumn("rk", row_number().over(w2))
+    val tr = steps.filter(col("nxt").isNotNull)
+      .select(col("event_type").as("s"), col("nxt").as("t"))
+      .unionByName(steps.filter(col("rk") === 1)
+        .select(lit("START").as("s"), col("event_type").as("t")))
+      .unionByName(steps.filter(col("nxt").isNull)
+        .select(col("event_type").as("s"),
+          when(col("cut").isNotNull, lit("CONV")).otherwise(lit("NULL")).as("t")))
+      .unionByName(cut // purchased with ZERO pre-purchase touches
+        .join(pre.select("user_id").distinct(), Seq("user_id"), "left_anti")
+        .select(lit("START").as("s"), lit("CONV").as("t")))
+    val tc = tr.groupBy("s", "t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = tc.keys.map(_._1).toSeq.distinct.sorted // transient only
+    val n = states.map(s => s -> tc.collect { case ((`s`, _), c) => c }.sum).toMap
+    // 12 fixed-point rounds of v(s) <- (Σ c(s,t)·v(t) + c(s,CONV)·1e9) / n(s)
+    def solve(removed: Option[String]): Long = {
+      var v = states.map(_ -> 0L).toMap
+      for (_ <- 1 to 12) {
+        v = states.map { s =>
+          if (removed.contains(s)) s -> 0L
+          else {
+            val acc = tc.collect {
+              case ((`s`, t), c) if !removed.contains(t) =>
+                c * (if (t == "CONV") 1000000000L
+                     else v.getOrElse(t, 0L)) // NULL and absent -> 0
+            }.sum
+            s -> acc / n(s)
+          }
+        }.toMap
+      }
+      v("START")
+    }
+    val base = solve(None)
+    import spark.implicits._
+    states.filter(_ != "START")
+      .map(ch => (ch, base, solve(Some(ch))))
+      .toDF("channel", "bv", "rv")
+      .select(col("channel"),
+        round(col("bv") / 1e9, 6).as("conv_prob"),
+        round(col("rv") / 1e9, 6).as("conv_prob_removed"),
+        round((col("bv") - col("rv")) * lit(1.0) / col("bv"), 6)
+          .as("removal_effect"))
+  }
+
   /** q265: daily-active and cumulative-unique users — per day: DAU,
     * first-time users, and the running total of distinct users ever
     * seen (the growth-accounting triplet every product dashboard
@@ -3207,6 +3283,7 @@ object RelationalQueries {
     "q254_hits" -> q254Hits _,
     "q260_cohort_ltv" -> q260CohortLtv _,
     "q265_cumulative_uniques" -> q265CumulativeUniques _,
+    "q266_markov_attribution" -> q266MarkovAttribution _,
     "q261_seq_perplexity" -> q261SeqPerplexity _,
     "q262_forget_audit" -> q262ForgetAudit _,
     "q233_temporal_pmi" -> q233TemporalPmi _,
@@ -3359,6 +3436,64 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same journey chain (START → pre-first-purchase touches →
+    // CONV/NULL), same 1e9 fixed-point integer iterations (12 unrolled
+    // CTE rounds; HUGEINT `//` is the exact twin of the long division)
+    "q266_markov_attribution" -> {
+      def iter(k: Int): String =
+        s"""v$k AS (
+           |  SELECT g.scen, g.s AS state,
+           |    CASE WHEN g.s = g.scen THEN CAST(0 AS BIGINT)
+           |         ELSE CAST((g.cc * 1000000000 + coalesce(x.acc, 0)) // g.n
+           |              AS BIGINT) END AS v
+           |  FROM g LEFT JOIN (
+           |    SELECT v.scen, tc.s, sum(tc.c * v.v) AS acc
+           |    FROM tc JOIN v${k - 1} v ON v.state = tc.t AND tc.t <> v.scen
+           |    GROUP BY 1, 2) x ON x.scen = g.scen AND x.s = g.s)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT user_id, event_type,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY ts, event_id) AS pos
+         |  FROM events),
+         |cut AS (
+         |  SELECT user_id, min(pos) AS cut FROM p
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |pre AS (
+         |  SELECT p.user_id, p.event_type, p.pos, c.cut
+         |  FROM p LEFT JOIN cut c USING (user_id)
+         |  WHERE c.cut IS NULL OR p.pos < c.cut),
+         |st AS (
+         |  SELECT user_id, event_type, cut,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY pos) AS nxt,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY pos) AS rk
+         |  FROM pre),
+         |tr AS (
+         |  SELECT event_type AS s, nxt AS t FROM st WHERE nxt IS NOT NULL
+         |  UNION ALL SELECT 'START', event_type FROM st WHERE rk = 1
+         |  UNION ALL SELECT event_type,
+         |    CASE WHEN cut IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+         |  FROM st WHERE nxt IS NULL
+         |  UNION ALL SELECT 'START', 'CONV' FROM cut c
+         |  WHERE NOT EXISTS (SELECT 1 FROM pre WHERE pre.user_id = c.user_id)),
+         |tc AS (SELECT s, t, count(*) AS c FROM tr GROUP BY 1, 2),
+         |tn AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+         |sc AS (
+         |  SELECT DISTINCT s AS scen FROM tc WHERE s <> 'START'
+         |  UNION ALL SELECT '__base'),
+         |g AS (
+         |  SELECT sc.scen, tn.s, tn.n, coalesce(cc.c, 0) AS cc
+         |  FROM sc CROSS JOIN tn
+         |  LEFT JOIN (SELECT s, c FROM tc WHERE t = 'CONV') cc ON cc.s = tn.s),
+         |v0 AS (SELECT scen, s AS state, CAST(0 AS BIGINT) AS v FROM g),
+         |${(1 to 12).map(iter).mkString(",\n")}
+         |SELECT ch.scen AS channel,
+         |  round(b.v / 1e9, 6) AS conv_prob,
+         |  round(r.v / 1e9, 6) AS conv_prob_removed,
+         |  round((b.v - r.v) * 1.0 / b.v, 6) AS removal_effect
+         |FROM (SELECT scen FROM sc WHERE scen <> '__base') ch
+         |JOIN v12 b ON b.scen = '__base' AND b.state = 'START'
+         |JOIN v12 r ON r.scen = ch.scen AND r.state = 'START'""".stripMargin
+    },
     // same (user, day) dedup grain, same first-seen derivation, same
     // day-ordered running sum
     "q265_cumulative_uniques" ->

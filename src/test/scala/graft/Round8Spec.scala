@@ -309,6 +309,18 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     assert(r.last.getLong(3) == total)
   }
 
+  test("q266: removing a channel never raises conversion; effects lie in [0, 1]") {
+    val r = rows("q266_markov_attribution")
+    assert(r.length == 4, "four non-purchase channels on this fixture")
+    r.foreach { row =>
+      assert(row.getDouble(1) > 0.0, "the base chain converts")
+      assert(row.getDouble(2) <= row.getDouble(1) + 1e-12,
+        "removal redirects paths to NULL, never adds conversion mass")
+      val e = row.getDouble(3)
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
