@@ -56,7 +56,14 @@ object Bench {
     // postings index — the user-facing read side of the index the engine
     // builds, promoted per round-7 verdict
     "q234_bm25_topk",
-    "q237_serve_from_index")
+    "q237_serve_from_index",
+    // round-8 flagships: the iterative BPE vocabulary learner (the
+    // tokenizer-construction loop), bipartite HITS (bounded-rounds
+    // graph family), and Markov removal-effect attribution (windowed
+    // journey build + driver-bounded chain solve)
+    "q263_bpe_learn",
+    "q254_hits",
+    "q266_markov_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -79,7 +79,12 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q245_coverage_curve", "q246_lang_mismatch",
     "q247_phrase_from_index", "q248_min_window",
     "q249_tombstone_compaction", "q250_kmv_setops",
-    "q251_holt_backtest", "q252_next_purchase")
+    "q251_holt_backtest", "q252_next_purchase",
+    "q253_token_fertility", "q254_hits", "q255_embed_decontaminate",
+    "q256_quality_survivorship", "q257_feature_hash", "q258_dp_counts",
+    "q260_cohort_ltv", "q261_seq_perplexity", "q262_forget_audit",
+    "q263_bpe_learn", "q264_bpe_compression", "q265_cumulative_uniques",
+    "q266_markov_attribution")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
