@@ -243,6 +243,38 @@ object HygieneQueries {
           .as("noisy_n"))
   }
 
+  /** q269: cross-source quantile normalization — every document's
+    * length mapped onto the POOLED length distribution at its
+    * within-source quantile: rank r of n_s in its source → midpoint
+    * quantile p = (2r−1)/(2n_s) → pooled value at exact rank
+    * ⌈p·N⌉. The batch-effect remover (microarray lineage) for corpus
+    * stats: after it, every source's length distribution is the same
+    * pooled shape, so cross-source comparisons see content, not
+    * crawler truncation policy. DETERMINISM: ranks are total orders
+    * (value, doc_id); the target rank is exact integer ceiling
+    * arithmetic; the mapped value is a lookup, not an interpolation.
+    * Scale shape: the within-source rank is a source-partitioned
+    * window; the pooled rank uses `Quantiles.withGlobalRank`
+    * (range-repartition, no single-partition sort); the mapping is one
+    * equi-join on the rank — all exchanges keyed.
+    */
+  def q269QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val n = d.count()
+    val r = d
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("k", expr(s"((2 * r - 1) * $n + 2 * ns - 1) div (2 * ns)"))
+    val pooled = graft.operators.Quantiles
+      .withGlobalRank(d.select(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), "grank")
+    r.join(pooled.select(col("grank").as("k"), col("n_chars").as("norm_chars")),
+        Seq("k"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+  }
+
   def q154KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
       .select(col("lang"), col("source"),
@@ -410,6 +442,7 @@ object HygieneQueries {
     "q242_mix_temperature" -> (q242MixTemperature _),
     "q154_k_anonymity" -> (q154KAnonymity _),
     "q258_dp_counts" -> (q258DpCounts _),
+    "q269_quantile_normalize" -> (q269QuantileNormalize _),
     "q155_compaction_bins" -> (q155CompactionBins _),
     "q138_weighted_sample" -> (q138WeightedSample _),
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
@@ -435,6 +468,27 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (value, doc_id) total orders, same midpoint-quantile integer
+    // ceiling, same pooled-rank lookup join
+    "q269_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM d),
+        |kk AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ((2 * r - 1) * n + 2 * ns - 1) // (2 * ns) AS k
+        |  FROM r CROSS JOIN nn),
+        |p AS (
+        |  SELECT n_chars AS norm_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS k
+        |  FROM d)
+        |SELECT kk.doc_id, kk.source, kk.n_chars, p.norm_chars
+        |FROM kk JOIN p USING (k)""".stripMargin,
     // same md5-derived 32-bit uniform, same 1e9-quantized ln, same
     // inverse-CDF sign rule
     "q258_dp_counts" ->

@@ -2244,6 +2244,28 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q268: co-purchase degree distribution — nodes of the support-2
+    * co-purchase graph bucketed by ⌊log2 degree⌋ (q235's integer
+    * `length(bin(x)) − 1` idiom, no floating log): per bucket, node
+    * count, edge-endpoint mass and mean degree. The power-law readout
+    * that says whether the graph queries' frontier joins will meet
+    * hubs — the capacity check before running q150/q199/q203 at scale.
+    * DETERMINISM: pure integer counting. Scale shape: rides the shared
+    * [[graft.operators.Edges]] build (two exchanges); degrees are one
+    * hash agg on the node id; the histogram is a ≤64-row rollup.
+    */
+  def q268DegreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Edges.coPurchaseUndirected(spark, dir)
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .select(col("deg"), (length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("total_degree"))
+      .select(
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("deg_lo"),
+        col("n_nodes"), col("total_degree"),
+        round(col("total_degree").cast("double") / col("n_nodes"), 6)
+          .as("mean_degree"))
+
   /** q266: Markov removal-effect attribution — the data-driven
     * multi-touch model beyond q217's positional heuristics: build the
     * first-order journey chain (START → pre-first-purchase touch
@@ -3284,6 +3306,7 @@ object RelationalQueries {
     "q260_cohort_ltv" -> q260CohortLtv _,
     "q265_cumulative_uniques" -> q265CumulativeUniques _,
     "q266_markov_attribution" -> q266MarkovAttribution _,
+    "q268_degree_histogram" -> q268DegreeHistogram _,
     "q261_seq_perplexity" -> q261SeqPerplexity _,
     "q262_forget_audit" -> q262ForgetAudit _,
     "q233_temporal_pmi" -> q233TemporalPmi _,
@@ -3436,6 +3459,24 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same support-2 undirected edges, same integer log2 bucket
+    "q268_degree_histogram" ->
+      """WITH e0 AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.pk AS a, b.pk AS b
+        |  FROM e0 a JOIN e0 b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+        |d AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+        |h AS (
+        |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |         count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS total_degree
+        |  FROM d GROUP BY 1)
+        |SELECT (1::BIGINT << bucket) AS deg_lo, n_nodes, total_degree,
+        |       round(total_degree * 1.0 / n_nodes, 6) AS mean_degree
+        |FROM h""".stripMargin,
     // same journey chain (START → pre-first-purchase touches →
     // CONV/NULL), same 1e9 fixed-point integer iterations (12 unrolled
     // CTE rounds; HUGEINT `//` is the exact twin of the long division)

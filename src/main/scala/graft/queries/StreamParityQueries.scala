@@ -67,8 +67,50 @@ object StreamParityQueries {
       .select(md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n_emitted"))
 
+  /** q267: per-key streaming EWMA, driver-verified — the events table
+    * arrives time-ordered over micro-batches through
+    * [[StreamingOps.ewmaPerKey]] (mapGroupsWithState, O(1) state per
+    * user), and each user's FINAL state (the max-n update) is compared
+    * against the DuckDB batch fold over the full history. The operator
+    * applies the identical IEEE steps (e' = e/2 + x/2) the batch fold
+    * does, so the stream's final answer is BIT-equal to the oracle —
+    * the driver's hash, not just `StreamingSpec`, now pins the
+    * stateful-streaming surface's exactness. Feed order is the global
+    * (ts, event_id) sort, so per-key delivery is in-order (the
+    * operator's declared contract; out-of-order handling is the
+    * watermarked variant's job).
+    */
+  def q267StreamEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q267_ewma"
+    spark.catalog.dropTempView(sink)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.ewmaPerKey(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      // 16384-event chunks: still bounded driver memory; the per-batch
+      // cost is the state-store pass over every ACTIVE key, so batch
+      // count — not batch size — dominates the harness cost at scale
+      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma").as("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q259_stream_dedup" -> (q259StreamDedup _))
+    "q259_stream_dedup" -> (q259StreamDedup _),
+    "q267_stream_ewma" -> (q267StreamEwma _))
 
   val oracleSql: Map[String, String] = Map(
     // one emission per distinct normalized content — the batch q30
@@ -76,5 +118,14 @@ object StreamParityQueries {
     "q259_stream_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       CAST(1 AS BIGINT) AS n_emitted
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    // the batch fold over the full per-user history — list_reduce seeds
+    // from the first element exactly as the stream state seeds from the
+    // first event, and e/2 + x/2 is the identical IEEE step, so the
+    // streamed final state must BIT-equal this
+    "q267_stream_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> acc / 2 + x / 2) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin)
 }

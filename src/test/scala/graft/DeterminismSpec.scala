@@ -84,7 +84,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q256_quality_survivorship", "q257_feature_hash", "q258_dp_counts",
     "q260_cohort_ltv", "q261_seq_perplexity", "q262_forget_audit",
     "q263_bpe_learn", "q264_bpe_compression", "q265_cumulative_uniques",
-    "q266_markov_attribution")
+    "q266_markov_attribution",
+    "q268_degree_histogram", "q269_quantile_normalize")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

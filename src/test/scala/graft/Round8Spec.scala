@@ -321,6 +321,42 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q267: streamed EWMA covers every user and all events exactly once") {
+    val r = rows("q267_stream_ewma")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(r.length == ev.select("user_id").distinct().count())
+    assert(r.map(_.getLong(1)).sum == ev.count())
+    r.foreach(row => assert(!row.getDouble(2).isNaN))
+  }
+
+  test("q268: every bucket's mean degree lies inside its power-of-two bin") {
+    val r = rows("q268_degree_histogram")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val lo = row.getLong(0)
+      val mean = row.getDouble(3)
+      assert(mean >= lo && mean < 2 * lo, s"mean $mean outside [$lo, ${2 * lo})")
+      assert(row.getLong(2) >= row.getLong(1) * lo)
+    }
+  }
+
+  test("q269: normalization is monotone within source and pooled-bounded") {
+    val r = rows("q269_quantile_normalize")
+    assert(r.nonEmpty)
+    val all = r.map(_.getLong(2))
+    val (lo, hi) = (all.min, all.max)
+    r.foreach { row =>
+      assert(row.getLong(3) >= lo && row.getLong(3) <= hi)
+    }
+    r.groupBy(_.getString(1)).foreach { case (_, g) =>
+      g.sortBy(row => (row.getLong(2), row.getLong(0))).map(_.getLong(3))
+        .sliding(2).foreach {
+          case Array(a, b) => assert(b >= a, "rank order must be preserved")
+          case _ => ()
+        }
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
