@@ -222,6 +222,28 @@ object DedupQueries {
           .as("rep_ratio"))
   }
 
+  /** q272: modality-disagreement audit — vector pairs that are
+    * near-duplicates in EMBEDDING space (q34's 6dp cosine ≥ 0.30) but
+    * NOT in n-gram space (no q32 shared-shingle Jaccard ≥ 0.05 pair):
+    * the semantic-only duplicates that motivate SemDeDup — paraphrases
+    * and translations that surface-form dedup (MinHash/SimHash/exact)
+    * can never catch, quantified per pair with its cosine. The
+    * embeddings and documents fixtures share the 0..N-1 id space, so
+    * the anti-join is exact. DETERMINISM: both legs are the
+    * oracle-pinned q34/q32 constructions; the set difference is an
+    * anti-join on the ordered (id_a, id_b) key. Scale shape: the
+    * n-gram leg is the bucketed shared-shingle join; the embedding leg
+    * is the DOCUMENTED quadratic exact baseline (q34 — at production
+    * scale swap in q35's LSH leg, same key schema); the anti-join is
+    * pair-volume-sized.
+    */
+  def q272ModalityDisagreement(spark: SparkSession, dir: String): DataFrame = {
+    val emb = SimilarityQueries.q34EmbedPairs(spark, dir)
+    val ng = Dedup.ngramJaccard(docs(spark, dir), "text", "doc_id",
+      threshold = 0.05).select(col("id_a"), col("id_b"))
+    emb.join(ng, Seq("id_a", "id_b"), "left_anti")
+  }
+
   /** q256: quality-aware survivorship — q37's near-dup clusters with
     * the keeper elected by CONTENT QUALITY (most words, tie-broken by
     * lowest id) instead of q38's min-id rule: per cluster, its size,
@@ -495,6 +517,7 @@ object DedupQueries {
     "q114_cluster_weights" -> (q114ClusterWeights _),
     "q37_dup_clusters" -> (q37DupClusters _),
     "q256_quality_survivorship" -> (q256QualitySurvivorship _),
+    "q272_modality_disagreement" -> (q272ModalityDisagreement _),
     "q38_dedup_apply" -> (q38DedupApply _),
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
@@ -821,6 +844,38 @@ object DedupQueries {
     "q37_dup_clusters" ->
       s"""$ClusterCte
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // q34's cosine pairs anti-joined against q32's verified-Jaccard
+    // pairs on the same ordered key
+    "q272_modality_disagreement" ->
+      s"""${ShingleCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.id_a
+         |  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |prs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT i.id_a, i.id_b,
+         |           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+         |    FROM inter i
+         |    JOIN sizes sa ON sa.doc_id = i.id_a
+         |    JOIN sizes sb ON sb.doc_id = i.id_b)
+         |  WHERE jaccard >= 0.05),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ep AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.30)
+         |SELECT ep.id_a, ep.id_b, ep.cos
+         |FROM ep LEFT JOIN prs
+         |  ON prs.id_a = ep.id_a AND prs.id_b = ep.id_b
+         |WHERE prs.id_a IS NULL""".stripMargin,
     // q37's closure with the (n_words desc, id asc) keeper election and
     // per-cluster member count
     "q256_quality_survivorship" ->

@@ -2244,6 +2244,115 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q270: STL-lite seasonal decomposition — the daily revenue series
+    * split into trend (centered 7-day moving average over DAY NUMBERS,
+    * calendar-gap-correct RANGE frame), weekday seasonal (mean
+    * detrended value per day-of-week), and residual: the
+    * trend/seasonality/noise readout an anomaly monitor consumes.
+    * DETERMINISM: the series is integer cents; trend is one double
+    * division of exact sums; the detrended value is 1e6-QUANTIZED to
+    * an integer before the per-weekday mean (order-free integer sum),
+    * so the seasonal means are one division of exact integers; the
+    * weekday key is dn % 7 (pure integer arithmetic — no engine
+    * dayofweek convention). Scale shape: day-grain throughout after
+    * one orders rollup; the RANGE window and the 7-row seasonal join
+    * are calendar-bounded.
+    */
+  def q270StlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.orderBy("dn").rangeBetween(-3, 3)
+    val tr = day
+      .withColumn("tsum", sum(col("cents")).over(w))
+      .withColumn("tcnt", count(lit(1)).over(w))
+      .withColumn("trend", col("tsum").cast("double") / col("tcnt"))
+      .withColumn("dq",
+        round((col("cents") - col("trend")) * 1e6, 0).cast("long"))
+      .withColumn("dow", col("dn") % 7)
+      .persist()
+    val seas = tr.groupBy("dow")
+      .agg((sum(col("dq")).cast("double") / count(lit(1)) / 1e6).as("seasonal"))
+    tr.join(broadcast(seas), Seq("dow"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("trend") / 100.0, 6).as("trend"),
+        round(col("seasonal") / 100.0, 6).as("seasonal"),
+        round((col("cents") - col("trend") - col("seasonal")) / 100.0, 6)
+          .as("residual"))
+  }
+
+  /** q271: weighted median — per return flag, the revenue-weighted
+    * median quantity (each row weighted by its extended price in
+    * cents): "the quantity at which half the MONEY sits below", the
+    * robust center for dollar-weighted distributions where the plain
+    * median (q58) weights every line equally. DETERMINISM: weights
+    * and cumulative weights are exact integers over the total
+    * (quantity, orderkey, linenumber) order; the median is the first
+    * row where 2·cumw ≥ W — pure integer selection. Scale shape: the
+    * corpus-sized work is ONE (flag, qty) hash aggregation (map-side
+    * combinable); the cumulative window then runs on the
+    * |flags|×|distinct qty| HISTOGRAM (150 rows here), never on row
+    * grain — the grouped first-crossing qty equals the row-level one
+    * exactly, and the oracle keeps the row-level formulation as the
+    * correctness pin (the q214 two-pass selection idea with an exact
+    * histogram instead of bins).
+    */
+  def q271WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("wc"))
+      .groupBy("l_returnflag", "qty").agg(sum(col("wc")).as("w"))
+    h.withColumn("cumw", sum(col("w")).over(
+        Window.partitionBy("l_returnflag").orderBy("qty")))
+      .withColumn("tot", sum(col("w")).over(
+        Window.partitionBy("l_returnflag")))
+      .filter(col("cumw") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("qty")).as("w_median_qty"),
+        max(col("tot")).as("total_weight_cents"))
+  }
+
+  /** q273: incremental join-view maintenance — the q126 idea for JOIN
+    * views: with orders and lineitem each split into a base and a
+    * delta batch (by order/ship date), the monthly-revenue join view
+    * is computed as the four-way delta algebra
+    * base⋈base ∪ Δo⋈base ∪ base⋈Δl ∪ Δo⋈Δl and must equal the
+    * from-scratch full join (the oracle) — the refresh-equals-
+    * recompute contract that lets a 100 TB warehouse join only the
+    * nightly delta against the standing sides instead of rejoining
+    * history. DETERMINISM: exact decimal revenue. Scale shape: four
+    * keyed equi-joins whose inputs are date-pruned scans (pushed
+    * filters); the union feeds one month-grain agg — at production
+    * scale three of the four legs are delta-sized.
+    */
+  def q273IncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-06-01"
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("rev"))
+    val (ob, od) = (o.filter(col("o_orderdate") < cut),
+      o.filter(col("o_orderdate") >= cut))
+    val (lb, ld) = (li.filter(col("l_shipdate") < cut),
+      li.filter(col("l_shipdate") >= cut))
+    def leg(os: DataFrame, ls: DataFrame): DataFrame =
+      os.join(ls, os("o_orderkey") === ls("l_orderkey"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("rev"))
+    leg(ob, lb).unionByName(leg(od, lb))
+      .unionByName(leg(ob, ld)).unionByName(leg(od, ld))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("rev")).cast("double"), 2).as("revenue"))
+  }
+
   /** q268: co-purchase degree distribution — nodes of the support-2
     * co-purchase graph bucketed by ⌊log2 degree⌋ (q235's integer
     * `length(bin(x)) − 1` idiom, no floating log): per bucket, node
@@ -3307,6 +3416,9 @@ object RelationalQueries {
     "q265_cumulative_uniques" -> q265CumulativeUniques _,
     "q266_markov_attribution" -> q266MarkovAttribution _,
     "q268_degree_histogram" -> q268DegreeHistogram _,
+    "q270_stl_decompose" -> q270StlDecompose _,
+    "q271_weighted_median" -> q271WeightedMedian _,
+    "q273_incremental_join" -> q273IncrementalJoin _,
     "q261_seq_perplexity" -> q261SeqPerplexity _,
     "q262_forget_audit" -> q262ForgetAudit _,
     "q233_temporal_pmi" -> q233TemporalPmi _,
@@ -3459,6 +3571,66 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same integer-cents day series, same RANGE-frame trend, same
+    // 1e6-quantized detrend before the dn%7 seasonal means, same
+    // division order
+    "q270_stl_decompose" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS dn,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT d, dn, cents,
+        |    CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w AS trend
+        |  FROM day
+        |  WINDOW w AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dq AS (
+        |  SELECT d, dn, cents, trend,
+        |    CAST(round((cents - trend) * 1e6) AS BIGINT) AS dq, dn % 7 AS dow
+        |  FROM tr),
+        |seas AS (
+        |  SELECT dow,
+        |    CAST(sum(dq) AS DOUBLE) / count(*) / 1e6 AS seasonal
+        |  FROM dq GROUP BY 1)
+        |SELECT strftime(q.d, '%Y-%m-%d') AS day,
+        |  round(q.cents / 100.0, 2) AS revenue,
+        |  round(q.trend / 100.0, 6) AS trend,
+        |  round(s.seasonal / 100.0, 6) AS seasonal,
+        |  round((q.cents - q.trend - s.seasonal) / 100.0, 6) AS residual
+        |FROM dq q JOIN seas s USING (dow)""".stripMargin,
+    // same integer-cents weights over the same total order, same
+    // first-crossing selection (cumw strictly increases: positive
+    // weights), arg_min is the struct-min twin
+    "q271_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS wc
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, qty, wc,
+        |    CAST(sum(wc) OVER (PARTITION BY l_returnflag
+        |                       ORDER BY qty, l_orderkey, l_linenumber
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cumw,
+        |    CAST(sum(wc) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM li)
+        |SELECT l_returnflag, arg_min(qty, cumw) AS w_median_qty,
+        |       CAST(max(tot) AS BIGINT) AS total_weight_cents
+        |FROM c WHERE cumw * 2 >= tot
+        |GROUP BY 1""".stripMargin,
+    // the from-scratch full join — the driver compare proves the
+    // four-way base/delta algebra equals it
+    "q273_incremental_join" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |       count(*) AS n_lines,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                      (1 - CAST(l_discount AS DECIMAL(18,4))))
+        |                  AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     // same support-2 undirected edges, same integer log2 bucket
     "q268_degree_histogram" ->
       """WITH e0 AS (

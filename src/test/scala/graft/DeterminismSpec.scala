@@ -85,7 +85,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q260_cohort_ltv", "q261_seq_perplexity", "q262_forget_audit",
     "q263_bpe_learn", "q264_bpe_compression", "q265_cumulative_uniques",
     "q266_markov_attribution",
-    "q268_degree_histogram", "q269_quantile_normalize")
+    "q268_degree_histogram", "q269_quantile_normalize",
+    "q270_stl_decompose", "q271_weighted_median",
+    "q272_modality_disagreement", "q273_incremental_join")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -357,6 +357,60 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q270: decomposition reconstructs the series within rounding") {
+    val r = rows("q270_stl_decompose")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val recon = row.getDouble(2) + row.getDouble(3) + row.getDouble(4)
+      assert(math.abs(recon - row.getDouble(1)) < 1e-4,
+        s"trend+seasonal+residual != revenue on ${row.getString(0)}")
+    }
+  }
+
+  test("q271: the weighted median is a true half-mass split point") {
+    val r = rows("q271_weighted_median")
+    assert(r.length == 3)
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("wc"))
+      .collect().groupBy(_.getString(0))
+    r.foreach { row =>
+      val (flag, med) = (row.getString(0), row.getLong(1))
+      val g = li(flag)
+      val w = g.map(_.getLong(2)).sum
+      val below = g.filter(_.getLong(1) < med).map(_.getLong(2)).sum
+      val upto = g.filter(_.getLong(1) <= med).map(_.getLong(2)).sum
+      assert(2 * below < w && 2 * upto >= w,
+        s"$flag: $med is not the weighted median")
+      assert(row.getLong(2) == w)
+    }
+  }
+
+  test("q272: semantic-only pairs are inside q34 and outside q32") {
+    val dis = rows("q272_modality_disagreement")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dis.nonEmpty, "the fixture has paraphrase-style pairs")
+    val emb = rows("q34_embed_pairs").map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = rows("q32_ngram_jaccard").map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dis.subsetOf(emb))
+    assert(dis.intersect(ng).isEmpty)
+  }
+
+  test("q273: the four-way delta algebra equals the from-scratch join") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1) - col("l_discount").cast("decimal(18,4)"))).cast("double"), 2)
+          .as("revenue"))
+      .collect().map(_.toString).toSet
+    assert(rows("q273_incremental_join").map(_.toString).toSet == full)
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
