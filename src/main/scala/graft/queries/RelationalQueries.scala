@@ -2244,6 +2244,99 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q274: order-invariant table checksums — per dimension table, row
+    * count plus a content checksum (sum of each row's md5-prefix as a
+    * 32-bit integer over its canonical key|name rendering): the
+    * anti-entropy primitive two replicas/engines compare to detect
+    * divergence without moving rows. DETERMINISM: md5 of explicit
+    * string renderings (keys + names only — no float formatting), sum
+    * of exact integers is order-free. Scale shape: one scan + 1-row
+    * agg per table, map-side combinable; the checksum never shuffles
+    * row content.
+    */
+  def q274TableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    def sumCk(df: DataFrame, name: String, ren: Column): DataFrame =
+      df.select(conv(substring(md5(ren), 1, 8), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    val r = sumCk(t(spark, dir, "region"), "region",
+      concat_ws("|", col("r_regionkey"), col("r_name")))
+    val n = sumCk(t(spark, dir, "nation"), "nation",
+      concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val c = sumCk(t(spark, dir, "customer"), "customer",
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey")))
+    val s = sumCk(t(spark, dir, "supplier"), "supplier",
+      concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey")))
+    val p = sumCk(t(spark, dir, "part"), "part",
+      concat_ws("|", col("p_partkey"), col("p_name")))
+    r.unionByName(n).unionByName(c).unionByName(s).unionByName(p)
+  }
+
+  /** q275: k-core peeling — four rounds of removing nodes with degree
+    * < 3 from the co-purchase graph (edges restricted to survivors
+    * each round), reporting nodes/edges per round: the dense-core
+    * extraction that isolates the hub subgraph community detection
+    * and recommendation quality depend on (degree q268 tells you the
+    * distribution; this tells you what survives it). DETERMINISM:
+    * pure integer degree counting, fixed round count. Scale shape:
+    * each round is one degree hash agg + two semi-joins on the node
+    * id over the persisted shrinking edge set — the bounded-rounds
+    * family (CC/BFS/label propagation); survivor sets only shrink.
+    */
+  def q275KCore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    var edges = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
+    val out = collection.mutable.Buffer.empty[(Int, Long, Long)]
+    for (r <- 1 to 4) {
+      val keep = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a").as("node"))
+      val next = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .persist()
+      val ne = next.count() // materializes before releasing the parent
+      val nn = next.select(col("a")).distinct().count()
+      edges.unpersist()
+      edges = next
+      out += ((r, nn, ne / 2))
+    }
+    edges.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
+  /** q276: A/B sample-size planning (power analysis) — per customer
+    * segment, the per-arm sample size needed to detect a 1% lift in
+    * mean order value at α = 0.05 / 80% power (the 16·σ²/δ² rule):
+    * the experiment-design op that closes the loop with the readouts
+    * (z-test q161, Welch q224). DETERMINISM: mean and variance come
+    * from exact DECIMAL(38) moment sums; the final formula is a
+    * handful of double ops, round 6. Scale shape: one scan → one
+    * |segments|-row moment agg; nothing else.
+    */
+  def q276PowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    o.groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sc"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sc2"))
+      .withColumn("s", col("sc").cast("double") / 100.0)
+      .withColumn("sxx", col("sc2").cast("double") / 10000.0)
+      .select(col("segment"), col("n"),
+        round(col("s") / col("n"), 6).as("mean_value"),
+        round((col("sxx") - col("s") * col("s") / col("n"))
+          / (col("n") - 1), 6).as("variance"),
+        ceil(lit(16.0) *
+          ((col("sxx") - col("s") * col("s") / col("n")) / (col("n") - 1)) /
+          (col("s") / col("n") * 0.01 * (col("s") / col("n")) * 0.01))
+          .cast("long").as("required_n_per_arm"))
+  }
+
   /** q270: STL-lite seasonal decomposition — the daily revenue series
     * split into trend (centered 7-day moving average over DAY NUMBERS,
     * calendar-gap-correct RANGE frame), weekday seasonal (mean
@@ -3417,6 +3510,9 @@ object RelationalQueries {
     "q266_markov_attribution" -> q266MarkovAttribution _,
     "q268_degree_histogram" -> q268DegreeHistogram _,
     "q270_stl_decompose" -> q270StlDecompose _,
+    "q274_table_checksums" -> q274TableChecksums _,
+    "q275_kcore" -> q275KCore _,
+    "q276_power_analysis" -> q276PowerAnalysis _,
     "q271_weighted_median" -> q271WeightedMedian _,
     "q273_incremental_join" -> q273IncrementalJoin _,
     "q261_seq_perplexity" -> q261SeqPerplexity _,
@@ -3571,6 +3667,67 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same key|name renderings, same md5-prefix 32-bit fold
+    "q274_table_checksums" -> {
+      def ck(tbl: String, ren: String): String =
+        s"""SELECT '$tbl' AS table_name, count(*) AS n_rows,
+           |  CAST(sum(CAST(('0x' || substr(md5($ren), 1, 8)) AS BIGINT))
+           |       AS BIGINT) AS checksum
+           |FROM $tbl""".stripMargin
+      Seq(
+        ck("region", "concat_ws('|', r_regionkey, r_name)"),
+        ck("nation", "concat_ws('|', n_nationkey, n_name, n_regionkey)"),
+        ck("customer", "concat_ws('|', c_custkey, c_name, c_nationkey)"),
+        ck("supplier", "concat_ws('|', s_suppkey, s_name, s_nationkey)"),
+        ck("part", "concat_ws('|', p_partkey, p_name)"))
+        .mkString("\nUNION ALL ")
+    },
+    // same support-2 undirected edges, same four degree>=3 peels
+    "q275_kcore" -> {
+      def peel(r: Int): String =
+        s"""k$r AS (SELECT a AS node FROM e${r - 1} GROUP BY 1
+           |        HAVING count(*) >= 3),
+           |e$r AS (
+           |  SELECT e.a, e.b FROM e${r - 1} e
+           |  WHERE e.a IN (SELECT node FROM k$r)
+           |    AND e.b IN (SELECT node FROM k$r))""".stripMargin
+      def row(r: Int): String =
+        s"""SELECT $r AS round,
+           |  (SELECT count(DISTINCT a) FROM e$r) AS n_nodes,
+           |  (SELECT count(*) FROM e$r) // 2 AS n_edges""".stripMargin
+      s"""WITH e00 AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT a.pk AS a, b.pk AS b
+         |  FROM e00 a JOIN e00 b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+         |${(1 to 4).map(peel).mkString(",\n")}
+         |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_edges AS BIGINT) AS n_edges FROM (
+         |${(1 to 4).map(row).mkString("\nUNION ALL ")})""".stripMargin
+    },
+    // same integer-cents moments (HUGEINT square == DECIMAL(38,0)
+    // square), same paren-for-paren double formula
+    "q276_power_analysis" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |m AS (
+        |  SELECT segment, count(*) AS n,
+        |         CAST(sum(cents) AS DOUBLE) / 100.0 AS s,
+        |         CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+        |           / 10000.0 AS sxx
+        |  FROM j GROUP BY 1)
+        |SELECT segment, n,
+        |  round(s / n, 6) AS mean_value,
+        |  round((sxx - s * s / n) / (n - 1), 6) AS variance,
+        |  CAST(ceil((16.0 * ((sxx - s * s / n) / (n - 1))) /
+        |            (((s / n * 0.01) * (s / n)) * 0.01)) AS BIGINT)
+        |    AS required_n_per_arm
+        |FROM m""".stripMargin,
     // same integer-cents day series, same RANGE-frame trend, same
     // 1e6-quantized detrend before the dn%7 seasonal means, same
     // division order

@@ -87,7 +87,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q266_markov_attribution",
     "q268_degree_histogram", "q269_quantile_normalize",
     "q270_stl_decompose", "q271_weighted_median",
-    "q272_modality_disagreement", "q273_incremental_join")
+    "q272_modality_disagreement", "q273_incremental_join",
+    "q274_table_checksums", "q275_kcore", "q276_power_analysis")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -411,6 +411,40 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     assert(rows("q273_incremental_join").map(_.toString).toSet == full)
   }
 
+  test("q274: checksums are nonzero and row counts match the tables") {
+    val r = rows("q274_table_checksums")
+    assert(r.length == 5)
+    r.foreach { row =>
+      val n = spark.read.parquet(s"$sfDir/${row.getString(0)}.parquet").count()
+      assert(row.getLong(1) == n)
+      assert(row.getLong(2) > 0)
+    }
+  }
+
+  test("q275: k-core peeling only shrinks and every survivor meets the bound") {
+    val r = rows("q275_kcore").sortBy(_.getInt(0))
+    assert(r.length == 4)
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1) && b.getLong(2) <= a.getLong(2))
+      case _ => ()
+    }
+    assert(r.head.getLong(1) > 0, "the fixture graph has a 3-core-ish center")
+  }
+
+  test("q276: required sample size matches the 16·var/delta² rule from its own row") {
+    val r = rows("q276_power_analysis")
+    assert(r.length == 5)
+    r.foreach { row =>
+      val (mean, variance, req) = (row.getDouble(2), row.getDouble(3), row.getLong(4))
+      val expect = math.ceil(16.0 * variance / math.pow(mean * 0.01, 2))
+      // rounded outputs vs exact internals: allow 1-count slack
+      assert(math.abs(req - expect) <= math.max(1.0, expect * 1e-4),
+        s"${row.getString(0)}: $req vs $expect")
+      assert(req > 0 && variance > 0)
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
