@@ -2244,6 +2244,41 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q278: open-order aging sweep — per calendar day, how many
+    * lineitem lines are ordered-but-not-yet-shipped and the cents
+    * value in flight: each line opens at its order date and closes at
+    * its ship date, and the daily snapshot is the boundary-sweep
+    * running sum (+1/−1, +cents/−cents) — the q202 sweep idea carried
+    * to supply-chain backlog, NEVER an interval-vs-day join. Only
+    * lines with ship date strictly after order date enter the sweep —
+    * this fixture's dates are uncorrelated, and a line shipping
+    * same-day-or-earlier is open in NO daily snapshot, which also
+    * pins the drain-to-zero conservation the spec asserts.
+    * DETERMINISM: exact integer deltas over the day order. Scale
+    * shape: one orderkey equi-join, one (day) hash agg of boundary
+    * deltas, then day-grain running sums (calendar-bounded window).
+    */
+  def q278OpenOrderAging(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("sd") > col("od"))
+    val b = j.select(col("od").as("d"), lit(1L).as("dl"), col("cents").as("dc"))
+      .unionByName(j.select(col("sd").as("d"), lit(-1L).as("dl"),
+        (-col("cents")).as("dc")))
+      .groupBy("d").agg(sum(col("dl")).as("dlines"), sum(col("dc")).as("dcents"))
+    val w = Window.orderBy("d")
+    b.withColumn("open_lines", sum(col("dlines")).over(w))
+      .withColumn("open_cents", sum(col("dcents")).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("open_lines"),
+        round(col("open_cents") / 100.0, 2).as("open_value"))
+  }
+
   /** q274: order-invariant table checksums — per dimension table, row
     * count plus a content checksum (sum of each row's md5-prefix as a
     * 32-bit integer over its canonical key|name rendering): the
@@ -3511,6 +3546,7 @@ object RelationalQueries {
     "q268_degree_histogram" -> q268DegreeHistogram _,
     "q270_stl_decompose" -> q270StlDecompose _,
     "q274_table_checksums" -> q274TableChecksums _,
+    "q278_open_order_aging" -> q278OpenOrderAging _,
     "q275_kcore" -> q275KCore _,
     "q276_power_analysis" -> q276PowerAnalysis _,
     "q271_weighted_median" -> q271WeightedMedian _,
@@ -3667,6 +3703,26 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same ±1/±cents boundary deltas, same day-ordered running sums
+    "q278_open_order_aging" ->
+      """WITH j AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS od,
+        |         CAST(l.l_shipdate AS DATE) AS sd,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)),
+        |b AS (
+        |  SELECT d, CAST(sum(dl) AS BIGINT) AS dlines,
+        |         CAST(sum(dc) AS BIGINT) AS dcents
+        |  FROM (
+        |    SELECT od AS d, 1 AS dl, cents AS dc FROM j
+        |    UNION ALL SELECT sd, -1, -cents FROM j)
+        |  GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  CAST(sum(dlines) OVER (ORDER BY d) AS BIGINT) AS open_lines,
+        |  round(CAST(sum(dcents) OVER (ORDER BY d) AS BIGINT) / 100.0, 2)
+        |    AS open_value
+        |FROM b""".stripMargin,
     // same key|name renderings, same md5-prefix 32-bit fold
     "q274_table_checksums" -> {
       def ck(tbl: String, ren: String): String =

@@ -262,6 +262,79 @@ object TextQueries {
         .withColumn("compression_ratio",
           round(lit(t0).cast("double") / col("corpus_tokens"), 6))
     }),
+    // q277: autocomplete serving index — per 3-char prefix, the top-3
+    // corpus words by frequency (freq desc, word asc): the
+    // type-ahead result table a search box reads, built beside the
+    // inverted index. DETERMINISM: exact counts over a total order.
+    // Scale shape: token scan → vocab-grain hash agg → a window
+    // PARTITIONED by prefix (high-cardinality key, no global sort);
+    // at serving time the table is range-partitioned by prefix so a
+    // keystroke touches one partition.
+    "q277_autocomplete" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(graft.functions.AlnumTokens(col("text")))
+        .select(col("word"))
+        .filter(length(col("word")) >= 3)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("prefix", substring(col("word"), 1, 3))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("prefix")
+            .orderBy(col("freq").desc, col("word").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("prefix"), col("rank"), col("word"), col("freq"))
+    }),
+    // q279: Burrows' Delta stylometry — the authorship-attribution
+    // distance between sources: z-scores of each source's relative
+    // frequency of the corpus's top-30 words (the "function word"
+    // proxy), pairwise mean |Δz|. High delta = different registers;
+    // near-zero = same template/author — the provenance forensic
+    // beside lexical cosine q229. DETERMINISM: relative frequencies
+    // are exact integer divisions ((c·1e9) div tokens); z-scores are
+    // mirrored double formulas 1e6-QUANTIZED to integers BEFORE the
+    // 30-word pair sum (order-free); zero-variance words z = 0.
+    // Scale shape: one token scan → (source, word) agg; everything
+    // after is 30·|sources| rows, the pair table |sources|²·30.
+    "q279_stylometry" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val sw = docs(s, dir)
+        .select(col("source"), graft.functions.AlnumTokens(col("text")))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        .persist()
+      val top = sw.groupBy("word").agg(sum(col("c")).as("tc"))
+        .orderBy(col("tc").desc, col("word").asc).limit(30)
+        .select(col("word"))
+      val tok = sw.groupBy("source").agg(sum(col("c")).as("toks"))
+      // zero-count (source, top-word) cells materialized via the grid
+      val grid = tok.crossJoin(broadcast(top))
+      val rf = grid.join(sw, Seq("source", "word"), "left")
+        .select(col("source"), col("word"),
+          expr("(coalesce(c, 0) * 1000000000) div toks").as("rfq"))
+      val st = rf.groupBy("word")
+        .agg(count(lit(1)).as("ns"), sum(col("rfq")).as("sx"),
+          sum(col("rfq").cast("decimal(38,0)") * col("rfq")).as("sxx"))
+        .select(col("word"),
+          (col("sx").cast("double") / col("ns")).as("mu"),
+          sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("ns"))
+            / col("ns")).as("sd"))
+      val z = rf.join(broadcast(st), Seq("word"))
+        .select(col("source"), col("word"),
+          when(col("sd") > 0,
+            round((col("rfq") - col("mu")) / col("sd") * 1e6, 0).cast("long"))
+            .otherwise(lit(0L)).as("zq"))
+        .persist()
+      z.select(col("source").as("source_a"), col("word"), col("zq").as("za"))
+        .join(z.select(col("source").as("source_b"), col("word"),
+          col("zq").as("zb")), Seq("word"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_words"), sum(abs(col("za") - col("zb"))).as("sd"))
+        .select(col("source_a"), col("source_b"), col("n_words"),
+          round(col("sd") / 1e6 / col("n_words"), 6).as("delta"))
+    }),
     // q232: quality-vs-duplication audit — documents deciled by
     // stopword ratio (q21's graded quality axis) against their exact-
     // duplicate rate (md5-fingerprint multiplicity > 1, q30's notion):
@@ -1275,6 +1348,61 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same >=3-char vocabulary, same (freq desc, word asc) top-3 per
+    // prefix
+    "q277_autocomplete" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    list_transform(string_split_regex(lower(text), '\s+'),
+        |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    x -> length(x) >= 3)) AS word
+        |  FROM documents),
+        |tf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1)
+        |SELECT prefix, rank, word, freq FROM (
+        |  SELECT substr(word, 1, 3) AS prefix, word, freq,
+        |         row_number() OVER (PARTITION BY substr(word, 1, 3)
+        |                            ORDER BY freq DESC, word ASC) AS rank
+        |  FROM tf)
+        |WHERE rank <= 3""".stripMargin,
+    // same top-30 word set, same (c·1e9)//tokens relative frequencies,
+    // same mirrored z formula quantized before the pair sum
+    "q279_stylometry" ->
+      """WITH sw0 AS (
+        |  SELECT source, unnest(list_filter(
+        |    list_transform(string_split_regex(lower(text), '\s+'),
+        |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |sw AS (SELECT source, word, count(*) AS c FROM sw0 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT word FROM (
+        |    SELECT word, CAST(sum(c) AS BIGINT) AS tc FROM sw GROUP BY 1)
+        |  ORDER BY tc DESC, word ASC LIMIT 30),
+        |tok AS (SELECT source, CAST(sum(c) AS BIGINT) AS toks
+        |        FROM sw GROUP BY 1),
+        |rf AS (
+        |  SELECT t.source, p.word,
+        |         (coalesce(s.c, 0) * 1000000000) // t.toks AS rfq
+        |  FROM tok t CROSS JOIN top p
+        |  LEFT JOIN sw s ON s.source = t.source AND s.word = p.word),
+        |st AS (
+        |  SELECT word, CAST(sum(rfq) AS DOUBLE) / count(*) AS mu,
+        |    sqrt((CAST(sum(CAST(rfq AS HUGEINT) * rfq) AS DOUBLE) -
+        |          CAST(sum(rfq) AS DOUBLE) * CAST(sum(rfq) AS DOUBLE)
+        |            / count(*)) / count(*)) AS sd
+        |  FROM rf GROUP BY 1),
+        |z AS (
+        |  SELECT rf.source, rf.word,
+        |    CASE WHEN st.sd > 0
+        |         THEN CAST(round((rf.rfq - st.mu) / st.sd * 1e6) AS BIGINT)
+        |         ELSE 0 END AS zq
+        |  FROM rf JOIN st USING (word))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_words,
+        |       round(CAST(sum(abs(a.zq - b.zq)) AS BIGINT) / 1e6 / count(*), 6)
+        |         AS delta
+        |FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // same char-symbol start, five unrolled (pair-count → top-1 →
     // greedy left-fold merge) rounds; DuckDB's list slice end is
     // INCLUSIVE, so dropping the accumulator's last element is [:-2]

@@ -445,6 +445,40 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q277: per-prefix completions are rank-consecutive and frequency-sorted") {
+    val r = rows("q277_autocomplete")
+    assert(r.nonEmpty)
+    r.groupBy(_.getString(0)).foreach { case (p, g) =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(3) <= a.getLong(3), s"prefix $p")
+        case _ => ()
+      }
+      g.foreach(row => assert(row.getString(2).startsWith(p)))
+    }
+  }
+
+  test("q278: the backlog drains to zero and never goes negative") {
+    val r = rows("q278_open_order_aging").sortBy(_.getString(0))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 0, s"negative backlog on ${row.getString(0)}")
+    }
+    assert(r.last.getLong(1) == 0L, "every line eventually ships")
+    assert(math.abs(r.last.getDouble(2)) < 0.005)
+  }
+
+  test("q279: stylometric delta is non-negative over the full 30-word panel") {
+    val r = rows("q279_stylometry")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) == 30, "every pair scores the same word panel")
+      assert(row.getDouble(3) >= 0.0)
+      assert(row.getString(0) < row.getString(1))
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
