@@ -25,9 +25,29 @@ object MultimodalQueries {
       .groupBy("id")
       .agg(count(lit(1)).as("n_frames"))
 
+  /** q280: multimodal similarity retrieval — exact top-3 neighbors (by
+    * 6dp cosine over the DECODED feature vectors) for the first ten
+    * media items: the binary→decode→feature→retrieval composition,
+    * end to end through the stock relational ops (the decode is the
+    * deterministic stub; swapping in a real decoder changes no plan).
+    * The feature extraction is the narrow per-partition batch pass
+    * ([[MultimodalPipeline.extractFeatures]] — the mapInPandas shape);
+    * the retrieval is q40's broadcast-query-side brute-force path over
+    * the 4-dim feature space (IVF/LSH take over when the item count
+    * demands it — same `prepared` schema).
+    */
+  def q280MultimodalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val feats = MultimodalPipeline.extractFeatures(
+      MultimodalPipeline.ingestFromDocuments(spark, dir)).toDF()
+    val v = graft.operators.Similarity.prepared(feats, "id", "features")
+    graft.operators.Similarity.bruteForceTopK(
+      v.filter(col("id") < 10), v, "id", k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_feature_summary" -> (q60FeatureSummary _),
-    "q61_frame_counts" -> (q61FrameCounts _))
+    "q61_frame_counts" -> (q61FrameCounts _),
+    "q280_multimodal_knn" -> (q280MultimodalKnn _))
 
   val oracleSql: Map[String, String] = Map(
     // payload = UTF-8 bytes of text → md5(payload) == md5(text);
@@ -41,5 +61,26 @@ object MultimodalQueries {
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "q61_frame_counts" ->
       """SELECT doc_id AS id, (n_chars * 10) // 1000 + 1 AS n_frames
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin)
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // the same md5-slot float features recomputed closed-form, then
+    // q40's exact top-k shape (6dp cosine, (cos desc, id asc) ties)
+    "q280_multimodal_knn" -> {
+      def slot(k: Int): String =
+        s"""CAST(CAST(CAST(('0x' || substr(md5(text), ${k * 8 + 1}, 8))
+           |     AS BIGINT) AS DOUBLE) / 4294967296.0 AS FLOAT)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT doc_id AS id,
+         |         [${(0 until 4).map(slot).mkString(",\n")}]::DOUBLE[] AS v
+         |  FROM documents)
+         |SELECT query_id, rank, cand_id, cos FROM (
+         |  SELECT q.id AS query_id, c.id AS cand_id,
+         |         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+         |         row_number() OVER (
+         |           PARTITION BY q.id
+         |           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+         |                    c.id ASC) AS rank
+         |  FROM f q JOIN f c ON q.id <> c.id
+         |  WHERE q.id < 10)
+         |WHERE rank <= 3""".stripMargin
+    })
 }

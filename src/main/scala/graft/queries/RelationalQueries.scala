@@ -2244,6 +2244,53 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q281: YoY price-volume-mix decomposition — for each consecutive
+    * year pair and the parts traded in BOTH years, the revenue change
+    * split into price effect (Δp·q₀), volume effect (p₀·Δq) and the
+    * cross/mix term (Δp·Δq), beside the actual integer-cents delta:
+    * the FP&A bridge that says whether revenue moved because prices
+    * moved or because volumes did (q228's Laspeyres index is the
+    * ratio cousin; this is the additive bridge). DETERMINISM: yearly
+    * (part) revenue/quantity are exact integers; unit prices are
+    * mirrored double divisions and each part's three effects are
+    * ROUNDED TO INTEGER CENTS before the cross-part sums (order-free);
+    * the actual delta never touches doubles. Scale shape: one
+    * (year, part) hash agg, one part-keyed self-join between adjacent
+    * years, one year-pair rollup.
+    */
+  def q281PriceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val yp = t(spark, dir, "lineitem")
+      .select(year(col("l_shipdate")).as("y"), col("l_partkey"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("r"))
+      .groupBy("y", "l_partkey")
+      .agg(sum(col("q")).as("q"), sum(col("r")).as("r"))
+    val a = yp.select(col("y").as("y0"), col("l_partkey"),
+      col("q").as("q0"), col("r").as("r0"))
+    val b = yp.select((col("y") - 1).as("y0"), col("l_partkey"),
+      col("q").as("q1"), col("r").as("r1"))
+    a.join(b, Seq("y0", "l_partkey"))
+      .withColumn("p0", col("r0").cast("double") / col("q0"))
+      .withColumn("p1", col("r1").cast("double") / col("q1"))
+      .select(col("y0"), col("l_partkey"), col("q0"), col("q1"),
+        col("r0"), col("r1"),
+        round((col("p1") - col("p0")) * col("q0"), 0).cast("long").as("pe"),
+        round(col("p0") * (col("q1") - col("q0")), 0).cast("long").as("ve"),
+        round((col("p1") - col("p0")) * (col("q1") - col("q0")), 0)
+          .cast("long").as("ce"))
+      .groupBy("y0")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("pe")).as("spe"), sum(col("ve")).as("sve"),
+        sum(col("ce")).as("sce"),
+        sum(col("r1") - col("r0")).as("sd"))
+      .select(col("y0").as("year_from"), (col("y0") + 1).as("year_to"),
+        col("n_parts"),
+        round(col("spe") / 100.0, 2).as("price_effect"),
+        round(col("sve") / 100.0, 2).as("volume_effect"),
+        round(col("sce") / 100.0, 2).as("mix_effect"),
+        round(col("sd") / 100.0, 2).as("actual_delta"))
+  }
+
   /** q278: open-order aging sweep — per calendar day, how many
     * lineitem lines are ordered-but-not-yet-shipped and the cents
     * value in flight: each line opens at its order date and closes at
@@ -3547,6 +3594,7 @@ object RelationalQueries {
     "q270_stl_decompose" -> q270StlDecompose _,
     "q274_table_checksums" -> q274TableChecksums _,
     "q278_open_order_aging" -> q278OpenOrderAging _,
+    "q281_price_volume_mix" -> q281PriceVolumeMix _,
     "q275_kcore" -> q275KCore _,
     "q276_power_analysis" -> q276PowerAnalysis _,
     "q271_weighted_median" -> q271WeightedMedian _,
@@ -3703,6 +3751,35 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same (year, part) integer aggregates, same mirrored unit-price
+    // doubles, same per-part cent rounding before the year-pair sums
+    "q281_price_volume_mix" ->
+      """WITH yp AS (
+        |  SELECT year(CAST(l_shipdate AS DATE)) AS y, l_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.y AS y0, a.l_partkey,
+        |         a.q AS q0, b.q AS q1, a.r AS r0, b.r AS r1,
+        |         CAST(a.r AS DOUBLE) / a.q AS p0,
+        |         CAST(b.r AS DOUBLE) / b.q AS p1
+        |  FROM yp a JOIN yp b
+        |    ON b.l_partkey = a.l_partkey AND b.y = a.y + 1),
+        |e AS (
+        |  SELECT y0,
+        |    CAST(round((p1 - p0) * q0) AS BIGINT) AS pe,
+        |    CAST(round(p0 * (q1 - q0)) AS BIGINT) AS ve,
+        |    CAST(round((p1 - p0) * (q1 - q0)) AS BIGINT) AS ce,
+        |    r1 - r0 AS d
+        |  FROM j)
+        |SELECT y0 AS year_from, y0 + 1 AS year_to, count(*) AS n_parts,
+        |  round(CAST(sum(pe) AS BIGINT) / 100.0, 2) AS price_effect,
+        |  round(CAST(sum(ve) AS BIGINT) / 100.0, 2) AS volume_effect,
+        |  round(CAST(sum(ce) AS BIGINT) / 100.0, 2) AS mix_effect,
+        |  round(CAST(sum(d) AS BIGINT) / 100.0, 2) AS actual_delta
+        |FROM e GROUP BY 1""".stripMargin,
     // same ±1/±cents boundary deltas, same day-ordered running sums
     "q278_open_order_aging" ->
       """WITH j AS (

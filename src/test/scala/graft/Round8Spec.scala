@@ -479,6 +479,30 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q280: multimodal retrieval ranks are consecutive with cosine in [-1, 1]") {
+    val r = rows("q280_multimodal_knn")
+    assert(r.length == 30, "10 queries x top-3")
+    r.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      g.foreach { row =>
+        assert(row.getDouble(3) >= -1.0 && row.getDouble(3) <= 1.0)
+        assert(row.getLong(2) != row.getLong(0))
+      }
+    }
+  }
+
+  test("q281: the three effects reconstruct the actual delta within rounding") {
+    val r = rows("q281_price_volume_mix")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val sum = row.getDouble(3) + row.getDouble(4) + row.getDouble(5)
+      // per-part cent rounding drifts at most 1.5 cents per part
+      val tol = 0.015 * row.getLong(2) + 0.05
+      assert(math.abs(sum - row.getDouble(6)) <= tol,
+        s"${row.getInt(0)}->${row.getInt(1)}: $sum vs ${row.getDouble(6)}")
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
