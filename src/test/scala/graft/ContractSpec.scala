@@ -32,7 +32,7 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
       graft.queries.TextQueries.queries, graft.queries.DedupQueries.queries,
       graft.queries.SimilarityQueries.queries, graft.queries.MultimodalQueries.queries,
       graft.queries.SearchQueries.queries, graft.queries.IndexParityQueries.queries,
-      graft.queries.HygieneQueries.queries)
+      graft.queries.HygieneQueries.queries, graft.queries.StreamParityQueries.queries)
     val all = packs.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across packs: $dupes")
