@@ -275,6 +275,26 @@ object HygieneQueries {
       .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
   }
 
+  /** q282: l-diversity audit — k-anonymity q154's stronger sibling: a
+    * quasi-identifier group that is large enough (k) can STILL leak if
+    * every member shares the same sensitive value, so per
+    * (lang, source) group this reports the group size AND the number
+    * of distinct sensitive values (the length bucket standing in for
+    * the sensitive attribute), flagging groups below l = 2. Publish
+    * gates read both reports together. DETERMINISM: pure integer
+    * counting. Scale shape: one (group, sensitive) dedup agg (the
+    * only corpus-sized exchange) folded to group grain.
+    */
+  def q282LDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_b"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("len_b")).as("l_distinct"))
+      .select(col("lang"), col("source"), col("n_rows"), col("l_distinct"),
+        (col("l_distinct") < 2).cast("int").as("below_l2"))
+
   def q154KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
       .select(col("lang"), col("source"),
@@ -443,6 +463,7 @@ object HygieneQueries {
     "q154_k_anonymity" -> (q154KAnonymity _),
     "q258_dp_counts" -> (q258DpCounts _),
     "q269_quantile_normalize" -> (q269QuantileNormalize _),
+    "q282_l_diversity" -> (q282LDiversity _),
     "q155_compaction_bins" -> (q155CompactionBins _),
     "q138_weighted_sample" -> (q138WeightedSample _),
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
@@ -468,6 +489,12 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same quasi-identifier grouping and length-bucket sensitive value
+    "q282_l_diversity" ->
+      """SELECT lang, source, count(*) AS n_rows,
+        |       count(DISTINCT n_chars // 100) AS l_distinct,
+        |       CAST(count(DISTINCT n_chars // 100) < 2 AS INT) AS below_l2
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // same (value, doc_id) total orders, same midpoint-quantile integer
     // ceiling, same pooled-rank lookup join
     "q269_quantile_normalize" ->

@@ -2244,6 +2244,43 @@ object RelationalQueries {
           .as("purge_frac"))
   }
 
+  /** q283: delete-1 jackknife for a ratio metric — the overall
+    * purchase-per-view ratio with its jackknife standard error over
+    * daily blocks: ratio metrics (CTR, conversion, revenue-per-user)
+    * violate the iid-row assumption behind q161's z-test, and the
+    * block jackknife is the standard correct variance — this is the
+    * readout an experimentation platform places beside every ratio
+    * metric. DETERMINISM: daily counts are exact integers; each
+    * leave-one-day-out pseudo-ratio is ONE mirrored double division
+    * 1e12-QUANTIZED to an integer before the order-free moment sums;
+    * the SE closed form is a fixed double expression. Scale shape:
+    * one events scan → day-grain agg; the pseudo-value pass is
+    * day-grain with the totals broadcast; moments are one 1-row agg.
+    */
+  def q283JackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val day = t(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("x"),
+        sum((col("event_type") === "view").cast("long")).as("y"))
+    val tot = day.agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val pseudo = day.crossJoin(broadcast(tot))
+      .filter(col("sy") - col("y") > 0)
+      .select(col("sx"), col("sy"),
+        round((col("sx") - col("x")).cast("double") /
+          (col("sy") - col("y")) * 1e12, 0).cast("long").as("rq"))
+    pseudo
+      .groupBy("sx", "sy")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rq")).as("s1"),
+        sum(col("rq").cast("decimal(38,0)") * col("rq")).as("s2"))
+      .withColumn("s1d", col("s1").cast("double") / 1e12)
+      .withColumn("s2d", col("s2").cast("double") / 1e24)
+      .select(col("n_days"),
+        round(col("sx").cast("double") / col("sy"), 6).as("ratio"),
+        round(sqrt((col("s2d") - col("s1d") * col("s1d") / col("n_days"))
+          * (col("n_days") - 1) / col("n_days")), 6).as("jackknife_se"))
+  }
+
   /** q281: YoY price-volume-mix decomposition — for each consecutive
     * year pair and the parts traded in BOTH years, the revenue change
     * split into price effect (Δp·q₀), volume effect (p₀·Δq) and the
@@ -3595,6 +3632,7 @@ object RelationalQueries {
     "q274_table_checksums" -> q274TableChecksums _,
     "q278_open_order_aging" -> q278OpenOrderAging _,
     "q281_price_volume_mix" -> q281PriceVolumeMix _,
+    "q283_jackknife_ratio" -> q283JackknifeRatio _,
     "q275_kcore" -> q275KCore _,
     "q276_power_analysis" -> q276PowerAnalysis _,
     "q271_weighted_median" -> q271WeightedMedian _,
@@ -3751,6 +3789,32 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same daily integer counts, same 1e12-quantized leave-one-out
+    // pseudo-ratios, same mirrored SE closed form
+    "q283_jackknife_ratio" ->
+      """WITH day AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |               CAST(sum(y) AS BIGINT) AS sy FROM day),
+        |ps AS (
+        |  SELECT sx, sy,
+        |    CAST(round(CAST(sx - x AS DOUBLE) / (sy - y) * 1e12) AS BIGINT)
+        |      AS rq
+        |  FROM day CROSS JOIN tot WHERE sy - y > 0),
+        |m AS (
+        |  SELECT sx, sy, count(*) AS n_days,
+        |    CAST(sum(rq) AS DOUBLE) / 1e12 AS s1d,
+        |    CAST(sum(CAST(rq AS HUGEINT) * rq) AS DOUBLE) / 1e24 AS s2d
+        |  FROM ps GROUP BY 1, 2)
+        |SELECT n_days, round(CAST(sx AS DOUBLE) / sy, 6) AS ratio,
+        |  round(sqrt((s2d - s1d * s1d / n_days) * (n_days - 1) / n_days), 6)
+        |    AS jackknife_se
+        |FROM m""".stripMargin,
     // same (year, part) integer aggregates, same mirrored unit-price
     // doubles, same per-part cent rounding before the year-pair sums
     "q281_price_volume_mix" ->

@@ -90,7 +90,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q272_modality_disagreement", "q273_incremental_join",
     "q274_table_checksums", "q275_kcore", "q276_power_analysis",
     "q277_autocomplete", "q278_open_order_aging", "q279_stylometry",
-    "q280_multimodal_knn", "q281_price_volume_mix")
+    "q280_multimodal_knn", "q281_price_volume_mix",
+    "q282_l_diversity", "q283_jackknife_ratio")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

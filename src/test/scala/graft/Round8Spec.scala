@@ -503,6 +503,25 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q282: l-diversity is bounded by group size and the flag is consistent") {
+    val r = rows("q282_l_diversity")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(3) >= 1 && row.getLong(3) <= row.getLong(2))
+      assert((row.getInt(4) == 1) == (row.getLong(3) < 2))
+    }
+  }
+
+  test("q283: the jackknife SE is positive and small relative to the ratio") {
+    val r = rows("q283_jackknife_ratio")
+    assert(r.length == 1)
+    val (n, ratio, se) = (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2))
+    assert(n > 10)
+    assert(ratio > 0 && ratio < 10)
+    assert(se > 0 && se < ratio,
+      "daily blocks of a stable ratio give sub-ratio standard error")
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
