@@ -108,9 +108,46 @@ object StreamParityQueries {
         col("m.ewma").as("ewma"))
   }
 
+  /** q284: per-key streaming Holt (level, trend) state, driver-verified
+    * — q267's gate for the COUPLED two-variable fold: the same
+    * time-ordered feed through [[StreamingOps.holtPerKey]]
+    * (mapGroupsWithState, O(1) (l, b, n) per user), final state
+    * compared bit-for-bit against the batch recurrence. The oracle
+    * walks the identical IEEE steps per key with a RECURSIVE CTE —
+    * DuckDB's `list_reduce` rebinds struct accumulator fields
+    * mid-row, so the coupled fold cannot be a list lambda there
+    * (the q251 engine-difference finding, now pinned by the driver's
+    * hash on every key's final state).
+    */
+  def q284StreamHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q284_holt"
+    spark.catalog.dropTempView(sink)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.holtPerKey(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_stream_dedup" -> (q259StreamDedup _),
-    "q267_stream_ewma" -> (q267StreamEwma _))
+    "q267_stream_ewma" -> (q267StreamEwma _),
+    "q284_stream_holt" -> (q284StreamHolt _))
 
   val oracleSql: Map[String, String] = Map(
     // one emission per distinct normalized content — the batch q30
@@ -127,5 +164,24 @@ object StreamParityQueries {
       """SELECT user_id, count(*) AS n_events,
         |       list_reduce(list(value ORDER BY ts, event_id),
         |                   (acc, x) -> acc / 2 + x / 2) AS ewma
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    // the identical coupled IEEE steps walked per key by a recursive
+    // CTE (a struct list_reduce would rebind l mid-row — q251 finding)
+    "q284_stream_holt" ->
+      """WITH RECURSIVE ser AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+        |         count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |fold AS (
+        |  SELECT user_id, 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1,
+        |         (s.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2,
+        |         ((s.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2 - f.l + f.b) / 2
+        |  FROM fold f JOIN ser s ON s.user_id = f.user_id
+        |  WHERE f.i < s.n)
+        |SELECT f.user_id, CAST(s.n AS BIGINT) AS n_events,
+        |       f.l AS level, f.b AS trend
+        |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin)
 }

@@ -522,6 +522,17 @@ class Round8Spec extends AnyFunSuite with SparkTestBase {
       "daily blocks of a stable ratio give sub-ratio standard error")
   }
 
+  test("q284: streamed Holt state covers every user with finite level and trend") {
+    val r = rows("q284_stream_holt")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(r.length == ev.select("user_id").distinct().count())
+    assert(r.map(_.getLong(1)).sum == ev.count())
+    r.foreach { row =>
+      assert(!row.getDouble(2).isNaN && !row.getDouble(2).isInfinite)
+      assert(!row.getDouble(3).isNaN && !row.getDouble(3).isInfinite)
+    }
+  }
+
   test("q242: weights sum to ~1 and temperature upweights small sources") {
     val r = rows("q242_mix_temperature")
     val total = r.map(_.getLong(1)).sum.toDouble
