@@ -121,4 +121,64 @@ object Quantiles {
       d.withColumn(out, offsetCol(m, pid) + sum(col(v)).over(w))
     }.drop(pid)
   }
+
+  /** Adds column `out` = array of the next `w` rows (as structs of ALL
+    * input columns, nearest first, rows past the end of the data
+    * omitted) in the TOTAL `order` — `lead(struct(*), j)` over a global
+    * ORDER BY for j = 1..w, planned without the single-partition sort:
+    * the sorted-neighborhood primitive (record linkage, adjacent-diff,
+    * run detection).
+    *
+    * Plan: range exchange + pid-partitioned leads cover every row whose
+    * whole neighborhood lies inside its own partition; the ≤ w last
+    * rows of each partition miss some leads, and — because global
+    * positions advance at most w past a boundary — every missing
+    * neighbor is one of the FIRST w rows of ITS OWN partition. Both
+    * patch sides are therefore ≤ w rows per partition; the patch is a
+    * broadcast equi-join on the exact global position (the
+    * withGlobalRank machinery), never a second corpus exchange.
+    */
+  def withNextRows(df: DataFrame, order: Seq[Column], w: Int, out: String): DataFrame = {
+    require(w > 0, "withNextRows needs w > 0")
+    val pid = "_nx_pid"
+    val rn = "_nx_rn"
+    val g = "_nx_g"
+    val rowS = struct(df.columns.map(col).toIndexedSeq: _*)
+    val (ranged, offsets, total) = rangedWithOffsets(df, order, pid, count(lit(1)))
+    // per-partition sizes from consecutive offsets — bounded by the
+    // shuffle-partition count, same contract as the offsets themselves
+    val inOrder = offsets.toSeq.sortBy(_._1)
+    val sizes: Map[Int, Long] = inOrder.zip(inOrder.drop(1).map(_._2) :+ total)
+      .map { case ((p, o), nxt) => (p, nxt - o) }.toMap
+    val wv = Window.partitionBy(col(pid)).orderBy(order: _*)
+    val base = (1 to w).foldLeft(
+      ranged
+        .withColumn(rn, row_number().over(wv))
+        .withColumn(g, offsetCol(offsets, pid) + col(rn))) { (d, j) =>
+      d.withColumn(s"_nx_l$j", lead(rowS, j).over(wv))
+    }
+    val cnt = coalesce(element_at(typedlit(sizes), col(pid)), lit(0L))
+    val interior = base.filter(col(rn) + w <= cnt)
+    val edge = base.filter(col(rn) + w > cnt)
+    val heads = base.filter(col(rn) <= w)
+      .select(col(g).as("_nx_bg"), rowS.as("_nx_bs"))
+    // lead j is missing exactly when rn + j > cnt → j ∈ [cnt−rn+1, w]
+    // (clamped to ≥ 1); neighbors past the end of the data simply find
+    // no head row and fall out of the join
+    val missing = edge
+      .select(col(g), explode(sequence(
+        greatest(lit(1L), cnt - col(rn) + 1).cast("int"), lit(w))).as("_nx_j"))
+      .join(broadcast(heads), col("_nx_bg") === col(g) + col("_nx_j"))
+    val fillAggs = (1 to w).map(j =>
+      max(when(col("_nx_j") === j, col("_nx_bs"))).as(s"_nx_f$j"))
+    val fills = missing.groupBy(col(g)).agg(fillAggs.head, fillAggs.tail: _*)
+    val patched = (1 to w).foldLeft(
+      edge.join(broadcast(fills), Seq(g), "left")) { (d, j) =>
+      d.withColumn(s"_nx_l$j", coalesce(col(s"_nx_l$j"), col(s"_nx_f$j")))
+    }.drop((1 to w).map(j => s"_nx_f$j"): _*)
+    interior.unionByName(patched)
+      .withColumn(out,
+        filter(array((1 to w).map(j => col(s"_nx_l$j")): _*), _.isNotNull))
+      .drop((1 to w).map(j => s"_nx_l$j") ++ Seq(pid, rn, g): _*)
+  }
 }

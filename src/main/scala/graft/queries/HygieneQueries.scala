@@ -211,16 +211,18 @@ object HygieneQueries {
     * the Expand doubles the scan rows but the shuffle carries only group
     * keys; the violation filter runs on the (tiny) group table.
     */
-  /** q258: differentially-private histogram release — per (source, lang)
-    * document counts with deterministic Laplace(b=1) noise, the
-    * governance sibling of k-anonymity q154: the noised counts are what
-    * a pipeline may publish externally when the raw per-slice counts
-    * are themselves sensitive. The noise draw inverts the Laplace CDF
-    * at a uniform derived from md5(source|lang|dp) — a REPLAYABLE
-    * release: the same groups noise identically on any engine or
-    * re-run, so published artifacts are reproducible and auditable
-    * (true ε-DP would use a secret seed; the mechanism and calibration
-    * are identical). DETERMINISM: the uniform is an exact 32-bit
+  /** q258: deterministic Laplace-calibration histogram — per
+    * (source, lang) document counts with Laplace(b=1)-shaped noise
+    * whose draw is a PUBLIC function of the group key
+    * (md5(source|lang|dp)), the mechanism-calibration twin of a DP
+    * release. NOT differential privacy: anyone can recompute the draw
+    * from the key and subtract it, so the released counts are fully
+    * invertible and must never be treated as a privacy-preserving
+    * release — the op exists to pin the noise MECHANISM (inverse-CDF
+    * shape, sensitivity-1 calibration, quantization) cross-engine so
+    * that swapping in a secret per-release seed is the only change a
+    * real DP deployment needs. DETERMINISM (and the reason the seed is
+    * public here): the uniform is an exact 32-bit
     * dyadic rational from md5; the single ln is 1e9-quantized before
     * use (the q197/q218 idiom); everything else is integer/exact.
     * Scale shape: one |groups|-row hash agg + a per-row noise
@@ -266,7 +268,13 @@ object HygieneQueries {
       .withColumn("r", row_number().over(
         Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
       .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
-      .withColumn("k", expr(s"((2 * r - 1) * $n + 2 * ns - 1) div (2 * ns)"))
+      // 64-bit throughout: r is an INT row_number and a 32-bit product
+      // (2r−1)·N overflows past ~2^31 rows×sources under ANSI (the
+      // ScaleUp fixtures reach it); BIGINT on both factors keeps the
+      // exact ceiling arithmetic at any corpus size. The oracle already
+      // computes in BIGINT.
+      .withColumn("k",
+        expr(s"((2 * CAST(r AS BIGINT) - 1) * ${n}L + 2 * ns - 1) div (2 * ns)"))
     val pooled = graft.operators.Quantiles
       .withGlobalRank(d.select(col("n_chars"), col("doc_id")),
         Seq(col("n_chars"), col("doc_id")), "grank")

@@ -1523,13 +1523,16 @@ object RelationalQueries {
   // CUSTOMER-grain table (not orders) — ties broken by custkey, though
   // any tie order yields the same Σ(i·xᵢ) only when amounts are equal,
   // which the (rev, custkey) total order makes deterministic anyway.
+  // Scale shape: the global rank runs through Quantiles.withGlobalRank
+  // (range exchange + pid-partitioned window + broadcast offsets) — no
+  // single-partition sort of the customer-grain table; the rank values
+  // are identical to row_number() over the global ORDER BY.
   def q169Gini(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
-    val ranked = rev.withColumn("i",
-      row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+    val ranked = graft.operators.Quantiles.withGlobalRank(
+      rev, Seq(col("rev").asc, col("o_custkey").asc), "i")
     ranked.agg(
       count(lit(1)).as("n"),
       sum(col("rev")).as("srev"),
@@ -1742,25 +1745,21 @@ object RelationalQueries {
   // matching into O(n·w) (q130's wildcard-key join is the other
   // blocking family). DETERMINISM: the sort order is the total order
   // (c_name, c_custkey); Levenshtein distance is exact integer in both
-  // engines. Scale shape: window + projection, no join at all; the
-  // global sort is the SNM spec — at 100 TB you'd range-partition on
-  // the key (sortWithinPartitions + per-boundary overlap of w rows)
-  // and the window parallelizes per partition.
+  // engines. Scale shape: the w-neighborhood runs through
+  // Quantiles.withNextRows — range exchange + pid-partitioned leads +
+  // a broadcast boundary patch of ≤ w rows per partition on either
+  // side (the range-partition + boundary-overlap SNM plan); no
+  // single-partition sort of the customer grain, and still no fuzzy
+  // self-join: candidate volume stays O(n·w).
   def q178SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_name"), col("c_custkey"))
-    val c = t(spark, dir, "customer").select("c_custkey", "c_name")
-      .withColumn("n1", lead(col("c_name"), 1).over(w))
-      .withColumn("k1", lead(col("c_custkey"), 1).over(w))
-      .withColumn("n2", lead(col("c_name"), 2).over(w))
-      .withColumn("k2", lead(col("c_custkey"), 2).over(w))
+    val c = graft.operators.Quantiles.withNextRows(
+      t(spark, dir, "customer").select("c_custkey", "c_name"),
+      Seq(col("c_name").asc, col("c_custkey").asc), 2, "nbrs")
     c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
-      explode(array(
-        struct(col("k1").as("id_b"), col("n1").as("name_b")),
-        struct(col("k2").as("id_b"), col("n2").as("name_b")))).as("nb"))
-      .select(col("id_a"), col("nb.id_b").as("id_b"),
-        levenshtein(col("name_a"), col("nb.name_b")).as("dist"))
-      .filter(col("id_b").isNotNull && col("dist") <= 2)
+        explode(col("nbrs")).as("nb"))
+      .select(col("id_a"), col("nb.c_custkey").as("id_b"),
+        levenshtein(col("name_a"), col("nb.c_name")).as("dist"))
+      .filter(col("dist") <= 2)
   }
 
   // q180: Lorenz curve of customer revenue concentration — revenue
@@ -1768,23 +1767,28 @@ object RelationalQueries {
   // each decile's share and the cumulative share: the curve behind
   // q169's single Gini number ("the bottom 50% of customers hold 18%
   // of revenue"). DETERMINISM: decile sums stay DECIMAL until the one
-  // final division; the cumulative window runs over the 10-row decile
-  // table. Scale shape: customer-grain agg + the q173 ntile trade;
-  // output is 10 rows.
+  // final division (decimal addition is exact, so any accumulation
+  // order gives the same cumulative value). Scale shape: decile
+  // assignment through Quantiles.ntileExact (range exchange +
+  // pid-partitioned row_number, bit-equal to SQL ntile, no
+  // single-partition sort of the customer grain); the cumulative share
+  // is a broadcast ≤-self-join of the 10-row decile table (the q179
+  // idiom) — the whole plan is free of unpartitioned windows.
   def q180LorenzCurve(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = t(spark, dir, "orders").groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
-    val dec = rev
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("rev"), col("o_custkey"))))
+    val dec = graft.operators.Quantiles
+      .ntileExact(rev, 10, Seq(col("rev").asc, col("o_custkey").asc), "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+      .persist()
     val tot = dec.agg(sum(col("drev")).as("trev"))
-    val wCum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dec.crossJoin(broadcast(tot))
-      .withColumn("crev", sum(col("drev")).over(wCum))
+    val cum = dec.select(col("decile").as("dc"))
+      .join(broadcast(dec.select(col("decile").as("d2"), col("drev").as("dr2"))),
+        col("d2") <= col("dc"))
+      .groupBy(col("dc")).agg(sum(col("dr2")).as("crev"))
+    dec.join(broadcast(cum), col("decile") === col("dc"))
+      .crossJoin(broadcast(tot))
       .select(col("decile"), col("n_customers"),
         round(col("drev").cast("double") / col("trev").cast("double"), 6)
           .as("rev_share"),
@@ -2021,27 +2025,39 @@ object RelationalQueries {
     * the next 15%, C the tail (the warehouse-ops twin of q180's Lorenz
     * curve: same cumulative machinery, but the deliverable is the CLASS
     * ASSIGNMENT summary a stocking policy consumes). DETERMINISM:
-    * revenue is exact decimal; class boundaries compare cum·100 ≤
-    * total·80 / total·95 in EXACT decimal (no double thresholds); the
-    * final shares are the only doubles. Scale shape: part-grain agg →
-    * one part-grain ranked window (swap in broadcast quantile
-    * boundaries at catalog scale) → 3-row agg.
+    * revenue is exact decimal; the running total is the SAME exact
+    * value carried as a scaled integer (extendedprice has 2 decimal
+    * places and discount 2, so rev·10⁴ is integral — cents·(100−d₁₀₀)
+    * is an exact long), because Quantiles.prefixSums accumulates
+    * LongType; class boundaries compare cum·100 ≤ total·80 / total·95
+    * in EXACT integer/decimal (no double thresholds); the final shares
+    * are the only doubles, computed from the ORIGINAL decimal sums so
+    * the output arithmetic is unchanged. Scale shape: part-grain agg →
+    * Quantiles.prefixSums over (rev desc, partkey) — range exchange +
+    * pid-partitioned running sum + broadcast offsets, no
+    * single-partition window of the part grain — → 3-row agg.
     */
   def q195AbcClasses(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-        .as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = rev.agg(sum(col("rev")).as("trev"))
-    rev.withColumn("cum", sum(col("rev")).over(w))
+        .as("rev"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .as("rev_s"))
+    val tot = rev.agg(sum(col("rev")).as("trev"), sum(col("rev_s")).as("trev_s"))
+    graft.operators.Quantiles
+      .prefixSums(rev, Seq(col("rev_s").desc, col("l_partkey").asc),
+        Seq("rev_s" -> "cum_s"))
       .crossJoin(broadcast(tot))
+      // ×100/×80 in DECIMAL(38,0): the scaled longs are exact but the
+      // comparison products would overflow a long at catalog scale
       .withColumn("abc_class",
-        when(col("cum") * 100 <= col("trev") * 80, "A")
-          .when(col("cum") * 100 <= col("trev") * 95, "B")
+        when(col("cum_s").cast("decimal(38,0)") * 100 <=
+            col("trev_s").cast("decimal(38,0)") * 80, "A")
+          .when(col("cum_s").cast("decimal(38,0)") * 100 <=
+            col("trev_s").cast("decimal(38,0)") * 95, "B")
           .otherwise("C"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),

@@ -159,6 +159,19 @@ object StreamingOps {
   case class SessionState(start: Long, lastSeen: Long, n: Int)
 
   case class ValEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+  /** Full-microsecond epoch of a timestamp. The fold operators declare a
+    * (ts, event_id) arrival order and the batch oracles sort by the
+    * full-precision SQL timestamp; `getTime` alone truncates to
+    * milliseconds, so two same-key events inside one millisecond whose
+    * event_id order disagrees with their microsecond order would fold in
+    * the wrong order. `getNanos` carries the complete fractional second,
+    * so combine whole seconds (floorDiv for pre-epoch safety) with
+    * nanos/1000.
+    */
+  private def epochMicros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   case class EwmaState(ewma: Double, n: Long)
   case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
 
@@ -178,7 +191,7 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, EwmaUpdate](GroupStateTimeout.NoTimeout()) {
         (uid: Long, batch: Iterator[ValEvent], state: GroupState[EwmaState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
           sorted.foreach { e =>
             st =
@@ -210,7 +223,7 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState[HoltState, HoltUpdate](GroupStateTimeout.NoTimeout()) {
         (uid: Long, batch: Iterator[ValEvent], state: GroupState[HoltState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L))
           sorted.foreach { e =>
             st =

@@ -299,7 +299,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q173_rfm_segments", "q179_lift_table",
-        "q182_heaps_law", "q163_conversion_lag")) {
+        "q182_heaps_law", "q163_conversion_lag",
+        // round 9: the last four corpus-grain rank/prefix/neighbor ops
+        // swapped to withGlobalRank (q169), withNextRows (q178),
+        // ntileExact + broadcast decile self-join (q180) and
+        // prefixSums (q195)
+        "q169_gini", "q178_sorted_neighborhood",
+        "q180_lorenz_curve", "q195_abc_classes")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan

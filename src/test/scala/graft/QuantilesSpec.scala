@@ -63,4 +63,35 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
     org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
   }
+
+  // withNextRows must reproduce lead(struct(*), j) over a global ORDER
+  // BY for j = 1..w with nulls dropped — including the cross-partition
+  // boundary patch (the differential deliberately runs at row counts
+  // both below and above the 32 shuffle partitions so some partitions
+  // hold < w rows and neighbors span 2+ boundaries)
+  private def compareNext(n: Int, w: Int): Unit = {
+    import spark.implicits._
+    val df = (1 to n).map(i => ((i * 37) % 19, i.toLong)).toDF("v", "id")
+    val order = Seq(col("v").desc, col("id").asc)
+    val gw = Window.orderBy(order: _*)
+    val leadCols = (1 to w).map(j => lead(struct(col("v"), col("id")), j).over(gw))
+    val expected = df
+      .withColumn("nbrs", filter(array(leadCols: _*), _.isNotNull))
+      .select(col("v"), col("id"), to_json(col("nbrs")).as("nj"))
+    val got = graft.operators.Quantiles
+      .withNextRows(df, order, w, "nbrs")
+      .select(col("v"), col("id"), to_json(col("nbrs")).as("nj"))
+    assert(got.count() == n.toLong)
+    val mismatches = expected.as("e").join(got.as("g"), Seq("v", "id"))
+      .filter(col("e.nj") =!= col("g.nj")).count()
+    assert(mismatches == 0, s"n=$n w=$w: $mismatches neighborhood mismatches")
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+  }
+
+  test("withNextRows == global lead(struct, j) with w=2")(compareNext(211, 2))
+  test("withNextRows crosses multiple partition boundaries (n < partitions)")(
+    compareNext(11, 3))
+  test("withNextRows with w larger than most partitions")(compareNext(40, 5))
+  test("withNextRows single row (no neighbors)")(compareNext(1, 2))
 }
