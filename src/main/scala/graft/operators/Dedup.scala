@@ -386,6 +386,12 @@ object Dedup {
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint(true)
+    // dev-only round profiler (GRAFT_CC_PROF=1): prints cumulative wall
+    // time after the seed build and each propagation round
+    val profT0 = System.nanoTime()
+    def prof(l: String): Unit = if (sys.env.contains("GRAFT_CC_PROF"))
+      println(f"[ccprof] $l: ${(System.nanoTime() - profT0) / 1e9}%.3f s")
+    prof("seed labels built")
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -427,6 +433,7 @@ object Dedup {
       labels = updated
       converged = !changed
       i += 1
+      prof(s"round $i done (changed=$changed)")
     }
     if (!converged) {
       freeLocalCheckpoint(labels); freeLocalCheckpoint(edges)

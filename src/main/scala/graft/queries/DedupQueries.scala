@@ -21,18 +21,11 @@ object DedupQueries {
     * one bucket, which is quadratic blowup on a skewed corpus. On a corpus
     * without real near-duplicates the result is (correctly) empty.
     */
-  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    // the shingle table feeds the signature aggregation AND both sides of
-    // the verify join — persist so the generator pass runs once (at
-    // cluster scale: a persisted/checkpointed intermediate, standard for
-    // multi-pass dedup)
-    val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
-    // candidates are tiny; persisting stops the verify join (and its
-    // broadcast planning) from re-running the LSH pipeline per reference
-    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8).persist()
-    Dedup.jaccardVerify(cand, sh, "doc_id")
-  }
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    // the whole build (shingles → signatures → banded candidates →
+    // exact verify, with its persist placement) lives in the shared
+    // NearDup builder — one definition for q31 and its auditors
+    graft.operators.NearDup.lshVerifiedPairs(spark, dir)
 
   /** q127: cross-source duplication matrix — which sources copy from
     * each other. Near-dup doc pairs (q32's exact shared-shingle path,
@@ -51,7 +44,7 @@ object DedupQueries {
     // whole shingle-join pipeline — without the persist, broadcast
     // planning of the two provenance joins re-executes that pipeline
     // (q31's documented pattern; measured 33× slower at the 10× sweep)
-    val pairs = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05).persist()
+    val pairs = graft.operators.NearDup.exactPairs(spark, dir).persist()
     val src = d.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
@@ -239,8 +232,7 @@ object DedupQueries {
     */
   def q272ModalityDisagreement(spark: SparkSession, dir: String): DataFrame = {
     val emb = SimilarityQueries.q34EmbedPairs(spark, dir)
-    val ng = Dedup.ngramJaccard(docs(spark, dir), "text", "doc_id",
-      threshold = 0.05).select(col("id_a"), col("id_b"))
+    val ng = graft.operators.NearDup.exactPairIds(spark, dir)
     emb.join(ng, Seq("id_a", "id_b"), "left_anti")
   }
 
@@ -262,8 +254,7 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
     val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
-        .select(col("id_a"), col("id_b")))
+      graft.operators.NearDup.exactPairIds(spark, dir))
     val words = d.select(col("doc_id"),
       size(graft.functions.TextFunctions.wordsArr(col("text"))).as("n_words"))
     labels.join(words, labels("id") === words("doc_id"))
@@ -283,9 +274,7 @@ object DedupQueries {
     * closure with a recursive CTE.
     */
   def q37DupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.ngramJaccard(docs(spark, dir), "text", "doc_id", threshold = 0.05)
-        .select(col("id_a"), col("id_b")))
+    Dedup.connectedComponents(graft.operators.NearDup.exactPairIds(spark, dir))
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
 
   /** q38: dedup APPLIED — the corpus with every near-dup cluster reduced
@@ -293,28 +282,22 @@ object DedupQueries {
     * plus the left-anti join ([[Dedup.keepClusterKeepers]]); the oracle
     * recomputes the same transitive closure and anti-joins.
     */
-  def q38DedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def q38DedupApply(spark: SparkSession, dir: String): DataFrame =
     Dedup.keepClusterKeepers(
-      d,
-      Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
-        .select(col("id_a"), col("id_b")),
+      docs(spark, dir),
+      graft.operators.NearDup.exactPairIds(spark, dir),
       "doc_id")
-  }
 
   /** q114: dedup cluster weights — q38's keeper set, each keeper
     * carrying its near-dup cluster size as a training weight (weight 1
     * outside any cluster), so total corpus mass is conserved
     * (Σ weight == |docs|, spec-pinned). See [[Dedup.clusterWeights]].
     */
-  def q114ClusterWeights(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def q114ClusterWeights(spark: SparkSession, dir: String): DataFrame =
     Dedup.clusterWeights(
-      d,
-      Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
-        .select(col("id_a"), col("id_b")),
+      docs(spark, dir),
+      graft.operators.NearDup.exactPairIds(spark, dir),
       "doc_id")
-  }
 
   /** q152: prefix-filtered exact-Jaccard self-join (PPJoin/AllPairs
     * family) at τ=0.5 — the SAME answer as the naive shared-shingle
@@ -399,9 +382,9 @@ object DedupQueries {
     * signature equi-join on the candidate pairs — pair-set-sized.
     */
   def q227MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
-    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8).persist()
+    val sh = graft.operators.NearDup.shingleTable(spark, dir)
+    val cand = Dedup.minhashLshCandidates(
+      sh, "doc_id", graft.operators.NearDup.NumHashes).persist()
     val exact = Dedup.jaccardVerify(cand, sh, "doc_id")
     val withH = sh.select(col("doc_id"), md5(col("sh")).as("h0"),
       md5(concat(lit("1|"), col("sh"))).as("h1"))
@@ -436,11 +419,11 @@ object DedupQueries {
     * guarded keyed pipelines; the compare is pair-set-sized.
     */
   def q230LshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val exact = Dedup.ngramJaccard(d, "text", "doc_id", threshold = 0.05)
-      .select(col("id_a"), col("id_b")).withColumn("ie", lit(1))
-    val sh = Dedup.shinglePairs(d, "text", "doc_id").persist()
-    val cand = Dedup.minhashLshCandidates(sh, "doc_id", numHashes = 8)
+    val exact = graft.operators.NearDup.exactPairIds(spark, dir)
+      .withColumn("ie", lit(1))
+    val cand = Dedup.minhashLshCandidates(
+      graft.operators.NearDup.shingleTable(spark, dir), "doc_id",
+      graft.operators.NearDup.NumHashes)
       .withColumn("ic", lit(1))
     exact.join(cand, Seq("id_a", "id_b"), "full_outer")
       .agg(count(col("ie")).as("n_exact"), count(col("ic")).as("n_candidates"),
@@ -522,7 +505,7 @@ object DedupQueries {
     "q30_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id")),
     "q31_minhash_lsh" -> (q31MinhashLsh _),
     "q32_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), "text", "doc_id", threshold = 0.05)),
+      graft.operators.NearDup.exactPairs(s, dir)),
     "q33_simhash" -> ((s, dir) => Dedup.simhash16(docs(s, dir), "text", "doc_id")),
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q77_simhash64_pairs" -> (q77Simhash64Pairs _),
