@@ -144,10 +144,178 @@ object StreamParityQueries {
         col("m.level").as("level"), col("m.trend").as("trend"))
   }
 
+  /** Recursive best-effort delete of a harness temp dir (checkpoint
+    * locations are per-invocation scratch, never part of the answer).
+    */
+  private def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+          case _: java.io.IOException => ()
+        })
+    }
+  }
+
+  /** Run a [[StreamingOps.ValEvent]] streaming plan over the
+    * time-ordered events feed WITH ONE QUERY RESTART in the middle: the
+    * first half of the feed goes to a query writing sink `_pre`, the
+    * query is STOPPED, a new query over the same MemoryStream and the
+    * SAME CHECKPOINT writes sink `_post`, and the rest of the feed goes
+    * to it. mapGroupsWithState state must be reloaded from the
+    * checkpoint's state store bit-exactly — a key whose state reset
+    * re-seeds its fold (wrong n_events AND wrong value) and a source
+    * offset reset double-counts — so comparing the per-key FINAL state
+    * (max-n row across both sinks; updates are idempotent under replay
+    * because n_events strictly increases) against the batch oracle is
+    * the recovery gate. Returns the union of both sinks' updates.
+    */
+  private def runValEventWithRestart(
+      spark: SparkSession, dir: String, sinkPrefix: String,
+      plan: org.apache.spark.sql.Dataset[StreamingOps.ValEvent] => DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // fresh checkpoint per invocation: a reused one would resume past
+    // the re-fed MemoryStream offsets and process nothing
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val n = ev.count()
+    // ≥6 chunks (restart after 3) — bounded driver memory either way
+    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    // foreachBatch, not the memory sink: the memory sink refuses
+    // checkpoint recovery (it is not durable), while ForeachBatchSink
+    // is the standard recoverable production pattern. The driver buffer
+    // holds per-batch per-active-key UPDATE rows — bounded by
+    // |keys| × #batches, a harness-scale contract like the chunked feed
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val outSchema = plan(ms.toDS()).schema
+    def start() = plan(ms.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add); ()
+      }
+      .start()
+    try {
+      var q = start()
+      var fed = 0L
+      var restarted = false
+      ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+        if (!restarted && fed >= (n + 1) / 2) {
+          q.stop()
+          q = start() // same checkpoint: state must carry over
+          restarted = true
+        }
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        fed += batch.size
+      }
+      q.stop()
+      spark.createDataFrame(
+        new java.util.ArrayList(buf), outSchema)
+    } finally deleteRecursively(ckpt)
+  }
+
+  /** q285: q267's streaming-EWMA parity RE-ASSERTED ACROSS A QUERY
+    * RESTART — same oracle (the per-user batch fold), but the harness
+    * stops the query mid-feed and resumes from the checkpoint, so the
+    * hash now also proves the mapGroupsWithState store round-trips the
+    * (ewma, n) state bit-exactly and the source resumes at the exact
+    * committed offset (a reset key re-seeds and fails; a replayed
+    * offset double-counts n_events and fails).
+    */
+  def q285StreamEwmaRecovery(spark: SparkSession, dir: String): DataFrame =
+    runValEventWithRestart(spark, dir, "graft_q285_ewma",
+      ds => StreamingOps.ewmaPerKey(ds).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma").as("ewma"))
+
+  /** q286: q284's coupled Holt (level, trend) state across a restart —
+    * the two-variable recovery gate: both state fields must reload
+    * bit-exactly or the post-restart recurrence diverges for every
+    * affected key.
+    */
+  def q286StreamHoltRecovery(spark: SparkSession, dir: String): DataFrame =
+    runValEventWithRestart(spark, dir, "graft_q286_holt",
+      ds => StreamingOps.holtPerKey(ds).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"))
+
+  /** q287: dedup-on-ingest ACROSS A RESTART — the corpus arrives over
+    * micro-batches with one stop/resume in the middle; the streaming
+    * `dropDuplicates` seen-fingerprint state must survive the restart,
+    * or a duplicate whose copies span the restart boundary is
+    * re-admitted and its fingerprint shows 2 distinct emitted doc ids.
+    * The output grain is (fp, distinct emitted doc ids): distinct-id
+    * counting (not raw emission counting) keeps the gate insensitive to
+    * a benignly replayed boundary micro-batch — a replay re-emits the
+    * SAME doc id, a state leak admits a DIFFERENT one — while the
+    * oracle still pins every fingerprint to exactly one survivor.
+    */
+  def q287StreamDedupRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .sort("doc_id")
+    val n = docs.count()
+    val chunk = math.max(1L, math.min(4096L, (n + 5) / 6)).toInt
+    val ms = MemoryStream[(Long, String)](spark)
+    // survivors only (the fp grain is computed batch-side below), so the
+    // driver buffer is bounded by the DISTINCT-content count
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def start() =
+      StreamingOps.dedupOnIngest(ms.toDF.toDF("doc_id", "text"), "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .select(
+              md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"),
+              col("doc_id"))
+            .as[(String, Long)].collect().foreach(buf.add)
+          ()
+        }
+        .start()
+    val emitted =
+      try {
+        var q = start()
+        var fed = 0L
+        var restarted = false
+        docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+          if (!restarted && fed >= (n + 1) / 2) {
+            q.stop()
+            q = start()
+            restarted = true
+          }
+          ms.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+          fed += batch.size
+        }
+        q.stop()
+        buf.asScala.toSeq.toDF("fp", "doc_id")
+      } finally deleteRecursively(ckpt)
+    emitted.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_emitted_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_stream_dedup" -> (q259StreamDedup _),
     "q267_stream_ewma" -> (q267StreamEwma _),
-    "q284_stream_holt" -> (q284StreamHolt _))
+    "q284_stream_holt" -> (q284StreamHolt _),
+    "q285_stream_ewma_recovery" -> (q285StreamEwmaRecovery _),
+    "q286_stream_holt_recovery" -> (q286StreamHoltRecovery _),
+    "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
     // one emission per distinct normalized content — the batch q30
@@ -183,5 +351,35 @@ object StreamParityQueries {
         |  WHERE f.i < s.n)
         |SELECT f.user_id, CAST(s.n AS BIGINT) AS n_events,
         |       f.l AS level, f.b AS trend
-        |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin)
+        |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin,
+    // identical oracles to the uninterrupted gates: recovery must be
+    // answer-invisible, so the SAME batch fold pins the restarted run
+    "q285_stream_ewma_recovery" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> acc / 2 + x / 2) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q286_stream_holt_recovery" ->
+      """WITH RECURSIVE ser AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+        |         count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |fold AS (
+        |  SELECT user_id, 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1,
+        |         (s.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2,
+        |         ((s.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2 - f.l + f.b) / 2
+        |  FROM fold f JOIN ser s ON s.user_id = f.user_id
+        |  WHERE f.i < s.n)
+        |SELECT f.user_id, CAST(s.n AS BIGINT) AS n_events,
+        |       f.l AS level, f.b AS trend
+        |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin,
+    // every fingerprint has exactly ONE emitted survivor id, no matter
+    // where the restart fell
+    "q287_stream_dedup_recovery" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       CAST(1 AS BIGINT) AS n_emitted_ids
+        |FROM documents GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-9 additions. The driver's oracle
+  * hash already pins each query against DuckDB; these differentials pin
+  * the properties the hash can't attribute — chiefly that CHECKPOINT
+  * RECOVERY is answer-invisible: the restarted run of each stateful
+  * streaming operator must produce BIT-identical final state to the
+  * uninterrupted run (doubles compared by binary equality via except).
+  */
+class Round9Spec extends AnyFunSuite with SparkTestBase {
+
+  private def run(q: String): DataFrame = SparkEntry.queries(q)(spark, sfDir)
+
+  private def assertBitEqual(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val extra = a.except(b).count()
+    val missing = b.except(a).count()
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(extra == 0 && missing == 0,
+      s"$what: $extra rows only in restarted run, $missing only in uninterrupted run")
+  }
+
+  test("q285 == q267: EWMA state survives a checkpoint restart bit-exactly") {
+    assertBitEqual(run("q285_stream_ewma_recovery"), run("q267_stream_ewma"),
+      "streaming EWMA recovery")
+  }
+
+  test("q286 == q284: coupled Holt (level, trend) state survives a restart bit-exactly") {
+    assertBitEqual(run("q286_stream_holt_recovery"), run("q284_stream_holt"),
+      "streaming Holt recovery")
+  }
+
+  test("q287 == q259: the seen-fingerprint dedup state survives a restart") {
+    val restarted = run("q287_stream_dedup_recovery")
+      .select("fp") // both gates pin one survivor per fingerprint
+    val uninterrupted = run("q259_stream_dedup").select("fp")
+    assertBitEqual(restarted, uninterrupted, "streaming dedup recovery")
+  }
+}
