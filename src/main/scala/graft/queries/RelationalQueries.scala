@@ -1275,24 +1275,21 @@ object RelationalQueries {
 
   // q150: triangle counting — the graph-analytics cohesion statistic,
   // run on the co-purchase graph (shared build: Edges.coPurchase —
-  // basket-local pair generation, two exchanges, no self-join). Edges
-  // carry the a<b orientation, so each triangle is enumerated exactly
-  // once by two equi-joins: (a,b)⋈(b,c) extends wedges, (a,c)
-  // membership closes them — never a cross product. At power-law scale
-  // the same plan runs on a DEGREE-ordered orientation (hubs get
-  // out-degree ~√|E|, bounding wedge fanout); the id orientation here
-  // keeps the oracle portable.
+  // basket-local pair generation, two exchanges, no self-join) through
+  // Edges.triangleCount's DEGREE-ORIENTED wedge extension: edges point
+  // low-(degree, id) → high, wedges form only at each triangle's
+  // minimum vertex, and out-degree is O(√|E|) under this orientation,
+  // so a power-law hub contributes no quadratic wedge fanout (the
+  // OperatorsSpec star-graph stress pins wedge volume at zero for a
+  // pure hub). The count is orientation-invariant — the oracle's
+  // id-ordered enumeration hashes identically.
   def q150TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.operators.Edges.coPurchase(spark, dir).persist()
-    val wedges = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-    val tri = wedges.join(
-      e.select(col("a"), col("b").as("c"), lit(1).as("closed")), Seq("a", "c"))
     val nodes = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .distinct().agg(count(lit(1)).as("n_nodes"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(nodes))
-      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .crossJoin(broadcast(graft.operators.Edges.triangleCount(e)))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 

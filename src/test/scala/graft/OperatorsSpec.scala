@@ -766,4 +766,57 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(cont.exists { case (id, _, _) => !kept.contains(id) },
       "the dense fixture corpus must produce at least one leaked doc")
   }
+
+  test("degree-oriented triangles: correct counts, zero wedges at a pure hub") {
+    import graft.operators.Edges
+    // star K_{1,200} with the hub at the MIDDLE id (100) plus three
+    // closing spoke-spoke edges -> exactly the 3 triangles
+    // (hub, s_i, s_j). A middle-id hub is the pathological case for the
+    // old id-ordered wedge plan: 100 in-edges x 100 out-edges = 10,000
+    // wedges pivot at it
+    val hub = 100L
+    val spokes = (0L to 200L).filter(_ != hub)
+    val star = spokes.map(s => (math.min(s, hub), math.max(s, hub))) ++
+      Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val e = star.toDF("a", "b")
+    val n = Edges.triangleCount(e).as[Long].collect()
+    assert(n.head == 3L)
+    // wedge volume under degree orientation: the hub has degree 200,
+    // every spoke <= 3, so NO out-edge leaves the hub and the only
+    // wedges are at spokes of the closing edges — provably bounded
+    val ed = Edges.orientByDegree(e).persist()
+    assert(ed.filter(col("src") === hub).count() == 0,
+      "degree orientation must not emit out-edges from the hub")
+    val wedges = ed.select(col("src"), col("dst").as("y"))
+      .join(ed.select(col("src"), col("dst").as("z")), Seq("src"))
+      .filter(col("y") < col("z"))
+      .count()
+    assert(wedges <= 6L, s"hub graph wedge volume must stay O(spoke-degree^2), got $wedges")
+    // id-orientation baseline for contrast: 100 x 100 wedges at the hub
+    val idWedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .count()
+    assert(idWedges > 1000L,
+      s"the fixture must demonstrate the id-orientation blowup, got $idWedges")
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+  }
+
+  test("triangleCount matches the naive enumeration on a random graph") {
+    import graft.operators.Edges
+    // deterministic pseudo-random graph: edge (i, j) present when
+    // (i * 31 + j * 17) % 7 == 0 over 40 nodes
+    val pairs = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      if (i * 31 + j * 17) % 7 == 0
+    } yield (i, j)
+    val e = pairs.toDF("a", "b")
+    val naive = pairs.flatMap { case (a, b) =>
+      pairs.collect { case (b2, c) if b2 == b => (a, b, c) }
+    }.count { case (a, _, c) => pairs.contains((a, c)) }
+    val got = Edges.triangleCount(e).as[Long].collect().head
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(got == naive, s"degree-oriented count $got != naive $naive")
+  }
 }
