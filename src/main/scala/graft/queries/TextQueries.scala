@@ -117,7 +117,7 @@ object TextQueries {
     * kmeans pattern) and one Σ freq·|syms| scalar. Returns the merge
     * log and the per-round corpus token totals (index 0 = characters).
     */
-  private def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+  private[graft] def bpeRounds(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) = {
     import org.apache.spark.sql.functions._
     var syms = docs(s, dir)
@@ -157,6 +157,107 @@ object TextQueries {
     }
     syms.unpersist()
     (merges.toSeq, totals.toSeq)
+  }
+
+  /** BATCHED BPE learning: [[bpeRounds]]'s loop with up to `maxBatch`
+    * merges accepted per super-round, PROVABLY equal to the sequential
+    * learner (q288's driver oracle is literally q263's sequential SQL).
+    * A real 32k-merge vocabulary cannot round-trip the driver 32k
+    * times — one pair-count aggregation per merge is the scale
+    * bottleneck — so per super-round this ranks pairs ONCE and accepts
+    * the maximal CONSECUTIVE prefix of the (cnt desc, a, b) ranking
+    * such that
+    *   (1) accepted pairs are pairwise symbol-disjoint and no accepted
+    *       pair's concatenation collides with another's symbol or
+    *       concatenation — so applying them in one pass equals applying
+    *       them one-by-one (their occurrence sets cannot interact), and
+    *   (2) the last accepted count strictly exceeds the first excluded
+    *       count — so no skipped or newly-created pair (whose count is
+    *       bounded by an excluded pair's count, since any pair touching
+    *       an accepted symbol was excluded) can tie into the winner
+    *       sequence by the lexicographic tie-break.
+    * Under (1)+(2) each accepted pair IS the sequential winner of its
+    * round, so the merge log is identical; the batch degenerates to 1
+    * (plain sequential) exactly when the ranking forces it. All
+    * accepted merges apply in ONE symbol-table pass via a literal
+    * lookup map. Driver state per super-round: maxBatch+1 ranked rows.
+    */
+  private[graft] def bpeRoundsBatched(
+      s: SparkSession, dir: String, totalMerges: Int, maxBatch: Int)
+      : (Seq[(Int, String, String, Long, String)], Seq[Int]) = {
+    import org.apache.spark.sql.functions._
+    require(maxBatch >= 1, "bpeRoundsBatched needs maxBatch >= 1")
+    var syms = docs(s, dir)
+      .select(graft.functions.AlnumTokens(col("text")))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select("word", "freq", "syms").persist()
+    val merges = collection.mutable.Buffer.empty[(Int, String, String, Long, String)]
+    val batchSizes = collection.mutable.Buffer.empty[Int]
+    while (merges.size < totalMerges) {
+      val want = math.min(maxBatch, totalMerges - merges.size)
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) return (merges.toSeq, batchSizes.toSeq)
+      val accepted = collection.mutable.Buffer(top.head)
+      var open = true
+      for (p <- top.tail.take(want - 1) if open) {
+        val pSyms = Set(p._1, p._2)
+        val ok = accepted.forall { q =>
+          val qSyms = Set(q._1, q._2)
+          pSyms.intersect(qSyms).isEmpty &&
+            !qSyms.contains(p._1 + p._2) && !pSyms.contains(q._1 + q._2) &&
+            p._1 + p._2 != q._1 + q._2
+        }
+        if (ok) accepted += p else open = false
+      }
+      // strict-gap trim: everything at or below the first excluded
+      // count could be overtaken (or tied) by a pair the batch changes
+      if (top.length > accepted.length) {
+        val t = top(accepted.length)._3
+        while (accepted.length > 1 && accepted.last._3 <= t)
+          accepted.dropRightInPlace(1)
+      }
+      val entries = accepted
+        .map(p => s"'${p._1}|${p._2}', '${p._1}${p._2}'").mkString(", ")
+      // localCheckpoint, not persist: persist keeps the FULL logical
+      // lineage, and ~10+ chained aggregate-fold projections explode
+      // the analyzer (OOM observed at 50 merges on sf1 — the q203
+      // lineage lesson applied to the learner loop); the eager
+      // checkpoint truncates the plan each super-round and the
+      // superseded blocks are freed explicitly
+      val merged = syms.withColumn("syms", expr(
+        s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+           |  CASE WHEN size(acc) > 0 AND element_at(map($entries),
+           |            concat(element_at(acc, -1), '|', x)) IS NOT NULL
+           |       THEN concat(slice(acc, 1, size(acc) - 1),
+           |                   array(element_at(map($entries),
+           |                     concat(element_at(acc, -1), '|', x))))
+           |       ELSE concat(acc, array(x)) END)""".stripMargin))
+        .localCheckpoint(true)
+      // first iteration's syms is the plain persisted seed (no
+      // checkpoint blocks to free — freeLocalCheckpoint would throw)
+      if (merges.nonEmpty)
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(syms)
+      else syms.unpersist()
+      syms = merged
+      accepted.foreach { p =>
+        merges += ((merges.size + 1, p._1, p._2, p._3, p._1 + p._2))
+      }
+      batchSizes += accepted.size
+    }
+    syms.unpersist()
+    (merges.toSeq, batchSizes.toSeq)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +346,18 @@ object TextQueries {
     "q263_bpe_learn" -> ((s, dir) => {
       import s.implicits._
       bpeRounds(s, dir, 5)._1
+        .toDF("round", "lhs", "rhs", "pair_freq", "merged_token")
+    }),
+    // q288: the BATCHED BPE learner (up to 3 merges accepted per
+    // super-round under the disjointness + strict-count-gap rule) must
+    // produce the IDENTICAL merge log as sequential q263 — the oracle
+    // is literally q263's unrolled sequential CTE, so the driver hash
+    // proves the batching equivalence, not just a spec. This is the
+    // 32k-vocab scale path: driver round-trips scale with
+    // merges/batch, not merges.
+    "q288_bpe_learn_batched" -> ((s, dir) => {
+      import s.implicits._
+      bpeRoundsBatched(s, dir, totalMerges = 5, maxBatch = 3)._1
         .toDF("round", "lhs", "rhs", "pair_freq", "merged_token")
     }),
     // q264: BPE compression curve — corpus token totals after each of
@@ -1407,6 +1520,15 @@ object TextQueries {
     // greedy left-fold merge) rounds; DuckDB's list slice end is
     // INCLUSIVE, so dropping the accumulator's last element is [:-2]
     "q263_bpe_learn" -> {
+      def row(r: Int): String =
+        s"""SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_freq,
+           |       a || b AS merged_token FROM t$r""".stripMargin
+      s"""${bpeCte(5)}
+         |${(1 to 5).map(row).mkString("\nUNION ALL ")}""".stripMargin
+    },
+    // the SEQUENTIAL oracle verbatim: the batched learner must emit the
+    // identical merge log
+    "q288_bpe_learn_batched" -> {
       def row(r: Int): String =
         s"""SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_freq,
            |       a || b AS merged_token FROM t$r""".stripMargin

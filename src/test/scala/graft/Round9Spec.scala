@@ -33,6 +33,26 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "streaming Holt recovery")
   }
 
+  test("batched BPE learner == sequential learner at every batch width") {
+    val seq = graft.queries.TextQueries.bpeRounds(spark, sfDir, 8)._1
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    var anyMultiMergeRound = false
+    for (b <- Seq(1, 2, 4, 8)) {
+      val (merges, batches) =
+        graft.queries.TextQueries.bpeRoundsBatched(spark, sfDir, 8, b)
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      assert(merges == seq,
+        s"batch width $b diverged from the sequential merge log")
+      assert(batches.sum == 8)
+      if (b == 1) assert(batches.forall(_ == 1))
+      if (batches.exists(_ > 1)) anyMultiMergeRound = true
+    }
+    assert(anyMultiMergeRound,
+      "the fixture must exercise a super-round that actually batches")
+  }
+
   test("q287 == q259: the seen-fingerprint dedup state survives a restart") {
     val restarted = run("q287_stream_dedup_recovery")
       .select("fp") // both gates pin one survivor per fingerprint
