@@ -360,27 +360,54 @@ object Dedup {
     * `Bridge.freeAllPersistedRdds` that Verify/Bench/BenchOne call after
     * every query — `clearCache()` alone cannot reach checkpoint blocks.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 50, saltBuckets: Int = 1): DataFrame = {
     require(maxIter >= 1, "connectedComponents needs at least one round")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     // checkpoint blocks live OUTSIDE the CacheManager (clearCache never
     // frees them), so every superseded round is released explicitly via
     // Bridge.freeLocalCheckpoint
     import org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint
-    // pre-partitioned on the per-round join key (dst) BEFORE the one-time
-    // checkpoint: every propagation round joins edges⋈labels on dst, and
-    // the edge table is the big side at scale — shuffling it once here
-    // instead of once per round removes the dominant per-round exchange
-    // (the checkpointed LogicalRDD preserves the hash partitioning)
-    val edges = pairs
+    // SKEW PATH (saltBuckets > 1): both per-round joins key on columns
+    // whose load is proportional to graph structure — the neighborMin
+    // join on dst concentrates a hub's whole degree in one partition,
+    // and the pointer-jump join on comp concentrates a GIANT COMPONENT's
+    // whole membership on its one min-id label (the worse of the two
+    // once components coalesce). Salting splits each hot key S ways:
+    // the big (edge / node) side carries salt = hash(src|id) mod S and
+    // the small lookup side replicates xS — per-round lookup-side cost
+    // grows x S (node-table-sized), per-partition hot-key load drops /S.
+    // Pick S from the degree profile (q268); AQE skew splitting cannot
+    // help here because the big side is deliberately pre-partitioned +
+    // checkpointed, so the per-round joins see no fresh shuffle to
+    // re-split. Labels are salt-invariant (DedupSpec pins hub-fixture
+    // equality), so the default S=1 keeps every existing plan unchanged.
+    val salted = saltBuckets > 1
+    // pre-partitioned on the per-round join key (dst [, salt]) BEFORE
+    // the one-time checkpoint: every propagation round joins
+    // edges⋈labels on it, and the edge table is the big side at scale —
+    // shuffling it once here instead of once per round removes the
+    // dominant per-round exchange (the checkpointed LogicalRDD
+    // preserves the hash partitioning)
+    val edges0 = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .repartition(col("dst"))
+      .withColumn("salt",
+        if (salted) pmod(hash(col("src")), lit(saltBuckets)) else lit(0))
+    val edges = (if (salted) edges0.repartition(col("dst"), col("salt"))
+                 else edges0.repartition(col("dst")))
       .localCheckpoint(true)
+    // xS replication of a node-grain lookup side — the salted joins'
+    // small side
+    def saltExplode(d: DataFrame): DataFrame =
+      d.withColumn("salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
     // seed labels with min(id, min neighbor) — the same aggregation a
     // plain distinct-node init would pay, but it IS round one of
     // min-label propagation, so shallow (quasi-clique) components
-    // converge one full round of joins+checkpoints earlier
+    // converge one full round of joins+checkpoints earlier (hash aggs
+    // are skew-resilient already: partial aggregation combines map-side)
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
@@ -395,8 +422,10 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+      val labDst = labels.select(col("id").as("dst"), col("comp"))
+      val neighborMin = (if (salted)
+          edges.join(saltExplode(labDst), Seq("dst", "salt"))
+        else edges.join(labDst, "dst"))
         .groupBy(col("src").as("id"))
         .agg(min("comp").as("ncomp"))
       val propagated = labels
@@ -415,10 +444,13 @@ object Dedup {
       // of a same-component node) and still halve chains, but the whole
       // round becomes ONE plan → ONE checkpoint materialization instead
       // of two, halving per-round job count on a cluster
-      val updated = propagated
-        .join(
-          labels.select(col("id").as("comp"), col("comp").as("gcomp")),
-          Seq("comp"), "left")
+      val jumpTable = labels.select(col("id").as("comp"), col("comp").as("gcomp"))
+      val updated = (if (salted)
+          propagated
+            .withColumn("salt", pmod(hash(col("id")), lit(saltBuckets)))
+            .join(saltExplode(jumpTable), Seq("comp", "salt"), "left")
+            .drop("salt")
+        else propagated.join(jumpTable, Seq("comp"), "left"))
         .select(
           col("id"),
           least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"),

@@ -298,4 +298,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
     assert(got2 == Set((1L, 2L), (2L, 2L)))
   }
+
+  test("salted CC: identical labels on a Zipfian hub graph, hot-key load split S ways") {
+    // hub 0 with 2000 spokes plus a 50-node chain hanging off spoke 1 —
+    // the power-law worst case for BOTH per-round joins: dst=0 carries
+    // the hub degree, and comp=0 ends up the label of every node
+    val star = (1L to 2000L).map(s => (0L, s))
+    val chain = (0 until 50).map(i => (2001L + i, 2002L + i))
+    val pairs = (star ++ chain :+ (1L, 2001L)).toDF("id_a", "id_b")
+    def labelMap(salt: Int) = {
+      val m = Dedup.connectedComponents(pairs, saltBuckets = salt)
+        .as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      m
+    }
+    val plain = labelMap(1)
+    val salted = labelMap(8)
+    assert(plain == salted, "salting must be label-invariant")
+    assert(plain.values.forall(_ == 0L), "one giant component labeled by the hub")
+
+    // partition-load differential on the operator's own edge layout:
+    // unsalted, every dst=0 edge lands in ONE shuffle partition; salted,
+    // hash(src) mod 8 spreads them
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    def maxPartitionRows(d: DataFrame): Long =
+      d.groupBy(spark_partition_id()).count()
+        .agg(max("count")).as[Long].collect().head
+    // explicit width: AQE otherwise coalesces this fixture-sized
+    // exchange to one partition and the differential measures nothing
+    val unsaltedMax = maxPartitionRows(sym.repartition(8, col("dst")))
+    val saltedMax = maxPartitionRows(
+      sym.withColumn("salt", pmod(hash(col("src")), lit(8)))
+        .repartition(8, col("dst"), col("salt")))
+    assert(unsaltedMax >= 2000L,
+      s"fixture must concentrate the hub degree unsalted, got $unsaltedMax")
+    assert(saltedMax * 2 <= unsaltedMax,
+      s"salting must at least halve the hottest partition " +
+        s"(unsalted $unsaltedMax, salted $saltedMax)")
+  }
 }
