@@ -51,6 +51,25 @@ object Edges {
     e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
   }
 
+  /** Distinct BIPARTITE customer→part purchase edges (c, p): which
+    * customers ever bought which parts — one orderkey equi-join +
+    * distinct (corpus-grain, two exchanges). The bipartite companion
+    * of [[coPurchase]]: HITS (q254), personalized PageRank,
+    * co-visitation and collaborative-filtering ops all walk this same
+    * edge set, so it lives here beside the co-purchase build rather
+    * than inline in any one query. Callers persist across their
+    * iteration rounds; the query runner owns the cache lifecycle.
+    */
+  def customerPart(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+  }
+
   /** DEGREE orientation of an undirected (a, b) edge list: each edge
     * re-emitted once as (src, dst) with src the endpoint that comes
     * first in the (degree, id) total order. This is the power-law scale

@@ -2721,11 +2721,9 @@ object RelationalQueries {
     * TakeOrdered, never a full sort.
     */
   def q254Hits(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct().persist()
+    // shared bipartite build (Edges.customerPart), persisted across the
+    // three half-steps
+    val edges = graft.operators.Edges.customerPart(spark, dir).persist()
     // half-step 1: auth <- Σ hub0 (hub0 = 1e9 for every customer).
     // Each score table feeds both its own max (the renorm scalar) and
     // the next join — persist so the aggregation runs once, not twice.

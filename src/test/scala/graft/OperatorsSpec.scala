@@ -802,6 +802,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
   }
 
+  test("shared bipartite customer-part build: distinct grain, support-consistent") {
+    import graft.operators.Edges
+    val e = Edges.customerPart(spark, sfDir).persist()
+    val n = e.count()
+    assert(n > 0)
+    assert(e.distinct().count() == n, "edge list must be distinct pairs")
+    // independent grain check: aggregating the raw join to (c, p) yields
+    // exactly the same pair count, and every pair has >= 1 supporting line
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val grouped = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("support"))
+    assert(grouped.count() == n)
+    assert(grouped.filter(col("support") < 1).count() == 0)
+    assert(e.join(grouped, Seq("c", "p"), "left_anti").count() == 0)
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+  }
+
   test("triangleCount matches the naive enumeration on a random graph") {
     import graft.operators.Edges
     // deterministic pseudo-random graph: edge (i, j) present when
