@@ -33,6 +33,44 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "streaming Holt recovery")
   }
 
+  // Drift pins for the two no_oracle sketch queries: both are
+  // DETERMINISTIC given their input (HLL++ has no random seed and
+  // merges commutatively; the Bloom layout is fixed by count + fpp), and
+  // at fixture scale both happen to coincide EXACTLY with their exact
+  // twins — q7's 31-word reference vocabulary is far below any HLL
+  // estimation error, and fpp=1e-6 yields zero false positives over
+  // sf0.01's shingle volume. Pinning that exact coincidence (not just
+  // the existing tolerance specs) means ANY change to sketch
+  // parameters, hashing or plumbing surfaces here instead of hiding
+  // behind the driver's no_oracle row.
+  test("q7 drift pin: the HLL estimate coincides with exact q2 at fixture scale") {
+    val approx = SparkEntry.queries("q7_approx_vocab")(spark, sfDir)
+      .collect().head.getLong(0)
+    val exact = SparkEntry.queries("q2_vocabulary")(spark, sfDir)
+      .collect().head.getLong(0)
+    assert(exact == 31L, s"reference-corpus vocabulary moved: $exact")
+    assert(approx == exact,
+      s"HLL estimate drifted: approx=$approx exact=$exact (31-word corpus " +
+        "is far below any HLL error — only a sketch change can move this)")
+  }
+
+  test("q93 drift pin: the Bloom answer coincides with exact q78 at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val bloom = graft.queries.DedupQueries.q93BloomDecontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    val exact = graft.queries.DedupQueries.q78Decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(exact.length == 379,
+      s"exact decontamination baseline moved: ${exact.length} docs")
+    assert(bloom == exact,
+      "Bloom answer drifted from the exact twin at sf0.01 (fpp=1e-6 has " +
+        "zero false positives at this scale — only a sketch change can move this)")
+  }
+
   test("batched BPE learner == sequential learner at every batch width") {
     val seq = graft.queries.TextQueries.bpeRounds(spark, sfDir, 8)._1
     spark.catalog.clearCache()
