@@ -2750,6 +2750,84 @@ object RelationalQueries {
       .withColumn("authority", round(col("authority_fp") / 1e9, 6))
   }
 
+  /** q289: personalized PageRank (random walk with restart) over the
+    * shared bipartite customer→part graph ([[graft.operators.Edges
+    * .customerPart]]) — "parts relevant to THESE customers", the
+    * recommendation scorer that degree (q148) and global HITS (q254)
+    * cannot give because it is seed-conditioned. Seeds are the 3
+    * lowest-id customers (deterministic); 4 rounds of
+    * r' = e div 2 + (Σ_in r(u) div outdeg(u)) div 2 over the
+    * namespaced node set (customer c → node 2c, part p → node 2p+1, so
+    * the two key spaces cannot collide). DETERMINISM: 1e9 fixed point,
+    * every step an exact integer division — the oracle unrolls the
+    * identical four rounds with `//`. Scale shape: the edge build is
+    * the shared bipartite builder (persisted across rounds); each
+    * round is one edges⋈scores equi-join + hash agg + a 3-row teleport
+    * full-outer merge; no driver state beyond the seed literals; the
+    * top-10 is a TakeOrdered. The frontier starts at 3 nodes and only
+    * reaches the walk's neighborhood, so early-round tables are tiny.
+    */
+  def q289PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val cp = graft.operators.Edges.customerPart(spark, dir)
+    val edges = cp
+      .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+      .unionByName(cp.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .persist()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val seeds = cp.select(col("c")).distinct().orderBy(col("c").asc).limit(3)
+      .select((col("c") * 2).as("node"), lit(1000000000L).as("e"))
+      .persist()
+    var r = seeds.select(col("node"), col("e").as("score"))
+    for (_ <- 1 to 4) {
+      val inflow = r.join(edges, r("node") === edges("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("score div d").as("m"))
+        .groupBy("node").agg(sum(col("m")).as("inflow"))
+      r = inflow.join(seeds, Seq("node"), "full_outer")
+        .select(col("node"),
+          (expr("coalesce(e, 0L) div 2") +
+            expr("coalesce(inflow, 0L) div 2")).as("score"))
+    }
+    r.filter(col("node") % 2 === 1)
+      .select(((col("node") - 1) / 2).cast("long").as("l_partkey"),
+        col("score").as("ppr_fp"))
+      .orderBy(col("ppr_fp").desc, col("l_partkey").asc)
+      .limit(10)
+      .withColumn("ppr", round(col("ppr_fp") / 1e9, 6))
+  }
+
+  /** q290: item-item co-visitation recommender — per part, the top-5
+    * other parts by SHARED-CUSTOMER count (ties: lower partkey), the
+    * "customers who bought this also bought" serving table, built on
+    * the shared bipartite edge set. Pair generation is CUSTOMER-local
+    * (group each customer's distinct parts, emit a<b pairs with the
+    * same in-basket generator as Edges.coPurchase — C(|parts|,2) per
+    * customer, never a corpus self-join; at catalog scale cap or
+    * sample per-customer history exactly like ngramJaccard's df cap),
+    * then one pair-grain hash agg and a window PARTITIONED by part
+    * (high-cardinality key, no global sort). DETERMINISM: exact
+    * integer counts over a total order.
+    */
+  def q290CoVisitation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.operators.Edges.customerPart(spark, dir)
+      .groupBy("c").agg(array_sort(collect_set(col("p"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .persist()
+    val sym = pairs.select(col("a").as("x"), col("b").as("y"), col("shared"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y"), col("shared")))
+    sym.withColumn("rank", row_number().over(
+        Window.partitionBy("x").orderBy(col("shared").desc, col("y").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("x").as("l_partkey"), col("y").as("rec_partkey"),
+        col("shared").as("shared_customers"), col("rank"))
+  }
+
   def q199LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     val und = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
     var labels = und.select(col("a").as("node")).distinct()
@@ -3638,6 +3716,8 @@ object RelationalQueries {
     "q260_cohort_ltv" -> q260CohortLtv _,
     "q265_cumulative_uniques" -> q265CumulativeUniques _,
     "q266_markov_attribution" -> q266MarkovAttribution _,
+    "q289_personalized_pagerank" -> q289PersonalizedPagerank _,
+    "q290_covisitation" -> q290CoVisitation _,
     "q268_degree_histogram" -> q268DegreeHistogram _,
     "q270_stl_decompose" -> q270StlDecompose _,
     "q274_table_checksums" -> q274TableChecksums _,
@@ -4072,6 +4152,53 @@ object RelationalQueries {
          |JOIN v12 b ON b.scen = '__base' AND b.state = 'START'
          |JOIN v12 r ON r.scen = ch.scen AND r.state = 'START'""".stripMargin
     },
+    // same namespaced bipartite walk, same 4 unrolled fixed-point rounds
+    // with exact integer division (`//` ≡ the engine's `div`)
+    "q289_personalized_pagerank" -> {
+      def round(k: Int): String =
+        s"""i$k AS (
+           |  SELECT e.dst AS node, CAST(sum(r.score // deg.d) AS BIGINT) AS inflow
+           |  FROM r${k - 1} r JOIN e ON r.node = e.src
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY 1),
+           |r$k AS (
+           |  SELECT COALESCE(i.node, s.node) AS node,
+           |         COALESCE(s.ev, 0) // 2 + COALESCE(i.inflow, 0) // 2 AS score
+           |  FROM i$k i FULL OUTER JOIN seeds s ON i.node = s.node)""".stripMargin
+      s"""WITH cp AS (
+         |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cp
+         |      UNION ALL SELECT p * 2 + 1 AS src, c * 2 AS dst FROM cp),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |seeds AS (
+         |  SELECT c * 2 AS node, CAST(1000000000 AS BIGINT) AS ev
+         |  FROM (SELECT DISTINCT c FROM cp ORDER BY c LIMIT 3)),
+         |r0 AS (SELECT node, ev AS score FROM seeds),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT CAST((node - 1) // 2 AS BIGINT) AS l_partkey,
+         |       CAST(score AS BIGINT) AS ppr_fp,
+         |       round(score / 1000000000.0, 6) AS ppr
+         |FROM r4 WHERE node % 2 = 1
+         |ORDER BY ppr_fp DESC, l_partkey LIMIT 10""".stripMargin
+    },
+    // same customer-local pair grain, same symmetric top-5 election
+    "q290_covisitation" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pairs AS (
+        |  SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS shared
+        |  FROM cp a JOIN cp b ON a.c = b.c AND a.p <> b.p
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT x, y, shared,
+        |         row_number() OVER (PARTITION BY x ORDER BY shared DESC, y)
+        |           AS rank
+        |  FROM pairs)
+        |SELECT x AS l_partkey, y AS rec_partkey, shared AS shared_customers,
+        |       CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     // same (user, day) dedup grain, same first-seen derivation, same
     // day-ordered running sum
     "q265_cumulative_uniques" ->

@@ -91,6 +91,40 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "the fixture must exercise a super-round that actually batches")
   }
 
+  test("q289: PPR mass is seed-bounded, parts-only, and seed-sensitive") {
+    val r = run("q289_personalized_pagerank").collect()
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(r.length == 10)
+    r.foreach { row =>
+      val fp = row.getLong(1)
+      // a part's score is bounded by half the total teleport mass
+      // (3 seeds x 1e9, alternating sides halves it at least once)
+      assert(fp > 0L && fp <= 3L * 500000000L, s"score out of range: $fp")
+    }
+    // descending, tie-broken deterministically
+    val scores = r.map(row => (-row.getLong(1), row.getLong(0))).toSeq
+    assert(scores == scores.sorted)
+  }
+
+  test("q290: per-part recs are rank-consecutive and symmetric in shared count") {
+    val r = run("q290_covisitation").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getInt(3)))
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (x, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"part $x ranks not consecutive")
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    // shared counts are symmetric wherever both directions surface
+    val m = r.map(t => (t._1, t._2) -> t._3).toMap
+    r.foreach { case (x, y, n, _) =>
+      m.get((y, x)).foreach(nb => assert(nb == n, s"asymmetric ($x,$y)"))
+    }
+  }
+
   test("q287 == q259: the seen-fingerprint dedup state survives a restart") {
     val restarted = run("q287_stream_dedup_recovery")
       .select("fp") // both gates pin one survivor per fingerprint
