@@ -63,7 +63,12 @@ object Bench {
     // journey build + driver-bounded chain solve)
     "q263_bpe_learn",
     "q254_hits",
-    "q266_markov_attribution")
+    "q266_markov_attribution",
+    // round-9 flagships: the batched BPE learner (the 32k-vocab scale
+    // path, hash-proved equal to sequential) and seed-conditioned
+    // personalized PageRank over the shared bipartite purchase graph
+    "q288_bpe_learn_batched",
+    "q289_personalized_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2769,9 +2769,13 @@ object RelationalQueries {
     */
   def q289PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
     val cp = graft.operators.Edges.customerPart(spark, dir)
+    // pre-partitioned on the per-round join key before the persist (the
+    // CC discipline): all four propagation joins hit the persisted
+    // partitioning, so only the node-grain score side shuffles per round
     val edges = cp
       .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
       .unionByName(cp.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .repartition(col("src"))
       .persist()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val seeds = cp.select(col("c")).distinct().orderBy(col("c").asc).limit(3)
@@ -2779,14 +2783,17 @@ object RelationalQueries {
       .persist()
     var r = seeds.select(col("node"), col("e").as("score"))
     for (_ <- 1 to 4) {
+      // r' = e div 2 + inflow div 2, written as a UNION + one hash agg
+      // (no teleport join at all): the inflow half fans each score over
+      // the persisted pre-partitioned edges, the 3-row seed half rides
+      // along, and one node-keyed agg sums the two halves
       val inflow = r.join(edges, r("node") === edges("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("score div d").as("m"))
-        .groupBy("node").agg(sum(col("m")).as("inflow"))
-      r = inflow.join(seeds, Seq("node"), "full_outer")
-        .select(col("node"),
-          (expr("coalesce(e, 0L) div 2") +
-            expr("coalesce(inflow, 0L) div 2")).as("score"))
+        .groupBy("node").agg(expr("sum(m) div 2").as("half"))
+      r = inflow
+        .unionByName(seeds.select(col("node"), expr("e div 2").as("half")))
+        .groupBy("node").agg(sum(col("half")).as("score"))
     }
     r.filter(col("node") % 2 === 1)
       .select(((col("node") - 1) / 2).cast("long").as("l_partkey"),
