@@ -104,7 +104,10 @@ object Edges {
     * standard power-law-safe plan. Persists the oriented edges (read by
     * both wedge sides and the closure); the runner owns the lifecycle.
     */
-  def triangleCount(e: DataFrame): DataFrame = {
+  /** The closed (x, y, z) triangle triples behind [[triangleCount]] —
+    * each triangle exactly once, x its minimum-(degree, id) vertex.
+    */
+  private def triangleTriples(e: DataFrame): DataFrame = {
     val ed = orientByDegree(e).persist()
     val wedges = ed.select(col("src"), col("dst").as("y"))
       .join(ed.select(col("src"), col("dst").as("z")), Seq("src"))
@@ -112,7 +115,19 @@ object Edges {
     val canon = ed.select(
       least(col("src"), col("dst")).as("y"),
       greatest(col("src"), col("dst")).as("z"))
-    wedges.select("y", "z").join(canon, Seq("y", "z"))
-      .agg(count(lit(1)).as("n_triangles"))
+    wedges.join(canon, Seq("y", "z"))
   }
+
+  def triangleCount(e: DataFrame): DataFrame =
+    triangleTriples(e).agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-node triangle participation (node, n_tri): every closed triple
+    * credits its three corners — Σ n_tri = 3 × [[triangleCount]] by
+    * construction. Same degree-oriented wedge plan, one extra explode +
+    * node-keyed hash agg; the input to local clustering coefficients.
+    */
+  def trianglesPerNode(e: DataFrame): DataFrame =
+    triangleTriples(e)
+      .select(explode(array(col("src"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
 }

@@ -2750,6 +2750,34 @@ object RelationalQueries {
       .withColumn("authority", round(col("authority_fp") / 1e9, 6))
   }
 
+  /** q291: local clustering coefficient — per co-purchase node, how
+    * close its neighborhood is to a clique: 2·T(v) / (deg(v)·(deg(v)−1))
+    * with T(v) the node's triangle participation, reported as the
+    * top-15 (coeff desc, partkey asc) over degree-≥2 nodes. The
+    * node-level refinement of q150's global census (community cores vs
+    * bridge nodes — the structure label-propagation q199 and k-core
+    * q275 consume). DETERMINISM: T and deg are exact integers; the
+    * coefficient is one double division of exact ints, round 6. Scale
+    * shape: the same degree-oriented triple plan as q150
+    * (Edges.trianglesPerNode — wedge volume O(Σ outdeg²) with the
+    * O(√|E|) orientation bound) + one explode + node-keyed agg; top-15
+    * is a TakeOrdered.
+    */
+  def q291ClusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Edges.coPurchase(spark, dir).persist()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(graft.operators.Edges.trianglesPerNode(e), Seq("node"), "left")
+      .select(col("node").as("l_partkey"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 6).as("clustering"))
+      .orderBy(col("clustering").desc, col("l_partkey").asc)
+      .limit(15)
+  }
+
   /** q289: personalized PageRank (random walk with restart) over the
     * shared bipartite customer→part graph ([[graft.operators.Edges
     * .customerPart]]) — "parts relevant to THESE customers", the
@@ -3725,6 +3753,7 @@ object RelationalQueries {
     "q266_markov_attribution" -> q266MarkovAttribution _,
     "q289_personalized_pagerank" -> q289PersonalizedPagerank _,
     "q290_covisitation" -> q290CoVisitation _,
+    "q291_clustering_coefficient" -> q291ClusteringCoefficient _,
     "q268_degree_histogram" -> q268DegreeHistogram _,
     "q270_stl_decompose" -> q270StlDecompose _,
     "q274_table_checksums" -> q274TableChecksums _,
@@ -4189,6 +4218,30 @@ object RelationalQueries {
          |FROM r4 WHERE node % 2 = 1
          |ORDER BY ppr_fp DESC, l_partkey LIMIT 10""".stripMargin
     },
+    // same support-2 edge set; the oracle enumerates triangles by the
+    // naive id-ordered join (count- and participation-invariant to the
+    // engine's degree orientation), then credits all three corners
+    "q291_clustering_coefficient" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS pa, b2.pk AS pb, count(*) AS cab
+        |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |      GROUP BY 1, 2),
+        |e AS (SELECT pa AS a, pb AS b FROM p WHERE cab >= 2),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |tri AS (SELECT w.a AS x, w.b AS y, w.c AS z
+        |        FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+        |t AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |        SELECT x AS node FROM tri
+        |        UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |        SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT d.node AS l_partkey, d.deg AS degree,
+        |       COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_triangles,
+        |       round(2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+        |         AS clustering
+        |FROM deg d LEFT JOIN t USING (node) WHERE d.deg >= 2
+        |ORDER BY clustering DESC, l_partkey LIMIT 15""".stripMargin,
     // same customer-local pair grain, same symmetric top-5 election
     "q290_covisitation" ->
       """WITH cp AS (

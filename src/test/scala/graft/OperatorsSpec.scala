@@ -840,5 +840,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
     org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
     assert(got == naive, s"degree-oriented count $got != naive $naive")
+    // per-node participation credits each triangle's three corners
+    val perNode = Edges.trianglesPerNode(e).as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(perNode.map(_._2).sum == 3 * naive,
+      "sum of per-node triangle counts must be 3x the census")
+    // independent per-node check against naive triple enumeration
+    val naiveTriples = pairs.flatMap { case (a, b) =>
+      pairs.collect { case (b2, c) if b2 == b && pairs.contains((a, c)) =>
+        Seq(a, b, c) }
+    }.flatten.groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }
+    assert(perNode.toMap == naiveTriples)
   }
 }

@@ -319,6 +319,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q289/q290: bipartite graph queries plan keyed joins only") {
+    // PPR rounds: every join an equi-join (no cross product); the
+    // teleport fold is a union+agg, so no join at all on that path
+    for (q <- Seq("q289_personalized_pagerank", "q290_covisitation")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // q290's top-5 window must partition by part, never globally
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q290_covisitation")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case pp => pp
+    }
+    val bad = phys.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(bad.isEmpty, "q290 must not plan a single-partition window")
+  }
+
   test("q255: the eval set is the broadcast side of the decontamination scan") {
     val p = plan("q255_embed_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
