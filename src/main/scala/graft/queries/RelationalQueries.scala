@@ -2837,16 +2837,20 @@ object RelationalQueries {
     * the shared bipartite edge set. Pair generation is CUSTOMER-local
     * (group each customer's distinct parts, emit a<b pairs with the
     * same in-basket generator as Edges.coPurchase — C(|parts|,2) per
-    * customer, never a corpus self-join; at catalog scale cap or
-    * sample per-customer history exactly like ngramJaccard's df cap),
-    * then one pair-grain hash agg and a window PARTITIONED by part
-    * (high-cardinality key, no global sort). DETERMINISM: exact
-    * integer counts over a total order.
+    * customer, never a corpus self-join) with an ENFORCED history cap:
+    * customers holding more than 256 distinct parts are excluded from
+    * pair generation (ngramJaccard's df-cap trade — a mega-cart
+    * contributes C(n,2) noise pairs and no signal; the cap is in the
+    * oracle too, and never binds on the fixtures, whose max basket is
+    * 105 even at the 10× replica). Then one pair-grain hash agg and a
+    * window PARTITIONED by part (high-cardinality key, no global
+    * sort). DETERMINISM: exact integer counts over a total order.
     */
   def q290CoVisitation(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = graft.operators.Edges.customerPart(spark, dir)
       .groupBy("c").agg(array_sort(collect_set(col("p"))).as("parts"))
+      .filter(size(col("parts")) <= 256)
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
@@ -4244,9 +4248,11 @@ object RelationalQueries {
         |ORDER BY clustering DESC, l_partkey LIMIT 15""".stripMargin,
     // same customer-local pair grain, same symmetric top-5 election
     "q290_covisitation" ->
-      """WITH cp AS (
+      """WITH cp0 AS (
         |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |keep AS (SELECT c FROM cp0 GROUP BY 1 HAVING count(*) <= 256),
+        |cp AS (SELECT cp0.* FROM cp0 JOIN keep USING (c)),
         |pairs AS (
         |  SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS shared
         |  FROM cp a JOIN cp b ON a.c = b.c AND a.p <> b.p

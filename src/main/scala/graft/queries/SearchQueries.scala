@@ -56,6 +56,39 @@ object SearchQueries {
       .select(col("rank"), col("doc_id"), col("rrf"), col("ra"), col("rb"))
   }
 
+  /** q292: retrieve-then-rerank — the production two-stage serving
+    * composition q208's rank fusion sits beside: stage 1 retrieves the
+    * BM25('hash') top-20 (cheap lexical recall, TakeOrdered), stage 2
+    * re-scores ONLY those 20 candidates by embedding cosine against the
+    * dense pseudo-query (vec 0, q208's convention; self excluded per the
+    * bruteForcePairs contract) and returns the top-10 with both scores
+    * and the stage-1 rank. The whole point at 100 TB: stage-2 cost is
+    * CANDIDATE-sized (20 vectors through a broadcast semi-join), not
+    * corpus-sized — the expensive scorer never sees the corpus.
+    * DETERMINISM: both stages rank 6dp-rounded scores under doc-id tie
+    * order; the oracle recomputes BM25 and the cosine closed-form.
+    */
+  def q292RetrieveRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    val sparse = Ranking.bm25(docs(spark, dir), "text", "doc_id", Seq("hash"))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+      .withColumn("ra",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .persist()
+    val v = Similarity.prepared(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+    val cand = v.join(
+      broadcast(sparse.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+    Similarity.bruteForceTopK(v.filter(col("vec_id") === 0), cand, "vec_id", 10)
+      .join(broadcast(sparse.select(col("doc_id").as("cand_id"),
+        col("ra"), col("bm25"))), Seq("cand_id"))
+      .select(col("rank"), col("cand_id").as("doc_id"), col("cos"),
+        col("bm25"), col("ra").as("retrieve_rank"))
+  }
+
   /** q234: per-term BM25 serving top-k — for every query term, the top-5
     * documents by (bm25 desc, doc_id) through the bounded `TopKAgg`
     * (q121's shape on the search index): only k rows per term per
@@ -253,6 +286,7 @@ object SearchQueries {
     "q237_serve_from_index" -> (q237ServeFromIndex _),
     "q234_bm25_topk" -> (q234Bm25TopK _),
     "q208_rrf_hybrid" -> (q208RrfHybrid _),
+    "q292_retrieve_rerank" -> (q292RetrieveRerank _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
@@ -407,6 +441,41 @@ object SearchQueries {
          |WHERE rank <= 5""".stripMargin,
     // same BM25 leg (q9's formula, term 'hash'), same rounded-cosine
     // dense leg (q40's order), same 1/(60+rank) fusion and tie-breaks
+    // stage 1 = q208's sparse leg verbatim; stage 2 re-scores only the
+    // 20 retrieved ids with the same 6dp cosine, self excluded
+    "q292_retrieve_rerank" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM wd WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM toks
+         |       WHERE word = 'hash' GROUP BY doc_id),
+         |dfx AS (SELECT count(*) AS df FROM tf),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |         round(ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |               * tf.tf * (1.2 + 1.0)
+         |               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |               6) AS bm25
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfx CROSS JOIN stats),
+         |sp AS (
+         |  SELECT doc_id, bm25,
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS ra
+         |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |rr AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0
+         |  JOIN sp ON sp.doc_id = c.vec_id),
+         |rk AS (
+         |  SELECT doc_id, cos,
+         |         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+         |           AS rank
+         |  FROM rr)
+         |SELECT rk.rank, rk.doc_id, rk.cos, sp.bm25, sp.ra AS retrieve_rank
+         |FROM rk JOIN sp USING (doc_id)
+         |WHERE rk.rank <= 10""".stripMargin,
     "q208_rrf_hybrid" ->
       s"""$WordsCte,
          |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
