@@ -309,8 +309,74 @@ object StreamParityQueries {
     emitted.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_emitted_ids"))
   }
 
+  /** q293: streaming EWMA under OUT-OF-ORDER delivery, driver-verified —
+    * the events feed arrives with ADJACENT CHUNK PAIRS SWAPPED (chunk 2
+    * before chunk 1, 4 before 3, …: deterministic cross-batch disorder),
+    * processed by [[StreamingOps.ewmaPerKeyOrdered]] with a watermark
+    * delay measured from the data to cover the widest swapped pair — so
+    * no event is ever late, every event buffers until the watermark
+    * passes it, and the folds happen in exact (ts, event_id) order
+    * regardless of arrival order. The final per-key state must hash-
+    * equal the SAME in-order batch-fold oracle q267 uses: the disorder
+    * must be answer-invisible. Two watermark-advancing sentinel batches
+    * (user −1, filtered out) flush the buffered tails through the
+    * event-time timeouts.
+    */
+  def q293StreamEwmaOutOfOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q293_ewma_ooo"
+    spark.catalog.dropTempView(sink)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // pass 1: the widest swapped-pair time span fixes the watermark
+    // delay (disorder never exceeds one pair), O(1) driver state
+    var maxSpanUs = 0L
+    var globalMaxUs = Long.MinValue
+    ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+      val ts = pair.flatten.map(e => micros(e.ts))
+      maxSpanUs = math.max(maxSpanUs, ts.max - ts.min)
+      globalMaxUs = math.max(globalMaxUs, ts.max)
+    }
+    val delaySec = maxSpanUs / 1000000L + 61L
+    def sentinel(us: Long) = StreamingOps.ValEvent(-1L,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        us / 1000000L, us % 1000000L * 1000L)), 0L, 0.0)
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.ewmaPerKeyOrdered(ms.toDS(), s"$delaySec seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      // pass 2: feed each pair REVERSED — chunk k+1's micro-batch lands
+      // before chunk k's
+      ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+        pair.reverse.foreach { b =>
+          ms.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      }
+      // watermark push + timeout-firing round for the buffered tails
+      for (k <- 1 to 2) {
+        ms.addData(Seq(sentinel(globalMaxUs + (delaySec + 120 * k) * 1000000L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma").as("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_stream_dedup" -> (q259StreamDedup _),
+    "q293_stream_ewma_ooo" -> (q293StreamEwmaOutOfOrder _),
     "q267_stream_ewma" -> (q267StreamEwma _),
     "q284_stream_holt" -> (q284StreamHolt _),
     "q285_stream_ewma_recovery" -> (q285StreamEwmaRecovery _),
@@ -354,6 +420,12 @@ object StreamParityQueries {
         |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin,
     // identical oracles to the uninterrupted gates: recovery must be
     // answer-invisible, so the SAME batch fold pins the restarted run
+    // the disorder must be answer-invisible: the SAME in-order fold
+    "q293_stream_ewma_ooo" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> acc / 2 + x / 2) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin,
     "q285_stream_ewma_recovery" ->
       """SELECT user_id, count(*) AS n_events,
         |       list_reduce(list(value ORDER BY ts, event_id),

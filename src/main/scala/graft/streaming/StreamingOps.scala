@@ -203,6 +203,58 @@ object StreamingOps {
       }
   }
 
+  case class OrderedEwmaState(
+      pending: List[(Long, Long, Double)], ewma: Double, n: Long)
+
+  /** Per-key EWMA under OUT-OF-ORDER delivery: the watermarked variant
+    * [[ewmaPerKey]]'s contract defers to. Arrivals buffer per key as
+    * (micros, event_id, value) pending state; once the event-time
+    * watermark passes an event, no older event can still arrive (the
+    * watermark guarantee), so everything strictly below the watermark
+    * folds in exact (ts, event_id) order onto the carried O(1) EWMA —
+    * the stream's final state equals the batch fold over the in-order
+    * history for ANY delivery order whose disorder stays within
+    * `delay`. Pending state is bounded by the arrival disorder × rate
+    * (watermark-evicted), the classic bounded-disorder buffer; an
+    * event arriving LATER than the watermark would fold at arrival
+    * (the standard allowed-lateness trade — the driver gate's feed
+    * keeps disorder inside the delay, so none occurs there). Keys with
+    * pending data register an event-time timeout at their oldest
+    * unfolded micro-second, so the tail folds when the watermark
+    * passes it even if the key never receives another event.
+    */
+  def ewmaPerKeyOrdered(
+      events: Dataset[ValEvent], delay: String): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OrderedEwmaState, EwmaUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[OrderedEwmaState]) =>
+          val st0 = state.getOption.getOrElse(OrderedEwmaState(Nil, 0.0, 0L))
+          val pending = st0.pending ++
+            batch.map(e => (epochMicros(e.ts), e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strictly-below: an event AT the watermark could still have
+          // same-timestamp peers arriving; it folds next round
+          val (ready, rest) = pending.partition(_._1 < wmUs)
+          var ew = st0.ewma
+          var n = st0.n
+          ready.sortBy(p => (p._1, p._2)).foreach { p =>
+            if (n == 0L) { ew = p._3; n = 1L }
+            else { ew = ew / 2 + p._3 / 2; n += 1 }
+          }
+          state.update(OrderedEwmaState(rest, ew, n))
+          if (rest.nonEmpty) {
+            val wake = rest.map(_._1).min / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          if (n > 0) Iterator.single(EwmaUpdate(uid, n, ew)) else Iterator.empty
+      }
+  }
+
   case class HoltState(l: Double, b: Double, n: Long)
   case class HoltUpdate(user_id: Long, n_events: Long, level: Double, trend: Double)
 

@@ -33,6 +33,11 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "streaming Holt recovery")
   }
 
+  test("q293 == q267: out-of-order delivery folds to the exact in-order answer") {
+    assertBitEqual(run("q293_stream_ewma_ooo"), run("q267_stream_ewma"),
+      "watermarked out-of-order EWMA")
+  }
+
   // Drift pins for the two no_oracle sketch queries: both are
   // DETERMINISTIC given their input (HLL++ has no random seed and
   // merges commutatively; the Bloom layout is fixed by count + fpp), and
