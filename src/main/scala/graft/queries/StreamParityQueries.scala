@@ -322,10 +322,12 @@ object StreamParityQueries {
     * (user −1, filtered out) flush the buffered tails through the
     * event-time timeouts.
     */
-  def q293StreamEwmaOutOfOrder(spark: SparkSession, dir: String): DataFrame = {
+  private def runValEventOutOfOrder(
+      spark: SparkSession, dir: String, sink: String,
+      plan: (org.apache.spark.sql.Dataset[StreamingOps.ValEvent], String) => DataFrame)
+      : DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val sink = "graft_q293_ewma_ooo"
     spark.catalog.dropTempView(sink)
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
@@ -349,7 +351,7 @@ object StreamParityQueries {
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         us / 1000000L, us % 1000000L * 1000L)), 0L, 0.0)
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
-    val q = StreamingOps.ewmaPerKeyOrdered(ms.toDS(), s"$delaySec seconds")
+    val q = plan(ms.toDS(), s"$delaySec seconds")
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
     try {
       // pass 2: feed each pair REVERSED — chunk k+1's micro-batch lands
@@ -366,17 +368,35 @@ object StreamParityQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.table(sink)
-      .filter(col("user_id") >= 0)
+    spark.table(sink).filter(col("user_id") >= 0)
+  }
+
+  def q293StreamEwmaOutOfOrder(spark: SparkSession, dir: String): DataFrame =
+    runValEventOutOfOrder(spark, dir, "graft_q293_ewma_ooo",
+      (ds, delay) => StreamingOps.ewmaPerKeyOrdered(ds, delay).toDF())
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.ewma").as("ewma"))
-  }
+
+  /** q294: the COUPLED Holt (level, trend) state under the same
+    * out-of-order feed — q284's disorder twin through
+    * [[StreamingOps.holtPerKeyOrdered]]; the oracle is q284's in-order
+    * recursive-CTE recurrence, so the hash proves the two-variable fold
+    * is also delivery-order-invisible under the watermark.
+    */
+  def q294StreamHoltOutOfOrder(spark: SparkSession, dir: String): DataFrame =
+    runValEventOutOfOrder(spark, dir, "graft_q294_holt_ooo",
+      (ds, delay) => StreamingOps.holtPerKeyOrdered(ds, delay).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_stream_dedup" -> (q259StreamDedup _),
     "q293_stream_ewma_ooo" -> (q293StreamEwmaOutOfOrder _),
+    "q294_stream_holt_ooo" -> (q294StreamHoltOutOfOrder _),
     "q267_stream_ewma" -> (q267StreamEwma _),
     "q284_stream_holt" -> (q284StreamHolt _),
     "q285_stream_ewma_recovery" -> (q285StreamEwmaRecovery _),
@@ -426,6 +446,23 @@ object StreamParityQueries {
         |       list_reduce(list(value ORDER BY ts, event_id),
         |                   (acc, x) -> acc / 2 + x / 2) AS ewma
         |FROM events GROUP BY user_id""".stripMargin,
+    "q294_stream_holt_ooo" ->
+      """WITH RECURSIVE ser AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+        |         count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |fold AS (
+        |  SELECT user_id, 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1,
+        |         (s.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2,
+        |         ((s.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2 - f.l + f.b) / 2
+        |  FROM fold f JOIN ser s ON s.user_id = f.user_id
+        |  WHERE f.i < s.n)
+        |SELECT f.user_id, CAST(s.n AS BIGINT) AS n_events,
+        |       f.l AS level, f.b AS trend
+        |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin,
     "q285_stream_ewma_recovery" ->
       """SELECT user_id, count(*) AS n_events,
         |       list_reduce(list(value ORDER BY ts, event_id),

@@ -255,6 +255,53 @@ object StreamingOps {
       }
   }
 
+  case class OrderedHoltState(
+      pending: List[(Long, Long, Double)], l: Double, b: Double, n: Long)
+
+  /** [[holtPerKey]]'s out-of-order twin — the same bounded-disorder
+    * buffer-and-fold machinery as [[ewmaPerKeyOrdered]], applied to the
+    * COUPLED (level, trend) recurrence: arrivals buffer per key, events
+    * strictly below the event-time watermark fold in exact
+    * (ts, event_id) order, event-time timeouts flush tails. Final state
+    * equals the in-order batch recurrence for any delivery whose
+    * disorder stays within `delay`.
+    */
+  def holtPerKeyOrdered(
+      events: Dataset[ValEvent], delay: String): Dataset[HoltUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OrderedHoltState, HoltUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[OrderedHoltState]) =>
+          val st0 = state.getOption.getOrElse(OrderedHoltState(Nil, 0.0, 0.0, 0L))
+          val pending = st0.pending ++
+            batch.map(e => (epochMicros(e.ts), e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pending.partition(_._1 < wmUs)
+          var l = st0.l
+          var b = st0.b
+          var n = st0.n
+          ready.sortBy(p => (p._1, p._2)).foreach { p =>
+            if (n == 0L) { l = p._3; b = 0.0; n = 1L }
+            else {
+              val l2 = (p._3 + l + b) / 2
+              b = (l2 - l + b) / 2
+              l = l2
+              n += 1
+            }
+          }
+          state.update(OrderedHoltState(rest, l, b, n))
+          if (rest.nonEmpty) {
+            val wake = rest.map(_._1).min / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          if (n > 0) Iterator.single(HoltUpdate(uid, n, l, b)) else Iterator.empty
+      }
+  }
+
   case class HoltState(l: Double, b: Double, n: Long)
   case class HoltUpdate(user_id: Long, n_events: Long, level: Double, trend: Double)
 

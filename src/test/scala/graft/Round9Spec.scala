@@ -38,6 +38,11 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "watermarked out-of-order EWMA")
   }
 
+  test("q294 == q284: out-of-order coupled Holt folds to the exact in-order answer") {
+    assertBitEqual(run("q294_stream_holt_ooo"), run("q284_stream_holt"),
+      "watermarked out-of-order Holt")
+  }
+
   // Drift pins for the two no_oracle sketch queries: both are
   // DETERMINISTIC given their input (HLL++ has no random seed and
   // merges commutatively; the Bloom layout is fixed by count + fpp), and
