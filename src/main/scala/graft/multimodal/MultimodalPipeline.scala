@@ -103,6 +103,38 @@ object MultimodalPipeline {
       .as[Frame]
   }
 
+  case class ClipFrameU(id: Long, u0: Long, u1: Long, u2: Long, u3: Long)
+
+  /** Clip-level TEMPORAL POOLING: per video, the mean of its per-frame
+    * feature vectors — the frame-sample → per-frame decode → pooled clip
+    * embedding composition a video pipeline feeds to retrieval. The
+    * per-frame decode is the stub prefixed with the frame index (a real
+    * decoder would decode the frame's own bytes; the stub keeps every
+    * frame's features distinct AND closed-form for the oracle), and the
+    * pooling is ORDER-FREE EXACT: each feature slot is carried as its
+    * raw uint32 (not the rounded float), summed as exact longs, divided
+    * once by n·2³² — so the mean is bit-deterministic under any
+    * partitioning, where a float sum would drift with association
+    * order. One narrow mapPartitions + one clip-keyed hash agg.
+    */
+  def clipEmbeddings(frames: Dataset[Frame]): DataFrame = {
+    import frames.sparkSession.implicits._
+    val perFrame = frames.mapPartitions { it =>
+      it.map { f =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${f.frameIdx}|".getBytes("UTF-8") ++ f.payload)
+          .map("%02x".format(_)).mkString
+        def u(k: Int) = java.lang.Long.parseLong(hex.substring(k * 8, k * 8 + 8), 16)
+        ClipFrameU(f.id, u(0), u(1), u(2), u(3))
+      }
+    }.toDF()
+    val sums = (0 to 3).map(k => sum(col(s"u$k")).as(s"s$k"))
+    perFrame.groupBy("id")
+      .agg(count(lit(1)).as("n_frames"), sums: _*)
+      .select(col("id") +: col("n_frames") +: (0 to 3).map(k =>
+        round(col(s"s$k") / (col("n_frames") * 4294967296.0), 6).as(s"p$k")): _*)
+  }
+
   /** Metadata-only resize: no payload touch, pure projection. */
   def resizeMeta(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._

@@ -44,12 +44,43 @@ object MultimodalQueries {
       v.filter(col("id") < 10), v, "id", k = 3)
   }
 
+  /** q295: temporal-pooled clip embeddings — frame sampling (q61's
+    * rate) → per-frame stub decode → exact order-free mean pooling into
+    * one 4-dim clip vector per video (see
+    * [[MultimodalPipeline.clipEmbeddings]]).
+    */
+  def q295ClipEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    MultimodalPipeline.clipEmbeddings(
+      MultimodalPipeline.sampleFrames(
+        MultimodalPipeline.ingestFromDocuments(spark, dir), everyMs = 1000L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_clip_embeddings" -> (q295ClipEmbeddings _),
     "q60_feature_summary" -> (q60FeatureSummary _),
     "q61_frame_counts" -> (q61FrameCounts _),
     "q280_multimodal_knn" -> (q280MultimodalKnn _))
 
   val oracleSql: Map[String, String] = Map(
+    // same frame grid (inclusive 1 s steps over durationMs = n_chars*10),
+    // same frame-index-prefixed md5 slots, same exact integer pooling
+    "q295_clip_embeddings" -> {
+      def uslot(k: Int): String =
+        s"CAST(('0x' || substr(md5(CAST(fi AS VARCHAR) || '|' || text), ${k * 8 + 1}, 8)) AS BIGINT)"
+      s"""WITH v AS (
+         |  SELECT doc_id AS id, text, n_chars * 10 AS dur
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (
+         |  SELECT id, text, CAST(ts // 1000 AS INT) AS fi
+         |  FROM v, LATERAL unnest(generate_series(0, dur, 1000)) AS t(ts)),
+         |u AS (
+         |  SELECT id, ${(0 to 3).map(k => uslot(k) + s" AS u$k").mkString(", ")}
+         |  FROM fr)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  ${(0 to 3).map(k =>
+              s"round(sum(u$k) / (count(*) * 4294967296.0), 6) AS p$k")
+              .mkString(", ")}
+         |FROM u GROUP BY id""".stripMargin
+    },
     // payload = UTF-8 bytes of text → md5(payload) == md5(text);
     // f0 = float32(uint32(md5[0:8]) / 2^32); bucket = floor(f0 * 16)
     "q60_feature_summary" ->

@@ -43,6 +43,20 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "watermarked out-of-order Holt")
   }
 
+  test("q295: clip embeddings cover exactly q61's frame grid with means in [0,1)") {
+    val clips = run("q295_clip_embeddings").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), (2 to 5).map(r.getDouble)))).toMap
+    val frames = run("q61_frame_counts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(clips.keySet == frames.keySet, "clip set must equal the video set")
+    clips.foreach { case (id, (n, ps)) =>
+      assert(n == frames(id), s"clip $id pooled $n frames, q61 sampled ${frames(id)}")
+      ps.foreach(pk => assert(pk >= 0.0 && pk < 1.0, s"clip $id mean $pk out of [0,1)"))
+    }
+  }
+
   // Drift pins for the two no_oracle sketch queries: both are
   // DETERMINISTIC given their input (HLL++ has no random seed and
   // merges commutatively; the Bloom layout is fixed by count + fpp), and
