@@ -2843,8 +2843,16 @@ object RelationalQueries {
     * contributes C(n,2) noise pairs and no signal; the cap is in the
     * oracle too, and never binds on the fixtures, whose max basket is
     * 105 even at the 10× replica). Then one pair-grain hash agg and a
-    * window PARTITIONED by part (high-cardinality key, no global
-    * sort). DETERMINISM: exact integer counts over a total order.
+    * window PARTITIONED by part (high-cardinality key, no global sort).
+    * Measured trade vs the bounded TopKAgg (q121/q234's shape) at the
+    * 10× replica: the window reads 39 s, TopKAgg 101 s — the typed
+    * aggregator's per-row buffer maintenance over 262M symmetric pairs
+    * costs far more CPU than the window's vectorized sort saves, while
+    * TopKAgg's win is NETWORK volume (5 rows/part/partition vs the full
+    * pair table through the exchange) — the right choice on a
+    * bandwidth-bound cluster, the wrong one on a single box; both are
+    * bit-identical. DETERMINISM: exact integer counts over a total
+    * order.
     */
   def q290CoVisitation(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
