@@ -334,7 +334,12 @@ object StreamParityQueries {
       .as[StreamingOps.ValEvent]
       .sort("ts", "event_id")
     val n = ev.count()
-    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
+    // 24 chunks, not 6: the watermark delay must cover one swapped
+    // pair's time span, and every key BUFFERS its events for that long —
+    // finer chunks cut the pending-state volume (the dominant harness
+    // cost at 10×: each batch rewrites every key's pending list) ~4×
+    // for 2× more batch barriers
+    val chunk = math.max(1L, math.min(16384L, (n + 23) / 24)).toInt
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     // pass 1: the widest swapped-pair time span fixes the watermark
