@@ -398,7 +398,98 @@ object StreamParityQueries {
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.level").as("level"), col("m.trend").as("trend"))
 
+  /** q296: gap-sessionization parity, driver-verified — the events feed
+    * arrives time-ordered over micro-batches through
+    * [[StreamingOps.sessionize]] (flatMapGroupsWithState, O(1)
+    * (start, lastSeen, n) per user, 30-min gap, event-time timeout);
+    * two watermark-advancing sentinel batches force every still-open
+    * session through its timeout, so EVERY session appears exactly once
+    * as a closed record and the gate compares the full
+    * (user, session_start µs, n_events) session table against the
+    * batch gaps-and-islands oracle — the per-session grain, stronger
+    * than q51's per-user rollup. A premature timeout, a lost state
+    * field, a ms-truncated gap compare or a double-emitted session all
+    * fail the hash.
+    */
+  def q296StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q296_sessions"
+    spark.catalog.dropTempView(sink)
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .as[StreamingOps.Event]
+      .sort("ts", "user_id")
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].collect().head
+    def sentinel(us: Long) = StreamingOps.Event(-1L,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        us / 1000000L, us % 1000000L * 1000L)))
+    val ms = MemoryStream[StreamingOps.Event](spark)
+    val q = StreamingOps.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // gap (30 min) + watermark delay (10 min) + margin past the last
+      // event, twice: first advances the watermark, second fires the
+      // resulting timeouts
+      for (k <- 1 to 2) {
+        ms.addData(Seq(sentinel(maxUs + k * 3600L * 1000000L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .filter(col("user_id") >= 0 && col("closed"))
+      .select(col("user_id"), col("session_start"),
+        col("n_events").cast("long").as("n_events"))
+  }
+
+  /** q297: watermarked tumbling-window parity, driver-verified —
+    * [[StreamingOps.eventWindowCounts]] in APPEND mode emits each
+    * hourly (window, event_type) count exactly once, when the watermark
+    * finalizes the window; the sentinel batches finalize the tail. The
+    * oracle is batch q50's hourly rollup — a count emitted before its
+    * window closed (wrong finalization), emitted twice, or missing a
+    * late-finalized tail window all fail the hash.
+    */
+  def q297StreamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q297_windows"
+    spark.catalog.dropTempView(sink)
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .as[(java.sql.Timestamp, String)]
+      .sort("ts", "event_type")
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].collect().head
+    def sentinel(us: Long) = (java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)),
+      "__sentinel")
+    val ms = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = StreamingOps.eventWindowCounts(ms.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      for (k <- 1 to 2) {
+        ms.addData(Seq(sentinel(maxUs + k * 7200L * 1000000L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "__sentinel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_stream_sessions" -> (q296StreamSessions _),
+    "q297_stream_window_counts" -> (q297StreamWindowCounts _),
     "q259_stream_dedup" -> (q259StreamDedup _),
     "q293_stream_ewma_ooo" -> (q293StreamEwmaOutOfOrder _),
     "q294_stream_holt_ooo" -> (q294StreamHoltOutOfOrder _),
@@ -409,6 +500,31 @@ object StreamParityQueries {
     "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
+    // batch gaps-and-islands at the per-session grain: island id = running
+    // sum of >30min-gap flags per user, session_start = min epoch micros
+    "q296_stream_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |  FROM l)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q50's hourly rollup without the value sum (the streaming twin
+    // counts only)
+    "q297_stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // one emission per distinct normalized content — the batch q30
     // grain; any cross-batch state leak shows up as n_emitted = 2
     "q259_stream_dedup" ->

@@ -347,6 +347,13 @@ object StreamingOps {
       events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    // FULL-MICROSECOND state and gap compare (session_start is epoch
+    // micros): getTime truncates to ms, so a gap of exactly
+    // 30min + sub-ms would read <= gap in ms and merge two sessions the
+    // batch twin (q51, exact unix_micros arithmetic) splits — the same
+    // precision latent the EWMA/Holt sorts had. The timeout registers
+    // at the ms CEILING of lastSeen so it can never fire early.
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -358,12 +365,12 @@ object StreamingOps {
             state.remove()
             Iterator(SessionUpdate(userId, s.start, s.n, closed = true))
           } else {
-            val sorted = batch.map(_.ts.getTime).toSeq.sorted
+            val sorted = batch.map(e => epochMicros(e.ts)).toSeq.sorted
             var closedOut = List.empty[SessionUpdate]
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastSeen <= gapMs =>
+                case Some(s) if t - s.lastSeen <= gapUs =>
                   cur = Some(s.copy(lastSeen = t, n = s.n + 1))
                 case Some(s) =>
                   closedOut ::= SessionUpdate(userId, s.start, s.n, closed = true)
@@ -374,7 +381,7 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+              state.setTimeoutTimestamp((s.lastSeen + 999L) / 1000L + gapMs)
             }
             closedOut.reverseIterator
           }

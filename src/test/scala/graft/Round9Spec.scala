@@ -57,6 +57,23 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q296 rolls up exactly to batch q51's per-user session stats") {
+    import org.apache.spark.sql.functions._
+    val streamed = run("q296_stream_sessions")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    val batch = run("q51_sessions")
+    assertBitEqual(streamed, batch, "sessionization stream/batch parity")
+  }
+
+  test("q297 == batch q50's hourly counts (finalized windows cover everything)") {
+    import org.apache.spark.sql.functions._
+    val streamed = run("q297_stream_window_counts")
+    val batch = run("q50_hourly_windows")
+      .select(col("hour_start"), col("event_type"), col("cnt"))
+    assertBitEqual(streamed, batch, "tumbling-window stream/batch parity")
+  }
+
   // Drift pins for the two no_oracle sketch queries: both are
   // DETERMINISTIC given their input (HLL++ has no random seed and
   // merges commutatively; the Bloom layout is fixed by count + fpp), and

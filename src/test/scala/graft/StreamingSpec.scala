@@ -303,7 +303,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val closed = spark.table("sessions").as[SessionUpdate].collect().filter(_.closed)
       assert(closed.exists(s =>
         s.user_id == 1L && s.n_events == 2 &&
-          s.session_start == ts("10:00").getTime))
+          s.session_start == ts("10:00").getTime * 1000L))
     } finally q.stop()
   }
 
