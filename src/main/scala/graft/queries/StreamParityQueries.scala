@@ -21,7 +21,7 @@ object StreamParityQueries {
   private def runChunked(
       spark: SparkSession, dir: String, sink: String,
       plan: DataFrame => DataFrame, numBatches: Int = 4,
-      maxChunk: Int = 1024): DataFrame = {
+      maxChunk: Int = 1024, mode: String = "append"): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     spark.catalog.dropTempView(sink) // re-runnable within one session
@@ -33,7 +33,7 @@ object StreamParityQueries {
       maxChunk.toLong).toInt
     val ms = MemoryStream[(Long, String)](spark)
     val q = plan(ms.toDF.toDF("doc_id", "text"))
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      .writeStream.format("memory").queryName(sink).outputMode(mode).start()
     try {
       docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
         ms.addData(batch.toIndexedSeq)
@@ -487,8 +487,25 @@ object StreamParityQueries {
     spark.table(sink).filter(col("event_type") =!= "__sentinel")
   }
 
+  /** q298: streaming count-min sketch grid, driver-verified — the
+    * corpus tokens arrive over micro-batches through
+    * [[StreamingOps.cmsSketch]] in COMPLETE mode (streaming state is
+    * the ≤ depth×width counter grid no matter how long the stream
+    * runs — the bounded-state form of word counting), and the final
+    * grid must hash-equal the closed-form md5 bucket arithmetic the
+    * q113 batch sketch uses. The whole point of a mergeable sketch on
+    * a stream: the grid is the ONLY state, and batch/stream/any-order
+    * ingestion all land on the identical counters.
+    */
+  def q298StreamCms(spark: SparkSession, dir: String): DataFrame =
+    runChunked(spark, dir, "graft_q298_cms",
+      df => StreamingOps.cmsSketch(
+        df.select(graft.functions.AlnumTokens(col("text"))).select("word")),
+      maxChunk = 4096, mode = "complete")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_stream_sessions" -> (q296StreamSessions _),
+    "q298_stream_cms" -> (q298StreamCms _),
     "q297_stream_window_counts" -> (q297StreamWindowCounts _),
     "q259_stream_dedup" -> (q259StreamDedup _),
     "q293_stream_ewma_ooo" -> (q293StreamEwmaOutOfOrder _),
@@ -500,6 +517,19 @@ object StreamParityQueries {
     "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
+    // q113's sketch stage verbatim: same md5 bucket arithmetic, same
+    // per-(row, bucket) sums — the streamed grid is the batch grid
+    "q298_stream_cms" ->
+      s"""${TextQueries.WordsCte},
+         |tok AS (SELECT unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |rb AS (
+         |  SELECT f.word, f.cnt, r.r,
+         |         CAST(('0x' || substr(md5(r.r || '|' || f.word), 1, 8)) AS BIGINT)
+         |           % 1024 AS b
+         |  FROM freq f CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r)
+         |SELECT CAST(r AS INT) AS r, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |FROM rb GROUP BY 1, 2""".stripMargin,
     // batch gaps-and-islands at the per-session grain: island id = running
     // sum of >30min-gap flags per user, session_start = min epoch micros
     "q296_stream_sessions" ->

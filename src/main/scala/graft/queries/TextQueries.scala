@@ -43,7 +43,7 @@ object TextQueries {
   }
 
   /** Shared DuckDB word-array CTE — the SQL twin of TextFunctions.wordsArr. */
-  private val WordsCte =
+  private[queries] val WordsCte =
     """WITH wd AS (
       |  SELECT doc_id, text,
       |         list_filter(
