@@ -503,9 +503,85 @@ object StreamParityQueries {
         df.select(graft.functions.AlnumTokens(col("text"))).select("word")),
       maxChunk = 4096, mode = "complete")
 
+  /** q299: out-of-order delivery AND a checkpoint restart in one gate —
+    * the compound stress: the pair-swapped feed runs through
+    * [[StreamingOps.ewmaPerKeyOrdered]] with a stop/resume mid-feed, so
+    * the per-key PENDING BUFFER (a list of unfolded events, not just an
+    * O(1) scalar) must round-trip the state store bit-exactly and the
+    * source must resume at the committed offset while disorder is still
+    * in flight. Same oracle as q267/q285/q293: the final state must
+    * equal the in-order batch fold no matter what the delivery did.
+    */
+  def q299StreamEwmaOooRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(16384L, (n + 23) / 24)).toInt
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    var maxSpanUs = 0L
+    var globalMaxUs = Long.MinValue
+    ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+      val ts = pair.flatten.map(e => micros(e.ts))
+      maxSpanUs = math.max(maxSpanUs, ts.max - ts.min)
+      globalMaxUs = math.max(globalMaxUs, ts.max)
+    }
+    val delaySec = maxSpanUs / 1000000L + 61L
+    def sentinel(us: Long) = StreamingOps.ValEvent(-1L,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        us / 1000000L, us % 1000000L * 1000L)), 0L, 0.0)
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val outSchema = StreamingOps.ewmaPerKeyOrdered(ms.toDS(), "1 seconds").schema
+    def start() = StreamingOps.ewmaPerKeyOrdered(ms.toDS(), s"$delaySec seconds")
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add); ()
+      }
+      .start()
+    try {
+      var q = start()
+      var fed = 0L
+      var restarted = false
+      ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+        // restart mid-feed, straight after a SWAPPED chunk landed, so
+        // pending buffers are guaranteed non-empty at the stop
+        if (!restarted && fed >= (n + 1) / 2) {
+          q.stop()
+          q = start()
+          restarted = true
+        }
+        pair.reverse.foreach { b =>
+          ms.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        fed += pair.map(_.size).sum
+      }
+      for (k <- 1 to 2) {
+        ms.addData(Seq(sentinel(globalMaxUs + (delaySec + 120 * k) * 1000000L)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.createDataFrame(new java.util.ArrayList(buf), outSchema)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.ewma").as("ewma"))
+    } finally deleteRecursively(ckpt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_stream_sessions" -> (q296StreamSessions _),
     "q298_stream_cms" -> (q298StreamCms _),
+    "q299_stream_ewma_ooo_recovery" -> (q299StreamEwmaOooRecovery _),
     "q297_stream_window_counts" -> (q297StreamWindowCounts _),
     "q259_stream_dedup" -> (q259StreamDedup _),
     "q293_stream_ewma_ooo" -> (q293StreamEwmaOutOfOrder _),
@@ -517,6 +593,12 @@ object StreamParityQueries {
     "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
+    // in-order fold again: disorder + restart must both be invisible
+    "q299_stream_ewma_ooo_recovery" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> acc / 2 + x / 2) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin,
     // q113's sketch stage verbatim: same md5 bucket arithmetic, same
     // per-(row, bucket) sums — the streamed grid is the batch grid
     "q298_stream_cms" ->

@@ -74,6 +74,11 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
     assertBitEqual(streamed, batch, "tumbling-window stream/batch parity")
   }
 
+  test("q299 == q267: disorder + restart together are answer-invisible") {
+    assertBitEqual(run("q299_stream_ewma_ooo_recovery"), run("q267_stream_ewma"),
+      "out-of-order EWMA with mid-feed checkpoint restart")
+  }
+
   // Drift pins for the two no_oracle sketch queries: both are
   // DETERMINISTIC given their input (HLL++ has no random seed and
   // merges commutatively; the Bloom layout is fixed by count + fpp), and
