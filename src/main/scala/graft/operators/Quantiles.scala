@@ -122,6 +122,46 @@ object Quantiles {
     }.drop(pid)
   }
 
+  /** [[prefixSums]] for DECIMAL value columns: per-partition offsets
+    * accumulate as exact BigDecimal on the driver (bounded by the
+    * shuffle-partition count, same contract) and re-enter the plan as
+    * decimal literals through a pid when-chain — so the running total
+    * is exact at ANY corpus size, where a scaled-long encoding
+    * overflows 2⁶³ (for rev·10⁴, around SF ~4000). The window sum is
+    * widened to decimal(38, s) to match.
+    */
+  def prefixSumsDecimal(
+      df: DataFrame, order: Seq[Column],
+      sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "prefixSumsDecimal needs at least one value column")
+    val pid = "_pd_pid"
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(pid, spark_partition_id())
+      .persist()
+    val aggs = sums.map { case (v, _) =>
+      sum(col(v).cast("decimal(38,6)")).as(s"_pd_$v") }
+    val rows = ranged.groupBy(col(pid)).agg(aggs.head, aggs.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    val offsetMaps: Seq[Map[Int, java.math.BigDecimal]] = sums.indices.map { i =>
+      var acc = java.math.BigDecimal.ZERO
+      rows.map { r =>
+        val o = (r.getInt(0), acc)
+        if (!r.isNullAt(i + 1)) acc = acc.add(r.getDecimal(i + 1))
+        o
+      }.toMap
+    }
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.zip(offsetMaps).foldLeft(ranged) { case (d, ((v, out), m)) =>
+      val offset = m.toSeq.sortBy(_._1).foldLeft(lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,6)")) { case (c, (p, bd)) =>
+        when(col(pid) === p, lit(bd).cast("decimal(38,6)")).otherwise(c)
+      }
+      d.withColumn(out,
+        (offset + sum(col(v).cast("decimal(38,6)")).over(w)).cast("decimal(38,6)"))
+    }.drop(pid)
+  }
+
   /** Adds column `out` = array of the next `w` rows (as structs of ALL
     * input columns, nearest first, rows past the end of the data
     * omitted) in the TOTAL `order` — `lead(struct(*), j)` over a global

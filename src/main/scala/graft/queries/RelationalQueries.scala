@@ -2022,39 +2022,29 @@ object RelationalQueries {
     * the next 15%, C the tail (the warehouse-ops twin of q180's Lorenz
     * curve: same cumulative machinery, but the deliverable is the CLASS
     * ASSIGNMENT summary a stocking policy consumes). DETERMINISM:
-    * revenue is exact decimal; the running total is the SAME exact
-    * value carried as a scaled integer (extendedprice has 2 decimal
-    * places and discount 2, so rev·10⁴ is integral — cents·(100−d₁₀₀)
-    * is an exact long), because Quantiles.prefixSums accumulates
-    * LongType; class boundaries compare cum·100 ≤ total·80 / total·95
-    * in EXACT integer/decimal (no double thresholds); the final shares
-    * are the only doubles, computed from the ORIGINAL decimal sums so
-    * the output arithmetic is unchanged. Scale shape: part-grain agg →
-    * Quantiles.prefixSums over (rev desc, partkey) — range exchange +
-    * pid-partitioned running sum + broadcast offsets, no
-    * single-partition window of the part grain — → 3-row agg.
+    * revenue is exact decimal END TO END — the running total goes
+    * through Quantiles.prefixSumsDecimal (range exchange +
+    * pid-partitioned decimal window + exact BigDecimal offsets), so
+    * there is no scaled-long encoding to overflow at catalog scale
+    * (rev·10⁴ as a long wraps 2⁶³ around SF ~4000); class boundaries
+    * compare cum·100 ≤ total·80 / total·95 in EXACT decimal; the final
+    * shares are the only doubles. Scale shape: part-grain agg →
+    * decimal prefix sum, no single-partition window — → 3-row agg.
     */
   def q195AbcClasses(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
         (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-        .as("rev"),
-        sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
-        .as("rev_s"))
-    val tot = rev.agg(sum(col("rev")).as("trev"), sum(col("rev_s")).as("trev_s"))
+        .as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("trev"))
     graft.operators.Quantiles
-      .prefixSums(rev, Seq(col("rev_s").desc, col("l_partkey").asc),
-        Seq("rev_s" -> "cum_s"))
+      .prefixSumsDecimal(rev, Seq(col("rev").desc, col("l_partkey").asc),
+        Seq("rev" -> "cum"))
       .crossJoin(broadcast(tot))
-      // ×100/×80 in DECIMAL(38,0): the scaled longs are exact but the
-      // comparison products would overflow a long at catalog scale
       .withColumn("abc_class",
-        when(col("cum_s").cast("decimal(38,0)") * 100 <=
-            col("trev_s").cast("decimal(38,0)") * 80, "A")
-          .when(col("cum_s").cast("decimal(38,0)") * 100 <=
-            col("trev_s").cast("decimal(38,0)") * 95, "B")
+        when(col("cum") * 100 <= col("trev") * 80, "A")
+          .when(col("cum") * 100 <= col("trev") * 95, "B")
           .otherwise("C"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),

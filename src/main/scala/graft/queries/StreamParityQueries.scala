@@ -151,19 +151,21 @@ object StreamParityQueries {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p) // must-close stream (fd leak)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
           case _: java.io.IOException => ()
         })
+      finally walk.close()
     }
   }
 
   /** Run a [[StreamingOps.ValEvent]] streaming plan over the
     * time-ordered events feed WITH ONE QUERY RESTART in the middle: the
-    * first half of the feed goes to a query writing sink `_pre`, the
-    * query is STOPPED, a new query over the same MemoryStream and the
-    * SAME CHECKPOINT writes sink `_post`, and the rest of the feed goes
-    * to it. mapGroupsWithState state must be reloaded from the
+    * first half of the feed goes to one query, the query is STOPPED, a
+    * new query over the same MemoryStream and the SAME CHECKPOINT takes
+    * the rest; both queries append their update rows to one driver
+    * buffer through foreachBatch (the memory sink refuses recovery). mapGroupsWithState state must be reloaded from the
     * checkpoint's state store bit-exactly — a key whose state reset
     * re-seeds its fold (wrong n_events AND wrong value) and a source
     * offset reset double-counts — so comparing the per-key FINAL state
@@ -172,7 +174,7 @@ object StreamParityQueries {
     * the recovery gate. Returns the union of both sinks' updates.
     */
   private def runValEventWithRestart(
-      spark: SparkSession, dir: String, sinkPrefix: String,
+      spark: SparkSession, dir: String,
       plan: org.apache.spark.sql.Dataset[StreamingOps.ValEvent] => DataFrame)
       : DataFrame = {
     import spark.implicits._
@@ -231,7 +233,7 @@ object StreamParityQueries {
     * offset double-counts n_events and fails).
     */
   def q285StreamEwmaRecovery(spark: SparkSession, dir: String): DataFrame =
-    runValEventWithRestart(spark, dir, "graft_q285_ewma",
+    runValEventWithRestart(spark, dir,
       ds => StreamingOps.ewmaPerKey(ds).toDF())
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
@@ -244,7 +246,7 @@ object StreamParityQueries {
     * affected key.
     */
   def q286StreamHoltRecovery(spark: SparkSession, dir: String): DataFrame =
-    runValEventWithRestart(spark, dir, "graft_q286_holt",
+    runValEventWithRestart(spark, dir,
       ds => StreamingOps.holtPerKey(ds).toDF())
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("level"), col("trend"))).as("m"))
@@ -322,6 +324,47 @@ object StreamParityQueries {
     * (user −1, filtered out) flush the buffered tails through the
     * event-time timeouts.
     */
+  /** Epoch micros of a timestamp (floorDiv keeps pre-epoch exact) —
+    * shared by every disorder harness below.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def usTimestamp(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      us / 1000000L, us % 1000000L * 1000L))
+
+  /** The shared pair-swapped-disorder prelude: the time-sorted events
+    * feed, its chunk width (24 chunks — see the q293 pending-volume
+    * note), the watermark delay that covers the widest swapped pair,
+    * and the global max event micro for sentinel placement.
+    */
+  private case class DisorderFeed(
+      ev: org.apache.spark.sql.Dataset[StreamingOps.ValEvent],
+      chunk: Int, delaySec: Long, globalMaxUs: Long)
+
+  private def disorderPrelude(spark: SparkSession, dir: String): DisorderFeed = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(16384L, (n + 23) / 24)).toInt
+    var maxSpanUs = 0L
+    var globalMaxUs = Long.MinValue
+    ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+      val ts = pair.flatten.map(e => tsMicros(e.ts))
+      maxSpanUs = math.max(maxSpanUs, ts.max - ts.min)
+      globalMaxUs = math.max(globalMaxUs, ts.max)
+    }
+    DisorderFeed(ev, chunk, maxSpanUs / 1000000L + 61L, globalMaxUs)
+  }
+
+  private def valSentinel(us: Long) =
+    StreamingOps.ValEvent(-1L, usTimestamp(us), 0L, 0.0)
+
   private def runValEventOutOfOrder(
       spark: SparkSession, dir: String, sink: String,
       plan: (org.apache.spark.sql.Dataset[StreamingOps.ValEvent], String) => DataFrame)
@@ -329,39 +372,14 @@ object StreamParityQueries {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     spark.catalog.dropTempView(sink)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
-    val n = ev.count()
-    // 24 chunks, not 6: the watermark delay must cover one swapped
-    // pair's time span, and every key BUFFERS its events for that long —
-    // finer chunks cut the pending-state volume (the dominant harness
-    // cost at 10×: each batch rewrites every key's pending list) ~4×
-    // for 2× more batch barriers
-    val chunk = math.max(1L, math.min(16384L, (n + 23) / 24)).toInt
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    // pass 1: the widest swapped-pair time span fixes the watermark
-    // delay (disorder never exceeds one pair), O(1) driver state
-    var maxSpanUs = 0L
-    var globalMaxUs = Long.MinValue
-    ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
-      val ts = pair.flatten.map(e => micros(e.ts))
-      maxSpanUs = math.max(maxSpanUs, ts.max - ts.min)
-      globalMaxUs = math.max(globalMaxUs, ts.max)
-    }
-    val delaySec = maxSpanUs / 1000000L + 61L
-    def sentinel(us: Long) = StreamingOps.ValEvent(-1L,
-      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-        us / 1000000L, us % 1000000L * 1000L)), 0L, 0.0)
+    val feed = disorderPrelude(spark, dir)
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
-    val q = plan(ms.toDS(), s"$delaySec seconds")
+    val q = plan(ms.toDS(), s"${feed.delaySec} seconds")
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
     try {
-      // pass 2: feed each pair REVERSED — chunk k+1's micro-batch lands
-      // before chunk k's
-      ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+      // feed each pair REVERSED — chunk k+1's micro-batch lands before
+      // chunk k's
+      feed.ev.toLocalIterator().asScala.grouped(feed.chunk).grouped(2).foreach { pair =>
         pair.reverse.foreach { b =>
           ms.addData(b.toIndexedSeq)
           q.processAllAvailable()
@@ -369,7 +387,8 @@ object StreamParityQueries {
       }
       // watermark push + timeout-firing round for the buffered tails
       for (k <- 1 to 2) {
-        ms.addData(Seq(sentinel(globalMaxUs + (delaySec + 120 * k) * 1000000L)))
+        ms.addData(Seq(valSentinel(
+          feed.globalMaxUs + (feed.delaySec + 120 * k) * 1000000L)))
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -516,30 +535,14 @@ object StreamParityQueries {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
-    val n = ev.count()
-    val chunk = math.max(1L, math.min(16384L, (n + 23) / 24)).toInt
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    var maxSpanUs = 0L
-    var globalMaxUs = Long.MinValue
-    ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
-      val ts = pair.flatten.map(e => micros(e.ts))
-      maxSpanUs = math.max(maxSpanUs, ts.max - ts.min)
-      globalMaxUs = math.max(globalMaxUs, ts.max)
-    }
-    val delaySec = maxSpanUs / 1000000L + 61L
-    def sentinel(us: Long) = StreamingOps.ValEvent(-1L,
-      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-        us / 1000000L, us % 1000000L * 1000L)), 0L, 0.0)
+    val feed = disorderPrelude(spark, dir)
+    val n = feed.ev.count()
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val outSchema = StreamingOps.ewmaPerKeyOrdered(ms.toDS(), "1 seconds").schema
-    def start() = StreamingOps.ewmaPerKeyOrdered(ms.toDS(), s"$delaySec seconds")
-      .toDF()
+    def planned = StreamingOps
+      .ewmaPerKeyOrdered(ms.toDS(), s"${feed.delaySec} seconds").toDF()
+    val outSchema = planned.schema
+    def start() = planned
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -550,7 +553,7 @@ object StreamParityQueries {
       var q = start()
       var fed = 0L
       var restarted = false
-      ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+      feed.ev.toLocalIterator().asScala.grouped(feed.chunk).grouped(2).foreach { pair =>
         // restart mid-feed, straight after a SWAPPED chunk landed, so
         // pending buffers are guaranteed non-empty at the stop
         if (!restarted && fed >= (n + 1) / 2) {
@@ -565,7 +568,8 @@ object StreamParityQueries {
         fed += pair.map(_.size).sum
       }
       for (k <- 1 to 2) {
-        ms.addData(Seq(sentinel(globalMaxUs + (delaySec + 120 * k) * 1000000L)))
+        ms.addData(Seq(valSentinel(
+          feed.globalMaxUs + (feed.delaySec + 120 * k) * 1000000L)))
         q.processAllAvailable()
       }
       q.stop()
@@ -616,7 +620,7 @@ object StreamParityQueries {
     // sum of >30min-gap flags per user, session_start = min epoch micros
     "q296_stream_sessions" ->
       """WITH l AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |              THEN 1 ELSE 0 END AS ns
@@ -624,7 +628,7 @@ object StreamParityQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |           AS sid
         |  FROM l)

@@ -228,6 +228,27 @@ object TextQueries {
         while (accepted.length > 1 && accepted.last._3 <= t)
           accepted.dropRightInPlace(1)
       }
+      // vocabulary-clash trim: if an accepted pair's concatenation is
+      // ALREADY a symbol in the current vocabulary, merging it CREATES
+      // new occurrences of that symbol, so pairs touching it can GROW
+      // past later accepted merges — the one case the count bound
+      // (new pairs ≤ an excluded pair's count) does not cover. One
+      // vocab-grain membership scan per super-round finds the clashing
+      // concatenations; everything accepted AFTER the first clash is
+      // dropped (the clash merge itself is still the exact sequential
+      // winner of its own round).
+      if (accepted.length > 1) {
+        val concats = accepted.map(p => p._1 + p._2).toSeq
+        val present = syms
+          .select(explode(col("syms")).as("_s"))
+          .filter(col("_s").isin(concats: _*))
+          .select("_s").distinct().collect().map(_.getString(0)).toSet
+        if (present.nonEmpty) {
+          val firstClash = accepted.indexWhere(p => present.contains(p._1 + p._2))
+          if (firstClash >= 0 && firstClash + 1 < accepted.length)
+            accepted.takeInPlace(firstClash + 1)
+        }
+      }
       val entries = accepted
         .map(p => s"'${p._1}|${p._2}', '${p._1}${p._2}'").mkString(", ")
       // localCheckpoint, not persist: persist keeps the FULL logical
