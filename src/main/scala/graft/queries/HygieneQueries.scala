@@ -464,7 +464,47 @@ object HygieneQueries {
           / col("padded_tokens"), 6).as("waste_frac"))
   }
 
+  /** q300: the corpus card — the one-table datasheet a dataset release
+    * ships (Datasheets-for-Datasets lineage): document/source/language
+    * counts, token volume and vocabulary under the standard alnum
+    * tokenizer, the exact-duplicate count, and mean tokens per
+    * document. Composes the primitives the standalone queries verify
+    * (q22 token semantics, q30's normalized fingerprint) into the
+    * governance artifact. DETERMINISM: every stat is an exact integer
+    * except the one final mean division, round 6. Scale shape: TWO
+    * corpus scans total — one token aggregation (count + distinct
+    * word), one doc-grain aggregation (counts + distinct fingerprint)
+    * — then a constant-width stack; no joins, no windows.
+    */
+  def q300CorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = d
+      .select(graft.functions.AlnumTokens(col("text")))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("vocab_size"))
+    val doc = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(
+        md5(graft.functions.TextFunctions.normText(col("text")))))
+        .as("n_exact_dup_docs"))
+    doc.crossJoin(broadcast(tok))
+      .select(expr(
+        """stack(7,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_sources', CAST(n_sources AS DOUBLE),
+          |  'n_langs', CAST(n_langs AS DOUBLE),
+          |  'n_tokens', CAST(n_tokens AS DOUBLE),
+          |  'vocab_size', CAST(vocab_size AS DOUBLE),
+          |  'n_exact_dup_docs', CAST(n_exact_dup_docs AS DOUBLE),
+          |  'mean_tokens_per_doc',
+          |    round(CAST(n_tokens AS DOUBLE) / n_docs, 6)
+          |) AS (stat, value)""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_corpus_card" -> (q300CorpusCard _),
     "q244_padding_efficiency" -> (q244PaddingEfficiency _),
     "q238_filter_funnel" -> (q238FilterFunnel _),
     "q242_mix_temperature" -> (q242MixTemperature _),
@@ -497,6 +537,35 @@ object HygieneQueries {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same alnum token alphabet, same normalized fingerprint, same
+    // seven stats stacked long-form
+    "q300_corpus_card" ->
+      """WITH wd AS (
+        |  SELECT doc_id, text,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT unnest(w) AS word FROM wd),
+        |t AS (SELECT count(*) AS n_tokens, count(DISTINCT word) AS vocab FROM tok),
+        |d AS (
+        |  SELECT count(*) AS n_docs,
+        |         count(DISTINCT source) AS n_sources,
+        |         count(DISTINCT lang) AS n_langs,
+        |         count(*) - count(DISTINCT
+        |           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |           AS n_dups
+        |  FROM documents)
+        |SELECT stat, value FROM d CROSS JOIN t CROSS JOIN LATERAL (VALUES
+        |  ('n_docs', CAST(n_docs AS DOUBLE)),
+        |  ('n_sources', CAST(n_sources AS DOUBLE)),
+        |  ('n_langs', CAST(n_langs AS DOUBLE)),
+        |  ('n_tokens', CAST(n_tokens AS DOUBLE)),
+        |  ('vocab_size', CAST(vocab AS DOUBLE)),
+        |  ('n_exact_dup_docs', CAST(n_dups AS DOUBLE)),
+        |  ('mean_tokens_per_doc', round(CAST(n_tokens AS DOUBLE) / n_docs, 6))
+        |) AS v(stat, value)""".stripMargin,
     // same quasi-identifier grouping and length-bucket sensitive value
     "q282_l_diversity" ->
       """SELECT lang, source, count(*) AS n_rows,
