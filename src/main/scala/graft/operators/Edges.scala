@@ -93,17 +93,6 @@ object Edges {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
   }
 
-  /** Exact triangle count over an undirected (a, b) distinct edge list
-    * via degree-oriented wedge extension: wedges form only at each
-    * triangle's MINIMUM-(degree, id) vertex — two out-edges (x→y, x→z),
-    * deduped by id order y < z — and close against the (id-canonical)
-    * edge set with one more equi-join. Each triangle is counted exactly
-    * once, the count is orientation-invariant (same answer as any
-    * wedge-extension formulation), and the wedge volume is
-    * Σ outdeg(v)² under the O(√|E|) out-degree bound above — the
-    * standard power-law-safe plan. Persists the oriented edges (read by
-    * both wedge sides and the closure); the runner owns the lifecycle.
-    */
   /** The closed (x, y, z) triangle triples behind [[triangleCount]] —
     * each triangle exactly once, x its minimum-(degree, id) vertex.
     */
@@ -118,6 +107,18 @@ object Edges {
     wedges.join(canon, Seq("y", "z"))
   }
 
+  /** Exact triangle count over an undirected (a, b) distinct edge list
+    * via degree-oriented wedge extension: wedges form only at each
+    * triangle's MINIMUM-(degree, id) vertex — two out-edges (x→y, x→z),
+    * deduped by id order y < z — and close against the (id-canonical)
+    * edge set with one more equi-join. Each triangle is counted exactly
+    * once, the count is orientation-invariant (same answer as any
+    * wedge-extension formulation), and the wedge volume is
+    * Σ outdeg(v)² under the O(√|E|) out-degree bound above — the
+    * standard power-law-safe plan. Persists the oriented edges (read by
+    * both wedge sides and the closure); the CALLER owns the cache
+    * lifecycle (the query runner's sweep frees it).
+    */
   def triangleCount(e: DataFrame): DataFrame =
     triangleTriples(e).agg(count(lit(1)).as("n_triangles"))
 

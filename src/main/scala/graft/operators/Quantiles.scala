@@ -127,19 +127,30 @@ object Quantiles {
     * shuffle-partition count, same contract) and re-enter the plan as
     * decimal literals through a pid when-chain — so the running total
     * is exact at ANY corpus size, where a scaled-long encoding
-    * overflows 2⁶³ (for rev·10⁴, around SF ~4000). The window sum is
-    * widened to decimal(38, s) to match.
+    * overflows 2⁶³ (for rev·10⁴, around SF ~4000). Each value column
+    * must be DecimalType; its running total is carried at
+    * decimal(38, s) with s = the INPUT column's scale (derived, not
+    * hardcoded — a wider-scale input is never silently rounded).
     */
   def prefixSumsDecimal(
       df: DataFrame, order: Seq[Column],
       sums: Seq[(String, String)]): DataFrame = {
     require(sums.nonEmpty, "prefixSumsDecimal needs at least one value column")
+    import org.apache.spark.sql.types.DecimalType
+    val wide: Map[String, String] = sums.map { case (v, _) =>
+      df.schema(v).dataType match {
+        case d: DecimalType => v -> s"decimal(38,${d.scale})"
+        case other => throw new IllegalArgumentException(
+          s"prefixSumsDecimal needs DECIMAL value columns; '$v' is $other " +
+            "(use prefixSums for integral values)")
+      }
+    }.toMap
     val pid = "_pd_pid"
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(pid, spark_partition_id())
       .persist()
     val aggs = sums.map { case (v, _) =>
-      sum(col(v).cast("decimal(38,6)")).as(s"_pd_$v") }
+      sum(col(v).cast(wide(v))).as(s"_pd_$v") }
     val rows = ranged.groupBy(col(pid)).agg(aggs.head, aggs.tail: _*)
       .collect().sortBy(_.getInt(0))
     val offsetMaps: Seq[Map[Int, java.math.BigDecimal]] = sums.indices.map { i =>
@@ -153,12 +164,13 @@ object Quantiles {
     val w = Window.partitionBy(col(pid)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sums.zip(offsetMaps).foldLeft(ranged) { case (d, ((v, out), m)) =>
+      val t = wide(v)
       val offset = m.toSeq.sortBy(_._1).foldLeft(lit(java.math.BigDecimal.ZERO)
-          .cast("decimal(38,6)")) { case (c, (p, bd)) =>
-        when(col(pid) === p, lit(bd).cast("decimal(38,6)")).otherwise(c)
+          .cast(t)) { case (c, (p, bd)) =>
+        when(col(pid) === p, lit(bd).cast(t)).otherwise(c)
       }
       d.withColumn(out,
-        (offset + sum(col(v).cast("decimal(38,6)")).over(w)).cast("decimal(38,6)"))
+        (offset + sum(col(v).cast(t)).over(w)).cast(t))
     }.drop(pid)
   }
 

@@ -2106,30 +2106,36 @@ object RelationalQueries {
     * integer cents; each ln is quantized to a 1e9 fixed-point long
     * (q181's idiom) so the Hill sum is exact integer arithmetic with
     * one final division. Scale shape: customer-grain agg, then a
-    * k+1-row top-k (rank window at this scale; a TakeOrdered/TopKAgg
-    * at catalog scale) and a 1-row agg — the tail never shuffles the
-    * corpus.
+    * k+1-row TakeOrdered (`orderBy().limit(k+1)` plans
+    * `TakeOrderedAndProjectExec` — k+1 rows per partition merged on
+    * the driver, NO corpus-grain sort through one task; the q5/q254
+    * idiom), the tail row by a second 101-row TakeOrdered, and a 1-row
+    * agg over the bounded set: `Σ_topk lnx − k·ln_tail =
+    * Σ_all − (k+1)·ln_tail`, so the tail never needs a rank column.
     */
   def q197HillTail(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 100
     val rev = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
       .filter(col("x") > 0)
+    // bounded: exactly k+1 = 101 rows; persisted so the tail pass and
+    // the sum pass share one corpus scan (runner owns the sweep)
     val top = rev
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("x").desc, col("o_custkey"))))
-      .filter(col("r") <= k + 1)
+      .orderBy(col("x").desc, col("o_custkey").asc)
+      .limit(k + 1)
       .withColumn("lnx", round(log(col("x").cast("double")) * 1e9).cast("long"))
-    val tail = top.filter(col("r") === k + 1)
+      .persist()
+    // the (k+1)-th row is the LAST of the 101 in (x desc, custkey asc)
+    // order = the first in the reversed order — a 101-row TakeOrdered
+    val tail = top.orderBy(col("x").asc, col("o_custkey").desc).limit(1)
       .select(col("x").as("x_tail"), col("lnx").as("ln_tail"))
-    top.filter(col("r") <= k)
-      .agg(sum(col("lnx")).as("s_ln"), count(lit(1)).as("kk"))
+    top
+      .agg(sum(col("lnx")).as("s_all"), count(lit(1)).as("n_all"))
       .crossJoin(broadcast(tail))
-      .select(col("kk").as("k"), col("x_tail").as("x_kplus1_cents"),
-        round(col("kk").cast("double") * 1e9 /
-          (col("s_ln") - col("kk") * col("ln_tail")).cast("double"), 6)
+      .select((col("n_all") - 1).as("k"), col("x_tail").as("x_kplus1_cents"),
+        round((col("n_all") - 1).cast("double") * 1e9 /
+          (col("s_all") - col("n_all") * col("ln_tail")).cast("double"), 6)
           .as("hill_alpha"))
   }
 
@@ -2790,14 +2796,20 @@ object RelationalQueries {
     // pre-partitioned on the per-round join key before the persist (the
     // CC discipline): all four propagation joins hit the persisted
     // partitioning, so only the node-grain score side shuffles per round
+    // namespacing in BIGINT throughout: keys widen to long BEFORE the
+    // ×2 shift (no silent 32-bit wrap if the catalog loads them as
+    // INT), and the decode below is integral `div`, matching the
+    // oracle's exact // semantics at any key scale
+    val c2 = col("c").cast("long") * 2
+    val p2 = col("p").cast("long") * 2 + 1
     val edges = cp
-      .select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
-      .unionByName(cp.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .select(c2.as("src"), p2.as("dst"))
+      .unionByName(cp.select(p2.as("src"), c2.as("dst")))
       .repartition(col("src"))
       .persist()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val seeds = cp.select(col("c")).distinct().orderBy(col("c").asc).limit(3)
-      .select((col("c") * 2).as("node"), lit(1000000000L).as("e"))
+      .select(c2.as("node"), lit(1000000000L).as("e"))
       .persist()
     var r = seeds.select(col("node"), col("e").as("score"))
     for (_ <- 1 to 4) {
@@ -2814,7 +2826,7 @@ object RelationalQueries {
         .groupBy("node").agg(sum(col("half")).as("score"))
     }
     r.filter(col("node") % 2 === 1)
-      .select(((col("node") - 1) / 2).cast("long").as("l_partkey"),
+      .select(expr("(node - 1) div 2").as("l_partkey"),
         col("score").as("ppr_fp"))
       .orderBy(col("ppr_fp").desc, col("l_partkey").asc)
       .limit(10)
@@ -3526,21 +3538,23 @@ object RelationalQueries {
     * (left join). DETERMINISM: deciles are ntile over the total
     * (n_events desc, user_id) order; revenue sums are exact decimal.
     * Scale shape: two grain-reducing aggs (user-grain), one user-keyed
-    * left join, a 10-row rollup; the ntile window is user-grain (q128's
-    * boundary-broadcast swap is the 100 TB path, as with q173).
+    * left join, a 10-row rollup; the decile assignment runs as
+    * [[graft.operators.Quantiles.ntileExact]] (range exchange +
+    * pid-partitioned window + broadcast offsets, bit-equal to SQL
+    * ntile) — no single-partition sort over the user grain, same swap
+    * as its twin q179.
     */
   def q222EngagementRevenue(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val eng = events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     val rev = t(spark, dir, "orders")
       .groupBy(col("o_custkey").as("user_id"))
       .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
-    val d = eng.join(rev, Seq("user_id"), "left")
+    val joined = eng.join(rev, Seq("user_id"), "left")
       .select(col("user_id"), col("n_events"),
         coalesce(col("rev"), lit(0).cast("decimal(18,4)")).as("rev"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("n_events").desc, col("user_id"))))
+    val d = graft.operators.Quantiles.ntileExact(
+      joined, 10, Seq(col("n_events").desc, col("user_id").asc), "decile")
     val g = d.groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("tot_events"),
         sum(col("rev")).as("srev"))

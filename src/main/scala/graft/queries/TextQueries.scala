@@ -208,7 +208,16 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(want + 1).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      if (top.isEmpty) return (merges.toSeq, batchSizes.toSeq)
+      if (top.isEmpty) {
+        // exhausted pair table: free the live symbol table exactly as
+        // the normal exit does (the seed is a plain persist; later
+        // rounds hold a localCheckpoint whose blocks must be freed
+        // explicitly) — this path must not lean on the runner's sweep
+        if (merges.nonEmpty)
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(syms)
+        else syms.unpersist()
+        return (merges.toSeq, batchSizes.toSeq)
+      }
       val accepted = collection.mutable.Buffer(top.head)
       var open = true
       for (p <- top.tail.take(want - 1) if open) {
@@ -277,7 +286,12 @@ object TextQueries {
       }
       batchSizes += accepted.size
     }
-    syms.unpersist()
+    // the live table is a localCheckpoint whenever ≥1 round completed
+    // (its blocks live outside the CacheManager — plain unpersist would
+    // silently leak them); only the untouched seed is a plain persist
+    if (merges.nonEmpty)
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(syms)
+    else syms.unpersist()
     (merges.toSeq, batchSizes.toSeq)
   }
 
@@ -478,8 +492,10 @@ object TextQueries {
     // DIFFERENT mass. DETERMINISM: the decile is ntile over the total
     // (ratio, doc_id) order; dup flags are integer fingerprint counts.
     // Scale shape: one DocStats scan + one fingerprint hash agg (via a
-    // fp-keyed count window) + a 10-row rollup; the ntile window is
-    // doc-grain (q128's boundary-broadcast swap at 100 TB, as q173).
+    // fp-keyed count window) + a 10-row rollup; the decile assignment
+    // runs as Quantiles.ntileExact (range exchange + pid window +
+    // broadcast offsets, bit-equal to SQL ntile) — no single-partition
+    // sort over the doc grain, same swap as q128/q173.
     "q232_quality_dup_rate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -491,9 +507,9 @@ object TextQueries {
           when(count(lit(1)).over(Window.partitionBy(col("fp"))) > 1, 1)
             .otherwise(0))
         .select(col("doc_id"), col("is_dup"))
-      q.join(dup, Seq("doc_id"))
-        .withColumn("decile", ntile(10).over(
-          Window.orderBy(col("stopword_ratio"), col("doc_id"))))
+      graft.operators.Quantiles.ntileExact(
+          q.join(dup, Seq("doc_id")), 10,
+          Seq(col("stopword_ratio").asc, col("doc_id").asc), "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
         .select(col("decile"), col("n_docs"), col("n_dups"),

@@ -305,7 +305,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // ntileExact + broadcast decile self-join (q180) and
         // prefixSums (q195)
         "q169_gini", "q178_sorted_neighborhood",
-        "q180_lorenz_curve", "q195_abc_classes")) {
+        "q180_lorenz_curve", "q195_abc_classes",
+        // round 10: the last three entity-grain stragglers — q222/q232
+        // deciles swapped to ntileExact, q197's top-(k+1) to
+        // orderBy().limit() TakeOrdered (no window at all)
+        "q197_hill_tail", "q222_engagement_revenue",
+        "q232_quality_dup_rate")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
