@@ -1662,10 +1662,13 @@ object RelationalQueries {
   // n_s (at-risk) derives from exact integer cumulative counts. A group
   // where everyone at risk churns (n = d) pins survival to exactly 0
   // via a −1e15 sentinel term (exp → 0 in both engines). Scale shape:
-  // customer-grain agg, then ALL windows run over the |distinct
-  // durations|-sized risk table.
+  // customer-grain agg to the |distinct durations|-sized risk table,
+  // then BOTH running totals (at-risk counts and the log-term prefix)
+  // go through Quantiles.prefixSums (range exchange + pid window +
+  // broadcast offsets) — duration grain is bounded today, but nothing
+  // here serializes through one task even if it weren't: the exclusive
+  // at-risk sum is the inclusive prefix minus the row's own m.
   def q175KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = t(spark, dir, "orders")
     val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
     val per = o.groupBy("o_custkey")
@@ -1678,19 +1681,18 @@ object RelationalQueries {
     val grp = per.groupBy("dur")
       .agg(count(lit(1)).as("m"), sum(col("obs")).as("d"))
     val tot = grp.agg(sum(col("m")).as("n_total"))
-    val wPrev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy("dur")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grp.crossJoin(broadcast(tot))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("m")).over(wPrev), lit(0L)))
+    val risk = graft.operators.Quantiles
+      .prefixSums(grp.crossJoin(broadcast(tot)), Seq(col("dur").asc),
+        Seq("m" -> "cum_m"))
+      .withColumn("n_risk", col("n_total") - (col("cum_m") - col("m")))
       .filter(col("d") >= 1)
       .withColumn("term_fp",
         when(col("n_risk") === col("d"), lit(-1000000000000000L))
           .otherwise(round(log(
             (col("n_risk") - col("d")).cast("double") / col("n_risk"))
             * lit(1e9)).cast("long")))
-      .withColumn("s_fp", sum(col("term_fp")).over(wCum))
+    graft.operators.Quantiles
+      .prefixSums(risk, Seq(col("dur").asc), Seq("term_fp" -> "s_fp"))
       .select(col("dur").as("dur_days"), col("n_risk"), col("d").as("n_events"),
         (col("m") - col("d")).as("n_censored"),
         round(exp(col("s_fp").cast("double") / lit(1e9)), 6).as("survival"))

@@ -27,38 +27,48 @@ object SearchQueries {
     * `Ranking.bm25`, q40's `Similarity.bruteForceTopK`). DETERMINISM:
     * ranks are integers under total (score desc, id asc) orders; the
     * fused score adds two exact-input doubles once per row. Scale shape:
-    * each leg is a bounded top-k (TakeOrdered / bounded TopKAgg — never a
-    * global sort), fusion is a 40-row full-outer join; at 100 TB the legs
+    * each leg is a bounded top-k (`TopKAgg`, q234's shape — ≤ k rows per
+    * partition cross the shuffle, never a global sort or a global-order
+    * window), fusion is a 40-row full-outer join; at 100 TB the legs
     * are served by the prebuilt inverted index (q27/q76) and ANN index
     * (q80/q112), same fusion.
     */
   def q208RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     import graft.operators.Similarity
+    // lexical leg: single-term BM25 top-20 through the bounded TopKAgg
+    // keyed by the term (one group); rank = position in the
+    // (bm25 desc, doc_id) order — identical to row_number
+    val topk20 = udaf(graft.functions.TopKAgg(20))
     val sparse = Ranking.bm25(docs(spark, dir), "text", "doc_id", Seq("hash"))
-      .select(col("doc_id"), col("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
-      .withColumn("ra",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      .select(col("doc_id"), col("ra"))
+      .groupBy("word")
+      .agg(topk20(col("bm25"), col("doc_id")).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("t._2").as("doc_id"), (col("pos") + 1).cast("int").as("ra"))
     val v = Similarity.prepared(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
     val dense = Similarity.bruteForceTopK(v.filter(col("vec_id") === 0), v, "vec_id", 20)
       .select(col("cand_id").as("doc_id"), col("rank").as("rb"))
-    sparse.join(dense, Seq("doc_id"), "full_outer")
+    // fusion: ≤ 40 candidate rows, persisted — read by both the top-10
+    // selection and the attribute join-back (runner owns the sweep)
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (col("ra") + 60), lit(0.0)) +
           coalesce(lit(1.0) / (col("rb") + 60), lit(0.0)), 6))
-      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .persist()
+    val topk10 = udaf(graft.functions.TopKAgg(10))
+    fused.agg(topk10(col("rrf"), col("doc_id")).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("doc_id"), col("t._1").as("rrf"))
+      .join(broadcast(fused.select(col("doc_id"), col("ra"), col("rb"))),
+        Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("rrf"), col("ra"), col("rb"))
   }
 
   /** q292: retrieve-then-rerank — the production two-stage serving
     * composition q208's rank fusion sits beside: stage 1 retrieves the
-    * BM25('hash') top-20 (cheap lexical recall, TakeOrdered), stage 2
+    * BM25('hash') top-20 (cheap lexical recall, bounded TopKAgg), stage 2
     * re-scores ONLY those 20 candidates by embedding cosine against the
     * dense pseudo-query (vec 0, q208's convention; self excluded per the
     * bruteForcePairs contract) and returns the top-10 with both scores
@@ -70,13 +80,16 @@ object SearchQueries {
     */
   def q292RetrieveRerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     import graft.operators.Similarity
+    // stage 1 through the bounded TopKAgg (q234's shape): ≤ 20 rows per
+    // partition cross the shuffle, rank from the explode position
+    val topk20 = udaf(graft.functions.TopKAgg(20))
     val sparse = Ranking.bm25(docs(spark, dir), "text", "doc_id", Seq("hash"))
-      .select(col("doc_id"), col("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
-      .withColumn("ra",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .groupBy("word")
+      .agg(topk20(col("bm25"), col("doc_id")).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("t._2").as("doc_id"), col("t._1").as("bm25"),
+        (col("pos") + 1).cast("int").as("ra"))
       .persist()
     val v = Similarity.prepared(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")

@@ -310,7 +310,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // deciles swapped to ntileExact, q197's top-(k+1) to
         // orderBy().limit() TakeOrdered (no window at all)
         "q197_hill_tail", "q222_engagement_revenue",
-        "q232_quality_dup_rate")) {
+        "q232_quality_dup_rate",
+        // round 10: the serving family's rank stages moved to the
+        // bounded TopKAgg (q234's shape) — no global-order window even
+        // over the post-retrieval candidate sets
+        "q208_rrf_hybrid", "q292_retrieve_rerank",
+        // round 10: Kaplan-Meier's two running totals through prefixSums
+        "q175_kaplan_meier")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
