@@ -70,6 +70,39 @@ object Edges {
       .distinct()
   }
 
+  /** S-way SALTED score-propagation join — `edges ⋈ scores` on `key`,
+    * the per-round shuffle of every bounded-round graph loop (HITS
+    * half-steps, LPA rounds, PPR inflow). A power-law hub concentrates
+    * that join's hottest key in one task, and AQE CANNOT split it in
+    * these shapes: `OptimizeSkewedJoin` requires BOTH SortMergeJoin
+    * children to be bare shuffle stages, but the score/label side here
+    * always carries its per-round aggregation above the exchange (and
+    * the rule also bails on plans with more than two shuffle stages) —
+    * measured in Round10Spec, which pins both the firing and the
+    * non-firing shape. So skew relief is explicit, CC's recipe
+    * (`Dedup.connectedComponents(saltBuckets)`): replicate the
+    * node-grain score side `saltBuckets` ways and route each edge row
+    * by `pmod(hash(route), S)`, splitting a hub key's edges across S
+    * tasks. Join semantics are unchanged for ANY downstream aggregate
+    * because each edge row still matches exactly one replica.
+    * `saltBuckets = 1` is the plain equi-join (zero overhead); the
+    * score side grows S×, so S stays small (≤ #cores/hub-count scale,
+    * 8 in the specs).
+    */
+  def saltedPropagate(
+      edges: DataFrame, scores: DataFrame, key: String,
+      route: org.apache.spark.sql.Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, "saltedPropagate needs saltBuckets >= 1")
+    if (saltBuckets == 1) edges.join(scores, Seq(key))
+    else {
+      val rep = scores.withColumn("_salt",
+        explode(array((0 until saltBuckets).map(lit): _*)))
+      edges.withColumn("_salt", pmod(hash(route), lit(saltBuckets)))
+        .join(rep, Seq(key, "_salt"))
+        .drop("_salt")
+    }
+  }
+
   /** DEGREE orientation of an undirected (a, b) edge list: each edge
     * re-emitted once as (src, dst) with src the endpoint that comes
     * first in the (degree, id) total order. This is the power-law scale

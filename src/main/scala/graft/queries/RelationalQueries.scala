@@ -2718,7 +2718,19 @@ object RelationalQueries {
     * product; normalization broadcasts one scalar. The top-15 is a
     * TakeOrdered, never a full sort.
     */
-  def q254Hits(spark: SparkSession, dir: String): DataFrame = {
+  def q254Hits(spark: SparkSession, dir: String): DataFrame =
+    q254Hits(spark, dir, saltBuckets = 1)
+
+  /** [[q254Hits]] with the per-half-step propagation joins routed
+    * through [[graft.operators.Edges.saltedPropagate]] — the explicit
+    * hub-skew relief (AQE cannot split these joins: the score side
+    * carries its aggregation above the exchange; see saltedPropagate's
+    * doc and Round10Spec's measured pin). `saltBuckets = 1` (the
+    * registered query) is the plain join; Round10Spec proves salt
+    * invariance and the hot-partition split on a Zipfian hub.
+    */
+  def q254Hits(spark: SparkSession, dir: String, saltBuckets: Int): DataFrame = {
+    import graft.operators.Edges.saltedPropagate
     // shared bipartite build (Edges.customerPart), persisted across the
     // three half-steps
     val edges = graft.operators.Edges.customerPart(spark, dir).persist()
@@ -2731,13 +2743,15 @@ object RelationalQueries {
       .select(col("p"),
         expr("(CAST(a AS DECIMAL(38,0)) * 1000000000) div am").as("a"))
     // half-step 2: hub <- Σ auth over the customer's parts
-    val h1 = edges.join(a1n, Seq("p")).groupBy("c").agg(sum(col("a")).as("h"))
+    val h1 = saltedPropagate(edges, a1n, "p", col("c"), saltBuckets)
+      .groupBy("c").agg(sum(col("a")).as("h"))
       .persist()
     val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("hm"))))
       .select(col("c"),
         expr("(CAST(h AS DECIMAL(38,0)) * 1000000000) div hm").as("h"))
     // half-step 3: auth round 2 from the renormalized hubs
-    val a2 = edges.join(h1n, Seq("c")).groupBy("p")
+    val a2 = saltedPropagate(edges, h1n, "c", col("p"), saltBuckets)
+      .groupBy("p")
       .agg(sum(col("h")).as("a2"), count(lit(1)).as("n_buyers")).persist()
     a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("am2"))))
       .select(col("p").as("l_partkey"), col("n_buyers"),
@@ -2855,11 +2869,30 @@ object RelationalQueries {
     * TopKAgg's win is NETWORK volume (5 rows/part/partition vs the full
     * pair table through the exchange) — the right choice on a
     * bandwidth-bound cluster, the wrong one on a single box; both are
-    * bit-identical. DETERMINISM: exact integer counts over a total
-    * order.
+    * bit-identical, and the choice is a parameter of the 3-arg overload
+    * (Round10Spec pins parity). DETERMINISM: exact integer counts over
+    * a total order.
     */
-  def q290CoVisitation(spark: SparkSession, dir: String): DataFrame = {
+  def q290CoVisitation(spark: SparkSession, dir: String): DataFrame =
+    q290CoVisitation(spark, dir, "window")
+
+  /** q290 with the top-5 selection strategy explicit — the two sides of
+    * the measured single-box-vs-cluster trade documented above, both
+    * bit-identical (Round10Spec pins parity):
+    *   - `"window"`: rank via a part-PARTITIONED row_number window —
+    *     wins on a single box (vectorized sort beats per-row typed
+    *     buffer maintenance: 39 s vs 101 s at the 10× replica), but the
+    *     FULL symmetric pair table crosses the exchange;
+    *   - `"topk"`: rank via the bounded [[graft.functions.TopKAgg]] —
+    *     ≤ 5 rows per part per partition cross the shuffle, the right
+    *     side on a bandwidth-bound cluster. Counts ride as doubles
+    *     inside the aggregator (exact below 2^53 — any real
+    *     shared-customer count) and cast back to long on output.
+    */
+  def q290CoVisitation(spark: SparkSession, dir: String, strategy: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(Set("window", "topk")(strategy),
+      s"q290 strategy must be 'window' or 'topk', got '$strategy'")
     val pairs = graft.operators.Edges.customerPart(spark, dir)
       .groupBy("c").agg(array_sort(collect_set(col("p"))).as("parts"))
       .filter(size(col("parts")) <= 256)
@@ -2872,20 +2905,41 @@ object RelationalQueries {
       .persist()
     val sym = pairs.select(col("a").as("x"), col("b").as("y"), col("shared"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y"), col("shared")))
-    sym.withColumn("rank", row_number().over(
-        Window.partitionBy("x").orderBy(col("shared").desc, col("y").asc)))
-      .filter(col("rank") <= 5)
-      .select(col("x").as("l_partkey"), col("y").as("rec_partkey"),
-        col("shared").as("shared_customers"), col("rank"))
+    strategy match {
+      case "window" =>
+        sym.withColumn("rank", row_number().over(
+            Window.partitionBy("x").orderBy(col("shared").desc, col("y").asc)))
+          .filter(col("rank") <= 5)
+          .select(col("x").as("l_partkey"), col("y").as("rec_partkey"),
+            col("shared").as("shared_customers"), col("rank"))
+      case "topk" =>
+        val topk = udaf(graft.functions.TopKAgg(5))
+        sym.groupBy("x")
+          .agg(topk(col("shared").cast("double"), col("y")).as("tops"))
+          .select(col("x"), posexplode(col("tops")).as(Seq("pos", "t")))
+          .select(col("x").as("l_partkey"), col("t._2").as("rec_partkey"),
+            col("t._1").cast("long").as("shared_customers"),
+            (col("pos") + 1).cast("int").as("rank"))
+    }
   }
 
-  def q199LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  def q199LabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    q199LabelPropagation(spark, dir, saltBuckets = 1)
+
+  /** [[q199LabelPropagation]] with each round's edge⋈labels join routed
+    * through [[graft.operators.Edges.saltedPropagate]] — explicit
+    * hub-skew relief (AQE cannot split the aggregated-label-side join;
+    * see saltedPropagate's doc). `saltBuckets = 1` (the registered
+    * query) is the plain join; Round10Spec proves salt invariance.
+    */
+  def q199LabelPropagation(spark: SparkSession, dir: String, saltBuckets: Int): DataFrame = {
     val und = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to 5) {
-      labels = und
-        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+      labels = graft.operators.Edges
+        .saltedPropagate(und, labels.withColumnRenamed("node", "b"), "b",
+          col("a"), saltBuckets)
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("node")

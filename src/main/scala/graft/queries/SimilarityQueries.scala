@@ -675,7 +675,64 @@ object SimilarityQueries {
         round(col("xq") / 1e6, 6).as("median_x"))
   }
 
+  /** q301: binary (sign) quantization ANN — the third compression rung
+    * of the ANN ladder (float q40 → int8 q85 → PQ q110 → 1-BIT here):
+    * each 64-dim vector collapses to a 64-bit sign code (bit i = dim i
+    * > 0, packed as two 32-dim BIGINT halves so no engine touches the
+    * sign bit of a full-width shift), queries shortlist the top-50 by
+    * Hamming distance over the CODE table, and the shortlist alone is
+    * re-ranked by exact cosine to the served top-10 — the modern
+    * memory-bound serving recipe (codes are 16 B/vector vs 256 B
+    * float: the whole corpus index fits in RAM 16× sooner, and the
+    * scan is xor+popcount, codegen-friendly integer ops).
+    * DETERMINISM: sign bits are exact float comparisons; Hamming is
+    * integer; shortlist rank is (hamming asc, cand_id asc) through the
+    * bounded TopKAgg (negated distance, q110's trick); rerank is the
+    * 6dp cosine + id tie rule shared with q40. Scale shape: one
+    * corpus-scan code build, the shortlist pass streams codes against
+    * a |queries|-row broadcast with a k-bounded agg (never a global
+    * sort), and the expensive float path touches ≤ 50 rows per query —
+    * q292's candidate-sized-stage-2 contract, applied to quantization.
+    */
+  def q301BinaryQuantAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir).persist()
+    val lo = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+      "acc + IF(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L))")
+    val hi = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+      "acc + IF(element_at(v, i + 33) > 0, shiftleft(1L, i), 0L))")
+    val codes = v.select(col("vec_id"), lo.as("lo"), hi.as("hi")).persist()
+    val qc = codes.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val topm = udaf(graft.functions.TopKAgg(50))
+    val shortlist = codes.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
+      .groupBy("query_id")
+      .agg(topm(-col("hamming").cast("double"), col("vec_id")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._2").as("cand_id"),
+        (-col("t._1")).cast("int").as("hamming"))
+    val qv = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qn"))
+    shortlist
+      .join(v.select(col("vec_id").as("cand_id"),
+        col("v").as("cv"), col("nv").as("cn")), Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(
+        graft.functions.TextFunctions.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"),
+        col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_binary_quant_ann" -> (q301BinaryQuantAnn _),
     "q221_embed_medians" -> (q221EmbedMedians _),
     "q211_embed_profile" -> (q211EmbedProfile _),
     "q212_ndcg_eval" -> (q212NdcgEval _),
@@ -772,6 +829,41 @@ object SimilarityQueries {
       |  WHERE r = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same two-BIGINT-halves sign packing, same (hamming asc, id asc)
+    // top-50 shortlist, same 6dp cosine + id rerank rule as q40
+    "q301_binary_quant_ann" ->
+      s"""$CosCte,
+         |c AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))
+         |      AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN v[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0 END))
+         |      AS BIGINT) AS hi
+         |  FROM e),
+         |sh AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         |         bit_count(xor(q.lo, x.lo)) + bit_count(xor(q.hi, x.hi))
+         |           AS hamming,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY bit_count(xor(q.lo, x.lo))
+         |                    + bit_count(xor(q.hi, x.hi)) ASC,
+         |                    x.vec_id ASC) AS hr
+         |  FROM c q JOIN c x ON q.vec_id < 3 AND x.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT query_id, cand_id, CAST(hamming AS INT) AS hamming
+         |  FROM sh WHERE hr <= 50)
+         |SELECT query_id, rank, cand_id, cos, hamming FROM (
+         |  SELECT cand.query_id, cand.cand_id, cand.hamming,
+         |         round(list_cosine_similarity(q.v, x.v), 6) AS cos,
+         |         row_number() OVER (PARTITION BY cand.query_id
+         |           ORDER BY round(list_cosine_similarity(q.v, x.v), 6) DESC,
+         |                    cand.cand_id ASC) AS rank
+         |  FROM cand
+         |  JOIN e q ON q.vec_id = cand.query_id
+         |  JOIN e x ON x.vec_id = cand.cand_id)
+         |WHERE rank <= 10""".stripMargin,
     // same eval/corpus split, same 6dp cosine threshold, same
     // (cos desc, eval id asc) closest-match rule and per-corpus-id count
     "q255_embed_decontaminate" ->

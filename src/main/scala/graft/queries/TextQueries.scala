@@ -117,12 +117,26 @@ object TextQueries {
     * kmeans pattern) and one Σ freq·|syms| scalar. Returns the merge
     * log and the per-round corpus token totals (index 0 = characters).
     */
-  private[graft] def bpeRounds(s: SparkSession, dir: String, rounds: Int)
-      : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) = {
+  /** The (word, freq) corpus word-frequency table both BPE learners
+    * seed from — factored out so specs can drive the learners over a
+    * synthetic frequency fixture (wide-batch coverage) while the
+    * queries keep the corpus path.
+    */
+  private[graft] def bpeSeed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    var syms = docs(s, dir)
+    docs(s, dir)
       .select(graft.functions.AlnumTokens(col("text")))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
+
+  private[graft] def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) =
+    bpeRoundsFromWords(bpeSeed(s, dir), rounds)
+
+  private[graft] def bpeRoundsFromWords(words: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) = {
+    import org.apache.spark.sql.functions._
+    var syms = words
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select("word", "freq", "syms").persist()
@@ -184,12 +198,15 @@ object TextQueries {
     */
   private[graft] def bpeRoundsBatched(
       s: SparkSession, dir: String, totalMerges: Int, maxBatch: Int)
+      : (Seq[(Int, String, String, Long, String)], Seq[Int]) =
+    bpeRoundsBatchedFromWords(bpeSeed(s, dir), totalMerges, maxBatch)
+
+  private[graft] def bpeRoundsBatchedFromWords(
+      words: DataFrame, totalMerges: Int, maxBatch: Int)
       : (Seq[(Int, String, String, Long, String)], Seq[Int]) = {
     import org.apache.spark.sql.functions._
     require(maxBatch >= 1, "bpeRoundsBatched needs maxBatch >= 1")
-    var syms = docs(s, dir)
-      .select(graft.functions.AlnumTokens(col("text")))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select("word", "freq", "syms").persist()
