@@ -68,7 +68,11 @@ object Bench {
     // path, hash-proved equal to sequential) and seed-conditioned
     // personalized PageRank over the shared bipartite purchase graph
     "q288_bpe_learn_batched",
-    "q289_personalized_pagerank")
+    "q289_personalized_pagerank",
+    // round-10 flagship: binary-quantization ANN — the 1-bit serving
+    // rung (16 B/vector codes, xor+popcount shortlist, candidate-sized
+    // exact rerank)
+    "q301_binary_quant_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

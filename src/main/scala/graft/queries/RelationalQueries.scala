@@ -2762,6 +2762,84 @@ object RelationalQueries {
       .withColumn("authority", round(col("authority_fp") / 1e9, 6))
   }
 
+  /** q302: bipartite SALSA authorities — one full SALSA authority round
+    * over the shared customer→part purchase graph: h(c) = Σ_{p∈N(c)}
+    * a₀(p)/deg(p), a₁(p) = Σ_{c∈N(p)} h(c)/deg(c), a₀ ≡ 1. Where HITS
+    * (q254) lets a mega-customer dominate (its full hub weight reaches
+    * every part it buys), SALSA's DEGREE normalization splits each
+    * node's mass over its neighbors — the random-walk variant serving
+    * stacks prefer for popularity de-biasing; reported as the top-15
+    * parts (salsa desc, partkey asc). DETERMINISM: 1e9 fixed point,
+    * every step an exact integer `div` (q289's discipline; the oracle
+    * unrolls the identical rounds with `//`). Scale shape: the shared
+    * persisted edge build + two node-grain degree aggs joined back
+    * onto edges (keyed equi-joins, hub skew relieved the saltedPropagate
+    * way if ever needed — same join shape as q254, same measured
+    * AQE finding), each half-step one join + one hash agg; top-15 is a
+    * TakeOrdered.
+    */
+  def q302Salsa(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Edges.customerPart(spark, dir).persist()
+    val degP = edges.groupBy("p").agg(count(lit(1)).as("dp"))
+    val degC = edges.groupBy("c").agg(count(lit(1)).as("dc"))
+    val h1 = edges.join(degP, Seq("p"))
+      .select(col("c"), expr("CAST(1000000000 AS BIGINT) div dp").as("m"))
+      .groupBy("c").agg(sum(col("m")).as("h"))
+    edges.join(h1, Seq("c")).join(degC, Seq("c"))
+      .select(col("p"), expr("h div dc").as("m"))
+      .groupBy("p").agg(sum(col("m")).as("salsa_fp"), count(lit(1)).as("n_buyers"))
+      .orderBy(col("salsa_fp").desc, col("p").asc)
+      .limit(15)
+      .select(col("p").as("l_partkey"), col("n_buyers"), col("salsa_fp"),
+        round(col("salsa_fp") / 1e9, 6).as("salsa"))
+  }
+
+  /** q303: per-user additive Holt-Winters (level, trend, seasonal)
+    * batch fold — α = β = γ = ½, period 4 by event index: the
+    * three-variable completion of the recursive-fold family (EWMA
+    * q267's one variable, Holt q251/q284's two) and the batch oracle
+    * its streaming twin q304 is gated against. Update at 0-based step
+    * n with s = seas(n mod 4): l' = (x − s + l + b)/2,
+    * b' = (l' − l + b)/2, seas(n mod 4) ← (x − l' + s)/2 — each a
+    * single IEEE division of a left-to-right sum, replayed in the
+    * identical order by the DuckDB recursive CTE (the q284 engine-
+    * difference discipline: a coupled fold cannot be a DuckDB list
+    * lambda, so the oracle recurses). DETERMINISM: the fold order is
+    * the total (ts, event_id) sort; IEEE ops are engine-identical.
+    * Scale shape: ONE user-keyed collect_list agg (state bounded by
+    * per-user history — same contract as q176/q251) + a per-row
+    * `aggregate` HOF; no window, no join.
+    */
+  def q303HoltWintersBatch(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .groupBy("user_id")
+      .agg(expr(
+        """transform(
+          |  array_sort(collect_list(struct(unix_micros(ts) AS t,
+          |                                 event_id AS e, value AS v))),
+          |  x -> x.v)""".stripMargin).as("xs"))
+    per.withColumn("st", expr(
+      """aggregate(
+        |  slice(xs, 2, size(xs) - 1),
+        |  named_struct('l', element_at(xs, 1), 'b', CAST(0 AS DOUBLE),
+        |               'seas', array_repeat(CAST(0 AS DOUBLE), 4), 'n', 1L),
+        |  (acc, x) -> named_struct(
+        |    'l', (x - element_at(acc.seas, CAST(acc.n % 4 AS INT) + 1)
+        |          + acc.l + acc.b) / 2,
+        |    'b', ((x - element_at(acc.seas, CAST(acc.n % 4 AS INT) + 1)
+        |           + acc.l + acc.b) / 2 - acc.l + acc.b) / 2,
+        |    'seas', transform(acc.seas, (s, i) ->
+        |      IF(i = CAST(acc.n % 4 AS INT),
+        |         (x - (x - s + acc.l + acc.b) / 2 + s) / 2, s)),
+        |    'n', acc.n + 1L))""".stripMargin))
+      .select(col("user_id"), col("st.n").as("n_events"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        element_at(col("st.seas"), 1).as("s0"),
+        element_at(col("st.seas"), 2).as("s1"),
+        element_at(col("st.seas"), 3).as("s2"),
+        element_at(col("st.seas"), 4).as("s3"))
+  }
+
   /** q291: local clustering coefficient — per co-purchase node, how
     * close its neighborhood is to a clique: 2·T(v) / (deg(v)·(deg(v)−1))
     * with T(v) the node's triangle participation, reported as the
@@ -3818,8 +3896,60 @@ object RelationalQueries {
           (col("na") * col("nb")).cast("double")), 6).as("pmi"))
   }
 
+  /** The q303 recursive-CTE oracle — also q304's gate verbatim (the
+    * streaming twin must fold to the identical batch answer, the
+    * q267/q293 convention), so the string lives once.
+    */
+  private[queries] val HwFoldOracle: String =
+    """WITH RECURSIVE ser AS (
+      |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+      |         count(*) AS n
+      |  FROM events GROUP BY user_id),
+      |fold AS (
+      |  SELECT user_id, 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b,
+      |         CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+      |         CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3
+      |  FROM ser
+      |  UNION ALL
+      |  SELECT f.user_id, f.i + 1,
+      |    (s.xs[CAST(f.i + 1 AS INT)]
+      |     - CASE f.i % 4 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+      |                    WHEN 2 THEN f.s2 ELSE f.s3 END
+      |     + f.l + f.b) / 2,
+      |    ((s.xs[CAST(f.i + 1 AS INT)]
+      |      - CASE f.i % 4 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+      |                     WHEN 2 THEN f.s2 ELSE f.s3 END
+      |      + f.l + f.b) / 2 - f.l + f.b) / 2,
+      |    CASE WHEN f.i % 4 = 0 THEN
+      |      (s.xs[CAST(f.i + 1 AS INT)]
+      |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s0 + f.l + f.b) / 2
+      |       + f.s0) / 2
+      |    ELSE f.s0 END,
+      |    CASE WHEN f.i % 4 = 1 THEN
+      |      (s.xs[CAST(f.i + 1 AS INT)]
+      |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s1 + f.l + f.b) / 2
+      |       + f.s1) / 2
+      |    ELSE f.s1 END,
+      |    CASE WHEN f.i % 4 = 2 THEN
+      |      (s.xs[CAST(f.i + 1 AS INT)]
+      |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s2 + f.l + f.b) / 2
+      |       + f.s2) / 2
+      |    ELSE f.s2 END,
+      |    CASE WHEN f.i % 4 = 3 THEN
+      |      (s.xs[CAST(f.i + 1 AS INT)]
+      |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s3 + f.l + f.b) / 2
+      |       + f.s3) / 2
+      |    ELSE f.s3 END
+      |  FROM fold f JOIN ser s ON s.user_id = f.user_id
+      |  WHERE f.i < s.n)
+      |SELECT f.user_id, CAST(s.n AS BIGINT) AS n_events,
+      |       f.l AS level, f.b AS trend, f.s0, f.s1, f.s2, f.s3
+      |FROM fold f JOIN ser s USING (user_id) WHERE f.i = s.n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_hits" -> q254Hits _,
+    "q302_salsa" -> q302Salsa _,
+    "q303_holt_winters" -> q303HoltWintersBatch _,
     "q260_cohort_ltv" -> q260CohortLtv _,
     "q265_cumulative_uniques" -> q265CumulativeUniques _,
     "q266_markov_attribution" -> q266MarkovAttribution _,
@@ -3988,6 +4118,29 @@ object RelationalQueries {
         |SELECT p AS l_partkey, n_buyers, authority_fp,
         |       round(authority_fp / 1e9, 6) AS authority
         |FROM a2n ORDER BY authority_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same distinct edges, same degree-normalized 1e9 fixed-point
+    // half-steps via exact integer //, same (salsa desc, part) top-15
+    "q302_salsa" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |dp AS (SELECT p, count(*) AS dp FROM e GROUP BY 1),
+        |dc AS (SELECT c, count(*) AS dc FROM e GROUP BY 1),
+        |h1 AS (
+        |  SELECT e.c, CAST(sum(1000000000 // dp.dp) AS BIGINT) AS h
+        |  FROM e JOIN dp ON dp.p = e.p GROUP BY 1),
+        |a1 AS (
+        |  SELECT e.p, CAST(sum(h1.h // dc.dc) AS BIGINT) AS salsa_fp,
+        |         count(*) AS n_buyers
+        |  FROM e JOIN h1 ON h1.c = e.c JOIN dc ON dc.c = e.c
+        |  GROUP BY 1)
+        |SELECT p AS l_partkey, n_buyers, salsa_fp,
+        |       round(salsa_fp / 1e9, 6) AS salsa
+        |FROM a1 ORDER BY salsa_fp DESC, p ASC LIMIT 15""".stripMargin,
+    // same (ts, event_id) fold order, same single-division IEEE steps
+    // replayed by the recursive CTE (coupled folds cannot be DuckDB
+    // list lambdas — the q284 engine-difference finding)
+    "q303_holt_winters" -> HwFoldOracle,
     // same daily integer counts, same 1e12-quantized leave-one-out
     // pseudo-ratios, same mirrored SE closed form
     "q283_jackknife_ratio" ->

@@ -144,6 +144,85 @@ object StreamParityQueries {
         col("m.level").as("level"), col("m.trend").as("trend"))
   }
 
+  /** q305: watermarked SLIDING-window parity, driver-verified — q297's
+    * tumbling gate extended to overlapping windows
+    * ([[StreamingOps.eventSlidingCounts]]: 1-hour windows sliding every
+    * 30 minutes, each event in exactly two). APPEND mode emits each
+    * (window, type) count exactly once at finalization; the sentinel
+    * batches finalize the tail. The oracle doubles every event into its
+    * two epoch-aligned window starts with integer 30-minute flooring —
+    * a missing overlap window, a double emission, or a slide
+    * misalignment all fail the hash.
+    */
+  def q305StreamSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q305_sliding"
+    spark.catalog.dropTempView(sink)
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .as[(java.sql.Timestamp, String)]
+      .sort("ts", "event_type")
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].collect().head
+    def sentinel(us: Long) = (java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)),
+      "__sentinel")
+    val ms = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = StreamingOps.eventSlidingCounts(ms.toDF.toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      for (k <- 1 to 2) {
+        ms.addData(Seq(sentinel(maxUs + k * 7200L * 1000000L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "__sentinel")
+  }
+
+  /** q304: per-key streaming Holt-Winters (level, trend, 4-slot
+    * seasonal) state, driver-verified — the three-variable completion
+    * of the fold-gate family (EWMA q267, coupled Holt q284), and the
+    * first gate whose cross-batch state carries an ARRAY: the same
+    * time-ordered feed through [[StreamingOps.holtWintersPerKey]],
+    * final state compared bit-for-bit against q303's batch recursive
+    * fold (the oracle string IS q303's, verbatim). A lost or reordered
+    * seasonal slot, a wrong slot index after a batch boundary, or any
+    * deviation in the single-division IEEE steps fails the hash.
+    */
+  def q304StreamHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q304_hw"
+    spark.catalog.dropTempView(sink)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.holtWintersPerKey(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"),
+        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"),
+        col("m.s0").as("s0"), col("m.s1").as("s1"),
+        col("m.s2").as("s2"), col("m.s3").as("s3"))
+  }
+
   /** Recursive best-effort delete of a harness temp dir (checkpoint
     * locations are per-invocation scratch, never part of the answer).
     */
@@ -601,11 +680,29 @@ object StreamParityQueries {
     "q294_stream_holt_ooo" -> (q294StreamHoltOutOfOrder _),
     "q267_stream_ewma" -> (q267StreamEwma _),
     "q284_stream_holt" -> (q284StreamHolt _),
+    "q304_stream_holt_winters" -> (q304StreamHoltWinters _),
+    "q305_stream_sliding_counts" -> (q305StreamSlidingCounts _),
     "q285_stream_ewma_recovery" -> (q285StreamEwmaRecovery _),
     "q286_stream_holt_recovery" -> (q286StreamHoltRecovery _),
     "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
+    // q303's batch recursive fold, verbatim: the stream's final state
+    // must BE the batch answer (the q267/q284 gate convention)
+    "q304_stream_holt_winters" -> RelationalQueries.HwFoldOracle,
+    // every event doubled into its two epoch-aligned 30-min-floored
+    // window starts; finalized streamed counts must equal this exactly
+    "q305_stream_sliding_counts" ->
+      """WITH x AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+        |           AS b, event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT b AS win_start, event_type FROM x
+        |  UNION ALL
+        |  SELECT b - INTERVAL '30 minutes', event_type FROM x)
+        |SELECT win_start, event_type, count(*) AS cnt
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // in-order fold again: disorder + restart must both be invisible
     "q299_stream_ewma_ooo_recovery" ->
       """SELECT user_id, count(*) AS n_events,

@@ -40,6 +40,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"))
 
+  /** SLIDING-window counts — 1-hour windows every 30 minutes, so each
+    * event lands in exactly TWO overlapping windows (the overlap is what
+    * tumbling [[eventWindowCounts]] cannot express: a rate readable at
+    * twice the window's resolution). Same watermark/finalization
+    * contract as the tumbling gate: in APPEND mode each (window, type)
+    * count emits exactly once, when the watermark passes the window
+    * end. Spark's window slide is epoch-aligned, so the oracle's
+    * integer 30-minute flooring reproduces the starts exactly.
+    */
+  def eventSlidingCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("cnt"))
+
   /** Exact dedup on ingest: drop every document whose normalized-content
     * md5 fingerprint has already been seen — ACROSS micro-batches
     * (streaming `dropDuplicates` keeps the seen-fingerprint set as
@@ -334,6 +350,56 @@ object StreamingOps {
           }
           state.update(st)
           HoltUpdate(uid, st.n, st.l, st.b)
+      }
+  }
+
+  case class HwState(l: Double, b: Double, seas: Seq[Double], n: Long)
+  case class HwUpdate(
+      user_id: Long, n_events: Long, level: Double, trend: Double,
+      s0: Double, s1: Double, s2: Double, s3: Double)
+
+  /** Per-key additive Holt-Winters state (α = β = γ = ½, period 4 by
+    * event index) — the THREE-variable completion of the fold family
+    * (EWMA q267 → coupled Holt q284 → level+trend+seasonal here), and
+    * the first stream state that carries an ARRAY (the 4-slot seasonal
+    * vector) across batches. The first event seeds (l = x, b = 0,
+    * seas = 0⃗); each subsequent event at 0-based step n applies, with
+    * s = seas(n mod 4):
+    *   l' = (x − s + l + b) / 2
+    *   b' = (l' − l + b) / 2
+    *   seas(n mod 4) ← (x − l' + s) / 2
+    * — every step a single IEEE division of a left-to-right sum, the
+    * exact sequence the batch `aggregate` fold and the DuckDB
+    * recursive-CTE oracle replay, so the final state bit-equals the
+    * batch answer for in-order delivery (driver-gated, q304 vs q303's
+    * oracle). State per key is O(period); index-based seasons keep the
+    * recurrence free of calendar parsing — a calendar period is the
+    * same fold keyed by a time slot.
+    */
+  def holtWintersPerKey(events: Dataset[ValEvent]): Dataset[HwUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[HwState, HwUpdate](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[HwState]) =>
+          val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(HwState(0.0, 0.0, Seq.fill(4)(0.0), 0L))
+          sorted.foreach { e =>
+            st =
+              if (st.n == 0L) HwState(e.value, 0.0, Seq.fill(4)(0.0), 1L)
+              else {
+                val k = (st.n % 4).toInt
+                val s = st.seas(k)
+                val l2 = (e.value - s + st.l + st.b) / 2
+                val b2 = (l2 - st.l + st.b) / 2
+                st.copy(l = l2, b = b2,
+                  seas = st.seas.updated(k, (e.value - l2 + s) / 2),
+                  n = st.n + 1)
+              }
+          }
+          state.update(st)
+          HwUpdate(uid, st.n, st.l, st.b,
+            st.seas(0), st.seas(1), st.seas(2), st.seas(3))
       }
   }
 

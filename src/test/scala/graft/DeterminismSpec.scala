@@ -98,7 +98,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // the partitioning)
     "q288_bpe_learn_batched", "q289_personalized_pagerank",
     "q290_covisitation", "q291_clustering_coefficient",
-    "q292_retrieve_rerank")
+    "q292_retrieve_rerank",
+    // round 10: 1-bit ANN, SALSA, the Holt-Winters batch fold (the
+    // streaming twins q304/q305 are harness gates, driver-hash-pinned)
+    "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
