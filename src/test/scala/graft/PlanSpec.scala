@@ -316,7 +316,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // over the post-retrieval candidate sets
         "q208_rrf_hybrid", "q292_retrieve_rerank",
         // round 10: Kaplan-Meier's two running totals through prefixSums
-        "q175_kaplan_meier")) {
+        "q175_kaplan_meier",
+        // round-10 additions: q301's rerank window partitions by query,
+        // q302 is joins + TakeOrdered, q303 is a pure aggregate fold
+        "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
