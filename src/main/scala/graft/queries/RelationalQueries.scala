@@ -3473,9 +3473,13 @@ object RelationalQueries {
       .filter(col("cum") >= ceil(col("n") * lit(0.5)))
       .orderBy(col("bin")).limit(1)
       .select(col("bin").as("cbin"), (col("cum") - col("c")).as("prev"), col("n"))
-    binned.join(broadcast(cand), col("bin") === col("cbin"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("p"), col("o_orderkey"))))
+    // pass-2 rank inside the candidate bin through withGlobalRank
+    // (range exchange + pid window + broadcast offsets): the bin holds
+    // ~n/1024 rows — bounded relative to the corpus but still
+    // corpus-proportional, so it must not sort through one task
+    graft.operators.Quantiles.withGlobalRank(
+        binned.join(broadcast(cand), col("bin") === col("cbin")),
+        Seq(col("p").asc, col("o_orderkey").asc), "rk")
       .filter(col("rk") === ceil(col("n") * lit(0.5)) - col("prev"))
       .select(col("n").as("n_rows"), col("p").as("median"))
   }

@@ -319,7 +319,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "q175_kaplan_meier",
         // round-10 additions: q301's rerank window partitions by query,
         // q302 is joins + TakeOrdered, q303 is a pure aggregate fold
-        "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters")) {
+        "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters",
+        // round 10: q214's pass-2 candidate-bin rank through
+        // withGlobalRank (the bin is corpus-proportional at ~n/1024)
+        "q214_binned_median")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
