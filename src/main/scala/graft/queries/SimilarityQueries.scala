@@ -694,7 +694,13 @@ object SimilarityQueries {
     * sort), and the expensive float path touches ≤ 50 rows per query —
     * q292's candidate-sized-stage-2 contract, applied to quantization.
     */
-  def q301BinaryQuantAnn(spark: SparkSession, dir: String): DataFrame = {
+  def q301BinaryQuantAnn(spark: SparkSession, dir: String): DataFrame =
+    bqReranked(spark, dir, nQueries = 3)
+
+  /** The q301 plan parameterized on the query-id prefix — shared with
+    * the q306 recall audit (50 queries, the q124 trust-gate grain).
+    */
+  private def bqReranked(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir).persist()
     val lo = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
@@ -702,7 +708,7 @@ object SimilarityQueries {
     val hi = expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
       "acc + IF(element_at(v, i + 33) > 0, shiftleft(1L, i), 0L))")
     val codes = v.select(col("vec_id"), lo.as("lo"), hi.as("hi")).persist()
-    val qc = codes.filter(col("vec_id") < 3)
+    val qc = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("lo").as("qlo"), col("hi").as("qhi"))
     val topm = udaf(graft.functions.TopKAgg(50))
@@ -715,7 +721,7 @@ object SimilarityQueries {
       .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t._2").as("cand_id"),
         (-col("t._1")).cast("int").as("hamming"))
-    val qv = v.filter(col("vec_id") < 3)
+    val qv = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qn"))
     shortlist
       .join(v.select(col("vec_id").as("cand_id"),
@@ -731,8 +737,37 @@ object SimilarityQueries {
         col("hamming"))
   }
 
+  /** q306: binary-quantization recall@10 trust gate — q124's audit
+    * applied to the 1-bit rung: for the 50 query vectors, how much of
+    * the EXACT cosine top-10 the q301 path (Hamming top-50 shortlist →
+    * exact rerank) recovers. This is the number a serving team reads
+    * before swapping float scan for 16 B codes — the compression ladder
+    * (int8 q85 → PQ q110 → 1-bit) each carries its measured-recall
+    * gate, and like q124/q212 the approximation is vs the exact answer,
+    * never nondeterminism (both sides fully oracle-checked).
+    * DETERMINISM: both legs are the exact deterministic plans their
+    * standalone queries verify; the recall join is an equi-join on
+    * (query, cand). Scale shape: exact leg is |Q|-broadcast brute force
+    * (the audit runs on a sample of queries, q124's contract); BQ leg
+    * is q301's one-scan shortlist + candidate-sized rerank.
+    */
+  def q306BqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(v.filter(col("vec_id") < 50), v, "vec_id", k)
+    val bq = bqReranked(spark, dir, nQueries = 50)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    exact.join(bq, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hit"))
+      .select(
+        col("query_id"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_binary_quant_ann" -> (q301BinaryQuantAnn _),
+    "q306_bq_recall" -> (q306BqRecall _),
     "q221_embed_medians" -> (q221EmbedMedians _),
     "q211_embed_profile" -> (q211EmbedProfile _),
     "q212_ndcg_eval" -> (q212NdcgEval _),
@@ -828,42 +863,68 @@ object SimilarityQueries {
       |    FROM enc)
       |  WHERE r = 1)""".stripMargin
 
+  /** The q301 oracle pipeline (sign codes → Hamming top-50 shortlist →
+    * 6dp-cosine rerank) as CTEs, parameterized on the query-id prefix —
+    * shared by the q301 result oracle and the q306 recall oracle.
+    */
+  private def bqCtes(nQueries: Int): String =
+    s"""$CosCte,
+       |c AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))
+       |      AS BIGINT) AS lo,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN v[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0 END))
+       |      AS BIGINT) AS hi
+       |  FROM e),
+       |sh AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+       |         bit_count(xor(q.lo, x.lo)) + bit_count(xor(q.hi, x.hi))
+       |           AS hamming,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY bit_count(xor(q.lo, x.lo))
+       |                    + bit_count(xor(q.hi, x.hi)) ASC,
+       |                    x.vec_id ASC) AS hr
+       |  FROM c q JOIN c x ON q.vec_id < $nQueries AND x.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, cand_id, CAST(hamming AS INT) AS hamming
+       |  FROM sh WHERE hr <= 50),
+       |bq AS (
+       |  SELECT query_id, rank, cand_id, cos, hamming FROM (
+       |    SELECT cand.query_id, cand.cand_id, cand.hamming,
+       |           round(list_cosine_similarity(q.v, x.v), 6) AS cos,
+       |           row_number() OVER (PARTITION BY cand.query_id
+       |             ORDER BY round(list_cosine_similarity(q.v, x.v), 6) DESC,
+       |                      cand.cand_id ASC) AS rank
+       |    FROM cand
+       |    JOIN e q ON q.vec_id = cand.query_id
+       |    JOIN e x ON x.vec_id = cand.cand_id)
+       |  WHERE rank <= 10)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same two-BIGINT-halves sign packing, same (hamming asc, id asc)
     // top-50 shortlist, same 6dp cosine + id rerank rule as q40
     "q301_binary_quant_ann" ->
-      s"""$CosCte,
-         |c AS (
-         |  SELECT vec_id,
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))
-         |      AS BIGINT) AS lo,
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN v[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0 END))
-         |      AS BIGINT) AS hi
-         |  FROM e),
-         |sh AS (
-         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
-         |         bit_count(xor(q.lo, x.lo)) + bit_count(xor(q.hi, x.hi))
-         |           AS hamming,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |           ORDER BY bit_count(xor(q.lo, x.lo))
-         |                    + bit_count(xor(q.hi, x.hi)) ASC,
-         |                    x.vec_id ASC) AS hr
-         |  FROM c q JOIN c x ON q.vec_id < 3 AND x.vec_id <> q.vec_id),
-         |cand AS (
-         |  SELECT query_id, cand_id, CAST(hamming AS INT) AS hamming
-         |  FROM sh WHERE hr <= 50)
-         |SELECT query_id, rank, cand_id, cos, hamming FROM (
-         |  SELECT cand.query_id, cand.cand_id, cand.hamming,
-         |         round(list_cosine_similarity(q.v, x.v), 6) AS cos,
-         |         row_number() OVER (PARTITION BY cand.query_id
-         |           ORDER BY round(list_cosine_similarity(q.v, x.v), 6) DESC,
-         |                    cand.cand_id ASC) AS rank
-         |  FROM cand
-         |  JOIN e q ON q.vec_id = cand.query_id
-         |  JOIN e x ON x.vec_id = cand.cand_id)
-         |WHERE rank <= 10""".stripMargin,
+      s"""${bqCtes(3)}
+         |SELECT query_id, rank, cand_id, cos, hamming FROM bq""".stripMargin,
+    // the same BQ pipeline at 50 queries, intersected with the exact
+    // top-10 (q40's formulation) — q124's recall arithmetic
+    "q306_bq_recall" ->
+      s"""${bqCtes(50)},
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c2.vec_id AS cand_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(q.v, c2.v), 6) DESC,
+         |                      c2.vec_id ASC) AS rank
+         |    FROM e q JOIN e c2 ON q.vec_id < 50 AND c2.vec_id <> q.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT exact.query_id, count(bq.cand_id) AS n_hit,
+         |       round(count(bq.cand_id) / 10.0, 6) AS recall
+         |FROM exact LEFT JOIN bq
+         |  ON bq.query_id = exact.query_id AND bq.cand_id = exact.cand_id
+         |GROUP BY 1""".stripMargin,
     // same eval/corpus split, same 6dp cosine threshold, same
     // (cos desc, eval id asc) closest-match rule and per-corpus-id count
     "q255_embed_decontaminate" ->
