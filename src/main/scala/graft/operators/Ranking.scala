@@ -115,6 +115,26 @@ object Ranking {
         round(idf * col("tf") * (k1 + 1) / norm, 6).as("bm25"))
   }
 
+  /** Per-term BM25 serving top-k — the ONE definition of the
+    * bm25 → groupBy(term) → bounded TopKAgg → rank idiom the serving
+    * family shares (q234's result page, q208's lexical leg, q292's
+    * stage-1 retrieval): only k rows per term per partition cross the
+    * shuffle, and rank = position in the (bm25 desc, id asc) order —
+    * identical to the row_number formulation. Output columns:
+    * (word, rank, idCol, bm25).
+    */
+  def bm25TopK(
+      docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg(k))
+    bm25(docs, textCol, idCol, terms)
+      .groupBy("word")
+      .agg(topk(col("bm25"), col(idCol)).as("tops"))
+      .select(col("word"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("word"), (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as(idCol), col("t._1").as("bm25"))
+  }
+
   /** Keyword extraction: the top `k` terms per document by
     * (tfidf desc, word asc) — the standard per-doc tag/keyword op over
     * the [[tfidf]] table. Ranking uses the 6dp-rounded score, so order

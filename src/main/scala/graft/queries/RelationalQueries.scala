@@ -2135,6 +2135,11 @@ object RelationalQueries {
     top
       .agg(sum(col("lnx")).as("s_all"), count(lit(1)).as("n_all"))
       .crossJoin(broadcast(tail))
+      // fewer than k+1 tail customers -> no estimate (the oracle's
+      // WHERE r = k+1 yields zero rows there; without this guard the
+      // TakeOrdered form would emit a bogus 1-row answer — and a 0/0
+      // NaN at n = 1)
+      .filter(col("n_all") === k + 1)
       .select((col("n_all") - 1).as("k"), col("x_tail").as("x_kplus1_cents"),
         round((col("n_all") - 1).cast("double") * 1e9 /
           (col("s_all") - col("n_all") * col("ln_tail")).cast("double"), 6)
@@ -3466,9 +3471,12 @@ object RelationalQueries {
       // cache lifecycle and clears it per query)
       .persist()
     val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum", sum(col("c")).over(
-      Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // cumulative histogram through prefixSums — the grain is bounded
+    // (≤1024 bins) so a plain ordered window was safe, but the shared
+    // primitive keeps the whole query free of unpartitioned windows
+    // (the PlanSpec guard now sees through persist boundaries)
+    val cum = graft.operators.Quantiles
+      .prefixSums(hist, Seq(col("bin").asc), Seq("c" -> "cum"))
     val cand = cum.crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("cum") >= ceil(col("n") * lit(0.5)))
       .orderBy(col("bin")).limit(1)

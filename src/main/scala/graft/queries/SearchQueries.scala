@@ -36,15 +36,10 @@ object SearchQueries {
   def q208RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
-    // lexical leg: single-term BM25 top-20 through the bounded TopKAgg
-    // keyed by the term (one group); rank = position in the
-    // (bm25 desc, doc_id) order — identical to row_number
-    val topk20 = udaf(graft.functions.TopKAgg(20))
-    val sparse = Ranking.bm25(docs(spark, dir), "text", "doc_id", Seq("hash"))
-      .groupBy("word")
-      .agg(topk20(col("bm25"), col("doc_id")).as("tops"))
-      .select(posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("t._2").as("doc_id"), (col("pos") + 1).cast("int").as("ra"))
+    // lexical leg: single-term BM25 top-20 through the shared
+    // Ranking.bm25TopK (bounded TopKAgg keyed by the term)
+    val sparse = Ranking.bm25TopK(docs(spark, dir), "text", "doc_id", Seq("hash"), 20)
+      .select(col("doc_id"), col("rank").as("ra"))
     val v = Similarity.prepared(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
     val dense = Similarity.bruteForceTopK(v.filter(col("vec_id") === 0), v, "vec_id", 20)
@@ -81,15 +76,10 @@ object SearchQueries {
   def q292RetrieveRerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
-    // stage 1 through the bounded TopKAgg (q234's shape): ≤ 20 rows per
-    // partition cross the shuffle, rank from the explode position
-    val topk20 = udaf(graft.functions.TopKAgg(20))
-    val sparse = Ranking.bm25(docs(spark, dir), "text", "doc_id", Seq("hash"))
-      .groupBy("word")
-      .agg(topk20(col("bm25"), col("doc_id")).as("tops"))
-      .select(posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("t._2").as("doc_id"), col("t._1").as("bm25"),
-        (col("pos") + 1).cast("int").as("ra"))
+    // stage 1 through the shared Ranking.bm25TopK (bounded TopKAgg,
+    // q234's shape): ≤ 20 rows per partition cross the shuffle
+    val sparse = Ranking.bm25TopK(docs(spark, dir), "text", "doc_id", Seq("hash"), 20)
+      .select(col("doc_id"), col("bm25"), col("rank").as("ra"))
       .persist()
     val v = Similarity.prepared(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
@@ -112,16 +102,8 @@ object SearchQueries {
     * one-scan scoring + one bounded-state agg keyed by term; output is
     * |terms|·k rows.
     */
-  def q234Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val scored = Ranking.bm25(docs(spark, dir), "text", "doc_id", Bm25Terms)
-    val topk = udaf(graft.functions.TopKAgg(5))
-    scored.groupBy("word")
-      .agg(topk(col("bm25"), col("doc_id")).as("tops"))
-      .select(col("word"), posexplode(col("tops")).as(Seq("pos", "t")))
-      .select(col("word"), (col("pos") + 1).cast("int").as("rank"),
-        col("t._2").as("doc_id"), col("t._1").as("bm25"))
-  }
+  def q234Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Ranking.bm25TopK(docs(spark, dir), "text", "doc_id", Bm25Terms, 5)
 
   /** q237: boolean search SERVED FROM the compressed index — the
     * end-to-end integration q140's Scaladoc promises: a term-keyed

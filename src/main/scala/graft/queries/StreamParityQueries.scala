@@ -163,6 +163,9 @@ object StreamParityQueries {
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
       .as[(java.sql.Timestamp, String)]
       .sort("ts", "event_type")
+      // persisted: count, max-ts and the feed pass otherwise each
+      // re-scan and re-sort the corpus (disorderPrelude's fix, applied)
+      .persist()
     val n = ev.count()
     val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
     val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].collect().head
@@ -200,8 +203,11 @@ object StreamParityQueries {
     import scala.jdk.CollectionConverters._
     val sink = "graft_q304_hw"
     spark.catalog.dropTempView(sink)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // through RelationalQueries.events (the nanos-variant-adapting
+    // reader): q304 must bit-equal q303, which reads the same way
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
       .as[StreamingOps.ValEvent]
       .sort("ts", "event_id")
     val ms = MemoryStream[StreamingOps.ValEvent](spark)

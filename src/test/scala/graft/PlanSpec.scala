@@ -329,7 +329,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         case a: AdaptiveSparkPlanExec => a.inputPlan
         case p => p
       }
-      val bad = phys.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      // traverse THROUGH persist boundaries: InMemoryTableScanExec is a
+      // leaf whose cached subtree would otherwise hide a reintroduced
+      // corpus-grain window from this guard (round-10 review finding)
+      def unpartitionedWindows(
+          p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+        p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            unpartitionedWindows(im.relation.cachedPlan match {
+              case a: AdaptiveSparkPlanExec => a.inputPlan
+              case cp => cp
+            })
+        }.flatten
+      val bad = unpartitionedWindows(phys)
       assert(bad.isEmpty,
         s"$q plans a single-partition window:\n${bad.mkString("\n")}")
       spark.catalog.clearCache()
