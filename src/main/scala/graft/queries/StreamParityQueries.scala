@@ -67,6 +67,21 @@ object StreamParityQueries {
       .select(md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n_emitted"))
 
+  /** The (user_id, ts, event_id, value) feed every ValEvent gate reads,
+    * in global (ts, event_id) order — through the nanos-variant-adapting
+    * `RelationalQueries.events` reader, so a TIMESTAMP(NANOS) events
+    * file feeds the gates exactly as it feeds their batch-fold oracles.
+    */
+  private def valEvents(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[StreamingOps.ValEvent] = {
+    import spark.implicits._
+    RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+      .as[StreamingOps.ValEvent]
+      .sort("ts", "event_id")
+  }
+
   /** q267: per-key streaming EWMA, driver-verified — the events table
     * arrives time-ordered over micro-batches through
     * [[StreamingOps.ewmaPerKey]] (mapGroupsWithState, O(1) state per
@@ -85,10 +100,7 @@ object StreamParityQueries {
     import scala.jdk.CollectionConverters._
     val sink = "graft_q267_ewma"
     spark.catalog.dropTempView(sink)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
+    val ev = valEvents(spark, dir)
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
     val q = StreamingOps.ewmaPerKey(ms.toDS())
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
@@ -124,10 +136,7 @@ object StreamParityQueries {
     import scala.jdk.CollectionConverters._
     val sink = "graft_q284_holt"
     spark.catalog.dropTempView(sink)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
+    val ev = valEvents(spark, dir)
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
     val q = StreamingOps.holtPerKey(ms.toDS())
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
@@ -203,13 +212,7 @@ object StreamParityQueries {
     import scala.jdk.CollectionConverters._
     val sink = "graft_q304_hw"
     spark.catalog.dropTempView(sink)
-    // through RelationalQueries.events (the nanos-variant-adapting
-    // reader): q304 must bit-equal q303, which reads the same way
-    val ev = RelationalQueries.events(spark, dir)
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-        col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
+    val ev = valEvents(spark, dir)
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
     val q = StreamingOps.holtWintersPerKey(ms.toDS())
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
@@ -267,10 +270,7 @@ object StreamParityQueries {
     // fresh checkpoint per invocation: a reused one would resume past
     // the re-fed MemoryStream offsets and process nothing
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
+    val ev = valEvents(spark, dir)
     val n = ev.count()
     // ≥6 chunks (restart after 3) — bounded driver memory either way
     val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
@@ -337,6 +337,27 @@ object StreamParityQueries {
       .agg(max(struct(col("n_events"), col("level"), col("trend"))).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.level").as("level"), col("m.trend").as("trend"))
+
+  /** q307: Holt-Winters state ACROSS A RESTART — the recovery family
+    * (q285 scalar EWMA, q286 coupled scalar pair, q287 unbounded set)
+    * extended to ARRAY state: the mid-feed stop/resume must round-trip
+    * the 4-slot seasonal vector through the checkpoint bit-exactly AND
+    * resume the slot INDEX (n mod 4) at the committed count — a
+    * serialization shortcut that drops or reorders seasonal slots, or
+    * a recovery that replays the index from zero, diverges from q303's
+    * batch fold (the oracle, verbatim — same convention as the other
+    * recovery gates).
+    */
+  def q307StreamHwRecovery(spark: SparkSession, dir: String): DataFrame =
+    runValEventWithRestart(spark, dir,
+      ds => StreamingOps.holtWintersPerKey(ds).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"),
+        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"),
+        col("m.s0").as("s0"), col("m.s1").as("s1"),
+        col("m.s2").as("s2"), col("m.s3").as("s3"))
 
   /** q287: dedup-on-ingest ACROSS A RESTART — the corpus arrives over
     * micro-batches with one stop/resume in the middle; the streaming
@@ -431,10 +452,7 @@ object StreamParityQueries {
   private def disorderPrelude(spark: SparkSession, dir: String): DisorderFeed = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[StreamingOps.ValEvent]
-      .sort("ts", "event_id")
+    val ev = valEvents(spark, dir)
       // persisted: the count, the span pass and the feed pass otherwise
       // each re-run the corpus sort (runner owns the cache lifecycle)
       .persist()
@@ -687,6 +705,7 @@ object StreamParityQueries {
     "q267_stream_ewma" -> (q267StreamEwma _),
     "q284_stream_holt" -> (q284StreamHolt _),
     "q304_stream_holt_winters" -> (q304StreamHoltWinters _),
+    "q307_stream_hw_recovery" -> (q307StreamHwRecovery _),
     "q305_stream_sliding_counts" -> (q305StreamSlidingCounts _),
     "q285_stream_ewma_recovery" -> (q285StreamEwmaRecovery _),
     "q286_stream_holt_recovery" -> (q286StreamHoltRecovery _),
@@ -696,6 +715,8 @@ object StreamParityQueries {
     // q303's batch recursive fold, verbatim: the stream's final state
     // must BE the batch answer (the q267/q284 gate convention)
     "q304_stream_holt_winters" -> RelationalQueries.HwFoldOracle,
+    // recovery must be answer-invisible: the SAME batch fold
+    "q307_stream_hw_recovery" -> RelationalQueries.HwFoldOracle,
     // every event doubled into its two epoch-aligned 30-min-floored
     // window starts; finalized streamed counts must equal this exactly
     "q305_stream_sliding_counts" ->

@@ -182,6 +182,18 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
       "salting changed the LPA community histogram")
   }
 
+  test("q307 == q304: the 4-slot seasonal array survives a checkpoint restart bit-exactly") {
+    def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
+    val restarted = run("q307_stream_hw_recovery")
+    val uninterrupted = run("q304_stream_holt_winters")
+    val extra = restarted.except(uninterrupted).count()
+    val missing = uninterrupted.except(restarted).count()
+    sweep()
+    assert(extra == 0 && missing == 0,
+      s"Holt-Winters recovery diverged: $extra rows only restarted, " +
+        s"$missing only uninterrupted")
+  }
+
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
     import spark.implicits._
     // 24 two-char words over a 48-letter alphabet, strictly decreasing
