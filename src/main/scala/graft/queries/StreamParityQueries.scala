@@ -529,6 +529,29 @@ object StreamParityQueries {
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.level").as("level"), col("m.trend").as("trend"))
 
+  /** q308: out-of-order Holt-Winters — the q293/q294 disorder gate for
+    * the three-variable seasonal fold
+    * ([[StreamingOps.holtWintersPerKeyOrdered]]): the pair-swapped feed
+    * under the data-derived watermark must fold to q303's in-order
+    * batch answer bit-exactly. The seasonal SLOT is the folded count
+    * (n mod 4), so this gate additionally proves disorder cannot rotate
+    * the seasonal assignment — the failure a naive arrival-order index
+    * would hit on the very first swapped pair. Completes the fold
+    * family's symmetry: each of EWMA / Holt / Holt-Winters now carries
+    * in-order, recovery and out-of-order gates against ONE batch
+    * oracle.
+    */
+  def q308StreamHwOutOfOrder(spark: SparkSession, dir: String): DataFrame =
+    runValEventOutOfOrder(spark, dir, "graft_q308_hw_ooo",
+      (ds, delay) => StreamingOps.holtWintersPerKeyOrdered(ds, delay).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"),
+        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"),
+        col("m.s0").as("s0"), col("m.s1").as("s1"),
+        col("m.s2").as("s2"), col("m.s3").as("s3"))
+
   /** q296: gap-sessionization parity, driver-verified — the events feed
     * arrives time-ordered over micro-batches through
     * [[StreamingOps.sessionize]] (flatMapGroupsWithState, O(1)
@@ -706,6 +729,7 @@ object StreamParityQueries {
     "q284_stream_holt" -> (q284StreamHolt _),
     "q304_stream_holt_winters" -> (q304StreamHoltWinters _),
     "q307_stream_hw_recovery" -> (q307StreamHwRecovery _),
+    "q308_stream_hw_ooo" -> (q308StreamHwOutOfOrder _),
     "q305_stream_sliding_counts" -> (q305StreamSlidingCounts _),
     "q285_stream_ewma_recovery" -> (q285StreamEwmaRecovery _),
     "q286_stream_holt_recovery" -> (q286StreamHoltRecovery _),
@@ -717,6 +741,8 @@ object StreamParityQueries {
     "q304_stream_holt_winters" -> RelationalQueries.HwFoldOracle,
     // recovery must be answer-invisible: the SAME batch fold
     "q307_stream_hw_recovery" -> RelationalQueries.HwFoldOracle,
+    // disorder must be answer-invisible: the SAME in-order batch fold
+    "q308_stream_hw_ooo" -> RelationalQueries.HwFoldOracle,
     // every event doubled into its two epoch-aligned 30-min-floored
     // window starts; finalized streamed counts must equal this exactly
     "q305_stream_sliding_counts" ->

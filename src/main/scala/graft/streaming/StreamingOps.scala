@@ -353,6 +353,63 @@ object StreamingOps {
       }
   }
 
+  case class OrderedHwState(
+      pending: List[(Long, Long, Double)], l: Double, b: Double,
+      seas: Seq[Double], n: Long)
+
+  /** [[holtWintersPerKey]]'s out-of-order twin — the
+    * [[ewmaPerKeyOrdered]] bounded-disorder buffer-and-fold machinery
+    * applied to the three-variable seasonal recurrence: arrivals buffer
+    * per key, events strictly below the event-time watermark fold in
+    * exact (ts, event_id) order onto the carried (l, b, seasonal-array)
+    * state, event-time timeouts flush tails. The slot index is the
+    * FOLDED count (n mod 4), not arrival order, so disorder inside the
+    * delay cannot rotate the seasonal assignment — final state equals
+    * the in-order batch fold for any such delivery.
+    */
+  def holtWintersPerKeyOrdered(
+      events: Dataset[ValEvent], delay: String): Dataset[HwUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OrderedHwState, HwUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[OrderedHwState]) =>
+          val st0 = state.getOption.getOrElse(
+            OrderedHwState(Nil, 0.0, 0.0, Seq.fill(4)(0.0), 0L))
+          val pending = st0.pending ++
+            batch.map(e => (epochMicros(e.ts), e.event_id, e.value))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pending.partition(_._1 < wmUs)
+          var l = st0.l
+          var b = st0.b
+          var seas = st0.seas
+          var n = st0.n
+          ready.sortBy(p => (p._1, p._2)).foreach { p =>
+            if (n == 0L) { l = p._3; b = 0.0; seas = Seq.fill(4)(0.0); n = 1L }
+            else {
+              val k = (n % 4).toInt
+              val s = seas(k)
+              val l2 = (p._3 - s + l + b) / 2
+              val b2 = (l2 - l + b) / 2
+              seas = seas.updated(k, (p._3 - l2 + s) / 2)
+              l = l2; b = b2; n += 1
+            }
+          }
+          state.update(OrderedHwState(rest, l, b, seas, n))
+          if (rest.nonEmpty) {
+            val wake = rest.map(_._1).min / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          if (n > 0)
+            Iterator.single(HwUpdate(uid, n, l, b,
+              seas(0), seas(1), seas(2), seas(3)))
+          else Iterator.empty
+      }
+  }
+
   case class HwState(l: Double, b: Double, seas: Seq[Double], n: Long)
   case class HwUpdate(
       user_id: Long, n_events: Long, level: Double, trend: Double,

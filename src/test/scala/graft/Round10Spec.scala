@@ -194,6 +194,18 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
         s"$missing only uninterrupted")
   }
 
+  test("q308 == q304: out-of-order delivery folds the seasonal array to the in-order answer") {
+    def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
+    val ooo = run("q308_stream_hw_ooo")
+    val inOrder = run("q304_stream_holt_winters")
+    val extra = ooo.except(inOrder).count()
+    val missing = inOrder.except(ooo).count()
+    sweep()
+    assert(extra == 0 && missing == 0,
+      s"out-of-order Holt-Winters diverged: $extra rows only disordered, " +
+        s"$missing only in-order")
+  }
+
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
     import spark.implicits._
     // 24 two-char words over a 48-letter alphabet, strictly decreasing
