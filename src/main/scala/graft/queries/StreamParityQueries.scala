@@ -666,7 +666,44 @@ object StreamParityQueries {
     * in flight. Same oracle as q267/q285/q293: the final state must
     * equal the in-order batch fold no matter what the delivery did.
     */
-  def q299StreamEwmaOooRecovery(spark: SparkSession, dir: String): DataFrame = {
+  def q299StreamEwmaOooRecovery(spark: SparkSession, dir: String): DataFrame =
+    runValEventOutOfOrderWithRestart(spark, dir,
+      (ds, delay) => StreamingOps.ewmaPerKeyOrdered(ds, delay).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma").as("ewma"))
+
+  /** q309: the COMPOUND gate for the seasonal fold — q299's
+    * disorder+restart harness over
+    * [[StreamingOps.holtWintersPerKeyOrdered]]: the per-key pending
+    * LIST and the 4-slot seasonal ARRAY (plus its folded-count slot
+    * index) must together survive a mid-feed checkpoint restart while
+    * disorder is in flight, against q303's batch oracle verbatim. The
+    * strongest state-shape invariant in the gate set: every
+    * non-scalar component the store can hold, round-tripped at once.
+    */
+  def q309StreamHwOooRecovery(spark: SparkSession, dir: String): DataFrame =
+    runValEventOutOfOrderWithRestart(spark, dir,
+      (ds, delay) => StreamingOps.holtWintersPerKeyOrdered(ds, delay).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("level"), col("trend"),
+        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.level").as("level"), col("m.trend").as("trend"),
+        col("m.s0").as("s0"), col("m.s1").as("s1"),
+        col("m.s2").as("s2"), col("m.s3").as("s3"))
+
+  /** The q299 compound harness (pair-swapped feed + one mid-feed
+    * stop/resume against the same checkpoint), shared by the EWMA and
+    * Holt-Winters compound gates: returns the buffered per-batch update
+    * rows (bounded by |keys| × #batches) for the caller's final-state
+    * rollup.
+    */
+  private def runValEventOutOfOrderWithRestart(
+      spark: SparkSession, dir: String,
+      plan: (org.apache.spark.sql.Dataset[StreamingOps.ValEvent], String) => DataFrame)
+      : DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
@@ -674,8 +711,7 @@ object StreamParityQueries {
     val n = feed.n
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    def planned = StreamingOps
-      .ewmaPerKeyOrdered(ms.toDS(), s"${feed.delaySec} seconds").toDF()
+    def planned = plan(ms.toDS(), s"${feed.delaySec} seconds")
     val outSchema = planned.schema
     def start() = planned
       .writeStream.outputMode("update")
@@ -710,10 +746,6 @@ object StreamParityQueries {
       q.stop()
       spark.createDataFrame(new java.util.ArrayList(buf), outSchema)
         .filter(col("user_id") >= 0)
-        .groupBy("user_id")
-        .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
-        .select(col("user_id"), col("m.n_events").as("n_events"),
-          col("m.ewma").as("ewma"))
     } finally deleteRecursively(ckpt)
   }
 
@@ -721,6 +753,7 @@ object StreamParityQueries {
     "q296_stream_sessions" -> (q296StreamSessions _),
     "q298_stream_cms" -> (q298StreamCms _),
     "q299_stream_ewma_ooo_recovery" -> (q299StreamEwmaOooRecovery _),
+    "q309_stream_hw_ooo_recovery" -> (q309StreamHwOooRecovery _),
     "q297_stream_window_counts" -> (q297StreamWindowCounts _),
     "q259_stream_dedup" -> (q259StreamDedup _),
     "q293_stream_ewma_ooo" -> (q293StreamEwmaOutOfOrder _),
@@ -743,6 +776,8 @@ object StreamParityQueries {
     "q307_stream_hw_recovery" -> RelationalQueries.HwFoldOracle,
     // disorder must be answer-invisible: the SAME in-order batch fold
     "q308_stream_hw_ooo" -> RelationalQueries.HwFoldOracle,
+    // disorder + restart together must be invisible: same batch fold
+    "q309_stream_hw_ooo_recovery" -> RelationalQueries.HwFoldOracle,
     // every event doubled into its two epoch-aligned 30-min-floored
     // window starts; finalized streamed counts must equal this exactly
     "q305_stream_sliding_counts" ->

@@ -206,6 +206,18 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
         s"$missing only in-order")
   }
 
+  test("q309 == q304: disorder + restart together are invisible to the seasonal fold") {
+    def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
+    val compound = run("q309_stream_hw_ooo_recovery")
+    val inOrder = run("q304_stream_holt_winters")
+    val extra = compound.except(inOrder).count()
+    val missing = inOrder.except(compound).count()
+    sweep()
+    assert(extra == 0 && missing == 0,
+      s"compound Holt-Winters gate diverged: $extra rows only compound, " +
+        s"$missing only in-order")
+  }
+
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
     import spark.implicits._
     // 24 two-char words over a 48-letter alphabet, strictly decreasing
