@@ -75,9 +75,10 @@ object StreamParityQueries {
   private def valEvents(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[StreamingOps.ValEvent] = {
     import spark.implicits._
+    // events() already normalizes ts to TimestampType in both of its
+    // branches (nanos file and native), so no further cast is needed
     RelationalQueries.events(spark, dir)
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-        col("event_id"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[StreamingOps.ValEvent]
       .sort("ts", "event_id")
   }
@@ -223,13 +224,7 @@ object StreamParityQueries {
       }
     } finally q.stop()
     spark.table(sink)
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("level"), col("trend"),
-        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"),
-        col("m.level").as("level"), col("m.trend").as("trend"),
-        col("m.s0").as("s0"), col("m.s1").as("s1"),
-        col("m.s2").as("s2"), col("m.s3").as("s3"))
+      .transform(hwFinalState)
   }
 
   /** Recursive best-effort delete of a harness temp dir (checkpoint
@@ -270,7 +265,9 @@ object StreamParityQueries {
     // fresh checkpoint per invocation: a reused one would resume past
     // the re-fed MemoryStream offsets and process nothing
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
-    val ev = valEvents(spark, dir)
+    // persisted: the count and the feed pass otherwise each re-run the
+    // corpus sort (runner owns the cache lifecycle)
+    val ev = valEvents(spark, dir).persist()
     val n = ev.count()
     // ≥6 chunks (restart after 3) — bounded driver memory either way
     val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
@@ -351,13 +348,7 @@ object StreamParityQueries {
   def q307StreamHwRecovery(spark: SparkSession, dir: String): DataFrame =
     runValEventWithRestart(spark, dir,
       ds => StreamingOps.holtWintersPerKey(ds).toDF())
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("level"), col("trend"),
-        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"),
-        col("m.level").as("level"), col("m.trend").as("trend"),
-        col("m.s0").as("s0"), col("m.s1").as("s1"),
-        col("m.s2").as("s2"), col("m.s3").as("s3"))
+      .transform(hwFinalState)
 
   /** q287: dedup-on-ingest ACROSS A RESTART — the corpus arrives over
     * micro-batches with one stop/resume in the middle; the streaming
@@ -544,6 +535,14 @@ object StreamParityQueries {
   def q308StreamHwOutOfOrder(spark: SparkSession, dir: String): DataFrame =
     runValEventOutOfOrder(spark, dir, "graft_q308_hw_ooo",
       (ds, delay) => StreamingOps.holtWintersPerKeyOrdered(ds, delay).toDF())
+      .transform(hwFinalState)
+
+  /** Per-user FINAL Holt-Winters state (the max-n update row) — the
+    * rollup all four HW gates share (q304/q307/q308/q309); the one
+    * place to touch if the state shape ever grows a slot.
+    */
+  private def hwFinalState(updates: DataFrame): DataFrame =
+    updates
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("level"), col("trend"),
         col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
@@ -574,6 +573,9 @@ object StreamParityQueries {
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       .as[StreamingOps.Event]
       .sort("ts", "user_id")
+      // persisted: count, max-ts and the feed otherwise each re-sort
+      // the corpus (runner owns the cache lifecycle)
+      .persist()
     val n = ev.count()
     val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
     val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].collect().head
@@ -619,6 +621,9 @@ object StreamParityQueries {
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
       .as[(java.sql.Timestamp, String)]
       .sort("ts", "event_type")
+      // persisted: count, max-ts and the feed otherwise each re-sort
+      // the corpus (runner owns the cache lifecycle)
+      .persist()
     val n = ev.count()
     val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
     val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].collect().head
@@ -686,13 +691,7 @@ object StreamParityQueries {
   def q309StreamHwOooRecovery(spark: SparkSession, dir: String): DataFrame =
     runValEventOutOfOrderWithRestart(spark, dir,
       (ds, delay) => StreamingOps.holtWintersPerKeyOrdered(ds, delay).toDF())
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("level"), col("trend"),
-        col("s0"), col("s1"), col("s2"), col("s3"))).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"),
-        col("m.level").as("level"), col("m.trend").as("trend"),
-        col("m.s0").as("s0"), col("m.s1").as("s1"),
-        col("m.s2").as("s2"), col("m.s3").as("s3"))
+      .transform(hwFinalState)
 
   /** The q299 compound harness (pair-swapped feed + one mid-feed
     * stop/resume against the same checkpoint), shared by the EWMA and

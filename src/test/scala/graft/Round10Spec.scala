@@ -182,40 +182,36 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
       "salting changed the LPA community histogram")
   }
 
-  test("q307 == q304: the 4-slot seasonal array survives a checkpoint restart bit-exactly") {
-    def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
-    val restarted = run("q307_stream_hw_recovery")
-    val uninterrupted = run("q304_stream_holt_winters")
-    val extra = restarted.except(uninterrupted).count()
-    val missing = uninterrupted.except(restarted).count()
+  /** The uninterrupted in-order HW reference, materialized ONCE (a
+    * MemoryStream feed costs seconds) and shared by the three twin
+    * pins below — collected rows, since the suite sweeps Spark caches
+    * between tests.
+    */
+  private lazy val hwReference: Set[Seq[Any]] = {
+    val r = SparkEntry.queries("q304_stream_holt_winters")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
     sweep()
-    assert(extra == 0 && missing == 0,
-      s"Holt-Winters recovery diverged: $extra rows only restarted, " +
-        s"$missing only uninterrupted")
+    r
+  }
+
+  private def assertHwTwin(q: String, what: String): Unit = {
+    val got = SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSet
+    sweep()
+    assert(got == hwReference,
+      s"$what diverged: ${(got -- hwReference).take(2)} extra, " +
+        s"${(hwReference -- got).take(2)} missing")
+  }
+
+  test("q307 == q304: the 4-slot seasonal array survives a checkpoint restart bit-exactly") {
+    assertHwTwin("q307_stream_hw_recovery", "Holt-Winters recovery")
   }
 
   test("q308 == q304: out-of-order delivery folds the seasonal array to the in-order answer") {
-    def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
-    val ooo = run("q308_stream_hw_ooo")
-    val inOrder = run("q304_stream_holt_winters")
-    val extra = ooo.except(inOrder).count()
-    val missing = inOrder.except(ooo).count()
-    sweep()
-    assert(extra == 0 && missing == 0,
-      s"out-of-order Holt-Winters diverged: $extra rows only disordered, " +
-        s"$missing only in-order")
+    assertHwTwin("q308_stream_hw_ooo", "out-of-order Holt-Winters")
   }
 
   test("q309 == q304: disorder + restart together are invisible to the seasonal fold") {
-    def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
-    val compound = run("q309_stream_hw_ooo_recovery")
-    val inOrder = run("q304_stream_holt_winters")
-    val extra = compound.except(inOrder).count()
-    val missing = inOrder.except(compound).count()
-    sweep()
-    assert(extra == 0 && missing == 0,
-      s"compound Holt-Winters gate diverged: $extra rows only compound, " +
-        s"$missing only in-order")
+    assertHwTwin("q309_stream_hw_ooo_recovery", "compound Holt-Winters gate")
   }
 
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
