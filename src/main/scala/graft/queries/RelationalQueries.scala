@@ -3908,6 +3908,21 @@ object RelationalQueries {
           (col("na") * col("nb")).cast("double")), 6).as("pmi"))
   }
 
+  /** The q111 batch interval-join oracle — also the stream-STREAM gate
+    * pair's contract verbatim (q310 parity / q313 recovery: the
+    * watermarked two-sided join must emit exactly the batch answer), so
+    * the string lives once. µs-truncated comparisons on both bounds
+    * (epoch_us) mirror the engine's ns→µs floored event times.
+    */
+  private[queries] val ClickAttributionOracle: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+      |FROM events v JOIN events c
+      |  ON c.user_id = v.user_id
+      | AND epoch_us(c.ts) >= epoch_us(v.ts)
+      | AND epoch_us(c.ts) - epoch_us(v.ts) <= 14400000000
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'""".stripMargin
+
   /** The q303 recursive-CTE oracle — also q304's gate verbatim (the
     * streaming twin must fold to the identical batch answer, the
     * q267/q293 convention), so the string lives once.
@@ -6363,14 +6378,7 @@ object RelationalQueries {
     // µs-truncated comparisons on both bounds (epoch_us), mirroring the
     // engine's ns→µs floored event times — a raw ns-precision interval
     // compare would disagree exactly at the 10-minute boundary
-    "q111_click_attribution" ->
-      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-        |       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
-        |FROM events v JOIN events c
-        |  ON c.user_id = v.user_id
-        | AND epoch_us(c.ts) >= epoch_us(v.ts)
-        | AND epoch_us(c.ts) - epoch_us(v.ts) <= 14400000000
-        |WHERE v.event_type = 'view' AND c.event_type = 'click'""".stripMargin,
+    "q111_click_attribution" -> ClickAttributionOracle,
     "q51_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id,

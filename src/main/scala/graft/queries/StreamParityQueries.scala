@@ -748,7 +748,137 @@ object StreamParityQueries {
     } finally deleteRecursively(ckpt)
   }
 
+  /** The merged view+click feed every stream-STREAM gate reads: both
+    * event types in one global (ts, event_id) order, so the driver can
+    * deal each chunk out to the two MemoryStreams and the per-side
+    * arrival order matches event time (the in-order contract under
+    * which the watermarked join's state eviction provably loses no
+    * pair — see [[q310StreamIntervalJoin]]).
+    */
+  private def viewClickFeed(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Long, String)] = {
+    import spark.implicits._
+    RelationalQueries.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .sort("ts", "event_id")
+  }
+
+  /** q310: the stream-STREAM interval join, driver-verified — the first
+    * gate with TWO unbounded sides. Views and clicks arrive through
+    * separate MemoryStreams in global event-time order (each chunk dealt
+    * to both sources, one micro-batch per chunk), joined by
+    * [[StreamingOps.attributeWithin]] — equi-key on user plus an
+    * event-time range under watermarks on BOTH sides, the shape whose
+    * buffered join state Structured Streaming bounds and evicts as the
+    * watermarks advance. The oracle is batch q111's SQL verbatim: every
+    * (view, click) pair within the 4-hour window must be emitted exactly
+    * once, so a view evicted too early (lost pair), a click replayed
+    * across batches (duplicate pair), or any µs drift in `lag_us` fails
+    * the driver's hash.
+    *
+    * WHY the answer is exact despite eviction: the feed is globally
+    * (ts, event_id)-ordered, so when the click-side watermark passes
+    * `view_ts + gap` (the eviction bound derived from the join's range
+    * condition), every click that could still match that view — all have
+    * `click_ts <= view_ts + gap < watermark + delay` — has already been
+    * delivered in an earlier micro-batch. Inner-join matches emit
+    * eagerly in append mode; the watermark only gates STATE, so no
+    * emission waits on it. At production scale the same bound is what
+    * keeps two 100 TB/day sides joinable: state is the trailing
+    * `gap + delay` window of views, not the full history.
+    */
+  def q310StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q310_attr"
+    spark.catalog.dropTempView(sink)
+    val ev = viewClickFeed(spark, dir)
+    val msV = MemoryStream[StreamingOps.ViewEvt](spark)
+    val msC = MemoryStream[StreamingOps.ClickEvt](spark)
+    val q = StreamingOps.attributeWithin(msV.toDF(), msC.toDF(), gapMinutes = 240)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // 1024-row chunks over the ~view+click subset: the per-batch cost
+      // is the symmetric-join state pass, so barrier count dominates
+      ev.toLocalIterator().asScala.grouped(1024).foreach { batch =>
+        val views = batch.collect {
+          case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
+        val clicks = batch.collect {
+          case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
+        if (views.nonEmpty) msV.addData(views)
+        if (clicks.nonEmpty) msC.addData(clicks)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  /** q313: q310's interval join ACROSS A QUERY RESTART — the recovery
+    * family's first two-unbounded-sides member. The feed is dealt
+    * exactly as in q310, but mid-feed the query is stopped and a new
+    * query resumes from the same checkpoint: the symmetric hash join's
+    * buffered state (every view still inside its eviction window, both
+    * sides' watermarks) must reload bit-exactly, or pairs straddling the
+    * restart vanish (lost view state) or double (offset reset). Same
+    * oracle as q310 — batch q111 verbatim — so recovery must be
+    * answer-invisible. The driver buffer holds the emitted pairs (the
+    * full answer, the same bound as q310's memory sink); the final
+    * `distinct()` is the standard idempotent-sink discipline for
+    * at-least-once `foreachBatch` replay — the answer grain
+    * (user_id, view_id, click_id) is already unique, so it collapses
+    * only replayed duplicates, never true rows.
+    */
+  def q313StreamIntervalJoinRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    // persisted: the count and the feed pass otherwise each re-run the
+    // corpus sort (runner owns the cache lifecycle)
+    val ev = viewClickFeed(spark, dir).persist()
+    val n = ev.count()
+    // ≥6 chunks (restart after ~3) — bounded driver memory either way
+    val chunk = math.max(1L, math.min(1024L, (n + 5) / 6)).toInt
+    val msV = MemoryStream[StreamingOps.ViewEvt](spark)
+    val msC = MemoryStream[StreamingOps.ClickEvt](spark)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def planned = StreamingOps.attributeWithin(msV.toDF(), msC.toDF(), gapMinutes = 240)
+    val outSchema = planned.schema
+    def start() = planned
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add); ()
+      }
+      .start()
+    try {
+      var q = start()
+      var fed = 0L
+      var restarted = false
+      ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+        if (!restarted && fed >= (n + 1) / 2) {
+          q.stop()
+          q = start() // same checkpoint: join state must carry over
+          restarted = true
+        }
+        val views = batch.collect {
+          case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
+        val clicks = batch.collect {
+          case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
+        if (views.nonEmpty) msV.addData(views)
+        if (clicks.nonEmpty) msC.addData(clicks)
+        q.processAllAvailable()
+        fed += batch.size
+      }
+      q.stop()
+      spark.createDataFrame(new java.util.ArrayList(buf), outSchema).distinct()
+    } finally deleteRecursively(ckpt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_stream_interval_join" -> (q310StreamIntervalJoin _),
+    "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
     "q296_stream_sessions" -> (q296StreamSessions _),
     "q298_stream_cms" -> (q298StreamCms _),
     "q299_stream_ewma_ooo_recovery" -> (q299StreamEwmaOooRecovery _),
@@ -768,6 +898,11 @@ object StreamParityQueries {
     "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
+    // batch q111 verbatim: the two-sided watermarked join must emit
+    // exactly the batch pair set, once each
+    "q310_stream_interval_join" -> RelationalQueries.ClickAttributionOracle,
+    // and a mid-feed restart must be answer-invisible: the SAME SQL
+    "q313_stream_interval_join_recovery" -> RelationalQueries.ClickAttributionOracle,
     // q303's batch recursive fold, verbatim: the stream's final state
     // must BE the batch answer (the q267/q284 gate convention)
     "q304_stream_holt_winters" -> RelationalQueries.HwFoldOracle,

@@ -153,6 +153,12 @@ object StreamingOps {
 
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
+  /** Typed feed rows for the two sides of [[attributeWithin]] — field
+    * names ARE the operator's input column contract, so
+    * `MemoryStream[ViewEvt].toDF` needs no renames in the gates.
+    */
+  case class ViewEvt(user_id: Long, view_id: Long, view_ts: Timestamp)
+  case class ClickEvt(click_user: Long, click_id: Long, click_ts: Timestamp)
   /** Count-min sketch counter grid over a `(word)` token relation —
     * usable unchanged on a BATCH table or an UNBOUNDED stream (complete/
     * update mode): the aggregation key is the (row, bucket) grid, so

@@ -18,7 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - the batched BPE learner equals the sequential learner on a
   *     distinct-count fixture whose batches actually reach the full
   *     width 8 (the round-9 corpus fixture tied counts and kept
-  *     batches narrow).
+  *     batches narrow);
+  *   - the stream-STREAM interval join's recovery gate (q313) is
+  *     bit-equal to the uninterrupted gate (q310) — the symmetric hash
+  *     join's buffered two-sided state round-trips a checkpoint
+  *     restart.
   */
 class Round10Spec extends AnyFunSuite with SparkTestBase {
 
@@ -212,6 +216,19 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
 
   test("q309 == q304: disorder + restart together are invisible to the seasonal fold") {
     assertHwTwin("q309_stream_hw_ooo_recovery", "compound Holt-Winters gate")
+  }
+
+  test("q313 == q310: two-sided join state survives a checkpoint restart bit-exactly") {
+    val base = SparkEntry.queries("q310_stream_interval_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    sweep()
+    val rec = SparkEntry.queries("q313_stream_interval_join_recovery")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    sweep()
+    assert(base.nonEmpty, "fixture must produce attributed pairs")
+    assert(rec == base,
+      s"restarted interval join diverged: ${(rec -- base).take(2)} extra, " +
+        s"${(base -- rec).take(2)} missing")
   }
 
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
