@@ -103,6 +103,74 @@ object Similarity {
         .filter(col("cos") < maxCos),
       k)
 
+  /** Maximal-Marginal-Relevance diversified re-rank: per query, greedily
+    * select `selectK` results from the top-`poolK` relevance pool, each
+    * step maximizing `0.5·rel − 0.5·max-cosine-to-already-selected`
+    * (λ = 1/2 — two exact binary halvings and one subtraction on the
+    * 6dp-rounded cosines, so the score arithmetic reproduces bit-for-bit
+    * across engines). Step 1 has an empty selected set, so its score is
+    * `0.5·rel`; ties at every step break by cand_id asc. Output:
+    * (query_id, step, cand_id, mmr) — selectK rows per query in
+    * selection order.
+    *
+    * Plan contract (the q292 serving discipline): stage 1 is the bounded
+    * [[bruteForceTopK]] — only poolK rows per query per partition cross
+    * the shuffle. The |Q|·poolK pool is then BROADCAST back against one
+    * corpus scan to fetch candidate vectors (no corpus-side shuffle),
+    * and the pairwise similarity matrix is |Q|·poolK² rows —
+    * candidate-sized, never corpus-sized. The selectK−1 greedy steps are
+    * unrolled joins over these bounded frames (the q199 fixed-round
+    * shape; each step's plan references earlier picks once, so the DAG
+    * grows O(selectK²), not exponentially), with every per-step window
+    * partitioned by query_id. At catalog scale the corpus appears ONLY
+    * in the stage-1 scan and the vector-fetch scan; both candidate
+    * frames are persisted across the steps (runner owns the lifecycle).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                poolK: Int, selectK: Int): DataFrame = {
+    val pool = bruteForceTopK(queries, corpus, idCol, poolK)
+      .select(col("query_id"), col("cand_id"), col("cos").as("rel"))
+    val cand = corpus
+      .select(col(idCol).as("cand_id"), col("v"), col("nv"))
+      .join(broadcast(pool), Seq("cand_id"))
+      .persist()
+    val sims = cand.select(col("query_id"), col("cand_id"), col("v"), col("nv"))
+      .join(
+        cand.select(col("query_id"), col("cand_id").as("other"),
+          col("v").as("ov"), col("nv").as("onv")),
+        Seq("query_id"))
+      .filter(col("cand_id") =!= col("other"))
+      .select(col("query_id"), col("cand_id"), col("other"),
+        cosPre(col("v"), col("nv"), col("ov"), col("onv")).as("sim"))
+      .persist()
+    val base = cand.select("query_id", "cand_id", "rel")
+    val first = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("cand_id"),
+        round(col("rel") * lit(0.5), 6).as("mmr"))
+    val picks = (2 to selectK).foldLeft(Vector(first)) { (acc, s) =>
+      val prev = acc.map(_.select(col("query_id"), col("cand_id")))
+        .reduce(_ unionByName _)
+      val pick = base
+        .join(prev, Seq("query_id", "cand_id"), "left_anti")
+        .join(sims, Seq("query_id", "cand_id"))
+        .join(prev.withColumnRenamed("cand_id", "other"),
+          Seq("query_id", "other"), "left_semi")
+        .groupBy("query_id", "cand_id", "rel")
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("mmr",
+          round(col("rel") * lit(0.5) - col("msim") * lit(0.5), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(s).as("step"), col("cand_id"), col("mmr"))
+      acc :+ pick
+    }
+    picks.reduce(_ unionByName _)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-0.5, 0.5), derived from md5 — no RNG state, so the
     * signature of a vector is reproducible across runs and engines.

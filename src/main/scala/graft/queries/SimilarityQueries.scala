@@ -30,6 +30,22 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v, "vec_id", k = 5)
   }
 
+  /** q311: MMR diversified re-rank — the serving-family diversity
+    * operator: for each of the first ten query vectors, the q40-style
+    * relevance pool (top-20 by 6dp cosine) is greedily re-ranked by
+    * Maximal Marginal Relevance (λ = 1/2, 5 selections): each step takes
+    * the remaining candidate maximizing `0.5·rel − 0.5·max-sim-to-
+    * selected`, so near-duplicate results that would crowd a result page
+    * are pushed down in favor of coverage. See
+    * [[Similarity.mmrRerank]] for the bounded-pool plan contract; the
+    * oracle unrolls the same five greedy steps closed-form.
+    */
+  def q311MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.mmrRerank(
+      v.filter(col("vec_id") < 10), v, "vec_id", poolK = 20, selectK = 5)
+  }
+
   /** q118: hard-negative mining for the first ten query vectors — the
     * top-5 most-similar candidates with cosine BELOW the q34/q89
     * near-dup threshold (0.30), i.e. informative contrastive negatives
@@ -781,6 +797,7 @@ object SimilarityQueries {
     "q34_embed_pairs" -> (q34EmbedPairs _),
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
+    "q311_mmr_rerank" -> (q311MmrRerank _),
     "q118_hard_negatives" -> (q118HardNegatives _),
     "q255_embed_decontaminate" -> (q255EmbedDecontaminate _),
     "q124_ann_recall" -> (q124AnnRecall _),
@@ -817,6 +834,63 @@ object SimilarityQueries {
   private val CosCte =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** The q311 oracle: the identical five greedy MMR steps unrolled
+    * (the q199 fixed-round convention) — step s scores every remaining
+    * pool candidate `round(0.5·rel − 0.5·max sim-to-sel(s−1), 6)` and
+    * picks row_number 1 by (mmr DESC, cand_id). Cosines are the same
+    * 6dp rounding as the engine's, so every comparison the greedy loop
+    * makes is on bit-identical doubles.
+    */
+  private val MmrOracle: String = {
+    val head =
+      s"""$CosCte,
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         round(list_cosine_similarity(q.v, c.v), 6) AS rel
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT query_id, cand_id, rel FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rk
+         |    FROM p) WHERE rk <= 20),
+         |sims AS (
+         |  SELECT a.query_id, a.cand_id, b.cand_id AS other,
+         |         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN e ea ON ea.vec_id = a.cand_id
+         |  JOIN e eb ON eb.vec_id = b.cand_id),
+         |s1 AS (
+         |  SELECT query_id, 1 AS step, cand_id, round(0.5 * rel, 6) AS mmr FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |sel1 AS (SELECT query_id, cand_id FROM s1)""".stripMargin
+    val steps = (2 to 5).map { s =>
+      s"""m$s AS (
+         |  SELECT c.query_id, c.cand_id,
+         |         round(0.5 * c.rel - 0.5 * max(x.sim), 6) AS mmr
+         |  FROM cand c
+         |  JOIN sims x ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+         |  JOIN sel${s - 1} p ON p.query_id = x.query_id AND p.cand_id = x.other
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${s - 1} z
+         |                    WHERE z.query_id = c.query_id AND z.cand_id = c.cand_id)
+         |  GROUP BY c.query_id, c.cand_id, c.rel),
+         |s$s AS (
+         |  SELECT query_id, $s AS step, cand_id, mmr FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY mmr DESC, cand_id) AS rn
+         |    FROM m$s) WHERE rn = 1),
+         |sel$s AS (SELECT query_id, cand_id FROM sel${s - 1}
+         |          UNION ALL SELECT query_id, cand_id FROM s$s)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 5)
+      .map(s => s"SELECT query_id, step, cand_id, mmr FROM s$s")
+      .mkString("\nUNION ALL ")
+    s"$head,\n$steps\n$union"
+  }
 
   /** Hyperplane bucket CTEs (after CosCte): the oracle recomputes the
     * engine's md5-seeded plane constants and mirrors VectorDot's
@@ -1500,6 +1574,8 @@ object SimilarityQueries {
          |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 5""".stripMargin,
+    // the five greedy steps unrolled — see MmrOracle
+    "q311_mmr_rerank" -> MmrOracle,
     // q40's SQL with the sub-near-dup-threshold filter applied BEFORE
     // the per-query ranking — same 6dp cosine, same tie rule
     "q118_hard_negatives" ->

@@ -321,6 +321,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // q302 is joins + TakeOrdered, q303 is a pure aggregate fold
         "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters",
         "q306_bq_recall",
+        // round 10: q311's greedy MMR steps rank only query-partitioned
+        // candidate pools (poolK rows per query)
+        "q311_mmr_rerank",
         // round 10: q214's pass-2 candidate-bin rank through
         // withGlobalRank (the bin is corpus-proportional at ~n/1024)
         "q214_binned_median")) {
