@@ -2873,6 +2873,55 @@ object RelationalQueries {
       .limit(15)
   }
 
+  /** q312: Adamic–Adar link prediction over the support-2 co-purchase
+    * graph — for every NON-adjacent part pair, the sum over common
+    * neighbors w of 1/ln(deg(w)) (rarer shared neighbors weigh more),
+    * the classic "which edge forms next" scorer; reported as the top-100
+    * predicted links (score desc, a, b). Complements the existing graph
+    * family: q148 ranks EXISTING co-purchase edges, q312 ranks ABSENT
+    * ones.
+    *
+    * DETERMINISM: the per-center weight is quantized to 1e9 fixed point
+    * BEFORE the pair fan-out and summed as BIGINT (the q289/q302
+    * discipline) — an exact associative sum, immune to partition order
+    * (a raw double Σ 1/ln(d) would drift with aggregation order); ln on
+    * an integer degree is equal across engines well inside the
+    * quantization. Centers with one neighbor (where 1/ln(1) diverges)
+    * emit zero pairs, so the weight is never evaluated there. The
+    * readable `aa_score` is one shared-operand division off the fixed
+    * point, identical IEEE both engines.
+    *
+    * Scale shape: the center-grain neighbor sets are ONE
+    * map-side-combinable collect_set agg (deg(w) IS the set size — no
+    * separate degree join); pair emission is the coPurchase in-place
+    * generator (narrow, C(deg,2) per center — AA's intrinsic wedge
+    * cost: every wedge carries weight, so unlike triangles no degree
+    * orientation can prune it; a hub cap or per-center sampling is the
+    * 100 TB mitigation, same knob as q290's mega-cart cap); then one
+    * (a,b)-grain hash agg, an anti-join against the edge list, and a
+    * TakeOrdered top-100. No window anywhere.
+    */
+  def q312AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.operators.Edges.coPurchase(spark, dir).persist()
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    val nbr = und.groupBy(col("a").as("w"))
+      .agg(array_sort(collect_set(col("b"))).as("ns"))
+    val pairs = nbr.select(
+      explode(expr(
+        """flatten(transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns) - i - 1), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("e"),
+      round(lit(1.0e9) / log(size(col("ns")).cast("double")), 0)
+        .cast("long").as("w_fp"))
+    pairs.select(col("e.a").as("a"), col("e.b").as("b"), col("w_fp"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
+      .join(e0, Seq("a", "b"), "left_anti")
+      .orderBy(col("aa_fp").desc, col("a"), col("b"))
+      .limit(100)
+      .withColumn("aa_score", round(col("aa_fp") / 1e9, 6))
+  }
+
   /** q289: personalized PageRank (random walk with restart) over the
     * shared bipartite customer→part graph ([[graft.operators.Edges
     * .customerPart]]) — "parts relevant to THESE customers", the
@@ -3983,6 +4032,7 @@ object RelationalQueries {
     "q289_personalized_pagerank" -> q289PersonalizedPagerank _,
     "q290_covisitation" -> q290CoVisitation _,
     "q291_clustering_coefficient" -> q291ClusteringCoefficient _,
+    "q312_adamic_adar" -> q312AdamicAdar _,
     "q268_degree_histogram" -> q268DegreeHistogram _,
     "q270_stl_decompose" -> q270StlDecompose _,
     "q274_table_checksums" -> q274TableChecksums _,
@@ -4470,6 +4520,29 @@ object RelationalQueries {
          |FROM r4 WHERE node % 2 = 1
          |ORDER BY ppr_fp DESC, l_partkey LIMIT 10""".stripMargin
     },
+    // same support-2 edge set; wedges by the naive neighbor self-join,
+    // the same 1e9-fixed-point 1/ln(deg) weight summed as BIGINT
+    "q312_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |deg AS (SELECT a AS w, count(*) AS d FROM und GROUP BY a),
+        |wedge AS (
+        |  SELECT n1.b AS a, n2.b AS b, d.d
+        |  FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
+        |  JOIN deg d ON d.w = n1.a),
+        |aa AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+        |         CAST(sum(CAST(round(1000000000.0 / ln(d), 0) AS BIGINT)) AS BIGINT)
+        |           AS aa_fp
+        |  FROM wedge GROUP BY 1, 2)
+        |SELECT a, b, n_common, aa_fp, round(aa_fp / 1e9, 6) AS aa_score
+        |FROM aa
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = aa.a AND e0.b = aa.b)
+        |ORDER BY aa_fp DESC, a, b
+        |LIMIT 100""".stripMargin,
     // same support-2 edge set; the oracle enumerates triangles by the
     // naive id-ordered join (count- and participation-invariant to the
     // engine's degree orientation), then credits all three corners
