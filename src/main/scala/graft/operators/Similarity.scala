@@ -120,20 +120,28 @@ object Similarity {
     * and the pairwise similarity matrix is |Q|·poolK² rows —
     * candidate-sized, never corpus-sized. The selectK−1 greedy steps are
     * unrolled joins over these bounded frames (the q199 fixed-round
-    * shape; each step's plan references earlier picks once, so the DAG
-    * grows O(selectK²), not exponentially), with every per-step window
-    * partitioned by query_id. At catalog scale the corpus appears ONLY
-    * in the stage-1 scan and the vector-fetch scan; both candidate
-    * frames are persisted across the steps (runner owns the lifecycle).
+    * shape), with every per-step window partitioned by query_id. At
+    * catalog scale the corpus appears ONLY in the stage-1 scan and the
+    * vector-fetch scan; the candidate frames and per-step picks are
+    * localCheckpoint-ed (lineage-cut — see the inline note; blocks freed
+    * by the runner's persisted-RDD sweep), so the per-step cost is a
+    * CONSTANT handful of candidate-sized jobs regardless of corpus size.
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
                 poolK: Int, selectK: Int): DataFrame = {
     val pool = bruteForceTopK(queries, corpus, idCol, poolK)
       .select(col("query_id"), col("cand_id"), col("cos").as("rel"))
+    // localCheckpoint, not persist: the |Q|·poolK pool is the root of
+    // 3·selectK downstream join/window plans — an uncut lineage would
+    // re-embed the corpus scan + TopKAgg subtree in every one of them
+    // (MB-scale task binaries, one codegen compile each; measured ~10 s
+    // of pure planning at sf0.1). Checkpointed, every step plans against
+    // a short in-memory root. Blocks are freed by the runner's
+    // persisted-RDD sweep, same as the BPE learner's symbol table.
     val cand = corpus
       .select(col(idCol).as("cand_id"), col("v"), col("nv"))
       .join(broadcast(pool), Seq("cand_id"))
-      .persist()
+      .localCheckpoint()
     val sims = cand.select(col("query_id"), col("cand_id"), col("v"), col("nv"))
       .join(
         cand.select(col("query_id"), col("cand_id").as("other"),
@@ -142,7 +150,7 @@ object Similarity {
       .filter(col("cand_id") =!= col("other"))
       .select(col("query_id"), col("cand_id"), col("other"),
         cosPre(col("v"), col("nv"), col("ov"), col("onv")).as("sim"))
-      .persist()
+      .localCheckpoint()
     val base = cand.select("query_id", "cand_id", "rel")
     val first = base
       .withColumn("rn", row_number().over(
@@ -150,13 +158,18 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("query_id"), lit(1).as("step"), col("cand_id"),
         round(col("rel") * lit(0.5), 6).as("mmr"))
+      // each pick is ≤|Q| rows but feeds BOTH the anti- and semi-join of
+      // every later step — uncut, step s would re-embed (and re-run)
+      // every earlier step's plan twice (2^selectK window jobs);
+      // checkpointed, each step plans against the materialized rows
+      .localCheckpoint()
     val picks = (2 to selectK).foldLeft(Vector(first)) { (acc, s) =>
       val prev = acc.map(_.select(col("query_id"), col("cand_id")))
         .reduce(_ unionByName _)
       val pick = base
-        .join(prev, Seq("query_id", "cand_id"), "left_anti")
+        .join(broadcast(prev), Seq("query_id", "cand_id"), "left_anti")
         .join(sims, Seq("query_id", "cand_id"))
-        .join(prev.withColumnRenamed("cand_id", "other"),
+        .join(broadcast(prev.withColumnRenamed("cand_id", "other")),
           Seq("query_id", "other"), "left_semi")
         .groupBy("query_id", "cand_id", "rel")
         .agg(max(col("sim")).as("msim"))
@@ -166,6 +179,7 @@ object Similarity {
           Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id"))))
         .filter(col("rn") === 1)
         .select(col("query_id"), lit(s).as("step"), col("cand_id"), col("mmr"))
+        .localCheckpoint()
       acc :+ pick
     }
     picks.reduce(_ unionByName _)
