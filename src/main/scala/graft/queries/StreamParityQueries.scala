@@ -800,9 +800,12 @@ object StreamParityQueries {
     val q = StreamingOps.attributeWithin(msV.toDF(), msC.toDF(), gapMinutes = 240)
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
-      // 1024-row chunks over the ~view+click subset: the per-batch cost
-      // is the symmetric-join state pass, so barrier count dominates
-      ev.toLocalIterator().asScala.grouped(1024).foreach { batch =>
+      // 16384-row chunks over the view+click subset (the q267 budget):
+      // the per-batch cost is the symmetric-join state-store pass, so
+      // barrier count — not batch size — dominates the harness cost
+      // (1024-row chunks measured 330 s at sf0.1; 16384 runs in ~3
+      // batches there)
+      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
         val views = batch.collect {
           case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
         val clicks = batch.collect {
@@ -838,8 +841,10 @@ object StreamParityQueries {
     // corpus sort (runner owns the cache lifecycle)
     val ev = viewClickFeed(spark, dir).persist()
     val n = ev.count()
-    // ≥6 chunks (restart after ~3) — bounded driver memory either way
-    val chunk = math.max(1L, math.min(1024L, (n + 5) / 6)).toInt
+    // ≥6 chunks (restart after ~3) — bounded driver memory either way;
+    // the 16384 cap keeps the barrier count down at bigger fixtures
+    // (q310's measured finding)
+    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
     val msV = MemoryStream[StreamingOps.ViewEvt](spark)
     val msC = MemoryStream[StreamingOps.ClickEvt](spark)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
