@@ -881,9 +881,100 @@ object StreamParityQueries {
     } finally deleteRecursively(ckpt)
   }
 
+  /** q314: stream-STATIC dimension enrichment, driver-verified — the
+    * production ingest-enrichment shape: the full event stream arrives
+    * over micro-batches and every event is joined against a STATIC
+    * customer→nation dimension ([[StreamingOps.enrichedCounts]] — a
+    * per-batch broadcast hash join, NO join state), rolling up running
+    * (nation, event_type) counts in complete mode. The oracle is the
+    * plain batch join + GROUP BY: a dropped or doubled enrichment in
+    * any micro-batch, or a count-map state leak, shifts a count and
+    * fails the hash. Streaming state is the bounded 25×5 count grid no
+    * matter how long the feed runs.
+    */
+  def q314StreamDimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q314_enrich"
+    spark.catalog.dropTempView(sink)
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .sort("ts", "event_id")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val q = StreamingOps.enrichedCounts(
+      ms.toDF.toDF("user_id", "ts", "event_id", "event_type"),
+      dim, "user_id", "n_name")
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  /** q315: LEFT-OUTER stream-stream interval join, driver-verified —
+    * q310's join with the semantics production funnels actually need:
+    * every view appears, matched views with their clicks (identical to
+    * q310's rows) and UNMATCHED views as (user_id, view_id, NULL, NULL).
+    * The null-extended rows are the subtle part: Structured Streaming
+    * may only emit one once the watermark PROVES no future click can
+    * match (at state eviction), so they trail the matched rows — and a
+    * finite feed must push the watermark past `max view_ts + gap` to
+    * flush the tail. The harness appends two sentinel rounds on BOTH
+    * streams (the global watermark is the min across inputs; a one-sided
+    * sentinel would stall it) under user −1, which can match nothing —
+    * the sentinel view's own null row is filtered by `user_id >= 0`, the
+    * q293-family convention. The oracle is q111's SQL as a LEFT JOIN:
+    * a null row emitted early (phantom), late (missing), or a matched
+    * pair degraded to null fails the hash.
+    */
+  def q315StreamIntervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q315_outer"
+    spark.catalog.dropTempView(sink)
+    val ev = viewClickFeed(spark, dir).persist()
+    val maxUs = ev.select(max(unix_micros(col("ts")))).head.getLong(0)
+    val gapMin = 240
+    val msV = MemoryStream[StreamingOps.ViewEvt](spark)
+    val msC = MemoryStream[StreamingOps.ClickEvt](spark)
+    val q = StreamingOps.attributeWithin(
+      msV.toDF(), msC.toDF(), gapMinutes = gapMin, joinType = "leftOuter")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+        val views = batch.collect {
+          case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
+        val clicks = batch.collect {
+          case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
+        if (views.nonEmpty) msV.addData(views)
+        if (clicks.nonEmpty) msC.addData(clicks)
+        q.processAllAvailable()
+      }
+      // two flush rounds past max view_ts + gap + delay: round 1 moves
+      // the watermark, round 2 evicts + emits the trailing null rows
+      for (k <- 1 to 2) {
+        val us = maxUs + (gapMin + 10 + 2 * k) * 60L * 1000000L
+        msV.addData(Seq(StreamingOps.ViewEvt(-1L, -1L, usTimestamp(us))))
+        msC.addData(Seq(StreamingOps.ClickEvt(-1L, -1L, usTimestamp(us))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q310_stream_interval_join" -> (q310StreamIntervalJoin _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
+    "q314_stream_dim_enrich" -> (q314StreamDimEnrich _),
+    "q315_stream_interval_join_outer" -> (q315StreamIntervalJoinOuter _),
     "q296_stream_sessions" -> (q296StreamSessions _),
     "q298_stream_cms" -> (q298StreamCms _),
     "q299_stream_ewma_ooo_recovery" -> (q299StreamEwmaOooRecovery _),
@@ -906,6 +997,23 @@ object StreamParityQueries {
     // batch q111 verbatim: the two-sided watermarked join must emit
     // exactly the batch pair set, once each
     "q310_stream_interval_join" -> RelationalQueries.ClickAttributionOracle,
+    // the plain batch enrichment join + rollup the stream must equal
+    "q314_stream_dim_enrich" ->
+      """SELECT n.n_name, e.event_type, count(*) AS cnt
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    // q111 as a LEFT join: matched pairs identical, every clickless
+    // view exactly once with NULL click columns
+    "q315_stream_interval_join_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND epoch_us(c.ts) >= epoch_us(v.ts)
+        | AND epoch_us(c.ts) - epoch_us(v.ts) <= 14400000000""".stripMargin,
     // and a mid-feed restart must be answer-invisible: the SAME SQL
     "q313_stream_interval_join_recovery" -> RelationalQueries.ClickAttributionOracle,
     // q303's batch recursive fold, verbatim: the stream's final state

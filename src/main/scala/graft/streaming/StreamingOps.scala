@@ -134,10 +134,20 @@ object StreamingOps {
     * `lag_us` is µs-exact: both engines compare and subtract
     * µs-truncated event times (the loader floors ns→µs; the oracle's
     * `epoch_us` is the same truncation).
+    *
+    * `joinType = "leftOuter"` keeps every view: one with no click inside
+    * the gap emits (user_id, view_id, NULL, NULL) — but only once the
+    * watermark PROVES no future click can match, i.e. when the view's
+    * state is evicted. Outer rows therefore trail the inner ones by the
+    * watermark delay, and a finite feed must push the watermark past
+    * `max view_ts + gap` (a sentinel on BOTH sides — the global
+    * watermark is the min across inputs) to flush the last unmatched
+    * views. Same state bound as the inner form.
     */
   def attributeWithin(
       views: DataFrame, clicks: DataFrame,
-      gapMinutes: Int = 10, delay: String = "10 minutes"): DataFrame = {
+      gapMinutes: Int = 10, delay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame, tsCol: String) =
       if (df.isStreaming) df.withWatermark(tsCol, delay) else df
     wm(views, "view_ts")
@@ -145,11 +155,29 @@ object StreamingOps {
         wm(clicks, "click_ts"),
         col("click_user") === col("user_id") &&
           col("click_ts") >= col("view_ts") &&
-          col("click_ts") <= col("view_ts") + expr(s"interval $gapMinutes minutes"))
+          col("click_ts") <= col("view_ts") + expr(s"interval $gapMinutes minutes"),
+        joinType)
       .select(
         col("user_id"), col("view_id"), col("click_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
   }
+
+  /** Stream-STATIC dimension enrichment + rollup: join the unbounded
+    * event stream against a STATIC dimension on `key` (the production
+    * ingest-enrichment shape — catalog/geo/account attributes attached
+    * as events arrive) and maintain running counts per (`attr`,
+    * event_type). The dim side is a batch frame: Spark broadcasts it
+    * into every micro-batch — the join itself keeps NO streaming state;
+    * the only state is the bounded (attr × event_type) count map, so
+    * the query runs forever on a dimension of any broadcastable size.
+    * On batch frames the identical plan is the plain broadcast join +
+    * hash agg the oracle mirrors.
+    */
+  def enrichedCounts(
+      events: DataFrame, dim: DataFrame, key: String, attr: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+      .groupBy(col(attr), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
 
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionUpdate(user_id: Long, session_start: Long, n_events: Int, closed: Boolean)
