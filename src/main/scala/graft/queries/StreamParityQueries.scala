@@ -765,6 +765,22 @@ object StreamParityQueries {
       .sort("ts", "event_id")
   }
 
+  /** Deal one merged-feed chunk out to the two MemoryStreams (shared by
+    * every stream-STREAM gate; a chunk missing one side simply skips
+    * that source for the batch).
+    */
+  private def dealViewsClicks(
+      batch: Seq[(Long, java.sql.Timestamp, Long, String)],
+      msV: MemoryStream[StreamingOps.ViewEvt],
+      msC: MemoryStream[StreamingOps.ClickEvt]): Unit = {
+    val views = batch.collect {
+      case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
+    val clicks = batch.collect {
+      case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
+    if (views.nonEmpty) msV.addData(views)
+    if (clicks.nonEmpty) msC.addData(clicks)
+  }
+
   /** q310: the stream-STREAM interval join, driver-verified — the first
     * gate with TWO unbounded sides. Views and clicks arrive through
     * separate MemoryStreams in global event-time order (each chunk dealt
@@ -806,12 +822,7 @@ object StreamParityQueries {
       // (1024-row chunks measured 330 s at sf0.1; 16384 runs in ~3
       // batches there)
       ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
-        val views = batch.collect {
-          case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
-        val clicks = batch.collect {
-          case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
-        if (views.nonEmpty) msV.addData(views)
-        if (clicks.nonEmpty) msC.addData(clicks)
+        dealViewsClicks(batch, msV, msC)
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -867,12 +878,7 @@ object StreamParityQueries {
           q = start() // same checkpoint: join state must carry over
           restarted = true
         }
-        val views = batch.collect {
-          case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
-        val clicks = batch.collect {
-          case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
-        if (views.nonEmpty) msV.addData(views)
-        if (clicks.nonEmpty) msC.addData(clicks)
+        dealViewsClicks(batch, msV, msC)
         q.processAllAvailable()
         fed += batch.size
       }
@@ -950,12 +956,7 @@ object StreamParityQueries {
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
-        val views = batch.collect {
-          case (u, ts, id, "view") => StreamingOps.ViewEvt(u, id, ts) }
-        val clicks = batch.collect {
-          case (u, ts, id, "click") => StreamingOps.ClickEvt(u, id, ts) }
-        if (views.nonEmpty) msV.addData(views)
-        if (clicks.nonEmpty) msC.addData(clicks)
+        dealViewsClicks(batch, msV, msC)
         q.processAllAvailable()
       }
       // two flush rounds past max view_ts + gap + delay: round 1 moves
@@ -970,8 +971,114 @@ object StreamParityQueries {
     spark.table(sink).filter(col("user_id") >= 0)
   }
 
+  /** The q293-family disorder prelude for the TWO-SIDED feed: the
+    * merged view+click feed, a 12-chunk width, and the watermark delay
+    * covering the widest swapped chunk pair.
+    */
+  private case class VcDisorderFeed(
+      ev: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Long, String)],
+      chunk: Int, delaySec: Long, n: Long)
+
+  private def vcDisorderPrelude(spark: SparkSession, dir: String): VcDisorderFeed = {
+    import scala.jdk.CollectionConverters._
+    val ev = viewClickFeed(spark, dir).persist()
+    val n = ev.count()
+    val chunk = math.max(1L, math.min(32768L, (n + 11) / 12)).toInt
+    var maxSpanUs = 0L
+    ev.toLocalIterator().asScala.grouped(chunk).grouped(2).foreach { pair =>
+      val ts = pair.flatten.map(t => tsMicros(t._2))
+      maxSpanUs = math.max(maxSpanUs, ts.max - ts.min)
+    }
+    VcDisorderFeed(ev, chunk, maxSpanUs / 1000000L + 61L, n)
+  }
+
+  /** q316: the interval join under OUT-OF-ORDER delivery — adjacent
+    * chunk pairs of the merged feed arrive SWAPPED (the q293 harness)
+    * under a data-derived watermark delay covering the widest pair, so
+    * clicks can precede the views they attribute to and vice versa. The
+    * join must buffer the early arrivals and must NOT evict a view (or
+    * drop a "late" row) while a match can still arrive — the delay makes
+    * both provable, and the oracle (batch q111 verbatim) makes any
+    * violation a hash failure. Inner matches need no flush sentinel:
+    * they emit in whatever batch completes the pair. Completes the
+    * in-order (q310) / recovery (q313) / out-of-order symmetry the fold
+    * family established.
+    */
+  def q316StreamIntervalJoinOutOfOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q316_ooo"
+    spark.catalog.dropTempView(sink)
+    val feed = vcDisorderPrelude(spark, dir)
+    val msV = MemoryStream[StreamingOps.ViewEvt](spark)
+    val msC = MemoryStream[StreamingOps.ClickEvt](spark)
+    val q = StreamingOps.attributeWithin(
+      msV.toDF(), msC.toDF(), gapMinutes = 240, delay = s"${feed.delaySec} seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      feed.ev.toLocalIterator().asScala.grouped(feed.chunk).grouped(2).foreach { pair =>
+        pair.reverse.foreach { b =>
+          dealViewsClicks(b, msV, msC)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  /** q317: disorder AND a checkpoint restart in one gate — the q299/q309
+    * compound applied to the join family: the pair-swapped feed runs
+    * with one mid-feed stop/resume against the same checkpoint, so the
+    * symmetric join's buffers must round-trip the state store WHILE
+    * holding early-arrival rows whose partners have not yet been fed.
+    * Same oracle (batch q111 verbatim); the final `distinct()` is q313's
+    * idempotent-sink discipline.
+    */
+  def q317StreamIntervalJoinOooRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    val feed = vcDisorderPrelude(spark, dir)
+    val msV = MemoryStream[StreamingOps.ViewEvt](spark)
+    val msC = MemoryStream[StreamingOps.ClickEvt](spark)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def planned = StreamingOps.attributeWithin(
+      msV.toDF(), msC.toDF(), gapMinutes = 240, delay = s"${feed.delaySec} seconds")
+    val outSchema = planned.schema
+    def start() = planned
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add); ()
+      }
+      .start()
+    try {
+      var q = start()
+      var fed = 0L
+      var restarted = false
+      feed.ev.toLocalIterator().asScala.grouped(feed.chunk).grouped(2).foreach { pair =>
+        // restart straight after a SWAPPED chunk landed, so the buffers
+        // are guaranteed to hold unmatched early arrivals at the stop
+        if (!restarted && fed >= (feed.n + 1) / 2) {
+          q.stop()
+          q = start()
+          restarted = true
+        }
+        pair.reverse.foreach { b =>
+          dealViewsClicks(b, msV, msC)
+          q.processAllAvailable()
+        }
+        fed += pair.map(_.size).sum
+      }
+      q.stop()
+      spark.createDataFrame(new java.util.ArrayList(buf), outSchema).distinct()
+    } finally deleteRecursively(ckpt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q310_stream_interval_join" -> (q310StreamIntervalJoin _),
+    "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
+    "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
     "q314_stream_dim_enrich" -> (q314StreamDimEnrich _),
     "q315_stream_interval_join_outer" -> (q315StreamIntervalJoinOuter _),
@@ -1016,6 +1123,10 @@ object StreamParityQueries {
         | AND epoch_us(c.ts) - epoch_us(v.ts) <= 14400000000""".stripMargin,
     // and a mid-feed restart must be answer-invisible: the SAME SQL
     "q313_stream_interval_join_recovery" -> RelationalQueries.ClickAttributionOracle,
+    // disorder must be answer-invisible: the SAME SQL
+    "q316_stream_interval_join_ooo" -> RelationalQueries.ClickAttributionOracle,
+    // disorder + restart together must be invisible: the SAME SQL
+    "q317_stream_interval_join_ooo_recovery" -> RelationalQueries.ClickAttributionOracle,
     // q303's batch recursive fold, verbatim: the stream's final state
     // must BE the batch answer (the q267/q284 gate convention)
     "q304_stream_holt_winters" -> RelationalQueries.HwFoldOracle,

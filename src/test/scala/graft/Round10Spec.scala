@@ -19,10 +19,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     distinct-count fixture whose batches actually reach the full
   *     width 8 (the round-9 corpus fixture tied counts and kept
   *     batches narrow);
-  *   - the stream-STREAM interval join's recovery gate (q313) is
-  *     bit-equal to the uninterrupted gate (q310) — the symmetric hash
-  *     join's buffered two-sided state round-trips a checkpoint
-  *     restart.
+  *   - the stream-STREAM interval join's recovery (q313), out-of-order
+  *     (q316) and compound disorder+restart (q317) gates are bit-equal
+  *     to the uninterrupted in-order gate (q310) — the symmetric hash
+  *     join's buffered two-sided state round-trips checkpoints and
+  *     tolerates bounded disorder without losing or doubling a pair.
   */
 class Round10Spec extends AnyFunSuite with SparkTestBase {
 
@@ -218,17 +219,39 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assertHwTwin("q309_stream_hw_ooo_recovery", "compound Holt-Winters gate")
   }
 
+  /** The uninterrupted in-order interval-join reference, materialized
+    * once and shared by the join-family twin pins (the hwReference
+    * convention).
+    */
+  private lazy val joinReference: Set[Seq[Any]] = {
+    val r = SparkEntry.queries("q310_stream_interval_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    sweep()
+    r
+  }
+
+  private def assertJoinTwin(q: String, what: String): Unit = {
+    val got = SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSet
+    sweep()
+    assert(joinReference.nonEmpty, "fixture must produce attributed pairs")
+    assert(got == joinReference,
+      s"$what diverged: ${(got -- joinReference).take(2)} extra, " +
+        s"${(joinReference -- got).take(2)} missing")
+  }
+
   test("q313 == q310: two-sided join state survives a checkpoint restart bit-exactly") {
-    val base = SparkEntry.queries("q310_stream_interval_join")(spark, sfDir)
-      .collect().map(_.toSeq).toSet
-    sweep()
-    val rec = SparkEntry.queries("q313_stream_interval_join_recovery")(spark, sfDir)
-      .collect().map(_.toSeq).toSet
-    sweep()
-    assert(base.nonEmpty, "fixture must produce attributed pairs")
-    assert(rec == base,
-      s"restarted interval join diverged: ${(rec -- base).take(2)} extra, " +
-        s"${(base -- rec).take(2)} missing")
+    assertJoinTwin("q313_stream_interval_join_recovery",
+      "restarted interval join")
+  }
+
+  test("q316 == q310: out-of-order two-sided delivery joins to the in-order answer") {
+    assertJoinTwin("q316_stream_interval_join_ooo",
+      "out-of-order interval join")
+  }
+
+  test("q317 == q310: disorder + restart together are invisible to the join") {
+    assertJoinTwin("q317_stream_interval_join_ooo_recovery",
+      "compound interval-join gate")
   }
 
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
