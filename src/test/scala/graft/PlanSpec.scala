@@ -353,10 +353,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q289/q290: bipartite graph queries plan keyed joins only") {
+  test("q289/q290/q312: graph queries plan keyed joins only") {
     // PPR rounds: every join an equi-join (no cross product); the
-    // teleport fold is a union+agg, so no join at all on that path
-    for (q <- Seq("q289_personalized_pagerank", "q290_covisitation")) {
+    // teleport fold is a union+agg, so no join at all on that path.
+    // q312: wedge pairs come from the in-place generator, never a
+    // neighbor self-JOIN, and the adjacency check is a keyed anti-join
+    for (q <- Seq("q289_personalized_pagerank", "q290_covisitation",
+        "q312_adamic_adar")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
