@@ -54,13 +54,83 @@ object MultimodalQueries {
       MultimodalPipeline.sampleFrames(
         MultimodalPipeline.ingestFromDocuments(spark, dir), everyMs = 1000L))
 
+  /** q318: perceptual-hash near-dup candidates over the multimodal
+    * payloads — the image-dedup serving pattern (pHash → banded
+    * candidate join → Hamming verify) on the stub pipeline: each
+    * payload decodes to a 60-bit perceptual code (four 15-bit bands
+    * from the canonicalized payload's md5 — the stub's analog of "a
+    * perceptually identical image decodes to the same plane":
+    * byte-level whitespace/case perturbations of the same content
+    * collide, distinct content lands ~30 bits apart), candidates are
+    * pairs sharing ANY band (a keyed equi-join on the (band#, value)
+    * pair — never all-pairs; expected collisions n²/2¹⁵ per band, and
+    * wider bands are the knob at larger n), and every candidate is
+    * verified with the full 60-bit Hamming distance. Output: every
+    * banded candidate pair with its distance and the `is_dup` verdict
+    * (≤ 8 bits), so the gate exercises generation AND verification even
+    * when the fixture holds no true dup (sf0.01: 22 candidates, 0
+    * dups; sf0.1: 8 dup pairs). Swapping in a real pHash changes only
+    * the code derivation, not the join or verify.
+    */
+  def q318PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+    val coded = docs.select(
+      col("id") +: (0 until 4).map(k => expr(
+        s"CAST(conv(substring(md5(norm), ${k * 8 + 1}, 8), 16, 10) AS BIGINT) div 131072")
+        .as(s"b$k")): _*)
+      .withColumn("code",
+        expr("b0 * 35184372088832 + b1 * 1073741824 + b2 * 32768 + b3"))
+    val bands = coded.select(col("id"), col("code"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("v"))): _*)).as("band"))
+      .select(col("id"), col("code"), col("band.k").as("k"), col("band.v").as("v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.code").as("ca"), col("b.code").as("cb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(ca ^ cb) AS INT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_phash_near_dup" -> (q318PhashNearDup _),
     "q295_clip_embeddings" -> (q295ClipEmbeddings _),
     "q60_feature_summary" -> (q60FeatureSummary _),
     "q61_frame_counts" -> (q61FrameCounts _),
     "q280_multimodal_knn" -> (q280MultimodalKnn _))
 
   val oracleSql: Map[String, String] = Map(
+    // same md5-slot 15-bit bands, same 60-bit code shifts as exact
+    // multiplies, same band-equality candidates + Hamming verify
+    "q318_phash_near_dup" -> {
+      val norm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+      def slot(k: Int): String =
+        s"CAST(('0x' || substr(md5($norm), ${k * 8 + 1}, 8)) AS BIGINT)"
+      s"""WITH c AS (
+         |  SELECT doc_id AS id,
+         |         ${(0 until 4).map(k => s"${slot(k)} // 131072 AS b$k").mkString(", ")}
+         |  FROM documents),
+         |co AS (
+         |  SELECT id, b0 * 35184372088832 + b1 * 1073741824 + b2 * 32768 + b3 AS code,
+         |         b0, b1, b2, b3 FROM c),
+         |bands AS (
+         |  SELECT id, code, 0 AS k, b0 AS v FROM co
+         |  UNION ALL SELECT id, code, 1, b1 FROM co
+         |  UNION ALL SELECT id, code, 2, b2 FROM co
+         |  UNION ALL SELECT id, code, 3, b3 FROM co),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.code AS ca, b.code AS cb
+         |  FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ca, cb)) AS INT) AS hamming,
+         |       bit_count(xor(ca, cb)) <= 8 AS is_dup
+         |FROM cand""".stripMargin
+    },
     // same frame grid (inclusive 1 s steps over durationMs = n_chars*10),
     // same frame-index-prefixed md5 slots, same exact integer pooling
     "q295_clip_embeddings" -> {

@@ -102,7 +102,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // round 10: 1-bit ANN, SALSA, the Holt-Winters batch fold (the
     // streaming twins q304/q305 are harness gates, driver-hash-pinned)
     "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters",
-    "q306_bq_recall", "q311_mmr_rerank", "q312_adamic_adar")
+    "q306_bq_recall", "q311_mmr_rerank", "q312_adamic_adar",
+    "q318_phash_near_dup")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
