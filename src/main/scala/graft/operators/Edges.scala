@@ -164,4 +164,35 @@ object Edges {
     triangleTriples(e)
       .select(explode(array(col("src"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** Adamic–Adar link-prediction scores over a directed (a < b) edge
+    * list: for every NON-adjacent pair with ≥1 common neighbor,
+    * `(a, b, n_common, aa_fp)` where aa_fp = Σ_w round(1e9 / ln(deg w))
+    * — the 1e9-fixed-point BIGINT discipline, so the sum is exact and
+    * partition-order-free. Per-center neighbor sets come from ONE
+    * map-side-combinable collect_set agg (deg(w) IS the set size — no
+    * separate degree join); pair emission is the [[coPurchase]]
+    * in-place generator (narrow, C(deg, 2) per center — AA's intrinsic
+    * wedge cost: every wedge carries weight, so unlike triangles no
+    * degree orientation can prune it; a hub cap or per-center sample is
+    * the 100 TB mitigation). A center with one neighbor (where 1/ln(1)
+    * diverges) emits zero pairs, so the weight is never evaluated
+    * there. Callers rank/limit; q312 is the corpus instantiation.
+    */
+  def adamicAdar(e0: DataFrame): DataFrame = {
+    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    val nbr = und.groupBy(col("a").as("w"))
+      .agg(array_sort(collect_set(col("b"))).as("ns"))
+    val pairs = nbr.select(
+      explode(expr(
+        """flatten(transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns) - i - 1), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("e"),
+      round(lit(1.0e9) / log(size(col("ns")).cast("double")), 0)
+        .cast("long").as("w_fp"))
+    pairs.select(col("e.a").as("a"), col("e.b").as("b"), col("w_fp"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
+      .join(e0, Seq("a", "b"), "left_anti")
+  }
 }

@@ -2891,36 +2891,18 @@ object RelationalQueries {
     * readable `aa_score` is one shared-operand division off the fixed
     * point, identical IEEE both engines.
     *
-    * Scale shape: the center-grain neighbor sets are ONE
-    * map-side-combinable collect_set agg (deg(w) IS the set size — no
-    * separate degree join); pair emission is the coPurchase in-place
-    * generator (narrow, C(deg,2) per center — AA's intrinsic wedge
-    * cost: every wedge carries weight, so unlike triangles no degree
-    * orientation can prune it; a hub cap or per-center sampling is the
-    * 100 TB mitigation, same knob as q290's mega-cart cap); then one
-    * (a,b)-grain hash agg, an anti-join against the edge list, and a
-    * TakeOrdered top-100. No window anywhere.
+    * Scale shape: see [[graft.operators.Edges.adamicAdar]] (one
+    * collect_set agg, in-place wedge generator, (a,b)-grain hash agg,
+    * keyed anti-join — hand-graph-pinned in Round10Spec); here only
+    * the TakeOrdered top-100 and the readable score are added. No
+    * window anywhere.
     */
-  def q312AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = graft.operators.Edges.coPurchase(spark, dir).persist()
-    val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-    val nbr = und.groupBy(col("a").as("w"))
-      .agg(array_sort(collect_set(col("b"))).as("ns"))
-    val pairs = nbr.select(
-      explode(expr(
-        """flatten(transform(ns, (x, i) ->
-          |  transform(slice(ns, i + 2, size(ns) - i - 1), y ->
-          |    struct(x AS a, y AS b))))""".stripMargin)).as("e"),
-      round(lit(1.0e9) / log(size(col("ns")).cast("double")), 0)
-        .cast("long").as("w_fp"))
-    pairs.select(col("e.a").as("a"), col("e.b").as("b"), col("w_fp"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
-      .join(e0, Seq("a", "b"), "left_anti")
+  def q312AdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Edges
+      .adamicAdar(graft.operators.Edges.coPurchase(spark, dir).persist())
       .orderBy(col("aa_fp").desc, col("a"), col("b"))
       .limit(100)
       .withColumn("aa_score", round(col("aa_fp") / 1e9, 6))
-  }
 
   /** q289: personalized PageRank (random walk with restart) over the
     * shared bipartite customer→part graph ([[graft.operators.Edges

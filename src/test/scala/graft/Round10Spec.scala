@@ -254,6 +254,46 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
       "compound interval-join gate")
   }
 
+  test("adamicAdar: path endpoints predicted at 1/ln(deg), triangles predict nothing") {
+    import spark.implicits._
+    // path 1-2-3: the only common-neighbor pair is (1,3) through center
+    // 2 with deg 2 — aa_fp = round(1e9 / ln 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = graft.operators.Edges.adamicAdar(path)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    sweep()
+    assert(r.toSeq == Seq((1L, 3L, 1L, math.round(1.0e9 / math.log(2.0)))),
+      s"path prediction wrong: ${r.toSeq}")
+    // triangle 1-2-3: every common-neighbor pair is already an edge —
+    // the anti-join must leave nothing
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val t = graft.operators.Edges.adamicAdar(tri).collect()
+    sweep()
+    assert(t.isEmpty, s"triangle predicted ${t.length} pairs")
+    // star 1-{2,3,4}: three predicted pairs, each 1/ln(3), and the
+    // degree-1 leaves contribute no 1/ln(1) divergence
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val s = graft.operators.Edges.adamicAdar(star)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+    sweep()
+    val w3 = math.round(1.0e9 / math.log(3.0))
+    assert(s.toSet == Set((2L, 3L, w3), (2L, 4L, w3), (3L, 4L, w3)),
+      s"star prediction wrong: ${s.toSet}")
+  }
+
+  test("q311 step 1 is q40-exact relevance: the greedy loop starts from rank 1") {
+    val mmrFirst = SparkEntry.queries("q311_mmr_rerank")(spark, sfDir)
+      .filter(col("step") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    sweep()
+    val knnTop = SparkEntry.queries("q40_knn_brute")(spark, sfDir)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    sweep()
+    assert(mmrFirst.nonEmpty && mmrFirst == knnTop,
+      s"MMR step 1 diverged from exact rank 1: $mmrFirst vs $knnTop")
+  }
+
   test("batched BPE == sequential on a distinct-count fixture reaching width 8") {
     import spark.implicits._
     // 24 two-char words over a 48-letter alphabet, strictly decreasing
