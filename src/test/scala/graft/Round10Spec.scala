@@ -254,6 +254,31 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
       "compound interval-join gate")
   }
 
+  test("q315 decomposes exactly: matched rows are q310, null rows are the clickless views") {
+    val outer = SparkEntry.queries("q315_stream_interval_join_outer")(spark, sfDir)
+      .collect().map(_.toSeq)
+    sweep()
+    val matched = outer.filter(_(2) != null).toSet
+    assert(matched == joinReference,
+      "q315's matched rows must BE the inner join's answer")
+    // every view appears: matched views + null-row views = all views,
+    // and no view is both
+    val nullViews = outer.filter(_(2) == null).map(r => (r(0), r(1))).toSet
+    val matchedViews = matched.map(r => (r(0), r(1)))
+    assert((nullViews & matchedViews).isEmpty,
+      "a view cannot be both matched and null-extended")
+    // ts is untouched, so the raw parquet read suffices (the nanos
+    // conf only matters for schema conversion of the ts column)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val allViews = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    sweep()
+    assert(nullViews ++ matchedViews == allViews,
+      "outer join must cover every view exactly once")
+  }
+
   test("adamicAdar: path endpoints predicted at 1/ln(deg), triangles predict nothing") {
     import spark.implicits._
     // path 1-2-3: the only common-neighbor pair is (1,3) through center
