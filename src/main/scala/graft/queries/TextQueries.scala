@@ -312,7 +312,97 @@ object TextQueries {
     (merges.toSeq, batchSizes.toSeq)
   }
 
+  /** q319: stupid-backoff trigram language model — the distributed
+    * count-based n-gram LM of Brants et al. 2007 ("Large Language Models
+    * in Machine Translation"), THE workload that motivated serving n-gram
+    * models as sharded count tables: train trigram/bigram/unigram counts
+    * on the q71 'train' split and score every 'test'-split document with
+    * stupid backoff (α = 0.4):
+    *
+    *   S(w3|w1,w2) = c3/c2(w1,w2)            if the trigram was seen
+    *               = α · c2(w2,w3)/c1(w2)    else if the bigram was seen
+    *               = α² · c1(w3)/N           else if the word was seen
+    *               = α² · 1/N                OOV floor
+    *
+    * (backoff contexts (w1,w2) and w2 are always present when their
+    * numerator is — a prefix of any counted n-gram is itself counted —
+    * so no division guards are needed beyond the CASE order). Stupid
+    * backoff is the distributed choice PRECISELY because the score needs
+    * no normalization pass: every branch is a ratio of two counts, so
+    * the model "build" is three independent hash aggregations and
+    * scoring is pure keyed joins — no per-context renormalization agg
+    * over the trigram table. DETERMINISM: each position's ln S is
+    * 1e9-quantized to a long BEFORE the per-doc sum (q261's idiom);
+    * the only double ops are one division + ln per scored position.
+    * Scale shape: n-gram generation is per-row (transform over the word
+    * array — no window, no shuffle); the three count tables are n-gram-
+    * keyed hash aggs (map-side combinable); scoring is five shuffle
+    * equi-joins of the test trigram stream against the count tables on
+    * their n-gram keys — the Brants sharded-model serving plan verbatim
+    * (at 100 TB the trigram table IS too big to broadcast; hash-
+    * partitioning model and stream on the same key is the design) —
+    * plus one 1-row broadcast for N; the rollup is one doc-keyed agg.
+    * Docs with < 3 words have no scored position and produce no row.
+    * Scores are reported as mean negative log-likelihood (q261's sign
+    * convention — the quantized values stay positive, so the half-up
+    * rounding never sits on a signed boundary).
+    */
+  def q319BackoffLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val alpha = 0.4
+    val wd = docs(s, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
+          .otherwise(when(substring(md5(col("doc_id").cast("string")), 1, 2) < "34", "val")
+            .otherwise("train")))
+    // size guards: Spark's sequence(1, n) runs DESCENDING when n < 1,
+    // so short docs must be filtered before the position transform
+    def tris(df: DataFrame) = df.filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => struct(
+            element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"),
+            element_at(col("w"), i + 2).as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+    val train = wd.filter(col("split") === "train")
+    val c3 = tris(train).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2 = train.filter(size(col("w")) >= 2).select(
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          element_at(col("w"), i).as("u"),
+          element_at(col("w"), i + 1).as("v")))).as("g"))
+      .select(col("g.u"), col("g.v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c1"))
+    val n = c1.agg(sum(col("c1")).as("n_total"))
+    val test = tris(wd.filter(col("split") === "test"))
+    val score =
+      when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
+        .otherwise(when(col("c2_23").isNotNull,
+          lit(alpha) * col("c2_23").cast("double") / col("c1_w2"))
+          .otherwise(lit(alpha * alpha) *
+            coalesce(col("c1_w3"), lit(1L)).cast("double") / col("n_total")))
+    test
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("u").as("w1"), col("v").as("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("u").as("w2"), col("v").as("w3"), col("c2").as("c2_23")),
+        Seq("w2", "w3"), "left")
+      .join(c1.select(col("word").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .join(c1.select(col("word").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), round(-log(score) * 1e9).cast("long").as("lq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum(col("lq")).as("s"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("s") / 1e9 / col("n_scored"), 6).as("avg_nll"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_backoff_lm" -> (q319BackoffLm _),
     // q253: tokenizer fertility by (source, lang) — per corpus slice,
     // the cost profile a training pipeline reads before budgeting
     // tokens: document/char/word counts, sub-token count under the
@@ -1515,6 +1605,54 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same q71 md5 split, same three count tables over the train split,
+    // same stupid-backoff CASE chain, same 1e9-quantized -ln sum
+    "q319_backoff_lm" ->
+      s"""$WordsCte,
+         |sp AS (
+         |  SELECT doc_id, w,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM wd),
+         |tri AS (
+         |  SELECT doc_id, split, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+         |    SELECT doc_id, split,
+         |           unnest(list_transform(range(1, len(w) - 1),
+         |                  i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS g
+         |    FROM sp)),
+         |bi AS (
+         |  SELECT split, g.u AS u, g.v AS v FROM (
+         |    SELECT split,
+         |           unnest(list_transform(range(1, len(w)),
+         |                  i -> {'u': w[i], 'v': w[i+1]})) AS g
+         |    FROM sp)),
+         |uni AS (SELECT split, unnest(w) AS word FROM sp),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri
+         |       WHERE split = 'train' GROUP BY 1, 2, 3),
+         |c2 AS (SELECT u, v, count(*) AS c2 FROM bi
+         |       WHERE split = 'train' GROUP BY 1, 2),
+         |c1 AS (SELECT word, count(*) AS c1 FROM uni
+         |       WHERE split = 'train' GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM c1),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(-ln(
+         |           CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1.0 / cx.c2
+         |                WHEN b23.c2 IS NOT NULL THEN 0.4 * b23.c2 / u2.c1
+         |                ELSE 0.4 * 0.4 * COALESCE(u3.c1, 1) / nt.n_total
+         |           END) * 1e9) AS BIGINT) AS lq
+         |  FROM tri t
+         |  LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+         |  LEFT JOIN c2 cx ON cx.u = t.w1 AND cx.v = t.w2
+         |  LEFT JOIN c2 b23 ON b23.u = t.w2 AND b23.v = t.w3
+         |  LEFT JOIN c1 u2 ON u2.word = t.w2
+         |  LEFT JOIN c1 u3 ON u3.word = t.w3
+         |  CROSS JOIN nt
+         |  WHERE t.split = 'test')
+         |SELECT doc_id, count(*) AS n_scored,
+         |       round(CAST(sum(lq) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
+         |FROM sc GROUP BY 1""".stripMargin,
     // same >=3-char vocabulary, same (freq desc, word asc) top-3 per
     // prefix
     "q277_autocomplete" ->

@@ -103,7 +103,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // streaming twins q304/q305 are harness gates, driver-hash-pinned)
     "q301_binary_quant_ann", "q302_salsa", "q303_holt_winters",
     "q306_bq_recall", "q311_mmr_rerank", "q312_adamic_adar",
-    "q318_phash_near_dup")
+    "q318_phash_near_dup",
+    // round 10 continued: the stupid-backoff LM's quantized-NLL sums
+    // must be partition-order invariant across all five model joins
+    "q319_backoff_lm")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
