@@ -26,7 +26,16 @@ object Edges {
   /** Directed (a < b) co-purchase edges over parts appearing together in
     * at least `minSupport` distinct orders. Schema: (a: long, b: long).
     */
-  def coPurchase(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+  def coPurchase(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame =
+    coPurchasePairs(spark, dir, minSupport).select(col("a"), col("b"))
+
+  /** The (a < b, support-count) core behind [[coPurchase]] and
+    * [[coPurchaseWeighted]]: per-order sorted part baskets, in-place
+    * ordered pair generation (never a basket self-join), one pair-keyed
+    * count agg, support filter. Schema: (a, b, cab).
+    */
+  private def coPurchasePairs(
+      spark: SparkSession, dir: String, minSupport: Long): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val baskets = li.groupBy("ok")
@@ -39,7 +48,20 @@ object Edges {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minSupport)
-      .select(col("a"), col("b"))
+  }
+
+  /** WEIGHTED symmetric co-purchase edges (a, b, w): the [[coPurchase]]
+    * pair build keeping its support count, mapped to the integer edge
+    * length w = max(1, 100 div cab) — parts co-bought often are NEAR,
+    * rarely-paired parts are far, and the `div` keeps every length an
+    * exact long so min-plus path sums never touch a double. Both
+    * directions emitted; callers persist across their relaxation
+    * rounds (the query runner owns the cache lifecycle).
+    */
+  def coPurchaseWeighted(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val e = coPurchasePairs(spark, dir, minSupport)
+      .select(col("a"), col("b"), greatest(lit(1L), expr("100 div cab")).as("w"))
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b"), col("w")))
   }
 
   /** [[coPurchase]] symmetrized to both directions — the undirected

@@ -3169,6 +3169,53 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
   }
 
+  /** q320: multi-source WEIGHTED shortest paths — 4 Bellman–Ford
+    * relaxation rounds from the 3 lowest-id nodes of the weighted
+    * co-purchase graph ([[graft.operators.Edges.coPurchaseWeighted]]:
+    * integer edge length 100 div support, so frequent pairings are
+    * short hops), reporting the 100 nearest reached nodes in (dist,
+    * node) order. q203's frontier-join shape generalized from hop
+    * counting to min-plus: each round relaxes ONLY the edges leaving
+    * nodes whose distance improved in the previous round — the classic
+    * delta-frontier refinement, provably equal after r rounds to the
+    * textbook relax-everything Bellman–Ford the oracle unrolls (an
+    * edge (a,b) relaxed against a's final round-(r-1) value in either
+    * scheme; a non-improved a re-contributes nothing). DETERMINISM:
+    * long weights, min agg, (dist, node) total order for the limit.
+    * Scale shape: per round ONE frontier⋈edges equi-join + one
+    * node-keyed min agg + one full-outer merge on node — frontier is
+    * the small side and SHRINKS as distances converge (the relax-all
+    * formulation re-joins the whole reached set every round and only
+    * widens); state is one (node, dist) row per reached node, each
+    * round's result persisted so round r+1 reads a materialized
+    * frontier instead of recomputing the lineage 2^r times. At 100 TB
+    * the edge table is pre-partitioned on the source endpoint once
+    * (q37's trick) and every round reuses that one exchange.
+    */
+  def q320WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Edges.coPurchaseWeighted(spark, dir).persist()
+    val seeds = e.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(3).withColumn("dist", lit(0L))
+    var dist = seeds.select(col("node"), col("dist")).persist()
+    var frontier = dist
+    val Inf = Long.MaxValue
+    for (_ <- 1 to 4) {
+      val relax = e
+        .join(frontier.select(col("node").as("a"), col("dist").as("da")), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(min(col("da") + col("w")).as("cand"))
+      val merged = dist.join(relax, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), lit(Inf)),
+            coalesce(col("cand"), lit(Inf))).as("dist"),
+          (col("dist").isNull || (col("cand") < col("dist"))).as("improved"))
+        .persist()
+      frontier = merged.filter(col("improved")).select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
+    }
+    dist.orderBy(col("dist").asc, col("node").asc).limit(100)
+  }
+
   /** q239: declarative data-quality expectations — the dbt-test /
     * Great-Expectations-style gate a pipeline runs before publishing a
     * table: six rules (price positivity, date range, status domain,
@@ -4045,6 +4092,7 @@ object RelationalQueries {
     "q206_woe_encoding" -> q206WoeEncoding _,
     "q202_max_concurrency" -> q202MaxConcurrency _,
     "q203_bfs_hops" -> q203BfsHops _,
+    "q320_weighted_sssp" -> q320WeightedSssp _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
     "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
@@ -5068,6 +5116,39 @@ object RelationalQueries {
         |  SELECT node, hop FROM d2 UNION ALL SELECT node, 3 FROM f3) GROUP BY node)
         |SELECT hop, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_checksum
         |FROM d3 GROUP BY 1""".stripMargin,
+    // same weighted co-purchase edges (100 div support), same 3 seeds,
+    // 4 unrolled relax-everything Bellman-Ford rounds (provably equal
+    // to the Spark side's delta-frontier after the same round count),
+    // same (dist, node)-ordered top-100
+    "q320_weighted_sssp" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b, count(*) AS cab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ew AS (
+        |  SELECT a, b, greatest(1, 100 // cab) AS w FROM e0
+        |  UNION ALL
+        |  SELECT b AS a, a AS b, greatest(1, 100 // cab) AS w FROM e0),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+        |  SELECT DISTINCT a AS node FROM ew ORDER BY node LIMIT 3)),
+        |r1 AS (SELECT ew.b AS node, min(d0.dist + ew.w) AS cand
+        |       FROM ew JOIN d0 ON ew.a = d0.node GROUP BY 1),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL SELECT node, cand FROM r1) GROUP BY 1),
+        |r2 AS (SELECT ew.b AS node, min(d1.dist + ew.w) AS cand
+        |       FROM ew JOIN d1 ON ew.a = d1.node GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL SELECT node, cand FROM r2) GROUP BY 1),
+        |r3 AS (SELECT ew.b AS node, min(d2.dist + ew.w) AS cand
+        |       FROM ew JOIN d2 ON ew.a = d2.node GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL SELECT node, cand FROM r3) GROUP BY 1),
+        |r4 AS (SELECT ew.b AS node, min(d3.dist + ew.w) AS cand
+        |       FROM ew JOIN d3 ON ew.a = d3.node GROUP BY 1),
+        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3 UNION ALL SELECT node, cand FROM r4) GROUP BY 1)
+        |SELECT node, dist FROM d4 ORDER BY dist, node LIMIT 100""".stripMargin,
     // same md5(b|i) mod n draws over the same o_orderkey row order, same
     // rank-5/rank-195 order-statistic CI, same decimal grand-sum estimate
     "q204_bootstrap_ci" ->

@@ -93,8 +93,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // containment pairs: same shared-shingle skeleton as q32
         "q194_containment_pairs",
         // graph rounds: co-purchase edges and every propagation/frontier
-        // round must stay order-/node-keyed
-        "q199_label_propagation", "q203_bfs_hops",
+        // round must stay order-/node-keyed (q320: weighted relax rounds
+        // join frontier on the source endpoint, merge full-outer on node)
+        "q199_label_propagation", "q203_bfs_hops", "q320_weighted_sssp",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²
