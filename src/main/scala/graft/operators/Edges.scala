@@ -92,6 +92,47 @@ object Edges {
       .distinct()
   }
 
+  /** Bounded-round multi-source Bellman–Ford over a weighted directed
+    * edge list (a, b, w) from `seeds` (node, dist) rows: `rounds`
+    * min-plus relaxations, returning the reached (node, dist) set.
+    * With `deltaFrontier` (the default, and q320's production shape)
+    * each round relaxes ONLY edges leaving nodes whose distance
+    * improved in the previous round; with it off, every round re-joins
+    * the whole reached set (the textbook relax-everything form). The
+    * two are provably equal after the same round count — an edge
+    * (a, b) is relaxed against a's final round-(r-1) value in either
+    * scheme, and a source that did not improve re-contributes nothing
+    * — and Round10Spec pins that equality on hand graphs and the
+    * corpus fixture. Each round's merge is persisted (round r+1 reads
+    * BOTH the dist and frontier views of it, so an uncut lineage
+    * recomputes all earlier rounds 2^r times); the query runner frees
+    * the caches.
+    */
+  def shortestPaths(
+      e: DataFrame, seeds: DataFrame, rounds: Int,
+      deltaFrontier: Boolean = true): DataFrame = {
+    val Inf = Long.MaxValue
+    var dist = seeds.select(col("node"), col("dist")).persist()
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val relax = e
+        .join(frontier.select(col("node").as("a"), col("dist").as("da")), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(min(col("da") + col("w")).as("cand"))
+      val merged = dist.join(relax, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), lit(Inf)),
+            coalesce(col("cand"), lit(Inf))).as("dist"),
+          (col("dist").isNull || (col("cand") < col("dist"))).as("improved"))
+        .persist()
+      frontier =
+        if (deltaFrontier) merged.filter(col("improved")).select(col("node"), col("dist"))
+        else merged.select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
+    }
+    dist
+  }
+
   /** S-way SALTED score-propagation join — `edges ⋈ scores` on `key`,
     * the per-round shuffle of every bounded-round graph loop (HITS
     * half-steps, LPA rounds, PPR inflow). A power-law hub concentrates

@@ -3196,24 +3196,8 @@ object RelationalQueries {
     val e = graft.operators.Edges.coPurchaseWeighted(spark, dir).persist()
     val seeds = e.select(col("a").as("node")).distinct()
       .orderBy(col("node")).limit(3).withColumn("dist", lit(0L))
-    var dist = seeds.select(col("node"), col("dist")).persist()
-    var frontier = dist
-    val Inf = Long.MaxValue
-    for (_ <- 1 to 4) {
-      val relax = e
-        .join(frontier.select(col("node").as("a"), col("dist").as("da")), Seq("a"))
-        .groupBy(col("b").as("node"))
-        .agg(min(col("da") + col("w")).as("cand"))
-      val merged = dist.join(relax, Seq("node"), "full")
-        .select(col("node"),
-          least(coalesce(col("dist"), lit(Inf)),
-            coalesce(col("cand"), lit(Inf))).as("dist"),
-          (col("dist").isNull || (col("cand") < col("dist"))).as("improved"))
-        .persist()
-      frontier = merged.filter(col("improved")).select(col("node"), col("dist"))
-      dist = merged.select(col("node"), col("dist"))
-    }
-    dist.orderBy(col("dist").asc, col("node").asc).limit(100)
+    graft.operators.Edges.shortestPaths(e, seeds, rounds = 4)
+      .orderBy(col("dist").asc, col("node").asc).limit(100)
   }
 
   /** q239: declarative data-quality expectations — the dbt-test /

@@ -306,6 +306,39 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
       s"star prediction wrong: ${s.toSet}")
   }
 
+  test("shortestPaths: delta-frontier equals relax-everything, exact on a hand graph") {
+    import spark.implicits._
+    // weighted digraph with a shortcut discovered LATE: the direct
+    // 1->4 edge (50) is beaten in round 3 by 1->2->3->4 (30), and the
+    // improvement must re-open 4's out-edge so round 4 pulls d(5) from
+    // 51 down to 31 — the case where a frontier that failed to re-admit
+    // an improved node would freeze a stale distance
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L),
+      (1L, 4L, 50L), (4L, 5L, 1L)).toDF("a", "b", "w")
+    val seeds = Seq((1L, 0L)).toDF("node", "dist")
+    val want = Set((1L, 0L), (2L, 10L), (3L, 20L), (4L, 30L), (5L, 31L))
+    for (delta <- Seq(true, false)) {
+      val got = graft.operators.Edges.shortestPaths(e, seeds, 4, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sweep()
+      assert(got == want, s"deltaFrontier=$delta: $got")
+    }
+    // and on the corpus graph: the full reached (node, dist) set of the
+    // q320 shape is bit-identical between the two relaxation schemes
+    val ew = graft.operators.Edges.coPurchaseWeighted(spark, sfDir).persist()
+    val s3 = ew.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(3).withColumn("dist", lit(0L))
+    val byScheme = Seq(true, false).map { delta =>
+      val d = graft.operators.Edges.shortestPaths(ew, s3, 4, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      d
+    }
+    sweep()
+    assert(byScheme(0) == byScheme(1),
+      s"corpus schemes differ: ${byScheme(0).size} vs ${byScheme(1).size} rows")
+    assert(byScheme(0).nonEmpty)
+  }
+
   test("q311 step 1 is q40-exact relevance: the greedy loop starts from rank 1") {
     val mmrFirst = SparkEntry.queries("q311_mmr_rerank")(spark, sfDir)
       .filter(col("step") === 1)
