@@ -218,6 +218,53 @@ object Edges {
   def triangleCount(e: DataFrame): DataFrame =
     triangleTriples(e).agg(count(lit(1)).as("n_triangles"))
 
+  /** Per-edge triangle SUPPORT (a, b, sup) over a canonical (a < b)
+    * distinct edge list: each degree-oriented closed triple credits its
+    * three id-canonicalized edges, one edge-keyed count agg. Edges in
+    * no triangle produce no row (support 0 by absence) — the truss
+    * peel's semi-join reads that absence as removal. Same
+    * power-law-safe wedge plan as [[triangleCount]].
+    */
+  def edgeSupport(e: DataFrame): DataFrame =
+    triangleTriples(e)
+      .select(explode(array(
+        struct(least(col("src"), col("y")).as("a"),
+          greatest(col("src"), col("y")).as("b")),
+        struct(least(col("src"), col("z")).as("a"),
+          greatest(col("src"), col("z")).as("b")),
+        struct(col("y").as("a"), col("z").as("b")))).as("ed"))
+      .groupBy(col("ed.a").as("a"), col("ed.b").as("b"))
+      .agg(count(lit(1)).as("sup"))
+
+  /** Bounded-round k-TRUSS peel (Cohen 2008) over a canonical (a < b)
+    * distinct edge list: each round recomputes per-edge triangle
+    * support over the SURVIVING edges and semi-joins away every edge
+    * supported by fewer than k−2 triangles — removals cascade because
+    * a dropped edge kills its triangles' support next round. Returns
+    * the round-0..rounds edge sets (round 0 = input); at fixpoint the
+    * remaining rounds are no-ops re-proving stability. Each round's
+    * survivor set is localCheckpoint-ed, not merely persisted: a round
+    * reads its predecessor FOUR times (both wedge sides, the closure
+    * canon, the semi-join left), so an uncut lineage re-embeds the
+    * whole edge build ~4^r times into round r's plan and the codegen
+    * alone exhausts the driver heap — the checkpoint truncates the
+    * plan at the materialized blocks (the q311 lesson). The runner's
+    * sweep frees the blocks. Scale shape per round: one degree-oriented wedge join
+    * (out-degree O(√|E|) under the orientation bound) + one edge-keyed
+    * count agg + one edge-keyed semi-join — never an all-pairs step.
+    */
+  def ktruss(e0: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
+    require(k >= 3, "ktruss needs k >= 3")
+    var cur = e0.localCheckpoint()
+    val out = scala.collection.mutable.Buffer(cur)
+    for (_ <- 1 to rounds) {
+      val keep = edgeSupport(cur).filter(col("sup") >= k - 2)
+      cur = cur.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+      out += cur
+    }
+    out.toSeq
+  }
+
   /** Per-node triangle participation (node, n_tri): every closed triple
     * credits its three corners — Σ n_tri = 3 × [[triangleCount]] by
     * construction. Same degree-oriented wedge plan, one extra explode +

@@ -3200,6 +3200,35 @@ object RelationalQueries {
       .orderBy(col("dist").asc, col("node").asc).limit(100)
   }
 
+  /** q321: 3-truss of the co-purchase graph — 3 bounded support-peel
+    * rounds ([[graft.operators.Edges.ktruss]]): every edge must sit in
+    * at least k−2 = 1 triangle among SURVIVING edges, the
+    * cohesive-subgraph operator between triangle counting (q150) and
+    * k-core (q275) — k-core bounds degree, k-truss bounds triangle
+    * support, so it prunes hub-spoke stars that k-core keeps. Output
+    * is the per-round census (edges remaining + endpoint checksums)
+    * for rounds 0–3. At the fixture the peel converges in one round
+    * (support-1 edges lose nothing by removing triangle-free edges);
+    * the CASCADE — a removal starving a neighbor edge next round — is
+    * pinned on a hand graph in Round10Spec where two triangles share
+    * an edge and k = 4 peels them over two rounds. DETERMINISM: exact
+    * integer supports, census aggregates. Scale shape per round: the
+    * degree-oriented wedge join (out-degree O(√|E|)), one edge-keyed
+    * count agg, one edge-keyed semi-join; never all-pairs, each
+    * round's survivor set persisted.
+    */
+  def q321Ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.operators.Edges.coPurchase(spark, dir)
+    val rounds = graft.operators.Edges.ktruss(e0, k = 3, rounds = 3)
+    rounds.zipWithIndex.map { case (df, r) =>
+      df.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(col("a")), lit(0L)).as("sum_a"),
+        coalesce(sum(col("b")), lit(0L)).as("sum_b"))
+        .select(lit(r).as("peel_round"), col("n_edges"),
+          col("sum_a"), col("sum_b"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q239: declarative data-quality expectations — the dbt-test /
     * Great-Expectations-style gate a pipeline runs before publishing a
     * table: six rules (price positivity, date range, status domain,
@@ -4077,6 +4106,7 @@ object RelationalQueries {
     "q202_max_concurrency" -> q202MaxConcurrency _,
     "q203_bfs_hops" -> q203BfsHops _,
     "q320_weighted_sssp" -> q320WeightedSssp _,
+    "q321_ktruss" -> q321Ktruss _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
     "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
@@ -5133,6 +5163,41 @@ object RelationalQueries {
         |d4 AS (SELECT node, min(dist) AS dist FROM (
         |  SELECT node, dist FROM d3 UNION ALL SELECT node, cand FROM r4) GROUP BY 1)
         |SELECT node, dist FROM d4 ORDER BY dist, node LIMIT 100""".stripMargin,
+    // same canonical co-purchase edges, same three unrolled peel rounds
+    // (triangle enumeration over a<b edges finds each once as
+    // (x,y),(y,z),(x,z); support = per-edge triangle count; keep >= 1)
+    "q321_ktruss" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1
+        |       JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |s1 AS (SELECT a, b FROM (
+        |  SELECT x AS a, y AS b FROM t1 UNION ALL SELECT y, z FROM t1
+        |  UNION ALL SELECT x, z FROM t1) GROUP BY 1, 2 HAVING count(*) >= 1),
+        |e1 AS (SELECT e.a, e.b FROM e0 e JOIN s1 USING (a, b)),
+        |t2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e1 e1
+        |       JOIN e1 e2 ON e2.a = e1.b JOIN e1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |s2 AS (SELECT a, b FROM (
+        |  SELECT x AS a, y AS b FROM t2 UNION ALL SELECT y, z FROM t2
+        |  UNION ALL SELECT x, z FROM t2) GROUP BY 1, 2 HAVING count(*) >= 1),
+        |e2 AS (SELECT e.a, e.b FROM e1 e JOIN s2 USING (a, b)),
+        |t3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e2 e1
+        |       JOIN e2 e2 ON e2.a = e1.b JOIN e2 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |s3 AS (SELECT a, b FROM (
+        |  SELECT x AS a, y AS b FROM t3 UNION ALL SELECT y, z FROM t3
+        |  UNION ALL SELECT x, z FROM t3) GROUP BY 1, 2 HAVING count(*) >= 1),
+        |e3 AS (SELECT e.a, e.b FROM e2 e JOIN s3 USING (a, b))
+        |SELECT 0 AS peel_round, count(*) AS n_edges,
+        |       CAST(coalesce(sum(a), 0) AS BIGINT) AS sum_a,
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) AS sum_b FROM e0
+        |UNION ALL SELECT 1, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e1
+        |UNION ALL SELECT 2, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e2
+        |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e3""".stripMargin,
     // same md5(b|i) mod n draws over the same o_orderkey row order, same
     // rank-5/rank-195 order-statistic CI, same decimal grand-sum estimate
     "q204_bootstrap_ci" ->

@@ -108,7 +108,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // must be partition-order invariant across all five model joins;
     // the weighted-SSSP frontier rounds must converge to the same
     // distances whatever the relax-join's partitioning
-    "q319_backoff_lm", "q320_weighted_sssp")
+    "q319_backoff_lm", "q320_weighted_sssp",
+    // truss peel: exact integer supports, census aggregates
+    "q321_ktruss")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

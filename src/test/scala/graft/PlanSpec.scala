@@ -96,6 +96,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // round must stay order-/node-keyed (q320: weighted relax rounds
         // join frontier on the source endpoint, merge full-outer on node)
         "q199_label_propagation", "q203_bfs_hops", "q320_weighted_sssp",
+        // truss peel: wedge joins + edge-keyed semi-joins only
+        "q321_ktruss",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²

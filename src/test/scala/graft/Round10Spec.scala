@@ -339,6 +339,26 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(byScheme(0).nonEmpty)
   }
 
+  test("ktruss: the peel cascades — a removal starves its neighbor edges next round") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3): supports are (2,3)=2 and 1 for
+    // the four outer edges. k=4 (support >= 2) removes the outer edges
+    // in round 1, which starves (2,3) of BOTH its triangles, so round 2
+    // removes it too — the fixture's k=3 converges in one round and
+    // cannot exercise this two-step cascade
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val rounds = graft.operators.Edges.ktruss(e, k = 4, rounds = 2)
+    val sizes = rounds.map(_.count())
+    val survivors = rounds(1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sweep()
+    assert(sizes == Seq(5L, 1L, 0L), s"peel sizes: $sizes")
+    assert(survivors == Set((2L, 3L)), s"round-1 survivor: $survivors")
+    // k=3 on the same graph is already a 3-truss: nothing peels
+    val stable = graft.operators.Edges.ktruss(e, k = 3, rounds = 2).map(_.count())
+    sweep()
+    assert(stable == Seq(5L, 5L, 5L), s"k=3 must be stable: $stable")
+  }
+
   test("q311 step 1 is q40-exact relevance: the greedy loop starts from rank 1") {
     val mmrFirst = SparkEntry.queries("q311_mmr_rerank")(spark, sfDir)
       .filter(col("step") === 1)
