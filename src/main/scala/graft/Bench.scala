@@ -72,7 +72,14 @@ object Bench {
     // round-10 flagship: binary-quantization ANN — the 1-bit serving
     // rung (16 B/vector codes, xor+popcount shortlist, candidate-sized
     // exact rerank)
-    "q301_binary_quant_ann")
+    "q301_binary_quant_ann",
+    // round-10 continued: the stupid-backoff trigram LM (three count
+    // aggs + five keyed scoring joins — the sharded n-gram serving
+    // plan), delta-frontier weighted shortest paths, and the k-truss
+    // support peel (wedge joins + edge-keyed semi-joins per round)
+    "q319_backoff_lm",
+    "q320_weighted_sssp",
+    "q321_ktruss")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
