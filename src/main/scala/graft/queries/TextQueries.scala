@@ -401,8 +401,148 @@ object TextQueries {
         round(col("s") / 1e9 / col("n_scored"), 6).as("avg_nll"))
   }
 
+  /** q322: interpolated Kneser–Ney bigram language model — the
+    * NORMALIZED complement to q319's stupid backoff (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form). Train bigram counts on
+    * the q71 'train' split and score every 'test'-split bigram position
+    * with absolute discounting D = 0.75 interpolated against the
+    * continuation distribution:
+    *
+    *   P(v|u) = (max(c(u,v) − D, 0) + D·N1+(u,•)·Pcont(v)) / c(u,•)
+    *   Pcont(v) = (N1+(•,v) + 1) / (B + V + 1)
+    *
+    * where N1+(u,•)/N1+(•,v) are distinct follower/predecessor type
+    * counts, B = distinct bigram types, V = train vocabulary size —
+    * Pcont carries add-one smoothing over vocab ∪ {OOV} so it is a
+    * proper distribution with no zero, and an unseen context u backs
+    * off to Pcont(v) alone (λ = 1). Every quantity is a ratio of exact
+    * integer TYPE/token counts, so unlike stupid backoff the model is a
+    * true probability (sums to 1 per context) — the cost is exactly the
+    * normalization passes q319 avoids, and the plan shows they are
+    * cheap: both (c(u,•), N1+(u,•)) and N1+(•,v) derive from the bigram
+    * count table by ONE more hash agg each, grain = bigram/unigram
+    * TYPES, not tokens. DETERMINISM: per-position -ln P is 1e9-quantized
+    * to a long before the per-doc sum (q319's idiom); the double ops per
+    * position are fixed-order mul/div/add of exactly-representable
+    * integers + one ln. Scale shape: model build = one token-grain
+    * bigram agg + two type-grain aggs + two 1-row totals; scoring = the
+    * test bigram stream through THREE keyed joins (bigram, context,
+    * continuation — the same Brants sharded-serving shape as q319) +
+    * two 1-row broadcasts; rollup one doc-keyed agg. Docs with < 2
+    * words have no scored position and produce no row.
+    */
+  def q322KneserNeyLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wd = docs(s, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
+          .otherwise(when(substring(md5(col("doc_id").cast("string")), 1, 2) < "34", "val")
+            .otherwise("train")))
+    def bis(df: DataFrame) = df.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(
+            element_at(col("w"), i).as("u"),
+            element_at(col("w"), i + 1).as("v")))).as("g"))
+      .select(col("doc_id"), col("g.u"), col("g.v"))
+    val train = wd.filter(col("split") === "train")
+    val c2 = bis(train).groupBy("u", "v").agg(count(lit(1)).as("c2")).persist()
+    val ctx = c2.groupBy("u")
+      .agg(sum(col("c2")).as("cctx"), count(lit(1)).as("n1f"))
+    val np = c2.groupBy("v").agg(count(lit(1)).as("n1p"))
+    val bt = c2.agg(count(lit(1)).as("btypes"))
+    val vc = train.select(explode(col("w")).as("word")).distinct()
+      .agg(count(lit(1)).as("v_sz"))
+    val test = bis(wd.filter(col("split") === "test"))
+    // fixed-order IEEE ops, mirrored verbatim in the oracle SQL
+    val pcont = (coalesce(col("n1p"), lit(0L)) + 1).cast("double") /
+      (col("btypes") + col("v_sz") + 1)
+    val p = when(col("cctx").isNotNull,
+      (greatest(coalesce(col("c2"), lit(0L)).cast("double") - 0.75, lit(0.0))
+        + lit(0.75) * col("n1f").cast("double") * pcont) / col("cctx").cast("double"))
+      .otherwise(pcont)
+    test
+      .join(c2, Seq("u", "v"), "left")
+      .join(ctx, Seq("u"), "left")
+      .join(np, Seq("v"), "left")
+      .crossJoin(broadcast(bt))
+      .crossJoin(broadcast(vc))
+      .select(col("doc_id"), round(-log(p) * 1e9).cast("long").as("lq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum(col("lq")).as("s"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("s") / 1e9 / col("n_scored"), 6).as("avg_nll"))
+  }
+
+  /** q323: hashed n-gram importance resampling — the DSIR recipe (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): featurize every document as counts over 1024 hashed
+    * unigram+bigram buckets, fit add-one-smoothed bucket distributions
+    * for the TARGET domain (lang = 'en') and the RAW pool (all docs),
+    * and score each document with its log importance weight
+    * Σ_b n_doc(b) · ln(p_target(b)/p_raw(b)); report the top-50 non-'en'
+    * docs by (weight desc, doc_id) — the "select raw data that looks
+    * like the target" primitive of modern pretraining curation.
+    * DETERMINISM: each bucket's log-ratio is computed once from exact
+    * integer counts (the ratio is formed as a quotient of two exact-
+    * rounded double PRODUCTS so 100 TB count magnitudes cannot overflow
+    * a long) and 1e9-quantized to a long; the per-doc score is then an
+    * exact INTEGER dot product n_doc(b)·lq(b) — order-free. Bucket =
+    * md5 6-hex-prefix mod 1024 (q81's reproducible-hash idiom).
+    * Scale shape: the token-grain work is ONE (doc, bucket) hash agg
+    * and one (bucket) hash agg each for target/raw (all map-side
+    * combinable); the model is a ≤1024-row broadcast; selection is one
+    * bounded TakeOrdered. No windows, no driver state.
+    */
+  def q323ImportanceResampling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wd = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+    val uni = wd.filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("g"))
+    val big = wd.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ",
+            element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
+    val grams = uni.unionByName(big)
+      .withColumn("bkt",
+        conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % 1024)
+    val docBkt = grams.groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("n")).persist()
+    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val tots = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    // every gram bucket appears in raw (target docs ⊆ pool), so the
+    // left join's null side is only ever the target count
+    val lqTab = raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bkt"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            * (col("nr") + 1024).cast("double"))
+            / ((col("cr") + 1).cast("double")
+              * (col("nt") + 1024).cast("double"))) * 1e9)
+          .cast("long").as("lq"))
+    docBkt.join(broadcast(lqTab), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("lq")).as("wq"), sum(col("n")).as("n_feats"))
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("lang") =!= "en")
+      .orderBy(col("wq").desc, col("doc_id").asc)
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        round(col("wq") / 1e9, 6).as("log_importance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q319_backoff_lm" -> (q319BackoffLm _),
+    "q322_kneser_ney_lm" -> (q322KneserNeyLm _),
+    "q323_importance_resampling" -> (q323ImportanceResampling _),
     // q253: tokenizer fertility by (source, lang) — per corpus slice,
     // the cost profile a training pipeline reads before budgeting
     // tokens: document/char/word counts, sub-token count under the
@@ -1653,6 +1793,89 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_scored,
          |       round(CAST(sum(lq) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
          |FROM sc GROUP BY 1""".stripMargin,
+    // same q71 md5 split, same bigram/type-count tables, same
+    // interpolated-KN formula with identical IEEE operation order,
+    // same 1e9-quantized -ln sum
+    "q322_kneser_ney_lm" ->
+      s"""$WordsCte,
+         |sp AS (
+         |  SELECT doc_id, w,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM wd),
+         |bi AS (
+         |  SELECT doc_id, split, g.u AS u, g.v AS v FROM (
+         |    SELECT doc_id, split,
+         |           unnest(list_transform(range(1, len(w)),
+         |                  i -> {'u': w[i], 'v': w[i+1]})) AS g
+         |    FROM sp)),
+         |c2 AS (SELECT u, v, count(*) AS c2 FROM bi
+         |       WHERE split = 'train' GROUP BY 1, 2),
+         |ctx AS (SELECT u, sum(c2) AS cctx, count(*) AS n1f FROM c2 GROUP BY 1),
+         |np AS (SELECT v, count(*) AS n1p FROM c2 GROUP BY 1),
+         |bt AS (SELECT count(*) AS btypes FROM c2),
+         |vc AS (SELECT count(DISTINCT word) AS v_sz FROM (
+         |  SELECT unnest(w) AS word FROM sp WHERE split = 'train')),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(-ln(
+         |           CASE WHEN ctx.cctx IS NOT NULL
+         |                THEN (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+         |                      + 0.75 * CAST(ctx.n1f AS DOUBLE)
+         |                        * (CAST(coalesce(np.n1p, 0) + 1 AS DOUBLE)
+         |                           / (bt.btypes + vc.v_sz + 1)))
+         |                     / CAST(ctx.cctx AS DOUBLE)
+         |                ELSE CAST(coalesce(np.n1p, 0) + 1 AS DOUBLE)
+         |                     / (bt.btypes + vc.v_sz + 1)
+         |           END) * 1e9) AS BIGINT) AS lq
+         |  FROM bi t
+         |  LEFT JOIN c2 ON c2.u = t.u AND c2.v = t.v
+         |  LEFT JOIN ctx ON ctx.u = t.u
+         |  LEFT JOIN np ON np.v = t.v
+         |  CROSS JOIN bt CROSS JOIN vc
+         |  WHERE t.split = 'test')
+         |SELECT doc_id, count(*) AS n_scored,
+         |       round(CAST(sum(lq) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
+         |FROM sc GROUP BY 1""".stripMargin,
+    // same 1024 md5-bucket features, same add-one bucket distributions,
+    // same quantized per-bucket log-ratio then exact integer dot product,
+    // same (weight desc, doc_id) top-50 over non-'en' docs
+    "q323_importance_resampling" ->
+      s"""$WordsCte,
+         |dl AS (SELECT doc_id, lang FROM documents),
+         |gr AS (
+         |  SELECT wd.doc_id, dl.lang, g,
+         |         CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 1024 AS bkt
+         |  FROM (
+         |    SELECT doc_id, unnest(w) AS g FROM wd
+         |    UNION ALL
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(w)),
+         |                  i -> w[i] || ' ' || w[i+1])) AS g
+         |    FROM wd) wd
+         |  JOIN dl ON dl.doc_id = wd.doc_id),
+         |db AS (SELECT doc_id, bkt, count(*) AS n FROM gr GROUP BY 1, 2),
+         |raw AS (SELECT bkt, count(*) AS cr FROM gr GROUP BY 1),
+         |tgt AS (SELECT bkt, count(*) AS ct FROM gr WHERE lang = 'en' GROUP BY 1),
+         |tots AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+         |                (SELECT sum(ct) FROM tgt) AS nt),
+         |lqt AS (
+         |  SELECT raw.bkt,
+         |         CAST(round(ln(
+         |           (CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE)
+         |              * CAST(tots.nr + 1024 AS DOUBLE))
+         |           / (CAST(raw.cr + 1 AS DOUBLE)
+         |              * CAST(tots.nt + 1024 AS DOUBLE))) * 1e9) AS BIGINT) AS lq
+         |  FROM raw LEFT JOIN tgt ON tgt.bkt = raw.bkt CROSS JOIN tots),
+         |wt AS (
+         |  SELECT db.doc_id, sum(db.n * lqt.lq) AS wq, sum(db.n) AS n_feats
+         |  FROM db JOIN lqt ON lqt.bkt = db.bkt GROUP BY 1)
+         |SELECT wt.doc_id, dl.lang, CAST(wt.n_feats AS BIGINT) AS n_feats,
+         |       round(CAST(wt.wq AS BIGINT) / 1e9, 6) AS log_importance
+         |FROM wt JOIN dl ON dl.doc_id = wt.doc_id
+         |WHERE dl.lang <> 'en'
+         |ORDER BY wt.wq DESC, wt.doc_id ASC LIMIT 50""".stripMargin,
     // same >=3-char vocabulary, same (freq desc, word asc) top-3 per
     // prefix
     "q277_autocomplete" ->

@@ -110,7 +110,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // distances whatever the relax-join's partitioning
     "q319_backoff_lm", "q320_weighted_sssp",
     // truss peel: exact integer supports, census aggregates
-    "q321_ktruss")
+    "q321_ktruss",
+    // Kneser-Ney: quantized-NLL sums across three model joins;
+    // DSIR: quantized bucket log-ratios then exact integer dot product
+    "q322_kneser_ney_lm", "q323_importance_resampling")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
