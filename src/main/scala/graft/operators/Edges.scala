@@ -305,4 +305,49 @@ object Edges {
       .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
       .join(e0, Seq("a", "b"), "left_anti")
   }
+
+  /** Bounded-round deterministic greedy matching over a canonical
+    * (a < b) distinct edge list — the mutual-minimum handshake (the
+    * deterministic core of Israeli–Itai style distributed matching):
+    * each round every ACTIVE node proposes to its minimum-id active
+    * neighbor, an edge joins the matching iff both endpoints proposed
+    * each other, matched nodes leave the graph, and the survivor edges
+    * feed the next round. Every round matches at least one edge of any
+    * non-empty residual graph (the globally minimum active edge is
+    * always mutual), so `rounds` rounds yield a maximal matching on
+    * graphs whose residual shrinks fast — and the per-round matched
+    * set is always a valid matching by the mutual condition. Returns
+    * the per-round matched edge sets (size `rounds`). DETERMINISM:
+    * min-id proposals are exact integer aggregates, no tie possible
+    * (neighbor sets are sets). Scale shape per round: one node-keyed
+    * min agg over the symmetrized survivor edges + one self-equi-join
+    * of the node-grain proposal table on (u,v)=(v,u) + two node-keyed
+    * anti-joins — never all-pairs. The survivor set is
+    * localCheckpoint-ed each round (read three times by round r+1:
+    * both symmetrization arms + the anti-join left — the q321 lineage
+    * lesson); the runner's sweep frees the blocks.
+    */
+  def greedyMatching(e0: DataFrame, rounds: Int): Seq[DataFrame] = {
+    var cur = e0.localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val dir = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("v")))
+      val prop = dir.groupBy("u").agg(min(col("v")).as("v"))
+      val matched = prop.as("p")
+        .join(prop.as("q"),
+          col("p.u") === col("q.v") && col("p.v") === col("q.u"))
+        .filter(col("p.u") < col("p.v"))
+        .select(col("p.u").as("a"), col("p.v").as("b"))
+        .localCheckpoint()
+      out += matched
+      val mn = matched.select(col("a").as("n"))
+        .unionByName(matched.select(col("b").as("n")))
+      cur = cur
+        .join(mn, cur("a") === mn("n"), "left_anti")
+        .join(mn, cur("b") === mn("n"), "left_anti")
+        .localCheckpoint()
+    }
+    out.toSeq
+  }
 }

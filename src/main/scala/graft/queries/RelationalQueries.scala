@@ -3229,6 +3229,34 @@ object RelationalQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q324: greedy maximal matching over the co-purchase graph — 3
+    * mutual-minimum handshake rounds ([[graft.operators.Edges
+    * .greedyMatching]]): each round every active node proposes to its
+    * minimum-id active neighbor, edges matched iff both endpoints
+    * proposed each other, matched nodes leave. The matching primitive
+    * under pairwise dedup-merge scheduling and graph coarsening — and
+    * the third bounded-round peel shape beside k-truss (q321, removes
+    * EDGES by support) and k-core (q275, by degree): this one removes
+    * NODES by pairing. Output = per-round census (pairs matched +
+    * endpoint checksums), rounds 1–3. DETERMINISM: min-id proposals
+    * are exact integer aggregates over neighbor SETS — no ties exist.
+    * Scale shape per round: one node-keyed min agg + one node-grain
+    * proposal self-join + two anti-joins; survivor edges
+    * localCheckpoint-ed against the 3-reads-per-round lineage blowup
+    * (the q321 lesson). The oracle unrolls the three rounds.
+    */
+  def q324GreedyMatching(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.operators.Edges.coPurchase(spark, dir)
+    val rounds = graft.operators.Edges.greedyMatching(e0, rounds = 3)
+    rounds.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_matched"),
+        coalesce(sum(col("a")), lit(0L)).as("sum_a"),
+        coalesce(sum(col("b")), lit(0L)).as("sum_b"))
+        .select(lit(i + 1).as("round"), col("n_matched"),
+          col("sum_a"), col("sum_b"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q239: declarative data-quality expectations — the dbt-test /
     * Great-Expectations-style gate a pipeline runs before publishing a
     * table: six rules (price positivity, date range, status domain,
@@ -4107,6 +4135,7 @@ object RelationalQueries {
     "q203_bfs_hops" -> q203BfsHops _,
     "q320_weighted_sssp" -> q320WeightedSssp _,
     "q321_ktruss" -> q321Ktruss _,
+    "q324_greedy_matching" -> q324GreedyMatching _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
     "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
@@ -5198,6 +5227,39 @@ object RelationalQueries {
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e2
         |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e3""".stripMargin,
+    // same canonical co-purchase edges, same three unrolled
+    // mutual-min handshake rounds (proposals = min active neighbor,
+    // matched = mutual pairs, survivors exclude matched endpoints)
+    "q324_greedy_matching" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d1 AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |p1 AS (SELECT u, min(v) AS v FROM d1 GROUP BY 1),
+        |m1 AS (SELECT p.u AS a, p.v AS b FROM p1 p JOIN p1 q
+        |       ON q.u = p.v AND q.v = p.u WHERE p.u < p.v),
+        |n1 AS (SELECT a AS n FROM m1 UNION SELECT b FROM m1),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a NOT IN (SELECT n FROM n1) AND b NOT IN (SELECT n FROM n1)),
+        |d2 AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+        |p2 AS (SELECT u, min(v) AS v FROM d2 GROUP BY 1),
+        |m2 AS (SELECT p.u AS a, p.v AS b FROM p2 p JOIN p2 q
+        |       ON q.u = p.v AND q.v = p.u WHERE p.u < p.v),
+        |n2 AS (SELECT a AS n FROM m2 UNION SELECT b FROM m2),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a NOT IN (SELECT n FROM n2) AND b NOT IN (SELECT n FROM n2)),
+        |d3 AS (SELECT a AS u, b AS v FROM e2 UNION ALL SELECT b, a FROM e2),
+        |p3 AS (SELECT u, min(v) AS v FROM d3 GROUP BY 1),
+        |m3 AS (SELECT p.u AS a, p.v AS b FROM p3 p JOIN p3 q
+        |       ON q.u = p.v AND q.v = p.u WHERE p.u < p.v)
+        |SELECT 1 AS round, count(*) AS n_matched,
+        |       CAST(coalesce(sum(a), 0) AS BIGINT) AS sum_a,
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) AS sum_b FROM m1
+        |UNION ALL SELECT 2, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
+        |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM m3""".stripMargin,
     // same md5(b|i) mod n draws over the same o_orderkey row order, same
     // rank-5/rank-195 order-statistic CI, same decimal grand-sum estimate
     "q204_bootstrap_ci" ->

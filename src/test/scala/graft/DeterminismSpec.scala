@@ -113,7 +113,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q321_ktruss",
     // Kneser-Ney: quantized-NLL sums across three model joins;
     // DSIR: quantized bucket log-ratios then exact integer dot product
-    "q322_kneser_ney_lm", "q323_importance_resampling")
+    "q322_kneser_ney_lm", "q323_importance_resampling",
+    // matching handshake: min-id proposals over neighbor sets
+    "q324_greedy_matching")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -98,6 +98,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "q199_label_propagation", "q203_bfs_hops", "q320_weighted_sssp",
         // truss peel: wedge joins + edge-keyed semi-joins only
         "q321_ktruss",
+        // matching handshake: proposal self-join on (u,v)=(v,u) keys,
+        // node-keyed anti-joins — never all-pairs
+        "q324_greedy_matching",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²

@@ -306,6 +306,40 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
       s"star prediction wrong: ${s.toSet}")
   }
 
+  test("greedyMatching: handshake cascade on a path, star matches once, matching stays valid") {
+    import spark.implicits._
+    // path 1-2-3-4: round 1 matches only (1,2) — node 3 proposes 2,
+    // which prefers 1, and 4 proposes 3, which prefers 2 — so (3,4)
+    // must wait for round 2's residual. Two rounds, one pair each:
+    // the round-2 match EXISTS only because round 1 removed its
+    // blockers, the cascade a single-round formulation can't produce.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val pr = graft.operators.Edges.greedyMatching(path, rounds = 2)
+      .map(_.collect().map(x => (x.getLong(0), x.getLong(1))).toSet)
+    sweep()
+    assert(pr == Seq(Set((1L, 2L)), Set((3L, 4L))),
+      s"path handshake wrong: $pr")
+    // star 1-{2,3,4}: only (1,2) is mutual, and the residual is
+    // edgeless — leaves 3 and 4 stay unmatched forever (a matching
+    // can't pair them), so round 2 must be empty
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val sr = graft.operators.Edges.greedyMatching(star, rounds = 2)
+      .map(_.collect().map(x => (x.getLong(0), x.getLong(1))).toSet)
+    sweep()
+    assert(sr == Seq(Set((1L, 2L)), Set.empty),
+      s"star handshake wrong: $sr")
+    // corpus fixture: the union over rounds is a VALID matching —
+    // no node appears twice across all matched pairs
+    val e0 = graft.operators.Edges.coPurchase(spark, sfDir)
+    val all = graft.operators.Edges.greedyMatching(e0, rounds = 3)
+      .flatMap(_.collect().map(x => (x.getLong(0), x.getLong(1))))
+    sweep()
+    val nodes = all.flatMap(p => Seq(p._1, p._2))
+    assert(nodes.distinct.length == nodes.length,
+      "matched pairs share a node — not a matching")
+    assert(all.nonEmpty, "fixture graph matched nothing")
+  }
+
   test("shortestPaths: delta-frontier equals relax-everything, exact on a hand graph") {
     import spark.implicits._
     // weighted digraph with a shortcut discovered LATE: the direct
