@@ -135,6 +135,41 @@ object Ranking {
         col("t._2").as(idCol), col("t._1").as("bm25"))
   }
 
+  /** [[bm25]] for DATA-DEPENDENT query terms: `terms` arrives as a
+    * 1-column ("word") DataFrame instead of a static Seq, and the tf
+    * restriction is a broadcast equi-join against it rather than a
+    * pivoted per-term column set — the shape query EXPANSION needs,
+    * where the term list is itself the output of an upstream stage
+    * (q326's pseudo-relevance feedback) and never touches the driver.
+    * Same scoring contract as [[bm25]] (k1 = 1.2, b = 0.75, 6dp
+    * rounding, per-(doc, term) emission — no cross-row double sums).
+    * Scale shape: dl is one map-side-combinable doc agg over the token
+    * stream; tf is a second agg over the stream FILTERED by the
+    * broadcast term join (the filter reaches the stream before any
+    * shuffle); df is term-grain. Two stream aggregations vs the static
+    * version's one — the price of not knowing the terms at plan time.
+    */
+  def bm25Dynamic(
+      docs: DataFrame, textCol: String, idCol: String,
+      terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs, textCol, idCol)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.join(broadcast(terms.select("word")), Seq("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf: Column =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm: Column =
+      col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))
+    tf.join(broadcast(dfx), "word")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol), col("word"), col("tf"), col("df"), col("dl"),
+        round(idf * col("tf") * (k1 + 1) / norm, 6).as("bm25"))
+  }
+
   /** Keyword extraction: the top `k` terms per document by
     * (tfidf desc, word asc) — the standard per-doc tag/keyword op over
     * the [[tfidf]] table. Ranking uses the 6dp-rounded score, so order

@@ -303,6 +303,65 @@ object HygieneQueries {
       .select(col("lang"), col("source"), col("n_rows"), col("l_distinct"),
         (col("l_distinct") < 2).cast("int").as("below_l2"))
 
+  /** q325: t-closeness audit — the third rung of the release-privacy
+    * ladder (k-anonymity q154 bounds GROUP SIZE, l-diversity q282
+    * bounds sensitive-value VARIETY, t-closeness — Li, Li &
+    * Venkatasubramanian 2007 — bounds sensitive-value DISTRIBUTION
+    * SKEW): for every quasi-identifier group (lang, source), the Earth
+    * Mover's Distance between the group's length-bucket distribution
+    * and the corpus-wide one, flagged where EMD > 0.2. For an ORDERED
+    * sensitive attribute with unit ground distance the EMD has the
+    * exact closed form (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| over the m
+    * bucket values — and clearing denominators keeps it integral:
+    * |Σ_{j≤i}(c_j/n_g − C_j/N)|·n_g·N = |N·Pc_i − n_g·PC_i| with Pc/PC
+    * the integer prefix counts, so the per-group sum is an exact
+    * DECIMAL aggregate (products in DECIMAL(38,0) — N·Pc overflows a
+    * long near catalog scale) and the ONLY doubles are one division
+    * per output group. DETERMINISM: exact integer/decimal arithmetic,
+    * one fixed-order final division. Scale shape: one corpus scan →
+    * (group, bucket) hash agg; the dense grid is |groups| × m with m
+    * bounded by the bucket domain (a broadcast); prefix counts run
+    * under a window PARTITIONED by group (never corpus-grain); the
+    * global prefix rides the same m-row broadcast domain. Output =
+    * one row per QI group.
+    */
+  def q325TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs(spark, dir)
+      .select(col("lang"), col("source"),
+        floor(col("n_chars") / 100).cast("long").as("len_b"))
+    val cells = b.groupBy("lang", "source", "len_b")
+      .agg(count(lit(1)).as("c"))
+    val glob = b.groupBy("len_b").agg(count(lit(1)).as("cg")).persist()
+    val groups = b.groupBy("lang", "source").agg(count(lit(1)).as("n_g"))
+    val tot = glob.agg(sum(col("cg")).as("n_tot"), count(lit(1)).as("m"))
+    val wg = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("len_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = groups
+      .crossJoin(broadcast(glob.select("len_b")))
+      .join(cells, Seq("lang", "source", "len_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(glob), Seq("len_b"))
+      .withColumn("pc", sum(col("c")).over(wg))
+      .withColumn("pcg", sum(col("cg")).over(wg))
+    dense
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_g"), col("m"), col("n_tot"),
+        abs(col("n_tot").cast("decimal(19,0)") * col("pc").cast("decimal(19,0)")
+          - col("n_g").cast("decimal(19,0)") * col("pcg").cast("decimal(19,0)"))
+          .as("term"))
+      .groupBy(col("lang"), col("source"), col("n_g"), col("m"), col("n_tot"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("lang"), col("source"), col("n_g").as("n_rows"),
+        when(col("m") > 1,
+          round(col("s").cast("double")
+            / (col("n_g").cast("double") * col("n_tot").cast("double")
+              * (col("m") - 1)), 6))
+          .otherwise(lit(0.0)).as("t_emd"))
+      .withColumn("above_t02", (col("t_emd") > 0.2).cast("int"))
+  }
+
   def q154KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
       .select(col("lang"), col("source"),
@@ -512,6 +571,7 @@ object HygieneQueries {
     "q258_dp_counts" -> (q258DpCounts _),
     "q269_quantile_normalize" -> (q269QuantileNormalize _),
     "q282_l_diversity" -> (q282LDiversity _),
+    "q325_t_closeness" -> (q325TCloseness _),
     "q155_compaction_bins" -> (q155CompactionBins _),
     "q138_weighted_sample" -> (q138WeightedSample _),
     "q97_dedup_cross_corpus" -> (q97DedupCrossCorpus _),
@@ -567,6 +627,46 @@ object HygieneQueries {
         |  ('mean_tokens_per_doc', round(CAST(n_tokens AS DOUBLE) / n_docs, 6))
         |) AS v(stat, value)""".stripMargin,
     // same quasi-identifier grouping and length-bucket sensitive value
+    // same (lang, source) QI groups and len_b buckets, same
+    // denominator-cleared |N*Pc - n_g*PCg| decimal prefix terms, same
+    // single final division per group
+    "q325_t_closeness" ->
+      """WITH b AS (
+        |  SELECT lang, source, n_chars // 100 AS len_b FROM documents),
+        |cells AS (SELECT lang, source, len_b, count(*) AS c
+        |          FROM b GROUP BY 1, 2, 3),
+        |gall AS (SELECT len_b, count(*) AS cg FROM b GROUP BY 1),
+        |grp AS (SELECT lang, source, count(*) AS n_g FROM b GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS n_tot, count(*) AS m FROM gall),
+        |dense AS (
+        |  SELECT g.lang, g.source, g.n_g, d.len_b,
+        |         coalesce(c.c, 0) AS c, d.cg
+        |  FROM grp g CROSS JOIN gall d
+        |  LEFT JOIN cells c ON c.lang = g.lang AND c.source = g.source
+        |                   AND c.len_b = d.len_b),
+        |pref AS (
+        |  SELECT lang, source, n_g,
+        |         sum(c) OVER w AS pc, sum(cg) OVER w AS pcg
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY lang, source ORDER BY len_b
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT p.lang, p.source, p.n_g, t.m, t.n_tot,
+        |         sum(abs(CAST(t.n_tot AS DECIMAL(19,0)) * CAST(p.pc AS DECIMAL(19,0))
+        |                 - CAST(p.n_g AS DECIMAL(19,0)) * CAST(p.pcg AS DECIMAL(19,0))))
+        |           AS s
+        |  FROM pref p CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT lang, source, n_g AS n_rows,
+        |       CASE WHEN m > 1
+        |            THEN round(CAST(s AS DOUBLE)
+        |                       / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1)), 6)
+        |            ELSE 0.0 END AS t_emd,
+        |       CAST((CASE WHEN m > 1
+        |            THEN round(CAST(s AS DOUBLE)
+        |                       / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1)), 6)
+        |            ELSE 0.0 END) > 0.2 AS INT) AS above_t02
+        |FROM agg""".stripMargin,
     "q282_l_diversity" ->
       """SELECT lang, source, count(*) AS n_rows,
         |       count(DISTINCT n_chars // 100) AS l_distinct,

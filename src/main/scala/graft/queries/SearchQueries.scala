@@ -92,6 +92,67 @@ object SearchQueries {
         col("bm25"), col("ra").as("retrieve_rank"))
   }
 
+  /** q326: Rocchio pseudo-relevance feedback — the classic two-pass
+    * query-EXPANSION serving composition (Rocchio 1971; the PRF loop of
+    * every Lucene/Terrier stack), completing the serving family beside
+    * q208's rank fusion (two rankers, one query) and q292's
+    * retrieve-then-rerank (one query, two scorers): here the QUERY
+    * ITSELF is rewritten from first-pass evidence. Pass 1 retrieves the
+    * BM25('hash') top-5 (the pseudo-relevant set R, bounded TopKAgg);
+    * expansion picks the top-3 terms by occurrence count within R
+    * (exact integers — the deterministic stand-in for Rocchio's tf-idf
+    * centroid weights) among terms rarer than df·10 ≤ N (the stopword
+    * guard) and ≠ the seed; pass 2 re-scores the corpus over the
+    * EXPANDED term set {seed} ∪ E via [[graft.operators.Ranking
+    * .bm25Dynamic]] — the term list is a 3-row DataFrame joined
+    * broadcast into the token stream, never collected to the driver —
+    * and returns the top-10 docs by summed BM25 with their term-hit
+    * counts and a seed-set membership flag. DETERMINISM: per-(doc,term)
+    * BM25 is 6dp-rounded then 1e6-quantized to a long BEFORE the
+    * per-doc sum (no cross-row double summation); every selection runs
+    * a total (score, id)/(count, word) order. Scale shape: two token-
+    * stream aggregations (dl, filtered tf) + term-grain df per pass;
+    * R-restricted expansion counting touches only R's tokens (broadcast
+    * semi-join on the 5 doc ids); final top-10 via the bounded TopKAgg.
+    */
+  def q326RocchioPrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docs(spark, dir)
+    val seed = "hash"
+    val r5 = Ranking.bm25TopK(d, "text", "doc_id", Seq(seed), 5)
+      .select(col("doc_id")).persist()
+    val toks = Ranking.tokensWithPos(d, "text", "doc_id").drop("pos").persist()
+    val nd = d.agg(count(lit(1)).as("n_all"))
+    val dfAll = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("dfx"))
+    val expansion = toks.join(broadcast(r5), Seq("doc_id"))
+      .filter(col("word") =!= seed)
+      .groupBy("word").agg(count(lit(1)).as("c_r"))
+      .join(dfAll, Seq("word"))
+      .crossJoin(broadcast(nd))
+      .filter(col("dfx") * 10 <= col("n_all"))
+      .orderBy(col("c_r").desc, col("word").asc).limit(3)
+      .select("word")
+    val terms = expansion.unionByName(
+      spark.range(1).select(lit(seed).as("word")))
+    val perDoc = Ranking.bm25Dynamic(d, "text", "doc_id", terms)
+      .select(col("doc_id"),
+        round(col("bm25") * 1e6).cast("long").as("fp"))
+      .groupBy("doc_id")
+      .agg(sum(col("fp")).as("score_fp"), count(lit(1)).as("n_terms_hit"))
+      .persist()
+    val topk10 = udaf(graft.functions.TopKAgg(10))
+    perDoc.agg(topk10(col("score_fp").cast("double"), col("doc_id")).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rank"), col("t._2").as("doc_id"))
+      .join(perDoc, Seq("doc_id"))
+      .join(r5.withColumn("in_seed_top5", lit(1)), Seq("doc_id"), "left")
+      .na.fill(0, Seq("in_seed_top5"))
+      .select(col("rank"), col("doc_id"),
+        round(col("score_fp") / 1e6, 6).as("rocchio_score"),
+        col("n_terms_hit"), col("in_seed_top5"))
+  }
+
   /** q234: per-term BM25 serving top-k — for every query term, the top-5
     * documents by (bm25 desc, doc_id) through the bounded `TopKAgg`
     * (q121's shape on the search index): only k rows per term per
@@ -282,6 +343,7 @@ object SearchQueries {
     "q234_bm25_topk" -> (q234Bm25TopK _),
     "q208_rrf_hybrid" -> (q208RrfHybrid _),
     "q292_retrieve_rerank" -> (q292RetrieveRerank _),
+    "q326_rocchio_prf" -> (q326RocchioPrf _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
@@ -412,6 +474,55 @@ object SearchQueries {
          |        GROUP BY doc_id HAVING count(DISTINCT word) = 3)
          |SELECT h.doc_id, d.source
          |FROM hit h JOIN documents d USING (doc_id)""".stripMargin,
+    // same seed top-5, same in-R count expansion under the df*10 <= N
+    // rarity guard, same expanded-term BM25 with per-(doc,term) 1e6
+    // quantization before the doc sum, same (score, doc_id) top-10
+    "q326_rocchio_prf" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM wd WHERE len(w) > 0),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tf1 AS (SELECT doc_id, count(*) AS tf FROM toks
+         |        WHERE word = 'hash' GROUP BY 1),
+         |df1 AS (SELECT count(*) AS df FROM tf1),
+         |bm1 AS (
+         |  SELECT tf1.doc_id,
+         |         round(ln((stats.n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+         |               * tf1.tf * (1.2 + 1.0)
+         |               / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |               6) AS bm25
+         |  FROM tf1 JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN df1),
+         |r5 AS (SELECT doc_id FROM bm1 ORDER BY bm25 DESC, doc_id LIMIT 5),
+         |nd AS (SELECT count(*) AS n_all FROM documents),
+         |dfall AS (SELECT word, count(DISTINCT doc_id) AS dfx FROM toks GROUP BY 1),
+         |cr AS (SELECT t.word, count(*) AS c_r FROM toks t
+         |       JOIN r5 ON r5.doc_id = t.doc_id
+         |       WHERE t.word <> 'hash' GROUP BY 1),
+         |expf AS (SELECT cr.word FROM cr
+         |         JOIN dfall ON dfall.word = cr.word CROSS JOIN nd
+         |         WHERE dfall.dfx * 10 <= nd.n_all
+         |         ORDER BY cr.c_r DESC, cr.word LIMIT 3),
+         |terms AS (SELECT word FROM expf UNION ALL SELECT 'hash' AS word),
+         |tf AS (SELECT t.doc_id, t.word, count(*) AS tf FROM toks t
+         |       JOIN terms ON terms.word = t.word GROUP BY 1, 2),
+         |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(round(
+         |           ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |           * tf.tf * (1.2 + 1.0)
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl)),
+         |           6) * 1e6) AS BIGINT) AS fp
+         |  FROM tf JOIN dfx USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |ag AS (SELECT doc_id, sum(fp) AS score_fp, count(*) AS n_terms_hit
+         |       FROM bm GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rank,
+         |       doc_id,
+         |       round(CAST(score_fp AS BIGINT) / 1e6, 6) AS rocchio_score,
+         |       n_terms_hit,
+         |       CASE WHEN doc_id IN (SELECT doc_id FROM r5) THEN 1 ELSE 0 END
+         |         AS in_seed_top5
+         |FROM ag ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
     // q9's scoring with a per-term (bm25 desc, doc_id) rank <= 5 window
     "q234_bm25_topk" ->
       s"""$WordsCte,

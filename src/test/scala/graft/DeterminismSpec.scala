@@ -115,7 +115,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // DSIR: quantized bucket log-ratios then exact integer dot product
     "q322_kneser_ney_lm", "q323_importance_resampling",
     // matching handshake: min-id proposals over neighbor sets
-    "q324_greedy_matching")
+    "q324_greedy_matching",
+    // t-closeness: exact decimal EMD terms; Rocchio: quantized
+    // per-(doc,term) scores then exact integer doc sums
+    "q325_t_closeness", "q326_rocchio_prf")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

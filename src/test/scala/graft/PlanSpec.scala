@@ -332,7 +332,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "q311_mmr_rerank",
         // round 10: q214's pass-2 candidate-bin rank through
         // withGlobalRank (the bin is corpus-proportional at ~n/1024)
-        "q214_binned_median")) {
+        "q214_binned_median",
+        // round 10 continued: q325's prefix windows are QI-group-
+        // partitioned; q326's two retrieval passes rank through the
+        // bounded TopKAgg — no global-order window anywhere
+        "q325_t_closeness", "q326_rocchio_prf")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
