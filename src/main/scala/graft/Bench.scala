@@ -79,7 +79,15 @@ object Bench {
     // support peel (wedge joins + edge-keyed semi-joins per round)
     "q319_backoff_lm",
     "q320_weighted_sssp",
-    "q321_ktruss")
+    "q321_ktruss",
+    // round-10 continued: the normalized LM complement (Kneser-Ney —
+    // q319's serving joins plus the type-grain normalization aggs),
+    // DSIR importance resampling (token-grain hash aggs + a 1024-row
+    // broadcast model), and Rocchio PRF (two-pass retrieval with
+    // data-dependent expansion terms through bm25Dynamic)
+    "q322_kneser_ney_lm",
+    "q323_importance_resampling",
+    "q326_rocchio_prf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
