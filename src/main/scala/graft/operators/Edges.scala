@@ -350,4 +350,54 @@ object Edges {
     }
     out.toSeq
   }
+
+  /** Bounded-round deterministic maximal independent set over a
+    * canonical (a < b) distinct edge list — Luby's algorithm with
+    * id-based symmetry breaking (the derandomized round): each round
+    * every ACTIVE node joins the MIS iff its id is smaller than every
+    * active neighbor's (two adjacent nodes can never both win — one is
+    * larger), then MIS nodes AND their neighbors leave; isolated
+    * survivors (no remaining active edge) are trivially independent
+    * and join the same round. Every round the locally-minimum nodes
+    * of the residual are nonempty, so the MIS grows monotonically and
+    * the union over rounds is independent by construction — the
+    * symmetry-breaking primitive under distributed coloring and
+    * scheduling, the node-side sibling of [[greedyMatching]]'s edge
+    * handshake. Returns the per-round MIS node sets (`node` column).
+    * DETERMINISM: min-id comparisons over neighbor sets, exact
+    * integers. Scale shape per round: one node-keyed min agg over the
+    * symmetrized survivor edges + one anti-join to find the isolated,
+    * one neighbor expansion join of the (small) MIS set + two
+    * node-keyed anti-joins for the removal; survivor edges and nodes
+    * localCheckpoint-ed (each read ≥3 times next round — the q321
+    * lineage lesson); the runner's sweep frees the blocks.
+    */
+  def maximalIndependentSet(e0: DataFrame, rounds: Int): Seq[DataFrame] = {
+    var edges = e0.localCheckpoint()
+    var nodes = e0.select(col("a").as("node"))
+      .unionByName(e0.select(col("b").as("node")))
+      .distinct().localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val dir = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val nbrMin = dir.groupBy("u").agg(min(col("v")).as("mn"))
+      val mis = nodes
+        .join(nbrMin, nodes("node") === nbrMin("u"), "left")
+        .filter(col("mn").isNull || col("node") < col("mn"))
+        .select(col("node"))
+        .localCheckpoint()
+      out += mis
+      val removed = mis
+        .unionByName(dir.join(mis, dir("u") === mis("node"))
+          .select(dir("v").as("node")))
+        .distinct()
+      nodes = nodes.join(removed, Seq("node"), "left_anti").localCheckpoint()
+      edges = edges
+        .join(nodes.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    out.toSeq
+  }
 }

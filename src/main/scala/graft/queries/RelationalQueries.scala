@@ -3257,6 +3257,32 @@ object RelationalQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q327: maximal independent set over the co-purchase graph — 3
+    * deterministic Luby rounds ([[graft.operators.Edges
+    * .maximalIndependentSet]]): a node joins the MIS iff its id beats
+    * every active neighbor's, winners and their neighbors leave,
+    * isolated survivors join free. THE distributed symmetry-breaking
+    * primitive (coloring, scheduling, and randomized matching all
+    * reduce to it) and the node-side sibling of q324's edge handshake
+    * — together they close the peel family: k-truss drops edges by
+    * support, k-core nodes by degree, matching nodes by pairing, MIS
+    * nodes by local minimality. Output = per-round census (nodes
+    * admitted + id checksum). DETERMINISM: min-id comparisons, census
+    * aggregates. Scale shape per round: one node-keyed min agg, one
+    * MIS-sized neighbor expansion, node-keyed anti/semi-joins — never
+    * all-pairs; survivors localCheckpoint-ed (the q321 lineage
+    * lesson). Oracle = three unrolled rounds.
+    */
+  def q327Mis(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.operators.Edges.coPurchase(spark, dir)
+    val rounds = graft.operators.Edges.maximalIndependentSet(e0, rounds = 3)
+    rounds.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_mis"),
+        coalesce(sum(col("node")), lit(0L)).as("sum_node"))
+        .select(lit(i + 1).as("round"), col("n_mis"), col("sum_node"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q239: declarative data-quality expectations — the dbt-test /
     * Great-Expectations-style gate a pipeline runs before publishing a
     * table: six rules (price positivity, date range, status domain,
@@ -4136,6 +4162,7 @@ object RelationalQueries {
     "q320_weighted_sssp" -> q320WeightedSssp _,
     "q321_ktruss" -> q321Ktruss _,
     "q324_greedy_matching" -> q324GreedyMatching _,
+    "q327_mis" -> q327Mis _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
     "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
@@ -5227,6 +5254,39 @@ object RelationalQueries {
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e2
         |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e3""".stripMargin,
+    // same canonical co-purchase edges, same three unrolled Luby
+    // rounds (min-id win, winners + neighbors removed, isolated
+    // survivors admitted free)
+    "q327_mis" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n0 AS (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
+        |d1 AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |nm1 AS (SELECT u, min(v) AS mn FROM d1 GROUP BY 1),
+        |m1 AS (SELECT n FROM n0 LEFT JOIN nm1 ON nm1.u = n0.n
+        |       WHERE nm1.mn IS NULL OR n0.n < nm1.mn),
+        |r1 AS (SELECT n FROM m1 UNION SELECT d.v FROM d1 d JOIN m1 ON d.u = m1.n),
+        |n1 AS (SELECT n FROM n0 WHERE n NOT IN (SELECT n FROM r1)),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT n FROM n1) AND b IN (SELECT n FROM n1)),
+        |d2 AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+        |nm2 AS (SELECT u, min(v) AS mn FROM d2 GROUP BY 1),
+        |m2 AS (SELECT n FROM n1 LEFT JOIN nm2 ON nm2.u = n1.n
+        |       WHERE nm2.mn IS NULL OR n1.n < nm2.mn),
+        |r2 AS (SELECT n FROM m2 UNION SELECT d.v FROM d2 d JOIN m2 ON d.u = m2.n),
+        |n2 AS (SELECT n FROM n1 WHERE n NOT IN (SELECT n FROM r2)),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT n FROM n2) AND b IN (SELECT n FROM n2)),
+        |d3 AS (SELECT a AS u, b AS v FROM e2 UNION ALL SELECT b, a FROM e2),
+        |nm3 AS (SELECT u, min(v) AS mn FROM d3 GROUP BY 1),
+        |m3 AS (SELECT n FROM n2 LEFT JOIN nm3 ON nm3.u = n2.n
+        |       WHERE nm3.mn IS NULL OR n2.n < nm3.mn)
+        |SELECT 1 AS round, count(*) AS n_mis,
+        |       CAST(coalesce(sum(n), 0) AS BIGINT) AS sum_node FROM m1
+        |UNION ALL SELECT 2, count(*), CAST(coalesce(sum(n), 0) AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(n), 0) AS BIGINT) FROM m3""".stripMargin,
     // same canonical co-purchase edges, same three unrolled
     // mutual-min handshake rounds (proposals = min active neighbor,
     // matched = mutual pairs, survivors exclude matched endpoints)

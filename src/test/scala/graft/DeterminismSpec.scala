@@ -118,7 +118,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q324_greedy_matching",
     // t-closeness: exact decimal EMD terms; Rocchio: quantized
     // per-(doc,term) scores then exact integer doc sums
-    "q325_t_closeness", "q326_rocchio_prf")
+    "q325_t_closeness", "q326_rocchio_prf",
+    // Luby MIS: min-id admission over neighbor sets
+    "q327_mis")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

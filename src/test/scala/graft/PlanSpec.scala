@@ -101,6 +101,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // matching handshake: proposal self-join on (u,v)=(v,u) keys,
         // node-keyed anti-joins — never all-pairs
         "q324_greedy_matching",
+        // Luby MIS: node-keyed min agg + anti/semi-joins per round
+        "q327_mis",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²

@@ -340,6 +340,40 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(all.nonEmpty, "fixture graph matched nothing")
   }
 
+  test("maximalIndependentSet: Luby rounds on hand graphs, independence on the fixture") {
+    import spark.implicits._
+    // path 1-2-3-4: round 1 admits only node 1 (everyone else has a
+    // smaller neighbor); removing {1,2} leaves edge (3,4), so round 2
+    // admits 3 — the residual cascade
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val pr = graft.operators.Edges.maximalIndependentSet(path, rounds = 3)
+      .map(_.collect().map(_.getLong(0)).toSet)
+    sweep()
+    assert(pr == Seq(Set(1L), Set(3L), Set.empty),
+      s"path MIS rounds wrong: $pr")
+    // inverted star {2,3,4}-9: ALL leaves beat the center and enter in
+    // ONE round — the parallel-admission case (an edge handshake can
+    // only take one of them per round)
+    val star = Seq((2L, 9L), (3L, 9L), (4L, 9L)).toDF("a", "b")
+    val sr = graft.operators.Edges.maximalIndependentSet(star, rounds = 2)
+      .map(_.collect().map(_.getLong(0)).toSet)
+    sweep()
+    assert(sr == Seq(Set(2L, 3L, 4L), Set.empty),
+      s"star MIS rounds wrong: $sr")
+    // corpus fixture: the union over rounds is INDEPENDENT (no edge
+    // has both endpoints admitted) and rounds are disjoint
+    val e0 = graft.operators.Edges.coPurchase(spark, sfDir).persist()
+    val rounds = graft.operators.Edges.maximalIndependentSet(e0, rounds = 3)
+      .map(_.collect().map(_.getLong(0)).toSet)
+    val mis = rounds.reduce(_ ++ _)
+    assert(rounds.map(_.size).sum == mis.size, "rounds re-admit a node")
+    val violating = e0.collect()
+      .count(r => mis(r.getLong(0)) && mis(r.getLong(1)))
+    sweep()
+    assert(violating == 0, s"$violating edges inside the MIS")
+    assert(mis.nonEmpty, "fixture graph admitted nothing")
+  }
+
   test("shortestPaths: delta-frontier equals relax-everything, exact on a hand graph") {
     import spark.implicits._
     // weighted digraph with a shortcut discovered LATE: the direct
