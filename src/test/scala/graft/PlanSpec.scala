@@ -117,6 +117,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q323: the bucket model rides a broadcast join, never a shuffle of the doc grain") {
+    // the DSIR contract: the ≤1024-row log-ratio table must be the
+    // broadcast side of the doc-bucket join — a refactor that let it
+    // shuffle-join would re-exchange the corpus-grain (doc, bucket)
+    // table a second time for a 1024-row right side
+    val df = SparkEntry.queries("q323_importance_resampling")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"q323's model join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q213/q216: bottom-k sketch/sample plan TakeOrdered, never a full sort") {
     // the mergeability story depends on it: TakeOrdered is k rows per
     // partition + a driver merge; a global Sort would be a full shuffle
