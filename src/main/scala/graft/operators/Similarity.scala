@@ -185,6 +185,71 @@ object Similarity {
     picks.reduce(_ unionByName _)
   }
 
+  /** Facility-location greedy coreset selection — the submodular
+    * "pick k documents that best COVER the corpus in embedding space"
+    * primitive of training-data selection (the corpus-scope sibling of
+    * [[mmrRerank]]'s per-query diversity): maximize
+    * f(S) = Σ_x max(0, max_{c∈S} cos(x, c)) by the classic greedy, each
+    * step admitting the candidate with the largest marginal coverage
+    * gain. Candidates come from a BOUNDED deterministic pool (`poolN`
+    * by md5-of-id order — the reproducible uniform sample; a production
+    * variant widens it to per-IVF-cell representatives, same plan), so
+    * the score table is |corpus|·poolN rows built ONCE by a broadcast
+    * pool join — never all-pairs — and each of the `selectK` steps is
+    * one corpus-keyed join + one candidate-keyed hash agg + a 1-row
+    * TakeOrdered + one corpus-keyed coverage merge. DETERMINISM: the
+    * 6dp cosine is 1e6-quantized to a long at the score table, so every
+    * gain sum and coverage max is exact integer arithmetic; winners tie
+    * by id. The score table, the per-step winner and the coverage
+    * vector are localCheckpoint-ed (coverage is read by the gain pass
+    * AND the merge of every later step — the q311 lineage lesson);
+    * blocks freed by the runner's sweep. Output: (step, idCol, gain,
+    * total_coverage) — selection order with the coverage curve, the
+    * diminishing-returns read-out a curation pipeline uses to choose k.
+    */
+  def facilityLocationSelect(
+      corpus: DataFrame, idCol: String, poolN: Int, selectK: Int): DataFrame = {
+    val pool = corpus
+      .select(col(idCol).as("c"), col("v").as("cv"), col("nv").as("cn"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("c")).limit(poolN)
+      .select("c", "cv", "cn")
+    val scores = corpus.select(col(idCol).as("x"), col("v"), col("nv"))
+      .crossJoin(broadcast(pool))
+      .select(col("x"), col("c"),
+        round(cosPre(col("v"), col("nv"), col("cv"), col("cn")) * 1e6)
+          .cast("long").as("s"))
+      .localCheckpoint()
+    var cov = corpus.select(col(idCol).as("x"))
+      .withColumn("cov", lit(0L)).localCheckpoint()
+    var selected: DataFrame = null
+    val out = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (s <- 1 to selectK) {
+      val remaining =
+        if (selected == null) scores
+        else scores.join(broadcast(selected), Seq("c"), "left_anti")
+      val gains = remaining.join(cov, Seq("x"))
+        .groupBy("c")
+        .agg(sum(greatest(col("s") - col("cov"), lit(0L))).as("gain_fp"))
+      val win = gains.orderBy(col("gain_fp").desc, col("c").asc)
+        .limit(1).localCheckpoint()
+      selected =
+        if (selected == null) win.select("c")
+        else selected.unionByName(win.select("c")).localCheckpoint()
+      cov = cov
+        .join(scores.join(broadcast(win.select("c")), Seq("c"), "left_semi")
+          .select(col("x"), col("s")), Seq("x"))
+        .select(col("x"), greatest(col("cov"), col("s")).as("cov"))
+        .localCheckpoint()
+      val covTot = cov.agg(sum(col("cov")).as("cov_fp"))
+      out += win.crossJoin(broadcast(covTot))
+        .select(lit(s).as("step"), col("c").as(idCol),
+          round(col("gain_fp") / 1e6, 6).as("gain"),
+          round(col("cov_fp") / 1e6, 6).as("total_coverage"))
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-0.5, 0.5), derived from md5 — no RNG state, so the
     * signature of a vector is reproducible across runs and engines.

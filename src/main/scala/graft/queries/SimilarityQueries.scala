@@ -46,6 +46,22 @@ object SimilarityQueries {
       v.filter(col("vec_id") < 10), v, "vec_id", poolK = 20, selectK = 5)
   }
 
+  /** q328: facility-location coreset selection — greedy submodular
+    * "which 4 documents best cover the corpus in embedding space", the
+    * data-SELECTION op beside q323's distribution-matching (DSIR picks
+    * what LOOKS like the target; this picks what SPANS the corpus —
+    * the coreset/prototype recipe of embedding-based curation). Pool =
+    * 16 candidates by md5-of-id order; each step admits the candidate
+    * with the largest exact marginal coverage gain and reports the
+    * coverage curve. See [[Similarity.facilityLocationSelect]] for the
+    * bounded-pool plan contract; the oracle unrolls the same four
+    * greedy steps closed-form over the identical 1e6-quantized
+    * cosines.
+    */
+  def q328CoresetSelect(spark: SparkSession, dir: String): DataFrame =
+    Similarity.facilityLocationSelect(
+      vectors(spark, dir), "vec_id", poolN = 16, selectK = 4)
+
   /** q118: hard-negative mining for the first ten query vectors — the
     * top-5 most-similar candidates with cosine BELOW the q34/q89
     * near-dup threshold (0.30), i.e. informative contrastive negatives
@@ -798,6 +814,7 @@ object SimilarityQueries {
     "q35_embed_dup_lsh" -> (q35EmbedDupLsh _),
     "q40_knn_brute" -> (q40KnnBrute _),
     "q311_mmr_rerank" -> (q311MmrRerank _),
+    "q328_coreset_select" -> (q328CoresetSelect _),
     "q118_hard_negatives" -> (q118HardNegatives _),
     "q255_embed_decontaminate" -> (q255EmbedDecontaminate _),
     "q124_ann_recall" -> (q124AnnRecall _),
@@ -889,6 +906,50 @@ object SimilarityQueries {
     val union = (1 to 5)
       .map(s => s"SELECT query_id, step, cand_id, mmr FROM s$s")
       .mkString("\nUNION ALL ")
+    s"$head,\n$steps\n$union"
+  }
+
+  /** The q328 oracle: the identical four greedy facility-location
+    * steps unrolled — the same md5-ordered 16-candidate pool, the same
+    * 1e6-quantized 6dp cosines (so every gain sum and coverage max is
+    * exact integer arithmetic in both engines), step s admitting the
+    * (gain DESC, c) winner among un-selected candidates and folding
+    * its scores into the running coverage maximum.
+    */
+  private val CoresetOracle: String = {
+    val head =
+      s"""$CosCte,
+         |pool AS (
+         |  SELECT vec_id AS c, v FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sc AS (
+         |  SELECT x.vec_id AS x, p.c,
+         |         CAST(round(round(list_cosine_similarity(x.v, p.v), 6) * 1e6)
+         |              AS BIGINT) AS s
+         |  FROM e x CROSS JOIN pool p),
+         |g1 AS (SELECT c, sum(greatest(s, 0)) AS g FROM sc GROUP BY 1),
+         |w1 AS (SELECT c, g FROM g1 ORDER BY g DESC, c LIMIT 1),
+         |sel1 AS (SELECT c FROM w1),
+         |cov1 AS (SELECT sc.x, greatest(sc.s, 0) AS cov
+         |         FROM sc JOIN w1 ON sc.c = w1.c)""".stripMargin
+    val steps = (2 to 4).map { s =>
+      s"""g$s AS (
+         |  SELECT sc.c, sum(greatest(sc.s - cov${s - 1}.cov, 0)) AS g
+         |  FROM sc JOIN cov${s - 1} ON cov${s - 1}.x = sc.x
+         |  WHERE sc.c NOT IN (SELECT c FROM sel${s - 1}) GROUP BY 1),
+         |w$s AS (SELECT c, g FROM g$s ORDER BY g DESC, c LIMIT 1),
+         |sel$s AS (SELECT c FROM sel${s - 1} UNION ALL SELECT c FROM w$s),
+         |cov$s AS (
+         |  SELECT cov${s - 1}.x, greatest(cov${s - 1}.cov, sc.s) AS cov
+         |  FROM cov${s - 1} JOIN sc ON sc.x = cov${s - 1}.x
+         |  JOIN w$s ON sc.c = w$s.c)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 4).map { s =>
+      s"""SELECT $s AS step, w$s.c AS vec_id, round(w$s.g / 1e6, 6) AS gain,
+         |       (SELECT round(CAST(sum(cov) AS BIGINT) / 1e6, 6) FROM cov$s)
+         |         AS total_coverage
+         |FROM w$s""".stripMargin
+    }.mkString("\nUNION ALL ")
     s"$head,\n$steps\n$union"
   }
 
@@ -1576,6 +1637,8 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin,
     // the five greedy steps unrolled — see MmrOracle
     "q311_mmr_rerank" -> MmrOracle,
+    // the four greedy coverage steps unrolled — see CoresetOracle
+    "q328_coreset_select" -> CoresetOracle,
     // q40's SQL with the sub-near-dup-threshold filter applied BEFORE
     // the per-query ranking — same 6dp cosine, same tie rule
     "q118_hard_negatives" ->

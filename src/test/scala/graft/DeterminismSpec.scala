@@ -120,7 +120,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // per-(doc,term) scores then exact integer doc sums
     "q325_t_closeness", "q326_rocchio_prf",
     // Luby MIS: min-id admission over neighbor sets
-    "q327_mis")
+    "q327_mis",
+    // facility-location coreset: exact integer gain sums + coverage
+    "q328_coreset_select")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

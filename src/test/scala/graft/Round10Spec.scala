@@ -340,6 +340,31 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(all.nonEmpty, "fixture graph matched nothing")
   }
 
+  test("facilityLocationSelect: gains diminish, coverage is monotone, selection is distinct") {
+    // submodularity made measurable: the greedy's marginal gains must
+    // be non-increasing and the coverage curve non-decreasing — a
+    // violated curve means the coverage merge or the exclusion
+    // anti-join regressed (e.g. a re-admitted winner double-counts)
+    val r = graft.queries.SimilarityQueries
+      .q328CoresetSelect(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    sweep()
+    assert(r.length == 4, s"expected 4 steps: ${r.toSeq}")
+    assert(r.map(_._2).distinct.length == 4, "a winner was re-admitted")
+    val gains = r.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains must be non-increasing: ${gains.toSeq}")
+    val cov = r.map(_._4)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      s"coverage must be non-decreasing: ${cov.toSeq}")
+    // the curve ties out: each step's coverage is the previous plus
+    // exactly its reported gain (same fixed-point units)
+    val ok = (1 until 4).forall { i =>
+      math.abs((cov(i) - cov(i - 1)) - gains(i)) < 1e-9 }
+    assert(ok, s"coverage deltas must equal gains: cov=${cov.toSeq} gains=${gains.toSeq}")
+  }
+
   test("maximalIndependentSet: Luby rounds on hand graphs, independence on the fixture") {
     import spark.implicits._
     // path 1-2-3-4: round 1 admits only node 1 (everyone else has a
