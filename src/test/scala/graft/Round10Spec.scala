@@ -340,6 +340,25 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(all.nonEmpty, "fixture graph matched nothing")
   }
 
+  test("bm25Dynamic equals the static bm25 on the same term set, bit for bit") {
+    // the PRF pass-2 scorer must be the SAME scoring function as q9's
+    // static path — only the term delivery differs (broadcast DataFrame
+    // vs pivoted literals). Any drift here silently re-scores q326.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("hash", "join", "scan")
+    val stat = graft.operators.Ranking
+      .bm25(docs, "text", "doc_id", terms).collect()
+      .map(_.toString).toSet
+    spark.catalog.clearCache()
+    val dyn = graft.operators.Ranking
+      .bm25Dynamic(docs, "text", "doc_id", terms.toDF("word")).collect()
+      .map(_.toString).toSet
+    sweep()
+    assert(stat == dyn,
+      s"dynamic/static bm25 diverge: ${(stat -- dyn).take(3)} vs ${(dyn -- stat).take(3)}")
+  }
+
   test("facilityLocationSelect: gains diminish, coverage is monotone, selection is distinct") {
     // submodularity made measurable: the greedy's marginal gains must
     // be non-increasing and the coverage curve non-decreasing — a
