@@ -3283,6 +3283,52 @@ object RelationalQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q329: sequential-pattern support census — for every ordered
+    * event-type triple (a, b, c), how many users' histories contain it
+    * AS A SUBSEQUENCE (gaps allowed), support ≥ 5. The ordered
+    * complement of q133's unordered association baskets and q145's
+    * exact full paths (a path is one literal sequence; this counts
+    * embeddings of a 3-step pattern anywhere in the history — the
+    * PrefixSpan question at fixed length). THE scaling decision: never
+    * enumerate C(n,3) position triples — a sequence contains (a,b,c)
+    * iff GREEDY earliest matching succeeds (first a, then first b
+    * after it, then any c after that; the standard subsequence-
+    * containment argument: any witness can be left-shifted onto the
+    * greedy one), so the plan is three linear passes: per-(user, type)
+    * first positions (one hash agg), first-b-after-first-a (one
+    * user-keyed join + min agg, ≤ |types| fan-out), then a c-exists
+    * semi-check (one more user-keyed join + distinct) — cost
+    * O(|events|·|types|) flat, where the naive positional 3-way
+    * self-join is O(Σ nᵤ³). DETERMINISM: positions are row_number
+    * under the per-user (ts, event_id) total order; everything after
+    * is exact integer min/count. Scale shape: every join is keyed on
+    * user_id; the per-user windows are user-partitioned; output is
+    * ≤ |types|³ rows.
+    */
+  def q329SeqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pos = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("p"))
+      .persist()
+    val fa = pos.groupBy(col("user_id"), col("event_type").as("e1"))
+      .agg(min(col("p")).as("pa"))
+    val fb = pos.join(fa, Seq("user_id"))
+      .filter(col("p") > col("pa"))
+      .groupBy(col("user_id"), col("e1"), col("event_type").as("e2"))
+      .agg(min(col("p")).as("pb"))
+    val tri = pos.join(fb, Seq("user_id"))
+      .filter(col("p") > col("pb"))
+      .select(col("user_id"), col("e1"), col("e2"),
+        col("event_type").as("e3"))
+      .distinct()
+    tri.groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= 5)
+  }
+
   /** q239: declarative data-quality expectations — the dbt-test /
     * Great-Expectations-style gate a pipeline runs before publishing a
     * table: six rules (price positivity, date range, status domain,
@@ -4163,6 +4209,7 @@ object RelationalQueries {
     "q321_ktruss" -> q321Ktruss _,
     "q324_greedy_matching" -> q324GreedyMatching _,
     "q327_mis" -> q327Mis _,
+    "q329_seq_patterns" -> q329SeqPatterns _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
     "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
@@ -5254,6 +5301,25 @@ object RelationalQueries {
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e2
         |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e3""".stripMargin,
+    // same per-user (ts, event_id) positions, same greedy
+    // first-a / first-b-after / c-exists subsequence containment,
+    // same support >= 5 census
+    "q329_seq_patterns" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |fa AS (SELECT user_id, event_type AS e1, min(p) AS pa
+        |       FROM pos GROUP BY 1, 2),
+        |fb AS (SELECT pos.user_id, fa.e1, pos.event_type AS e2, min(pos.p) AS pb
+        |       FROM pos JOIN fa ON fa.user_id = pos.user_id AND pos.p > fa.pa
+        |       GROUP BY 1, 2, 3),
+        |tri AS (SELECT DISTINCT pos.user_id, fb.e1, fb.e2,
+        |               pos.event_type AS e3
+        |        FROM pos JOIN fb ON fb.user_id = pos.user_id AND pos.p > fb.pb)
+        |SELECT e1, e2, e3, count(*) AS n_users
+        |FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin,
     // same canonical co-purchase edges, same three unrolled Luby
     // rounds (min-id win, winners + neighbors removed, isolated
     // survivors admitted free)

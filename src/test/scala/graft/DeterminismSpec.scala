@@ -122,7 +122,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // Luby MIS: min-id admission over neighbor sets
     "q327_mis",
     // facility-location coreset: exact integer gain sums + coverage
-    "q328_coreset_select")
+    "q328_coreset_select",
+    // sequential patterns: integer position mins + support counts
+    "q329_seq_patterns")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -103,6 +103,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "q324_greedy_matching",
         // Luby MIS: node-keyed min agg + anti/semi-joins per round
         "q327_mis",
+        // sequential patterns: user-keyed containment joins, never the
+        // positional n^3 self-join
+        "q329_seq_patterns",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²

@@ -340,6 +340,44 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(all.nonEmpty, "fixture graph matched nothing")
   }
 
+  test("q329's greedy subsequence containment equals the naive positional triple join") {
+    // the scaling claim rests on a correctness claim: greedy earliest
+    // matching finds (a,b,c) iff SOME position triple i<j<k matches it.
+    // Prove it on a fixture slice against the O(n^3) formulation the
+    // production plan must never run.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pos = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id") < 15)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("p"))
+      .persist()
+    val naive = pos.as("a")
+      .join(pos.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.p") < col("b.p"))
+      .join(pos.as("c"), col("a.user_id") === col("c.user_id")
+        && col("b.p") < col("c.p"))
+      .select(col("a.user_id"), col("a.event_type").as("e1"),
+        col("b.event_type").as("e2"), col("c.event_type").as("e3"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val fa = pos.groupBy(col("user_id"), col("event_type").as("e1"))
+      .agg(min(col("p")).as("pa"))
+    val fb = pos.join(fa, Seq("user_id")).filter(col("p") > col("pa"))
+      .groupBy(col("user_id"), col("e1"), col("event_type").as("e2"))
+      .agg(min(col("p")).as("pb"))
+    val greedy = pos.join(fb, Seq("user_id")).filter(col("p") > col("pb"))
+      .select(col("user_id"), col("e1"), col("e2"), col("event_type").as("e3"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    sweep()
+    assert(naive.nonEmpty, "slice produced no triples — vacuous")
+    assert(naive == greedy,
+      s"greedy/naive diverge: ${(naive -- greedy).take(3)} vs ${(greedy -- naive).take(3)}")
+  }
+
   test("bm25Dynamic equals the static bm25 on the same term set, bit for bit") {
     // the PRF pass-2 scorer must be the SAME scoring function as q9's
     // static path — only the term delivery differs (broadcast DataFrame
