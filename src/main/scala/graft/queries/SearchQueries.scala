@@ -153,6 +153,48 @@ object SearchQueries {
         col("n_terms_hit"), col("in_seed_top5"))
   }
 
+  /** q330: wildcard search served from a PERMUTERM index — the
+    * classic rotation trick (Garfield 1976; the Lucene/IR-textbook
+    * wildcard plan) completing the index-serving family beside q237
+    * (boolean AND from compressed postings) and q247 (phrase from the
+    * positional index): every vocabulary term w is indexed under all
+    * |w|+1 rotations of w$, and a single-star query pre*suf rotates to
+    * the PREFIX probe suf$pre — so "c*n" becomes one range scan
+    * instead of a full-vocabulary regex pass. Exactly one rotation of
+    * a word can start with suf$pre (a rotation carries one $ at a
+    * fixed offset), so the probe needs no dedup. The ORACLE is the
+    * plain `LIKE 'pre%suf'` scan — the driver compare proves
+    * rotate → index → prefix-probe ≡ direct wildcard scan, the q237
+    * discipline. DETERMINISM: exact string prefixes and integer dfs.
+    * Scale shape: the rotation index is term-grain × (len+1) (built
+    * once, range-partitioned/sorted on the rotation at catalog scale
+    * so each probe is a range scan); here the 5-pattern probe side is
+    * a broadcast nested-loop against the bounded pattern list — the
+    * q19 bounded-build-side shape, with the prefix filter running
+    * inside the index scan.
+    */
+  def q330WildcardSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val patterns = Seq("s*", "*er", "c*n", "*e", "b*h")
+    val vocab = Ranking.tokensWithPos(docs(spark, dir), "text", "doc_id")
+      .drop("pos").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val rot = vocab
+      .withColumn("wd", concat(col("word"), lit("$")))
+      .select(col("word"), col("df"),
+        explode(expr(
+          """transform(sequence(0, length(word)), i ->
+            |  concat(substr(wd, i + 1, length(wd) - i), substr(wd, 1, i)))"""
+            .stripMargin)).as("r"))
+    val probes = patterns.map { p =>
+      val Array(pre, suf) = p.split("\\*", -1)
+      (p, s"$suf$$$pre")
+    }
+    val qdf = spark.createDataFrame(probes).toDF("pattern", "qr")
+    rot.join(broadcast(qdf), col("r").startsWith(col("qr")))
+      .select(col("pattern"), col("word"), col("df"))
+  }
+
   /** q234: per-term BM25 serving top-k — for every query term, the top-5
     * documents by (bm25 desc, doc_id) through the bounded `TopKAgg`
     * (q121's shape on the search index): only k rows per term per
@@ -344,6 +386,7 @@ object SearchQueries {
     "q208_rrf_hybrid" -> (q208RrfHybrid _),
     "q292_retrieve_rerank" -> (q292RetrieveRerank _),
     "q326_rocchio_prf" -> (q326RocchioPrf _),
+    "q330_wildcard_search" -> (q330WildcardSearch _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
@@ -523,6 +566,18 @@ object SearchQueries {
          |       CASE WHEN doc_id IN (SELECT doc_id FROM r5) THEN 1 ELSE 0 END
          |         AS in_seed_top5
          |FROM ag ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+    // the PLAIN wildcard scan (LIKE pre%suf over the same distinct-doc
+    // vocabulary) — the driver compare proves the permuterm rotation
+    // index path equals the direct scan
+    "q330_wildcard_search" ->
+      s"""$WordsCte,
+         |toks AS (SELECT DISTINCT doc_id, unnest(w) AS word FROM wd),
+         |vocab AS (SELECT word, count(*) AS df FROM toks GROUP BY 1)
+         |SELECT 's*' AS pattern, word, df FROM vocab WHERE word LIKE 's%'
+         |UNION ALL SELECT '*er', word, df FROM vocab WHERE word LIKE '%er'
+         |UNION ALL SELECT 'c*n', word, df FROM vocab WHERE word LIKE 'c%n'
+         |UNION ALL SELECT '*e', word, df FROM vocab WHERE word LIKE '%e'
+         |UNION ALL SELECT 'b*h', word, df FROM vocab WHERE word LIKE 'b%h'""".stripMargin,
     // q9's scoring with a per-term (bm25 desc, doc_id) rank <= 5 window
     "q234_bm25_topk" ->
       s"""$WordsCte,

@@ -124,7 +124,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // facility-location coreset: exact integer gain sums + coverage
     "q328_coreset_select",
     // sequential patterns: integer position mins + support counts
-    "q329_seq_patterns")
+    "q329_seq_patterns",
+    // permuterm probe: exact string prefixes + integer dfs
+    "q330_wildcard_search")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -135,6 +135,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q330: the bounded pattern list is the broadcast build side of the probe") {
+    // the q19 rule for non-equi joins: the 5-row pattern list must be
+    // the broadcast side; a flipped build would broadcast the
+    // term-grain rotation index
+    val p = plan("q330_wildcard_search")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"pattern list must be the broadcast build side:\n$p")
+  }
+
   test("q213/q216: bottom-k sketch/sample plan TakeOrdered, never a full sort") {
     // the mergeability story depends on it: TakeOrdered is k rows per
     // partition + a driver merge; a global Sort would be a full shuffle
