@@ -153,10 +153,19 @@ object Ranking {
       docs: DataFrame, textCol: String, idCol: String,
       terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = tokens(docs, textCol, idCol)
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // dl feeds stats AND the final join; tf feeds dfx AND the final
+    // join — persist both (the static bm25's perDoc discipline;
+    // without it Catalyst prunes each branch into a structurally
+    // different subtree with no exchange reuse and re-tokenizes the
+    // corpus once per consumer). The query runner's sweep frees them.
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl")).persist()
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = toks.join(broadcast(terms.select("word")), Seq("word"))
+    // distinct() is the dynamic twin of the static bm25's
+    // duplicate-terms require: a doubled term row would fan every
+    // token out twice and silently double tf
+    val tf = toks.join(broadcast(terms.select("word").distinct()), Seq("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfx = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val idf: Column =
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)

@@ -330,10 +330,12 @@ object HygieneQueries {
     val b = docs(spark, dir)
       .select(col("lang"), col("source"),
         floor(col("n_chars") / 100).cast("long").as("len_b"))
+    // ONE corpus scan: glob and groups are rollups of the persisted
+    // (group, bucket) grid, not separate scans of b
     val cells = b.groupBy("lang", "source", "len_b")
-      .agg(count(lit(1)).as("c"))
-    val glob = b.groupBy("len_b").agg(count(lit(1)).as("cg")).persist()
-    val groups = b.groupBy("lang", "source").agg(count(lit(1)).as("n_g"))
+      .agg(count(lit(1)).as("c")).persist()
+    val glob = cells.groupBy("len_b").agg(sum(col("c")).as("cg")).persist()
+    val groups = cells.groupBy("lang", "source").agg(sum(col("c")).as("n_g"))
     val tot = glob.agg(sum(col("cg")).as("n_tot"), count(lit(1)).as("m"))
     val wg = Window.partitionBy(col("lang"), col("source"))
       .orderBy(col("len_b"))
@@ -626,7 +628,6 @@ object HygieneQueries {
         |  ('n_exact_dup_docs', CAST(n_dups AS DOUBLE)),
         |  ('mean_tokens_per_doc', round(CAST(n_tokens AS DOUBLE) / n_docs, 6))
         |) AS v(stat, value)""".stripMargin,
-    // same quasi-identifier grouping and length-bucket sensitive value
     // same (lang, source) QI groups and len_b buckets, same
     // denominator-cleared |N*Pc - n_g*PCg| decimal prefix terms, same
     // single final division per group
@@ -667,6 +668,7 @@ object HygieneQueries {
         |                       / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1)), 6)
         |            ELSE 0.0 END) > 0.2 AS INT) AS above_t02
         |FROM agg""".stripMargin,
+    // same quasi-identifier grouping and length-bucket sensitive value
     "q282_l_diversity" ->
       """SELECT lang, source, count(*) AS n_rows,
         |       count(DISTINCT n_chars // 100) AS l_distinct,

@@ -350,12 +350,10 @@ object TextQueries {
   def q319BackoffLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val alpha = 0.4
-    val wd = docs(s, dir)
-      .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
-      .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
-          .otherwise(when(substring(md5(col("doc_id").cast("string")), 1, 2) < "34", "val")
-            .otherwise("train")))
+    val wd = graft.operators.Curation.hashSplit(
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
+      "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
     // size guards: Spark's sequence(1, n) runs DESCENDING when n < 1,
     // so short docs must be filtered before the position transform
     def tris(df: DataFrame) = df.filter(size(col("w")) >= 3)
@@ -433,12 +431,10 @@ object TextQueries {
     */
   def q322KneserNeyLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val wd = docs(s, dir)
-      .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
-      .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a", "test")
-          .otherwise(when(substring(md5(col("doc_id").cast("string")), 1, 2) < "34", "val")
-            .otherwise("train")))
+    val wd = graft.operators.Curation.hashSplit(
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
+      "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
     def bis(df: DataFrame) = df.filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - 1),
@@ -510,11 +506,14 @@ object TextQueries {
     val grams = uni.unionByName(big)
       .withColumn("bkt",
         conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % 1024)
-    val docBkt = grams.groupBy(col("doc_id"), col("bkt"))
+    // lang is doc-functional, so carrying it through the (doc, bucket)
+    // agg is free — and raw/tgt then derive from the PERSISTED docBkt
+    // instead of re-tokenizing the corpus once each
+    val docBkt = grams.groupBy(col("doc_id"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("n")).persist()
-    val raw = grams.groupBy("bkt").agg(count(lit(1)).as("cr"))
-    val tgt = grams.filter(col("lang") === "en")
-      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val raw = docBkt.groupBy("bkt").agg(sum(col("n")).as("cr"))
+    val tgt = docBkt.filter(col("lang") === "en")
+      .groupBy("bkt").agg(sum(col("n")).as("ct"))
     val tots = raw.agg(sum(col("cr")).as("nr"))
       .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
     // every gram bucket appears in raw (target docs ⊆ pool), so the
