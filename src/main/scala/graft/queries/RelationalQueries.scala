@@ -3329,6 +3329,46 @@ object RelationalQueries {
       .filter(col("n_users") >= 5)
   }
 
+  /** q331: deterministic random-walk corpus over the co-purchase
+    * graph — the DeepWalk/node2vec DATA-GENERATION op (walk sequences
+    * are the "sentences" a graph-embedding trainer consumes; q289's
+    * PPR is the analytic stationary view, this MATERIALIZES the
+    * walks): 4 steps from the 50 lowest-id nodes, each transition
+    * chosen by md5-argmin over the current node's neighbors — the
+    * repo's reproducible-hash convention standing in for RNG, so the
+    * walk corpus is identical across runs, partitionings, and engines
+    * (a seeded sampler would be engine-specific). Output = (walk_id,
+    * path, end_node). DETERMINISM: per-step winner is the (md5, id)
+    * lexicographic minimum — a total order. Scale shape: the walk set
+    * NEVER grows (one row per walk per step); each step is one
+    * walk-keyed equi-join against the persisted symmetric edge list +
+    * one walk-keyed min agg, localCheckpoint-ed (read by the next
+    * step and the path carry — the q321 lineage lesson). At catalog
+    * scale walks per node × steps is the only multiplier, and the
+    * edge table is pre-partitioned once on the source endpoint (q37's
+    * discipline). The oracle unrolls the same 4 hash-argmin steps.
+    */
+  def q331RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val ew = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
+    var cur = ew.select(col("a").as("node")).distinct()
+      .orderBy(col("node")).limit(50)
+      .select(col("node").as("walk_id"), col("node"),
+        col("node").cast("string").as("path"))
+      .localCheckpoint()
+    for (t <- 1 to 4) {
+      cur = cur.join(ew, cur("node") === ew("a"))
+        .select(col("walk_id"), col("path"), col("b").as("v"),
+          md5(concat_ws("|", col("walk_id").cast("string"), lit(t.toString),
+            col("b").cast("string"))).as("h"))
+        .groupBy("walk_id", "path")
+        .agg(min(struct(col("h"), col("v"))).as("m"))
+        .select(col("walk_id"), col("m.v").as("node"),
+          concat(col("path"), lit(">"), col("m.v").cast("string")).as("path"))
+        .localCheckpoint()
+    }
+    cur.select(col("walk_id"), col("path"), col("node").as("end_node"))
+  }
+
   /** q239: declarative data-quality expectations — the dbt-test /
     * Great-Expectations-style gate a pipeline runs before publishing a
     * table: six rules (price positivity, date range, status domain,
@@ -4210,6 +4250,7 @@ object RelationalQueries {
     "q324_greedy_matching" -> q324GreedyMatching _,
     "q327_mis" -> q327Mis _,
     "q329_seq_patterns" -> q329SeqPatterns _,
+    "q331_random_walks" -> q331RandomWalks _,
     "q204_bootstrap_ci" -> q204BootstrapCi _,
     "q205_golden_record" -> q205GoldenRecord _,
     "q199_label_propagation" -> q199LabelPropagation _,
@@ -5301,6 +5342,54 @@ object RelationalQueries {
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e2
         |UNION ALL SELECT 3, count(*), CAST(coalesce(sum(a), 0) AS BIGINT),
         |       CAST(coalesce(sum(b), 0) AS BIGINT) FROM e3""".stripMargin,
+    // same symmetric edge list, same 50 lowest-id seeds, same four
+    // md5-argmin transitions ((hash, id) lexicographic minimum)
+    "q331_random_walks" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ew AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |s0 AS (SELECT n AS walk_id, n AS node, CAST(n AS VARCHAR) AS path FROM (
+        |  SELECT DISTINCT a AS n FROM ew ORDER BY n LIMIT 50)),
+        |s1 AS (
+        |  SELECT walk_id, v AS node, path || '>' || CAST(v AS VARCHAR) AS path
+        |  FROM (
+        |    SELECT p.walk_id, ew.b AS v, p.path,
+        |           row_number() OVER (PARTITION BY p.walk_id
+        |             ORDER BY md5(CAST(p.walk_id AS VARCHAR) || '|1|'
+        |                          || CAST(ew.b AS VARCHAR)), ew.b) AS rn
+        |    FROM s0 p JOIN ew ON ew.a = p.node)
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT walk_id, v AS node, path || '>' || CAST(v AS VARCHAR) AS path
+        |  FROM (
+        |    SELECT p.walk_id, ew.b AS v, p.path,
+        |           row_number() OVER (PARTITION BY p.walk_id
+        |             ORDER BY md5(CAST(p.walk_id AS VARCHAR) || '|2|'
+        |                          || CAST(ew.b AS VARCHAR)), ew.b) AS rn
+        |    FROM s1 p JOIN ew ON ew.a = p.node)
+        |  WHERE rn = 1),
+        |s3 AS (
+        |  SELECT walk_id, v AS node, path || '>' || CAST(v AS VARCHAR) AS path
+        |  FROM (
+        |    SELECT p.walk_id, ew.b AS v, p.path,
+        |           row_number() OVER (PARTITION BY p.walk_id
+        |             ORDER BY md5(CAST(p.walk_id AS VARCHAR) || '|3|'
+        |                          || CAST(ew.b AS VARCHAR)), ew.b) AS rn
+        |    FROM s2 p JOIN ew ON ew.a = p.node)
+        |  WHERE rn = 1),
+        |s4 AS (
+        |  SELECT walk_id, v AS node, path || '>' || CAST(v AS VARCHAR) AS path
+        |  FROM (
+        |    SELECT p.walk_id, ew.b AS v, p.path,
+        |           row_number() OVER (PARTITION BY p.walk_id
+        |             ORDER BY md5(CAST(p.walk_id AS VARCHAR) || '|4|'
+        |                          || CAST(ew.b AS VARCHAR)), ew.b) AS rn
+        |    FROM s3 p JOIN ew ON ew.a = p.node)
+        |  WHERE rn = 1),
+        |fin AS (SELECT * FROM s4)
+        |SELECT walk_id, path, node AS end_node FROM fin""").stripMargin,
     // same per-user (ts, event_id) positions, same greedy
     // first-a / first-b-after / c-exists subsequence containment,
     // same support >= 5 census

@@ -538,8 +538,78 @@ object TextQueries {
         round(col("wq") / 1e9, 6).as("log_importance"))
   }
 
+  /** q332: skip-gram negative-sampling table — the word2vec/SGNS
+    * TRAINING-DATA generator (Mikolov et al. 2013): distinct
+    * (center, context) pairs from ±2 skip-gram windows, each paired
+    * with k = 2 negatives drawn from the unigram^0.75 distribution —
+    * the op that turns a corpus into contrastive training triples.
+    * Windows are generated by POSITION-SHIFT EQUI-JOINS ((doc, pos+o)
+    * for o ∈ {1,2}, both directions emitted) — never a per-doc
+    * positional self-join whose intermediate is n² per doc. Negative
+    * draws are the md5 convention: u = md5(center|context|i) mod W
+    * over the 1e6-quantized cumulative c^0.75 weights (prefix sums via
+    * `Quantiles.prefixSums` — range exchange, no single-partition
+    * window even though the grain is vocabulary); the interval lookup
+    * is a BUCKETED range join — each vocab interval exploded onto the
+    * ~1024 fixed buckets it overlaps, draws equi-joined on bucket and
+    * range-filtered — the scale path where a broadcast nested-loop
+    * against a production-sized vocabulary would be draws×|V|. A draw
+    * may land on its own center/context (the standard SGNS collision;
+    * kept, deterministically, rather than resampled). DETERMINISM:
+    * weights and prefix sums are exact longs after one quantized pow
+    * per vocab TYPE; draws are exact integer arithmetic; exactly one
+    * interval contains each u. Scale shape: two position-shift
+    * equi-joins + one distinct for pairs; vocab-grain weight table;
+    * draws = 2 rows per distinct pair through one bucket equi-join.
+    */
+  def q332NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pos = graft.operators.Ranking
+      .tokensWithPos(docs(s, dir), "text", "doc_id").persist()
+    val shifted = Seq(1, 2).map { o =>
+      pos.as("a").join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id")
+          && col("b.pos") === col("a.pos") + o)
+        .select(col("a.word").as("center"), col("b.word").as("context"))
+    }.reduce(_ unionByName _)
+    val pairs = shifted
+      .unionByName(shifted.select(col("context").as("center"),
+        col("center").as("context")))
+      .distinct()
+    val vocab = pos.groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("w_fp", round(pow(col("c").cast("double"), 0.75) * 1e6)
+        .cast("long"))
+    val cum = graft.operators.Quantiles.prefixSums(
+      vocab, Seq(col("word").asc), Seq("w_fp" -> "cum"))
+    val tot = cum.agg(max(col("cum")).as("w_tot"))
+    // fixed ~1024 bucket grid over [0, W): every vocab interval
+    // [cum - w_fp, cum) lands on the buckets it overlaps
+    val step = greatest(lit(1L), expr("w_tot div 1024"))
+    val buckets = cum.crossJoin(broadcast(tot))
+      .select(col("word").as("negative"),
+        (col("cum") - col("w_fp")).as("lo"), col("cum").as("hi"),
+        explode(sequence(expr("(cum - w_fp) div greatest(1L, w_tot div 1024)"),
+          expr("(cum - 1) div greatest(1L, w_tot div 1024)"))).as("bkt"))
+    val draws = pairs
+      .select(col("center"), col("context"),
+        explode(array(lit(1), lit(2))).as("draw_i"))
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("draw_i"),
+        (conv(substring(md5(concat_ws("|", col("center"), col("context"),
+          col("draw_i").cast("string"))), 1, 13), 16, 10).cast("long")
+          % col("w_tot")).as("u"),
+        step.as("stp"))
+    draws
+      .select(col("center"), col("context"), col("draw_i"), col("u"),
+        expr("u div stp").as("bkt"))
+      .join(broadcast(buckets), Seq("bkt"))
+      .filter(col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("center"), col("context"), col("draw_i"), col("negative"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q319_backoff_lm" -> (q319BackoffLm _),
+    "q332_negative_sampling" -> (q332NegativeSampling _),
     "q322_kneser_ney_lm" -> (q322KneserNeyLm _),
     "q323_importance_resampling" -> (q323ImportanceResampling _),
     // q253: tokenizer fertility by (source, lang) — per corpus slice,
@@ -1744,6 +1814,39 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same position-shift pairs, same 1e6-quantized c^0.75 cumulative
+    // weights over the word order, same md5-mod draws, same one-interval
+    // range lookup (the oracle keeps the plain range join the bucketed
+    // plan is provably equal to: exactly one interval contains each u)
+    "q332_negative_sampling" ->
+      s"""$WordsCte,
+         |tp AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+         |              unnest(w) AS word FROM wd),
+         |sh AS (
+         |  SELECT a.word AS center, b.word AS context FROM tp a JOIN tp b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  UNION ALL
+         |  SELECT a.word, b.word FROM tp a JOIN tp b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 2),
+         |pairs AS (SELECT DISTINCT center, context FROM (
+         |  SELECT center, context FROM sh
+         |  UNION ALL SELECT context AS center, center AS context FROM sh)),
+         |vocab AS (SELECT word, count(*) AS c FROM (
+         |  SELECT unnest(w) AS word FROM wd) GROUP BY 1),
+         |cumt AS (
+         |  SELECT word, CAST(round(pow(c, 0.75) * 1e6) AS BIGINT) AS w_fp,
+         |         CAST(sum(CAST(round(pow(c, 0.75) * 1e6) AS BIGINT))
+         |              OVER (ORDER BY word) AS BIGINT) AS cum
+         |  FROM vocab),
+         |tot AS (SELECT max(cum) AS w_tot FROM cumt),
+         |draws AS (
+         |  SELECT center, context, g.i AS draw_i,
+         |         CAST(('0x' || substr(md5(center || '|' || context || '|'
+         |              || CAST(g.i AS VARCHAR)), 1, 13)) AS BIGINT)
+         |           % tot.w_tot AS u
+         |  FROM pairs CROSS JOIN (SELECT unnest([1, 2]) AS i) g CROSS JOIN tot)
+         |SELECT d.center, d.context, d.draw_i, c.word AS negative
+         |FROM draws d JOIN cumt c ON d.u >= c.cum - c.w_fp AND d.u < c.cum""".stripMargin,
     // same q71 md5 split, same three count tables over the train split,
     // same stupid-backoff CASE chain, same 1e9-quantized -ln sum
     "q319_backoff_lm" ->

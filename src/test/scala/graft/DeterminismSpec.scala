@@ -126,7 +126,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // sequential patterns: integer position mins + support counts
     "q329_seq_patterns",
     // permuterm probe: exact string prefixes + integer dfs
-    "q330_wildcard_search")
+    "q330_wildcard_search",
+    // walk corpus: (md5, id) argmin transitions; negative sampling:
+    // exact cumulative-weight interval arithmetic
+    "q331_random_walks", "q332_negative_sampling")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -106,6 +106,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // sequential patterns: user-keyed containment joins, never the
         // positional n^3 self-join
         "q329_seq_patterns",
+        // walk corpus: walk-keyed transition joins + min aggs only
+        "q331_random_walks",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²

@@ -340,6 +340,28 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(all.nonEmpty, "fixture graph matched nothing")
   }
 
+  test("q331's walks are real paths: every consecutive step is an edge") {
+    // the hash-argmin transition must only ever move along edges —
+    // a wrong join key (e.g. joining on the walk seed instead of the
+    // current node) would still produce deterministic output and could
+    // pass a careless oracle edit; pin the graph-validity invariant
+    val ew = graft.operators.Edges.coPurchaseUndirected(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walks = graft.queries.RelationalQueries
+      .q331RandomWalks(spark, sfDir).collect()
+    sweep()
+    assert(walks.length == 50, s"expected 50 walks, got ${walks.length}")
+    walks.foreach { r =>
+      val hops = r.getString(1).split(">").map(_.toLong)
+      assert(hops.length == 5, s"walk ${r.getLong(0)} has ${hops.length} nodes")
+      assert(hops.head == r.getLong(0), "path must start at the seed")
+      assert(hops.last == r.getLong(2), "end_node must close the path")
+      hops.sliding(2).foreach { case Array(x, y) =>
+        assert(ew((x, y)), s"walk ${r.getLong(0)} uses non-edge ($x,$y)")
+      }
+    }
+  }
+
   test("q329's greedy subsequence containment equals the naive positional triple join") {
     // the scaling claim rests on a correctness claim: greedy earliest
     // matching finds (a,b,c) iff SOME position triple i<j<k matches it.
