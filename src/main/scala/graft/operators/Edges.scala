@@ -253,13 +253,22 @@ object Edges {
     * (out-degree O(√|E|) under the orientation bound) + one edge-keyed
     * count agg + one edge-keyed semi-join — never an all-pairs step.
     */
-  def ktruss(e0: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
+  def ktruss(e0: DataFrame, k: Int, rounds: Int,
+             cut: Boolean = true): Seq[DataFrame] = {
     require(k >= 3, "ktruss needs k >= 3")
-    var cur = e0.localCheckpoint()
+    // `cut = false` disables the per-round localCheckpoint so the whole
+    // multi-round JOIN SHAPE stays visible in one logical plan — the
+    // plan-guard inspection mode (PlanSpec); an eager checkpoint
+    // otherwise replaces every round's joins with a LogicalRDD scan and
+    // makes plan assertions vacuous. Production callers keep the
+    // default: at rounds ≥ 3 the uncut plan re-embeds the edge build
+    // ~4^r times and OOMs the driver at codegen (measured).
+    def c(df: DataFrame) = if (cut) df.localCheckpoint() else df
+    var cur = c(e0)
     val out = scala.collection.mutable.Buffer(cur)
     for (_ <- 1 to rounds) {
       val keep = edgeSupport(cur).filter(col("sup") >= k - 2)
-      cur = cur.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+      cur = c(cur.join(keep, Seq("a", "b"), "left_semi"))
       out += cur
     }
     out.toSeq
@@ -327,26 +336,27 @@ object Edges {
     * both symmetrization arms + the anti-join left — the q321 lineage
     * lesson); the runner's sweep frees the blocks.
     */
-  def greedyMatching(e0: DataFrame, rounds: Int): Seq[DataFrame] = {
-    var cur = e0.localCheckpoint()
+  def greedyMatching(e0: DataFrame, rounds: Int,
+                     cut: Boolean = true): Seq[DataFrame] = {
+    // `cut = false` = the PlanSpec inspection mode (see [[ktruss]])
+    def c(df: DataFrame) = if (cut) df.localCheckpoint() else df
+    var cur = c(e0)
     val out = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val dir = cur.select(col("a").as("u"), col("b").as("v"))
         .unionByName(cur.select(col("b").as("u"), col("a").as("v")))
       val prop = dir.groupBy("u").agg(min(col("v")).as("v"))
-      val matched = prop.as("p")
+      val matched = c(prop.as("p")
         .join(prop.as("q"),
           col("p.u") === col("q.v") && col("p.v") === col("q.u"))
         .filter(col("p.u") < col("p.v"))
-        .select(col("p.u").as("a"), col("p.v").as("b"))
-        .localCheckpoint()
+        .select(col("p.u").as("a"), col("p.v").as("b")))
       out += matched
       val mn = matched.select(col("a").as("n"))
         .unionByName(matched.select(col("b").as("n")))
-      cur = cur
+      cur = c(cur
         .join(mn, cur("a") === mn("n"), "left_anti")
-        .join(mn, cur("b") === mn("n"), "left_anti")
-        .localCheckpoint()
+        .join(mn, cur("b") === mn("n"), "left_anti"))
     }
     out.toSeq
   }
@@ -372,32 +382,63 @@ object Edges {
     * localCheckpoint-ed (each read ≥3 times next round — the q321
     * lineage lesson); the runner's sweep frees the blocks.
     */
-  def maximalIndependentSet(e0: DataFrame, rounds: Int): Seq[DataFrame] = {
-    var edges = e0.localCheckpoint()
-    var nodes = e0.select(col("a").as("node"))
+  def maximalIndependentSet(e0: DataFrame, rounds: Int,
+                            cut: Boolean = true): Seq[DataFrame] = {
+    // `cut = false` = the PlanSpec inspection mode (see [[ktruss]])
+    def c(df: DataFrame) = if (cut) df.localCheckpoint() else df
+    var edges = c(e0)
+    var nodes = c(e0.select(col("a").as("node"))
       .unionByName(e0.select(col("b").as("node")))
-      .distinct().localCheckpoint()
+      .distinct())
     val out = scala.collection.mutable.Buffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val dir = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       val nbrMin = dir.groupBy("u").agg(min(col("v")).as("mn"))
-      val mis = nodes
+      val mis = c(nodes
         .join(nbrMin, nodes("node") === nbrMin("u"), "left")
         .filter(col("mn").isNull || col("node") < col("mn"))
-        .select(col("node"))
-        .localCheckpoint()
+        .select(col("node")))
       out += mis
       val removed = mis
         .unionByName(dir.join(mis, dir("u") === mis("node"))
           .select(dir("v").as("node")))
         .distinct()
-      nodes = nodes.join(removed, Seq("node"), "left_anti").localCheckpoint()
-      edges = edges
+      nodes = c(nodes.join(removed, Seq("node"), "left_anti"))
+      edges = c(edges
         .join(nodes.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi"))
     }
     out.toSeq
+  }
+
+  /** Bounded-step deterministic random walks over a symmetric (a, b)
+    * edge list from `seeds` (walk_id, node) rows: `steps` transitions,
+    * each the (md5(walk|step|neighbor), id)-argmin over the current
+    * node's neighbors — the repo's reproducible-hash convention
+    * standing in for RNG, so the walk corpus is identical across runs,
+    * partitionings, and engines. Returns (walk_id, node, path) with
+    * path the '>'-joined node sequence. The walk set never grows (one
+    * row per walk per step); each step is one walk-keyed equi-join
+    * against the edge list + one walk-keyed min agg. `cut = false` =
+    * the PlanSpec inspection mode (see [[ktruss]]); callers persist
+    * the edge side across steps.
+    */
+  def randomWalks(e: DataFrame, seeds: DataFrame, steps: Int,
+                  cut: Boolean = true): DataFrame = {
+    def c(df: DataFrame) = if (cut) df.localCheckpoint() else df
+    var cur = c(seeds.select(col("walk_id"), col("node"),
+      col("node").cast("string").as("path")))
+    for (t <- 1 to steps) {
+      cur = c(cur.join(e, cur("node") === e("a"))
+        .select(col("walk_id"), col("path"), col("b").as("v"),
+          md5(concat_ws("|", col("walk_id").cast("string"), lit(t.toString),
+            col("b").cast("string"))).as("h"))
+        .groupBy("walk_id", "path")
+        .agg(min(struct(col("h"), col("v"))).as("m"))
+        .select(col("walk_id"), col("m.v").as("node"),
+          concat(col("path"), lit(">"), col("m.v").cast("string")).as("path")))
+    }
+    cur
   }
 }

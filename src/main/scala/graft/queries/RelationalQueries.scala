@@ -3350,23 +3350,11 @@ object RelationalQueries {
     */
   def q331RandomWalks(spark: SparkSession, dir: String): DataFrame = {
     val ew = graft.operators.Edges.coPurchaseUndirected(spark, dir).persist()
-    var cur = ew.select(col("a").as("node")).distinct()
+    val seeds = ew.select(col("a").as("node")).distinct()
       .orderBy(col("node")).limit(50)
-      .select(col("node").as("walk_id"), col("node"),
-        col("node").cast("string").as("path"))
-      .localCheckpoint()
-    for (t <- 1 to 4) {
-      cur = cur.join(ew, cur("node") === ew("a"))
-        .select(col("walk_id"), col("path"), col("b").as("v"),
-          md5(concat_ws("|", col("walk_id").cast("string"), lit(t.toString),
-            col("b").cast("string"))).as("h"))
-        .groupBy("walk_id", "path")
-        .agg(min(struct(col("h"), col("v"))).as("m"))
-        .select(col("walk_id"), col("m.v").as("node"),
-          concat(col("path"), lit(">"), col("m.v").cast("string")).as("path"))
-        .localCheckpoint()
-    }
-    cur.select(col("walk_id"), col("path"), col("node").as("end_node"))
+      .select(col("node").as("walk_id"), col("node"))
+    graft.operators.Edges.randomWalks(ew, seeds, steps = 4)
+      .select(col("walk_id"), col("path"), col("node").as("end_node"))
   }
 
   /** q239: declarative data-quality expectations — the dbt-test /

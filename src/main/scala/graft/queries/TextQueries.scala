@@ -527,10 +527,11 @@ object TextQueries {
             / ((col("cr") + 1).cast("double")
               * (col("nt") + 1024).cast("double"))) * 1e9)
           .cast("long").as("lq"))
+    // lang rides the persisted docBkt grain — no doc-grain join-back
+    // scan just to recover it (round-10 review finding)
     docBkt.join(broadcast(lqTab), Seq("bkt"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(sum(col("n") * col("lq")).as("wq"), sum(col("n")).as("n_feats"))
-      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
       .filter(col("lang") =!= "en")
       .orderBy(col("wq").desc, col("doc_id").asc)
       .limit(50)
@@ -572,9 +573,15 @@ object TextQueries {
           && col("b.pos") === col("a.pos") + o)
         .select(col("a.word").as("center"), col("b.word").as("context"))
     }.reduce(_ unionByName _)
+    // both orientations emitted from ONE pass over the join output —
+    // a union of two selects over `shifted` would re-execute the
+    // token-grain joins once per branch (round-10 review finding)
     val pairs = shifted
-      .unionByName(shifted.select(col("context").as("center"),
-        col("center").as("context")))
+      .select(explode(array(
+        struct(col("center"), col("context")),
+        struct(col("context").as("center"), col("center").as("context"))))
+        .as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
       .distinct()
     val vocab = pos.groupBy("word").agg(count(lit(1)).as("c"))
       .withColumn("w_fp", round(pow(col("c").cast("double"), 0.75) * 1e6)
@@ -583,22 +590,26 @@ object TextQueries {
       vocab, Seq(col("word").asc), Seq("w_fp" -> "cum"))
     val tot = cum.agg(max(col("cum")).as("w_tot"))
     // fixed ~1024 bucket grid over [0, W): every vocab interval
-    // [cum - w_fp, cum) lands on the buckets it overlaps
+    // [cum - w_fp, cum) lands on the buckets it overlaps. ONE
+    // definition of the bucket step, shared by grid and probes — a
+    // drifted copy would silently drop draws whose bucket misses its
+    // interval (round-10 review finding)
     val step = greatest(lit(1L), expr("w_tot div 1024"))
     val buckets = cum.crossJoin(broadcast(tot))
+      .withColumn("stp", step)
       .select(col("word").as("negative"),
         (col("cum") - col("w_fp")).as("lo"), col("cum").as("hi"),
-        explode(sequence(expr("(cum - w_fp) div greatest(1L, w_tot div 1024)"),
-          expr("(cum - 1) div greatest(1L, w_tot div 1024)"))).as("bkt"))
+        explode(sequence(expr("(cum - w_fp) div stp"),
+          expr("(cum - 1) div stp"))).as("bkt"))
     val draws = pairs
       .select(col("center"), col("context"),
         explode(array(lit(1), lit(2))).as("draw_i"))
       .crossJoin(broadcast(tot))
-      .select(col("center"), col("context"), col("draw_i"),
+      .withColumn("stp", step)
+      .select(col("center"), col("context"), col("draw_i"), col("stp"),
         (conv(substring(md5(concat_ws("|", col("center"), col("context"),
           col("draw_i").cast("string"))), 1, 13), 16, 10).cast("long")
-          % col("w_tot")).as("u"),
-        step.as("stp"))
+          % col("w_tot")).as("u"))
     draws
       .select(col("center"), col("context"), col("draw_i"), col("u"),
         expr("u div stp").as("bkt"))

@@ -96,18 +96,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // round must stay order-/node-keyed (q320: weighted relax rounds
         // join frontier on the source endpoint, merge full-outer on node)
         "q199_label_propagation", "q203_bfs_hops", "q320_weighted_sssp",
-        // truss peel: wedge joins + edge-keyed semi-joins only
-        "q321_ktruss",
-        // matching handshake: proposal self-join on (u,v)=(v,u) keys,
-        // node-keyed anti-joins — never all-pairs
-        "q324_greedy_matching",
-        // Luby MIS: node-keyed min agg + anti/semi-joins per round
-        "q327_mis",
         // sequential patterns: user-keyed containment joins, never the
         // positional n^3 self-join
         "q329_seq_patterns",
-        // walk corpus: walk-keyed transition joins + min aggs only
-        "q331_random_walks",
         // MDM pipeline: SNM pairs are window-born; CC rounds stay keyed
         "q205_golden_record",
         // centroid similarity: the pair dot must join on dim, never all²
@@ -120,6 +111,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       spark.catalog.clearCache()
       org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
     }
+  }
+
+  test("checkpointed iterative ops keep keyed-join rounds (uncut plan inspection)") {
+    // q321/q324/q327/q331 localCheckpoint every round EAGERLY, so their
+    // query-level plans are LogicalRDD scans and the main guard above
+    // would be vacuous on them (round-10 review finding). Inspect the
+    // genuine multi-round join shape via the operators' cut = false
+    // mode at a bounded round count (the uncut lineage is exactly why
+    // production keeps cut = true).
+    import graft.operators.Edges
+    val e0 = Edges.coPurchase(spark, sfDir).persist()
+    val seeds = e0.select(org.apache.spark.sql.functions.col("a").as("walk_id"),
+      org.apache.spark.sql.functions.col("a").as("node")).limit(5)
+    val plans = Seq(
+      "ktruss" -> Edges.ktruss(e0, k = 3, rounds = 1, cut = false).last,
+      "matching" -> Edges.greedyMatching(e0, rounds = 1, cut = false).head,
+      "mis" -> Edges.maximalIndependentSet(e0, rounds = 1, cut = false).head,
+      "walks" -> Edges.randomWalks(e0, seeds, steps = 2, cut = false))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Join"), s"$name uncut plan shows no join - vacuous:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a broadcast nested-loop join:\n$p")
+    }
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
   }
 
   test("q323: the bucket model rides a broadcast join, never a shuffle of the doc grain") {
