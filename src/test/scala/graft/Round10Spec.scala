@@ -340,6 +340,32 @@ class Round10Spec extends AnyFunSuite with SparkTestBase {
     assert(all.nonEmpty, "fixture graph matched nothing")
   }
 
+  test("q330/q332: the one-match invariants hold (one rotation per probe, one interval per draw)") {
+    // q330's no-dedup claim: a word matches a probed pattern through
+    // EXACTLY one rotation (the $ sits at a fixed offset), so the
+    // result must be duplicate-free at (pattern, word) grain
+    val wc = graft.queries.SearchQueries
+      .q330WildcardSearch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    sweep()
+    assert(wc.nonEmpty && wc.distinct.length == wc.length,
+      s"permuterm probe emitted a duplicate (pattern, word): ${wc.length} rows")
+    // q332's partition claim: [0, W) is covered by the vocab intervals
+    // exactly once, so every (pair, draw) resolves to EXACTLY one
+    // negative — a drifted bucket step (grid built with one step,
+    // probes with another) would silently DROP draws and break this
+    val ns = graft.queries.TextQueries
+      .queries("q332_negative_sampling")(spark, sfDir).collect()
+    sweep()
+    val keys = ns.map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(keys.distinct.length == keys.length,
+      "a draw resolved to more than one negative (overlapping intervals)")
+    val pairs = keys.map(k => (k._1, k._2)).distinct.length
+    assert(keys.length == 2 * pairs,
+      s"expected 2 draws per pair: ${keys.length} rows for $pairs pairs " +
+        "(a dropped draw means the bucket grid missed its interval)")
+  }
+
   test("q331's walks are real paths: every consecutive step is an edge") {
     // the hash-argmin transition must only ever move along edges —
     // a wrong join key (e.g. joining on the walk seed instead of the
