@@ -2892,10 +2892,14 @@ object RelationalQueries {
     * point, identical IEEE both engines.
     *
     * Scale shape: see [[graft.operators.Edges.adamicAdar]] (one
-    * collect_set agg, in-place wedge generator, (a,b)-grain hash agg,
-    * keyed anti-join — hand-graph-pinned in Round10Spec); here only
-    * the TakeOrdered top-100 and the readable score are added. No
-    * window anywhere.
+    * collect_set agg, in-place wedge generator under the ENFORCED
+    * 256-neighbor hub cap — the last unbounded C(deg,2) fanout in the
+    * graph family, closed with q290's mega-cart precedent and mirrored
+    * in the oracle; never binds on the fixtures, whose max degree is
+    * 13 — then an (a,b)-grain hash agg and keyed anti-join,
+    * hand-graph-pinned in Round10Spec, cap-pinned in Round11Spec);
+    * here only the TakeOrdered top-100 and the readable score are
+    * added. No window anywhere.
     */
   def q312AdamicAdar(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Edges
@@ -2915,13 +2919,27 @@ object RelationalQueries {
     * the two key spaces cannot collide). DETERMINISM: 1e9 fixed point,
     * every step an exact integer division — the oracle unrolls the
     * identical four rounds with `//`. Scale shape: the edge build is
-    * the shared bipartite builder (persisted across rounds); each
-    * round is one edges⋈scores equi-join + hash agg + a 3-row teleport
-    * full-outer merge; no driver state beyond the seed literals; the
-    * top-10 is a TakeOrdered. The frontier starts at 3 nodes and only
-    * reaches the walk's neighborhood, so early-round tables are tiny.
+    * the shared bipartite builder with the out-degree folded in ONCE
+    * before the loop (persisted, pre-partitioned on src — the loop
+    * previously re-paid the degree join every round); each round is
+    * one edges⋈scores equi-join (via saltedPropagate, S = 1 default)
+    * + hash agg, the 3-row teleport riding the same agg as a union;
+    * no driver state beyond the seed literals; the top-10 is a
+    * TakeOrdered. The frontier starts at 3 nodes and only reaches the
+    * walk's neighborhood, so early-round tables are tiny.
     */
-  def q289PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def q289PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    q289PersonalizedPagerank(spark, dir, saltBuckets = 1)
+
+  /** [[q289PersonalizedPagerank]] with each round's edges⋈scores inflow
+    * join routed through [[graft.operators.Edges.saltedPropagate]] —
+    * the identical non-AQE-splittable propagation shape as q199/q254
+    * (aggregation above the score-side exchange ⇒ OptimizeSkewedJoin
+    * bails; see saltedPropagate's doc), so hub-skew relief is explicit
+    * here too. `saltBuckets = 1` (the registered query) is the plain
+    * equi-join; Round11Spec pins bit-identical scores at S = 8.
+    */
+  def q289PersonalizedPagerank(spark: SparkSession, dir: String, saltBuckets: Int): DataFrame = {
     val cp = graft.operators.Edges.customerPart(spark, dir)
     // pre-partitioned on the per-round join key before the persist (the
     // CC discipline): all four propagation joins hit the persisted
@@ -2932,12 +2950,17 @@ object RelationalQueries {
     // oracle's exact // semantics at any key scale
     val c2 = col("c").cast("long") * 2
     val p2 = col("p").cast("long") * 2 + 1
-    val edges = cp
+    val edges0 = cp
       .select(c2.as("src"), p2.as("dst"))
       .unionByName(cp.select(p2.as("src"), c2.as("dst")))
+      .persist()
+    // out-degree folded into the persisted edge table ONCE — the loop
+    // previously paid this src-keyed join every round for a value that
+    // never changes across rounds
+    val edges = edges0
+      .join(edges0.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
       .repartition(col("src"))
       .persist()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val seeds = cp.select(col("c")).distinct().orderBy(col("c").asc).limit(3)
       .select(c2.as("node"), lit(1000000000L).as("e"))
       .persist()
@@ -2945,10 +2968,13 @@ object RelationalQueries {
     for (_ <- 1 to 4) {
       // r' = e div 2 + inflow div 2, written as a UNION + one hash agg
       // (no teleport join at all): the inflow half fans each score over
-      // the persisted pre-partitioned edges, the 3-row seed half rides
-      // along, and one node-keyed agg sums the two halves
-      val inflow = r.join(edges, r("node") === edges("src"))
-        .join(outdeg, Seq("src"))
+      // the persisted pre-partitioned (src, dst, d) edges — through the
+      // S-way salted join, routed by dst so a hub's edge rows split
+      // across S tasks — the 3-row seed half rides along, and one
+      // node-keyed agg sums the two halves
+      val inflow = graft.operators.Edges
+        .saltedPropagate(edges, r.withColumnRenamed("node", "src"), "src",
+          col("dst"), saltBuckets)
         .select(col("dst").as("node"), expr("score div d").as("m"))
         .groupBy("node").agg(expr("sum(m) div 2").as("half"))
       r = inflow
@@ -4696,15 +4722,19 @@ object RelationalQueries {
          |FROM r4 WHERE node % 2 = 1
          |ORDER BY ppr_fp DESC, l_partkey LIMIT 10""".stripMargin
     },
-    // same support-2 edge set; wedges by the naive neighbor self-join,
-    // the same 1e9-fixed-point 1/ln(deg) weight summed as BIGINT
+    // same support-2 edge set; wedges by the naive neighbor self-join
+    // under the SAME enforced 256-neighbor hub cap (deg's HAVING drops
+    // capped centers from the inner wedge join exactly as the engine
+    // drops them before pair emission); the same 1e9-fixed-point
+    // 1/ln(deg) weight summed as BIGINT
     "q312_adamic_adar" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e0 AS (
         |  SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |und AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
-        |deg AS (SELECT a AS w, count(*) AS d FROM und GROUP BY a),
+        |deg AS (SELECT a AS w, count(*) AS d FROM und GROUP BY a
+        |        HAVING count(*) <= 256),
         |wedge AS (
         |  SELECT n1.b AS a, n2.b AS b, d.d
         |  FROM und n1 JOIN und n2 ON n1.a = n2.a AND n1.b < n2.b
