@@ -66,9 +66,9 @@ object Edges {
         // numBuckets: Spark's bucket id and the shuffle partitioner use
         // the same Murmur3 pmod, so each task writes exactly one bucket
         // file (no small-file explosion)
+        // relative table paths resolve against the session warehouse dir
         graft.sources.Bucketing.writeBucketed(
-          sym.repartition(32, col("a")), tbl, "a", 32,
-          s"spark-warehouse/$tbl")
+          sym.repartition(32, col("a")), tbl, "a", 32, tbl)
       }
     }
     spark.table(tbl)
