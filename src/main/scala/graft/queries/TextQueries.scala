@@ -349,14 +349,29 @@ object TextQueries {
     */
   def q319BackoffLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val alpha = 0.4
-    val wd = graft.operators.Curation.hashSplit(
+    val wd = backoffSplitDocs(s, dir)
+    backoffScore(wd.filter(col("split") === "train"),
+      backoffTris(wd.filter(col("split") === "test")))
+  }
+
+  /** The (doc_id, w, split) table behind q319/q333: word arrays under
+    * the q71 md5 split.
+    */
+  private def backoffSplitDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Curation.hashSplit(
       docs(s, dir)
         .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
       "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
-    // size guards: Spark's sequence(1, n) runs DESCENDING when n < 1,
-    // so short docs must be filtered before the position transform
-    def tris(df: DataFrame) = df.filter(size(col("w")) >= 3)
+  }
+
+  /** Positional trigram stream of a (doc_id, w) table. Size guard:
+    * Spark's sequence(1, n) runs DESCENDING when n < 1, so short docs
+    * must be filtered before the position transform.
+    */
+  private def backoffTris(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - 2),
           i => struct(
@@ -364,8 +379,19 @@ object TextQueries {
             element_at(col("w"), i + 1).as("w2"),
             element_at(col("w"), i + 2).as("w3")))).as("g"))
       .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
-    val train = wd.filter(col("split") === "train")
-    val c3 = tris(train).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+  }
+
+  /** The shared stupid-backoff model build + scorer behind q319 (test
+    * split only) and q333 (whole corpus): trains the three count tables
+    * on `train` and scores the `scoreTris` trigram stream through the
+    * five keyed model joins, rolling up per-doc mean negative log
+    * likelihood. Semantics and plan are q319's verbatim — q333 reuses
+    * the identical tables, not a re-derivation.
+    */
+  private def backoffScore(train: DataFrame, scoreTris: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val alpha = 0.4
+    val c3 = backoffTris(train).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
     val c2 = train.filter(size(col("w")) >= 2).select(
       explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => struct(
@@ -376,14 +402,13 @@ object TextQueries {
     val c1 = train.select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c1"))
     val n = c1.agg(sum(col("c1")).as("n_total"))
-    val test = tris(wd.filter(col("split") === "test"))
     val score =
       when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
         .otherwise(when(col("c2_23").isNotNull,
           lit(alpha) * col("c2_23").cast("double") / col("c1_w2"))
           .otherwise(lit(alpha * alpha) *
             coalesce(col("c1_w3"), lit(1L)).cast("double") / col("n_total")))
-    test
+    scoreTris
       .join(c3, Seq("w1", "w2", "w3"), "left")
       .join(c2.select(col("u").as("w1"), col("v").as("w2"), col("c2").as("c2ctx")),
         Seq("w1", "w2"), "left")
@@ -397,6 +422,35 @@ object TextQueries {
       .agg(count(lit(1)).as("n_scored"), sum(col("lq")).as("s"))
       .select(col("doc_id"), col("n_scored"),
         round(col("s") / 1e9 / col("n_scored"), 6).as("avg_nll"))
+  }
+
+  /** q333: LM-based quality gate — CCNet's perplexity filter (Wenzek et
+    * al. 2020) / Gopher's quality rung (Rae et al. 2021) instantiated on
+    * q319's trained stupid-backoff trigram LM: score EVERY document
+    * (≥ 3 words) against the 'train'-split count tables, rank the corpus
+    * by mean negative log likelihood, and flag the worst decile — the
+    * actual production use of a count LM in a data pipeline, and the
+    * missing rung between the unigram-frequency quality score (q88) and
+    * the LMs themselves (q319/q322). Output per doc: (doc_id, n_scored,
+    * avg_nll, ppl_decile, flagged) with decile 1 = highest avg_nll =
+    * worst; `flagged` marks it. DETERMINISM: the per-doc score is
+    * q319's 1e9-quantized exact sum; the decile is
+    * [[graft.operators.Quantiles.ntileExact]] over the
+    * (avg_nll desc, doc_id) TOTAL order — bit-equal to SQL
+    * ntile(10), which the oracle uses verbatim. Scale shape: the model
+    * build and five serving joins are q319's (sharded count tables,
+    * map-side-combinable aggs); the decile adds ONE range exchange +
+    * pid-partitioned window (no single-partition sort — ntileExact's
+    * contract); nothing else touches the corpus grain.
+    */
+  def q333PerplexityGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wd = backoffSplitDocs(s, dir)
+    val scored = backoffScore(wd.filter(col("split") === "train"), backoffTris(wd))
+    graft.operators.Quantiles
+      .ntileExact(scored, 10, Seq(col("avg_nll").desc, col("doc_id")), "ppl_decile")
+      .select(col("doc_id"), col("n_scored"), col("avg_nll"),
+        col("ppl_decile"), (col("ppl_decile") === 1).as("flagged"))
   }
 
   /** q322: interpolated Kneser–Ney bigram language model — the
@@ -620,6 +674,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q319_backoff_lm" -> (q319BackoffLm _),
+    "q333_perplexity_gate" -> (q333PerplexityGate _),
     "q332_negative_sampling" -> (q332NegativeSampling _),
     "q322_kneser_ney_lm" -> (q322KneserNeyLm _),
     "q323_importance_resampling" -> (q323ImportanceResampling _),
@@ -1906,6 +1961,60 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_scored,
          |       round(CAST(sum(lq) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
          |FROM sc GROUP BY 1""".stripMargin,
+    // q319's model build and CASE chain verbatim with the test-split
+    // restriction dropped (every >= 3-word doc scored), then the same
+    // (avg_nll desc, doc_id) ntile(10) — ntileExact's bit-equal SQL twin
+    "q333_perplexity_gate" ->
+      s"""$WordsCte,
+         |sp AS (
+         |  SELECT doc_id, w,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+         |              ELSE 'train' END AS split
+         |  FROM wd),
+         |tri AS (
+         |  SELECT doc_id, split, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+         |    SELECT doc_id, split,
+         |           unnest(list_transform(range(1, len(w) - 1),
+         |                  i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS g
+         |    FROM sp)),
+         |bi AS (
+         |  SELECT split, g.u AS u, g.v AS v FROM (
+         |    SELECT split,
+         |           unnest(list_transform(range(1, len(w)),
+         |                  i -> {'u': w[i], 'v': w[i+1]})) AS g
+         |    FROM sp)),
+         |uni AS (SELECT split, unnest(w) AS word FROM sp),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri
+         |       WHERE split = 'train' GROUP BY 1, 2, 3),
+         |c2 AS (SELECT u, v, count(*) AS c2 FROM bi
+         |       WHERE split = 'train' GROUP BY 1, 2),
+         |c1 AS (SELECT word, count(*) AS c1 FROM uni
+         |       WHERE split = 'train' GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM c1),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(-ln(
+         |           CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1.0 / cx.c2
+         |                WHEN b23.c2 IS NOT NULL THEN 0.4 * b23.c2 / u2.c1
+         |                ELSE 0.4 * 0.4 * COALESCE(u3.c1, 1) / nt.n_total
+         |           END) * 1e9) AS BIGINT) AS lq
+         |  FROM tri t
+         |  LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+         |  LEFT JOIN c2 cx ON cx.u = t.w1 AND cx.v = t.w2
+         |  LEFT JOIN c2 b23 ON b23.u = t.w2 AND b23.v = t.w3
+         |  LEFT JOIN c1 u2 ON u2.word = t.w2
+         |  LEFT JOIN c1 u3 ON u3.word = t.w3
+         |  CROSS JOIN nt),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_scored,
+         |         round(CAST(sum(lq) AS BIGINT) / 1e9 / count(*), 6) AS avg_nll
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_scored, avg_nll,
+         |       CAST(ntile(10) OVER (ORDER BY avg_nll DESC, doc_id) AS INT)
+         |         AS ppl_decile,
+         |       (ntile(10) OVER (ORDER BY avg_nll DESC, doc_id) = 1) AS flagged
+         |FROM scored""".stripMargin,
     // same q71 md5 split, same bigram/type-count tables, same
     // interpolated-KN formula with identical IEEE operation order,
     // same 1e9-quantized -ln sum

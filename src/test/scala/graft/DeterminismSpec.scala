@@ -129,7 +129,11 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q330_wildcard_search",
     // walk corpus: (md5, id) argmin transitions; negative sampling:
     // exact cumulative-weight interval arithmetic
-    "q331_random_walks", "q332_negative_sampling")
+    "q331_random_walks", "q332_negative_sampling",
+    // round 11: the perplexity gate's quantized-NLL sums + exact ntile
+    // must survive any partitioning of the five model joins and the
+    // decile's range exchange
+    "q333_perplexity_gate")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
