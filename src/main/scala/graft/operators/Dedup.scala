@@ -654,6 +654,94 @@ object Dedup {
         least(col("span"), col("nw").cast("long")).as("n_tokens"))
   }
 
+  /** Bounded exact-substring duplicate finder — the suffix-array method
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") re-expressed as a SORTED-ANCHOR pipeline (never a
+    * full suffix array, never all-pairs): find the longest duplicated
+    * token substrings in a corpus, bounded by `window` tokens.
+    *
+    *   1. ANCHOR PASS — every position emits its k-gram fingerprint
+    *      only (md5, 32 bytes): (id, pos, fp). Anchors occurring 2..
+    *      `anchorCap` times survive; the cap is ENFORCED (q312's
+    *      hub-cap discipline — a boilerplate k-gram occurring 10⁶
+    *      times would otherwise collect 10⁶ windows into one group;
+    *      over-cap anchors are boilerplate, the domain of the
+    *      passage/shingle dedup tiers, not substring extension).
+    *   2. WINDOW FETCH — only SURVIVING positions re-join their docs
+    *      to cut the `window`-token extension slice. This two-pass
+    *      split is the 100 TB shape: the corpus-grain shuffle moves
+    *      32-byte keys; window bytes move only for candidates.
+    *   3. SORTED EXTENSION — per anchor, occurrences sort by
+    *      (window-string, id, pos) and CONSECUTIVE pairs extend via
+    *      token-lcp. Suffix-array adjacency argument: for sorted
+    *      strings x < z < y, lcp(x,z) ≥ lcp(x,y), so the maximal
+    *      duplicated length is always realized on an adjacent pair —
+    *      pairing is linear in occurrences, not C(n,2). The group is
+    *      ≤ `anchorCap` rows, so the collect_list is bounded.
+    *   4. LEFT-MAXIMALITY — a pair whose preceding tokens agree is
+    *      dropped (null-safe): the same match surfaces one anchor to
+    *      the left with length +1, so only the leftmost report
+    *      survives and a duplicated region is not re-reported at
+    *      every interior offset.
+    *
+    * Output per surviving pair: (len_tokens ≥ k, doc_a, pos_a, doc_b,
+    * pos_b, dup_text = the duplicated substring itself). Intra-doc
+    * repeats count (the occurrence pair carries the same id twice).
+    * DETERMINISM: md5 grouping, exact integer lcp over a total sort
+    * order — identical across partitionings and engines (tokens are
+    * [a-z0-9]+, so space-joined string order IS token-sequence order:
+    * the space sorts below every token character). No window function
+    * anywhere — the per-anchor sort is array_sort over a bounded list.
+    */
+  def exactSubstrings(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, window: Int = 64, anchorCap: Int = 256): DataFrame = {
+    require(k >= 2, "exactSubstrings needs k >= 2")
+    require(window >= k, "exactSubstrings needs window >= k")
+    require(anchorCap >= 2, "exactSubstrings needs anchorCap >= 2")
+    val wd = docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.wordsArr(col(textCol)).as("w"))
+      .persist() // read by the anchor pass and the candidate re-join
+    val posTab = wd.filter(size(col("w")) >= k)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("w"), i, lit(k)))).as("fp")))).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.fp").as("fp"))
+    val anchors = posTab.groupBy("fp")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= anchorCap)
+      .select("fp")
+    val cand = posTab.join(anchors, Seq("fp"), "left_semi")
+      .join(wd, Seq(idCol))
+      .select(col("fp"), struct(
+        concat_ws(" ", slice(col("w"), col("pos"), lit(window))).as("winstr"),
+        col(idCol).as("doc_id"), col("pos"),
+        when(col("pos") > 1, element_at(col("w"), col("pos") - 1)).as("prev"),
+        slice(col("w"), col("pos"), lit(window)).as("win")).as("o"))
+    val pairs = cand.groupBy("fp")
+      .agg(array_sort(collect_list(col("o"))).as("os"))
+      .select(explode(transform(sequence(lit(1), size(col("os")) - 1),
+        j => struct(element_at(col("os"), j).as("x"),
+          element_at(col("os"), j + 1).as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val a = col("x.win")
+    val b = col("y.win")
+    val mism = filter(sequence(lit(1), least(size(a), size(b))),
+      i => element_at(a, i) =!= element_at(b, i))
+    pairs
+      .filter(!(col("x.prev") <=> col("y.prev")))
+      .withColumn("len_tokens",
+        when(size(mism) === 0, least(size(a), size(b)))
+          .otherwise(element_at(mism, 1) - 1).cast("long"))
+      .select(col("len_tokens"),
+        col("x.doc_id").as("doc_a"), col("x.pos").as("pos_a"),
+        col("y.doc_id").as("doc_b"), col("y.pos").as("pos_b"),
+        concat_ws(" ", slice(a, lit(1), col("len_tokens").cast("int")))
+          .as("dup_text"))
+  }
+
   /** Passage-level exact dedup APPLIED (C4/RefinedWeb-style): cut every
     * document into NON-overlapping `passageWords`-word passages, keep
     * only the globally FIRST occurrence of each distinct passage (min

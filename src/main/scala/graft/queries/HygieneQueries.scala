@@ -112,6 +112,28 @@ object HygieneQueries {
   def q103DupSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(docs(spark, dir), "text", "doc_id", n = 3)
 
+  /** q334: longest duplicated substrings — the EXACT-substring rung of
+    * the dedup ladder ([[Dedup.exactSubstrings]]: Lee et al. 2022's
+    * suffix-array dedup as a bounded sorted-anchor pipeline), between
+    * q103's per-doc duplicated-span MARKING (which says "this region of
+    * this doc is duplicated somewhere") and q101's fixed-grid passage
+    * removal: this one returns the duplicated substring ITSELF with
+    * both occurrences, pairing occurrences of each 5-gram anchor
+    * (2..256 occurrences — the cap enforced, q312's discipline) in
+    * window-sorted order and extending consecutive pairs by token-lcp
+    * up to 64 tokens. Top-50 by (length desc, ids). The oracle mirrors
+    * the anchor/sort/lead/lcp arithmetic with raw k-gram strings where
+    * the engine groups by their md5 — the hash IS the fingerprint≡text
+    * grouping proof. Round11Spec pins the span-length agreement with
+    * q103 on a two-doc fixture plus cap and left-maximality semantics.
+    */
+  def q334ExactSubstrings(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrings(docs(spark, dir), "text", "doc_id",
+        k = 5, window = 64, anchorCap = 256)
+      .orderBy(col("len_tokens").desc, col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"))
+      .limit(50)
+
   /** q104: column profile over `lineitem` — the ANALYZE-style stats
     * pass ([[graft.sources.Tables.profile]]): one scan, one row per
     * column with nulls / exact distincts / numeric min-max.
@@ -582,6 +604,7 @@ object HygieneQueries {
     "q101_passage_dedup" -> (q101PassageDedup _),
     "q102_pii_scrub" -> (q102PiiScrub _),
     "q103_dup_spans" -> (q103DupSpans _),
+    "q334_exact_substrings" -> (q334ExactSubstrings _),
     "q104_table_profile" -> (q104TableProfile _),
     "q105_bpe_pairs" -> (q105BpePairs _),
     "q106_histogram" -> (q106Histogram _))
@@ -879,6 +902,51 @@ object HygieneQueries {
          |SELECT doc_id, CAST(mn AS INT) AS start_tok, n_grams,
          |       least(mx + 3 - mn, nw) AS n_tokens
          |FROM sp""".stripMargin,
+    // same 5-gram anchors (raw strings where the engine uses their
+    // md5 — identical grouping), same 2..256 occurrence band, same
+    // (window-string, doc, pos) sort with consecutive-pair lead, same
+    // token-lcp extension and left-maximality filter, same top-50
+    "q334_exact_substrings" ->
+      s"""$WordsCte,
+         |p AS (
+         |  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         |         array_to_string(w[t.i:t.i+4], ' ') AS a
+         |  FROM wd, unnest(range(1, len(w) - 3)) AS t(i)
+         |  WHERE len(w) >= 5),
+         |an AS (
+         |  SELECT a FROM (SELECT a, count(*) AS n FROM p GROUP BY a)
+         |  WHERE n BETWEEN 2 AND 256),
+         |cand AS (
+         |  SELECT p.a, p.doc_id, p.pos,
+         |         array_to_string(w[p.pos:p.pos+63], ' ') AS winstr,
+         |         CASE WHEN p.pos > 1 THEN w[p.pos-1] END AS prev,
+         |         w[p.pos:p.pos+63] AS win
+         |  FROM p JOIN an USING (a) JOIN wd USING (doc_id)),
+         |pr AS (
+         |  SELECT doc_id, pos, prev, win,
+         |         lead(doc_id) OVER ww AS doc_id2,
+         |         lead(pos) OVER ww AS pos2,
+         |         lead(prev) OVER ww AS prev2,
+         |         lead(win) OVER ww AS win2
+         |  FROM cand WINDOW ww AS (PARTITION BY a ORDER BY winstr, doc_id, pos)),
+         |l AS (
+         |  SELECT doc_id AS doc_a, pos AS pos_a, doc_id2 AS doc_b,
+         |         pos2 AS pos_b, win,
+         |         list_filter(range(1, least(len(win), len(win2)) + 1),
+         |                     i -> win[i] <> win2[i]) AS m,
+         |         least(len(win), len(win2)) AS mn
+         |  FROM pr
+         |  WHERE doc_id2 IS NOT NULL AND prev IS DISTINCT FROM prev2),
+         |e AS (
+         |  SELECT CAST(CASE WHEN len(m) = 0 THEN mn ELSE m[1] - 1 END
+         |              AS BIGINT) AS len_tokens,
+         |         doc_a, pos_a, doc_b, pos_b, win
+         |  FROM l)
+         |SELECT len_tokens, doc_a, pos_a, doc_b, pos_b,
+         |       array_to_string(win[1:CAST(len_tokens AS INT)], ' ') AS dup_text
+         |FROM e
+         |ORDER BY len_tokens DESC, doc_a, pos_a, doc_b, pos_b
+         |LIMIT 50""".stripMargin,
     "q104_table_profile" -> {
       def one(c: String, num: Boolean) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

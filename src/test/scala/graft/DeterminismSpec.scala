@@ -132,8 +132,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q331_random_walks", "q332_negative_sampling",
     // round 11: the perplexity gate's quantized-NLL sums + exact ntile
     // must survive any partitioning of the five model joins and the
-    // decile's range exchange
-    "q333_perplexity_gate")
+    // decile's range exchange; the substring extension's sorted
+    // pairing + token-lcp must survive any partitioning of the anchor
+    // groups
+    "q333_perplexity_gate", "q334_exact_substrings")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -55,6 +55,57 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("exactSubstrings: lcp length agrees with q103's span finder, reported once, cap enforced") {
+    import spark.implicits._
+    // two docs sharing one contiguous 9-token region ("p q r s t u v w
+    // x"), different neighbors on both flanks — the clean copy case
+    val docs = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "z1 z2 p q r s t u v w x z9")).toDF("doc_id", "text")
+    val subs = graft.operators.Dedup
+      .exactSubstrings(docs, "text", "doc_id", k = 3, window = 16, anchorCap = 256)
+      .collect()
+    sweep()
+    // LEFT-MAXIMALITY: the region is reported exactly ONCE (at its
+    // leftmost anchor), not at all 7 interior anchor offsets
+    assert(subs.length == 1, s"want one maximal pair, got ${subs.toSeq}")
+    val r = subs.head
+    assert(r.getLong(0) == 9L, s"lcp length wrong: $r")
+    assert((r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)) == ((1L, 1, 2L, 3)),
+      s"pair endpoints wrong: $r")
+    assert(r.getString(5) == "p q r s t u v w x", s"dup_text wrong: $r")
+    // q103's span finder must mark the SAME 9-token region in both docs
+    // (dupSpans n=3: maximal runs of cross-doc-duplicated 3-grams)
+    // (dupSpans positions are 0-based generator offsets; exactSubstrings
+    // positions are 1-based array indices — the LENGTHS must agree)
+    val spans = graft.operators.Dedup.dupSpans(docs, "text", "doc_id", n = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(3))).toSet
+    sweep()
+    assert(spans == Set((1L, 0, 9L), (2L, 2, 9L)),
+      s"q103 span disagreement: $spans")
+    // INTRA-doc repeats pair the two occurrences of the same doc
+    val self = Seq((7L, "a b c d e f a b c d e g")).toDF("doc_id", "text")
+    val sr = graft.operators.Dedup
+      .exactSubstrings(self, "text", "doc_id", k = 3, window = 16, anchorCap = 256)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getLong(3), x.getInt(4)))
+    sweep()
+    assert(sr.toSeq == Seq((5L, 7L, 1, 7L, 7)),
+      s"intra-doc pair wrong: ${sr.toSeq}")
+    // ANCHOR CAP: the same 3-gram in 5 docs exceeds cap 4 — boilerplate
+    // is excluded from extension entirely (the q312 hub-cap discipline)
+    val boiler = (1L to 5L).map(i => (i, s"x$i common tail here y$i"))
+      .toDF("doc_id", "text")
+    val capped = graft.operators.Dedup
+      .exactSubstrings(boiler, "text", "doc_id", k = 3, window = 16, anchorCap = 4)
+    val uncapped = graft.operators.Dedup
+      .exactSubstrings(boiler, "text", "doc_id", k = 3, window = 16, anchorCap = 5)
+    val nCapped = capped.count()
+    val nUncapped = uncapped.count()
+    sweep()
+    assert(nCapped == 0L, s"cap 4 must exclude the 5-occurrence anchor, got $nCapped")
+    assert(nUncapped == 4L, s"cap 5 must pair the 5 sorted occurrences, got $nUncapped")
+  }
+
   test("salted PPR: bit-identical top-10 at saltBuckets = 8") {
     val plain = graft.queries.RelationalQueries
       .q289PersonalizedPagerank(spark, sfDir)
