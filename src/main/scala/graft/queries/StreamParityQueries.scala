@@ -805,28 +805,70 @@ object StreamParityQueries {
     * keeps two 100 TB/day sides joinable: state is the trailing
     * `gap + delay` window of views, not the full history.
     */
-  def q310StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q310StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    q310StreamIntervalJoin(spark, dir, stateStore = "default")
+
+  /** [[q310StreamIntervalJoin]] with the state-store provider explicit —
+    * the production knob for the two-sided buffered join state. The
+    * registered gate keeps `"default"` (HDFSBackedStateStore): its cost
+    * profile IS what the harness measures, and an in-heap map is the
+    * right store for a MemoryStream proof harness. `"rocksdb"` runs the
+    * identical gate under `RocksDBStateStoreProvider` + changelog
+    * checkpointing — the production answer to q310's per-batch
+    * full-store passes at scale (the default store rewrites every
+    * entry's snapshot per batch; RocksDB pays only the delta through
+    * the changelog, which is what bounds the 202 s sf1 harness cost).
+    * Round11Spec pins bit-identical output across the two providers —
+    * the store is an implementation detail of STATE, never of the
+    * answer. Conf is set for the query's lifetime and restored after
+    * (the provider is read at query start).
+    */
+  def q310StreamIntervalJoin(
+      spark: SparkSession, dir: String, stateStore: String): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val sink = "graft_q310_attr"
-    spark.catalog.dropTempView(sink)
-    val ev = viewClickFeed(spark, dir)
-    val msV = MemoryStream[StreamingOps.ViewEvt](spark)
-    val msC = MemoryStream[StreamingOps.ClickEvt](spark)
-    val q = StreamingOps.attributeWithin(msV.toDF(), msC.toDF(), gapMinutes = 240)
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    require(Set("default", "rocksdb")(stateStore),
+      s"q310 stateStore must be 'default' or 'rocksdb', got '$stateStore'")
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val ChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    val prevChangelog = spark.conf.getOption(ChangelogKey)
+    if (stateStore == "rocksdb") {
+      spark.conf.set(ProviderKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(ChangelogKey, "true")
+    }
     try {
-      // 16384-row chunks over the view+click subset (the q267 budget):
-      // the per-batch cost is the symmetric-join state-store pass, so
-      // barrier count — not batch size — dominates the harness cost
-      // (1024-row chunks measured 330 s at sf0.1; 16384 runs in ~3
-      // batches there)
-      ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
-        dealViewsClicks(batch, msV, msC)
-        q.processAllAvailable()
+      val sink = "graft_q310_attr"
+      spark.catalog.dropTempView(sink)
+      val ev = viewClickFeed(spark, dir)
+      val msV = MemoryStream[StreamingOps.ViewEvt](spark)
+      val msC = MemoryStream[StreamingOps.ClickEvt](spark)
+      val q = StreamingOps.attributeWithin(msV.toDF(), msC.toDF(), gapMinutes = 240)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        // 16384-row chunks over the view+click subset (the q267 budget):
+        // the per-batch cost is the symmetric-join state-store pass, so
+        // barrier count — not batch size — dominates the harness cost
+        // (1024-row chunks measured 330 s at sf0.1; 16384 runs in ~3
+        // batches there)
+        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+          dealViewsClicks(batch, msV, msC)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(sink)
+    } finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
       }
-    } finally q.stop()
-    spark.table(sink)
+      if (stateStore == "rocksdb") {
+        restore(ProviderKey, prevProvider)
+        restore(ChangelogKey, prevChangelog)
+      }
+    }
   }
 
   /** q313: q310's interval join ACROSS A QUERY RESTART — the recovery

@@ -119,6 +119,27 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
       "salting changed the PPR ranking")
   }
 
+  test("interval-join gate: RocksDB state store is bit-identical to the default store") {
+    // the production knob for q310's two-sided buffered join state: the
+    // store provider is an implementation detail of STATE, never of the
+    // answer — every (view, click) pair must survive the swap exactly
+    val dflt = SparkEntry.queries("q310_stream_interval_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    sweep()
+    val rocks = graft.queries.StreamParityQueries
+      .q310StreamIntervalJoin(spark, sfDir, stateStore = "rocksdb")
+      .collect().map(_.toSeq).toSet
+    sweep()
+    assert(dflt.nonEmpty, "fixture must produce attributed pairs")
+    assert(dflt == rocks,
+      s"providers diverged: ${(dflt -- rocks).take(3)} only in default, " +
+        s"${(rocks -- dflt).take(3)} only in rocksdb")
+    intercept[IllegalArgumentException] {
+      graft.queries.StreamParityQueries
+        .q310StreamIntervalJoin(spark, sfDir, stateStore = "bogus")
+    }
+  }
+
   test("co-purchase materialization: one bucketed table, consistent views, unshuffled edge scan") {
     val und = graft.operators.Edges.coPurchaseUndirected(spark, sfDir)
     val dir = graft.operators.Edges.coPurchase(spark, sfDir)
