@@ -87,7 +87,13 @@ object Bench {
     // data-dependent expansion terms through bm25Dynamic)
     "q322_kneser_ney_lm",
     "q323_importance_resampling",
-    "q326_rocchio_prf")
+    "q326_rocchio_prf",
+    // round-11 flagships: the LM perplexity quality gate (q319's model
+    // serving plus the exact distributed ntile — the curation capstone)
+    // and exact-substring dedup (fingerprint-only anchor pass +
+    // window-sorted consecutive-pair lcp extension)
+    "q333_perplexity_gate",
+    "q334_exact_substrings")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
