@@ -54,21 +54,33 @@ object Edges {
     * JVM-locked against concurrent first-use races.
     */
   private def materializedPairs(
-      spark: SparkSession, dir: String, minSupport: Long): DataFrame = {
-    val tag = f"${dir.hashCode}%08x".replace("-", "n")
-    val tbl = s"graft_copurchase_${tag}_s$minSupport"
+      spark: SparkSession, dir: String, minSupport: Long): DataFrame =
+    materializedTable(spark, s"graft_copurchase_${dirTag(dir)}_s$minSupport", "a") {
+      val pairs = coPurchasePairs(spark, dir, minSupport)
+      pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b"), col("cab")))
+    }
+
+  private def dirTag(dir: String): String =
+    f"${dir.hashCode}%08x".replace("-", "n")
+
+  /** Write-once-per-session bucketed materialization: builds `build` on
+    * first use, lands it as a bucketed+sorted catalog table on
+    * `bucketCol` (32 buckets; the pre-write hash repartition uses the
+    * same Murmur3 pmod as the bucket id, so each task writes exactly
+    * one bucket file — no small-file explosion), and returns the
+    * catalog read on every call. Relative table paths resolve under
+    * the session warehouse dir (gitignored); SaveMode.Overwrite makes
+    * a stale path from a previous JVM harmless; the catalog check is
+    * JVM-locked against concurrent first-use races.
+    */
+  private def materializedTable(
+      spark: SparkSession, tbl: String, bucketCol: String)(
+      build: => DataFrame): DataFrame = {
     matLock.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
-        val pairs = coPurchasePairs(spark, dir, minSupport)
-        val sym = pairs.unionByName(
-          pairs.select(col("b").as("a"), col("a").as("b"), col("cab")))
-        // hash-repartition on the bucket column with numPartitions ==
-        // numBuckets: Spark's bucket id and the shuffle partitioner use
-        // the same Murmur3 pmod, so each task writes exactly one bucket
-        // file (no small-file explosion)
-        // relative table paths resolve against the session warehouse dir
         graft.sources.Bucketing.writeBucketed(
-          sym.repartition(32, col("a")), tbl, "a", 32, tbl)
+          build.repartition(32, col(bucketCol)), tbl, bucketCol, 32, tbl)
       }
     }
     spark.table(tbl)
@@ -119,22 +131,25 @@ object Edges {
 
   /** Distinct BIPARTITE customer→part purchase edges (c, p): which
     * customers ever bought which parts — one orderkey equi-join +
-    * distinct (corpus-grain, two exchanges). The bipartite companion
-    * of [[coPurchase]]: HITS (q254), personalized PageRank,
-    * co-visitation and collaborative-filtering ops all walk this same
-    * edge set, so it lives here beside the co-purchase build rather
-    * than inline in any one query. Callers persist across their
-    * iteration rounds; the query runner owns the cache lifecycle.
+    * distinct (corpus-grain, two exchanges), MATERIALIZED once per
+    * dataset as a bucketed table on `c` (the same write-once treatment
+    * as the co-purchase pair table: the bipartite companion of
+    * [[coPurchase]] is walked by HITS q254, personalized PageRank
+    * q289, SALSA q302 and co-visitation q290, each of which previously
+    * re-paid the join+distinct — the dominant cost in all four).
+    * Callers persist their derived views across iteration rounds; the
+    * query runner owns the cache lifecycle.
     */
-  def customerPart(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-  }
+  def customerPart(spark: SparkSession, dir: String): DataFrame =
+    materializedTable(spark, s"graft_custpart_${dirTag(dir)}", "c") {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+    }
 
   /** Bounded-round multi-source Bellman–Ford over a weighted directed
     * edge list (a, b, w) from `seeds` (node, dist) rows: `rounds`

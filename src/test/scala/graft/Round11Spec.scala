@@ -164,6 +164,17 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
     assert(desc.get("Num Buckets").contains("32"), s"bucket count wrong: $desc")
     assert(desc.get("Bucket Columns").exists(_.contains("a")),
       s"bucket column wrong: $desc")
+    // the bipartite build rides the same helper: bucketed on c
+    graft.operators.Edges.customerPart(spark, sfDir).count()
+    val cpTbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_custpart_"))
+    assert(cpTbl.nonEmpty, "customerPart must register its catalog table")
+    val cpDesc = spark.sql(s"DESCRIBE EXTENDED ${cpTbl.head}")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cpDesc.get("Num Buckets").contains("32") &&
+      cpDesc.get("Bucket Columns").exists(_.contains("c")),
+      s"customerPart bucketing wrong: $cpDesc")
+    sweep()
     // the scale claim: a frontier⋈edges equi-join on `a` must NOT
     // exchange the edge side — the bucketed scan already reports the
     // hash partitioning, so the only Exchange in the joined plan is the
