@@ -679,10 +679,19 @@ object Dedup {
     *      pairing is linear in occurrences, not C(n,2). The group is
     *      ≤ `anchorCap` rows, so the collect_list is bounded.
     *   4. LEFT-MAXIMALITY — a pair whose preceding tokens agree is
-    *      dropped (null-safe): the same match surfaces one anchor to
-    *      the left with length +1, so only the leftmost report
-    *      survives and a duplicated region is not re-reported at
-    *      every interior offset.
+    *      dropped ONLY when the left-shifted anchor (the k-gram one
+    *      position left — the same string for both occurrences exactly
+    *      when the prevs agree) is itself inside the 2..cap band: then
+    *      the region re-surfaces there with length +1 (or further
+    *      left), so only the leftmost report survives and a duplicated
+    *      region is not re-reported at every interior offset. A pair
+    *      with NO left context (either occurrence at position 1) is
+    *      left-maximal and kept — two byte-identical documents report
+    *      their full-length match at position 1. And when the left
+    *      anchor is OVER the cap (a duplicated region entered through
+    *      corpus boilerplate), the pair is kept at this anchor's
+    *      length rather than silently lost waiting on a left report
+    *      that can never form.
     *
     * Output per surviving pair: (len_tokens ≥ k, doc_a, pos_a, doc_b,
     * pos_b, dup_text = the duplicated substring itself). Intra-doc
@@ -709,8 +718,13 @@ object Dedup {
           i => struct(i.as("pos"),
             md5(concat_ws(" ", slice(col("w"), i, lit(k)))).as("fp")))).as("g"))
       .select(col(idCol), col("g.pos").as("pos"), col("g.fp").as("fp"))
-    val anchors = posTab.groupBy("fp")
+    // full per-anchor occurrence counts, read twice: the 2..cap band
+    // filter AND the left-anchor band lookup of step 4 (the runner's
+    // sweep frees the cache)
+    val anchorCounts = posTab.groupBy("fp")
       .agg(count(lit(1)).as("n"))
+      .persist()
+    val anchors = anchorCounts
       .filter(col("n") >= 2 && col("n") <= anchorCap)
       .select("fp")
     val cand = posTab.join(anchors, Seq("fp"), "left_semi")
@@ -719,7 +733,10 @@ object Dedup {
         concat_ws(" ", slice(col("w"), col("pos"), lit(window))).as("winstr"),
         col(idCol).as("doc_id"), col("pos"),
         when(col("pos") > 1, element_at(col("w"), col("pos") - 1)).as("prev"),
-        slice(col("w"), col("pos"), lit(window)).as("win")).as("o"))
+        slice(col("w"), col("pos"), lit(window)).as("win"),
+        when(col("pos") > 1,
+          md5(concat_ws(" ", slice(col("w"), col("pos") - 1, lit(k)))))
+          .as("left_fp")).as("o"))
     val pairs = cand.groupBy("fp")
       .agg(array_sort(collect_list(col("o"))).as("os"))
       .select(explode(transform(sequence(lit(1), size(col("os")) - 1),
@@ -731,7 +748,17 @@ object Dedup {
     val mism = filter(sequence(lit(1), least(size(a), size(b))),
       i => element_at(a, i) =!= element_at(b, i))
     pairs
-      .filter(!(col("x.prev") <=> col("y.prev")))
+      // step 4: keep unless the region provably re-surfaces one anchor
+      // left — prevs agree (same left k-gram for both occurrences) AND
+      // that left anchor is inside the 2..cap band. Both-at-position-1
+      // pairs have null prevs and are kept (left-maximal by absence of
+      // context); an over-cap left anchor keeps the pair too (the left
+      // report can never form). The left-band lookup is one keyed join
+      // against the persisted anchor-count table at candidate grain.
+      .join(anchorCounts.select(col("fp").as("_lfp"), col("n").as("_ln")),
+        col("x.left_fp") === col("_lfp"), "left")
+      .filter(col("x.prev").isNull || col("y.prev").isNull ||
+        col("x.prev") =!= col("y.prev") || col("_ln") > anchorCap)
       .withColumn("len_tokens",
         when(size(mism) === 0, least(size(a), size(b)))
           .otherwise(element_at(mism, 1) - 1).cast("long"))

@@ -56,13 +56,21 @@ object Edges {
   private def materializedPairs(
       spark: SparkSession, dir: String, minSupport: Long): DataFrame =
     materializedTable(spark, s"graft_copurchase_${dirTag(dir)}_s$minSupport", "a") {
-      val pairs = coPurchasePairs(spark, dir, minSupport)
+      // persisted across the union's two arms: without it the write job
+      // evaluates the whole basket-build subtree twice (the arms differ
+      // by a rename projection, so exchange reuse is not guaranteed);
+      // the runner's sweep frees the cache after the one-time write
+      val pairs = coPurchasePairs(spark, dir, minSupport).persist()
       pairs.unionByName(
         pairs.select(col("b").as("a"), col("a").as("b"), col("cab")))
     }
 
+  // md5 of the full path (12 hex chars) — a 32-bit hashCode tag would
+  // let two dataset dirs collide and silently share one graph table
   private def dirTag(dir: String): String =
-    f"${dir.hashCode}%08x".replace("-", "n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 
   /** Write-once-per-session bucketed materialization: builds `build` on
     * first use, lands it as a bucketed+sorted catalog table on
@@ -72,7 +80,15 @@ object Edges {
     * catalog read on every call. Relative table paths resolve under
     * the session warehouse dir (gitignored); SaveMode.Overwrite makes
     * a stale path from a previous JVM harmless; the catalog check is
-    * JVM-locked against concurrent first-use races.
+    * JVM-locked against concurrent first-use races WITHIN a JVM.
+    * Two operational contracts, both the repo's standing discipline:
+    * (1) SINGLE WRITER — one Spark JVM per repo root at a time (two
+    * JVMs racing the same warehouse path could interleave an Overwrite
+    * with a read; the build workflow already forbids concurrent sbt
+    * processes for exactly this class of reason); (2) SESSION-IMMUTABLE
+    * SOURCES — the materialization is valid for the life of the
+    * session; a dataset regenerated at the same path needs a fresh
+    * session (or a dropped table), exactly like any cached scan.
     */
   private def materializedTable(
       spark: SparkSession, tbl: String, bucketCol: String)(

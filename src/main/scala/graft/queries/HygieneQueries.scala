@@ -905,7 +905,10 @@ object HygieneQueries {
     // same 5-gram anchors (raw strings where the engine uses their
     // md5 — identical grouping), same 2..256 occurrence band, same
     // (window-string, doc, pos) sort with consecutive-pair lead, same
-    // token-lcp extension and left-maximality filter, same top-50
+    // token-lcp extension, same left-maximality rule (drop only when
+    // prevs agree AND the left-shifted anchor is itself in-band — the
+    // same cnt table serves both the band filter and the left lookup),
+    // same top-50
     "q334_exact_substrings" ->
       s"""$WordsCte,
          |p AS (
@@ -913,17 +916,18 @@ object HygieneQueries {
          |         array_to_string(w[t.i:t.i+4], ' ') AS a
          |  FROM wd, unnest(range(1, len(w) - 3)) AS t(i)
          |  WHERE len(w) >= 5),
-         |an AS (
-         |  SELECT a FROM (SELECT a, count(*) AS n FROM p GROUP BY a)
-         |  WHERE n BETWEEN 2 AND 256),
+         |cnt AS (SELECT a, count(*) AS n FROM p GROUP BY a),
+         |an AS (SELECT a FROM cnt WHERE n BETWEEN 2 AND 256),
          |cand AS (
          |  SELECT p.a, p.doc_id, p.pos,
          |         array_to_string(w[p.pos:p.pos+63], ' ') AS winstr,
          |         CASE WHEN p.pos > 1 THEN w[p.pos-1] END AS prev,
-         |         w[p.pos:p.pos+63] AS win
+         |         w[p.pos:p.pos+63] AS win,
+         |         CASE WHEN p.pos > 1
+         |              THEN array_to_string(w[p.pos-1:p.pos+3], ' ') END AS lg
          |  FROM p JOIN an USING (a) JOIN wd USING (doc_id)),
          |pr AS (
-         |  SELECT doc_id, pos, prev, win,
+         |  SELECT doc_id, pos, prev, win, lg,
          |         lead(doc_id) OVER ww AS doc_id2,
          |         lead(pos) OVER ww AS pos2,
          |         lead(prev) OVER ww AS prev2,
@@ -935,8 +939,10 @@ object HygieneQueries {
          |         list_filter(range(1, least(len(win), len(win2)) + 1),
          |                     i -> win[i] <> win2[i]) AS m,
          |         least(len(win), len(win2)) AS mn
-         |  FROM pr
-         |  WHERE doc_id2 IS NOT NULL AND prev IS DISTINCT FROM prev2),
+         |  FROM pr LEFT JOIN cnt lcnt ON lcnt.a = pr.lg
+         |  WHERE doc_id2 IS NOT NULL
+         |    AND (prev IS NULL OR prev2 IS NULL OR prev <> prev2
+         |         OR lcnt.n > 256)),
          |e AS (
          |  SELECT CAST(CASE WHEN len(m) = 0 THEN mn ELSE m[1] - 1 END
          |              AS BIGINT) AS len_tokens,

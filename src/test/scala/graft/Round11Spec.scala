@@ -91,6 +91,36 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
     sweep()
     assert(sr.toSeq == Seq((5L, 7L, 1, 7L, 7)),
       s"intra-doc pair wrong: ${sr.toSeq}")
+    // BOTH-AT-POSITION-1: two byte-identical documents — the canonical
+    // exact-duplicate case — must report their full-length match at
+    // position 1 (a pair with no left context is left-maximal; the
+    // round-11 review found the null-safe-equality filter silently
+    // dropped it)
+    val twins = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val tw = graft.operators.Dedup
+      .exactSubstrings(twins, "text", "doc_id", k = 3, window = 16, anchorCap = 256)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getLong(3), x.getInt(4)))
+    sweep()
+    assert(tw.toSeq == Seq((7L, 1L, 1, 2L, 1)),
+      s"identical docs must report one full-length pair at pos 1: ${tw.toSeq}")
+    // OVER-CAP LEFT ANCHOR: a duplicated region entered through corpus
+    // boilerplate — the boundary 3-gram "c r1 r2" occurs 4 times
+    // (> cap 3) so the left pair can never form; the region must still
+    // be reported at the first IN-band anchor ("r1 r2 r3", 2 occs)
+    // instead of vanishing while waiting on an impossible left report
+    val boundary = Seq(
+      (1L, "a0 c r1 r2 r3 r4 a9"),
+      (2L, "b0 c r1 r2 r3 r4 b9"),
+      (3L, "x1 c r1 r2 y1"),
+      (4L, "x2 c r1 r2 y2")).toDF("doc_id", "text")
+    val bd = graft.operators.Dedup
+      .exactSubstrings(boundary, "text", "doc_id", k = 3, window = 16, anchorCap = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getLong(3),
+        x.getInt(4), x.getString(5)))
+    sweep()
+    assert(bd.toSeq == Seq((4L, 1L, 3, 2L, 3, "r1 r2 r3 r4")),
+      s"over-cap boundary must not lose the region: ${bd.toSeq}")
     // ANCHOR CAP: the same 3-gram in 5 docs exceeds cap 4 — boilerplate
     // is excluded from extension entirely (the q312 hub-cap discipline)
     val boiler = (1L to 5L).map(i => (i, s"x$i common tail here y$i"))
