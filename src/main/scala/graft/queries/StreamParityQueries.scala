@@ -154,6 +154,107 @@ object StreamParityQueries {
         col("m.level").as("level"), col("m.trend").as("trend"))
   }
 
+  private val QuotaOracle =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |       CAST(count(*) FILTER (rn <= 5) AS BIGINT) AS n_admitted,
+      |       CAST(count(*) FILTER (rn > 5) AS BIGINT) AS n_rejected,
+      |       CAST(coalesce(sum(event_id) FILTER (rn <= 5), 0) AS BIGINT)
+      |         AS admitted_checksum
+      |FROM r GROUP BY user_id""".stripMargin
+
+  /** Scope `body` under the RocksDB state-store provider + changelog
+    * checkpointing (conf read at query start; restored after). Required
+    * by the TransformWithState operators — Spark's state-v2 API runs
+    * ONLY on the RocksDB provider — and available to any gate that
+    * wants the production store (the q310 toggle).
+    */
+  private def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = spark.conf.getOption(pk)
+    val prevC = spark.conf.getOption(ck)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ck, "true")
+    try body finally {
+      prevP.fold(spark.conf.unset(pk))(spark.conf.set(pk, _))
+      prevC.fold(spark.conf.unset(ck))(spark.conf.set(ck, _))
+    }
+  }
+
+  /** q335: streaming per-key admission quota, driver-verified — the
+    * first gate on the TransformWithState API ([[StreamingOps
+    * .quotaPerKey]]: named ValueState, per-variable TTL surface,
+    * RocksDB-only — the API successor to every mapGroupsWithState
+    * operator in this family). Each user's first 5 events (event-time
+    * order) are admitted, the rest rejected — the streaming twin of
+    * q72's batch curation cap, enforced at the ingest door. The feed
+    * is the q267 harness (time-ordered chunks, one micro-batch per
+    * chunk); the oracle is the batch row_number gate rolled up per
+    * user, so a quota counter that resets across batches (over-admit),
+    * double-counts (under-admit), or mis-orders inside a batch fails
+    * the per-user admitted checksum.
+    */
+  def q335StreamQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q335_quota"
+    spark.catalog.dropTempView(sink)
+    val verdicts = withRocksDbStateStore(spark) {
+      val ev = valEvents(spark, dir)
+      val ms = MemoryStream[StreamingOps.ValEvent](spark)
+      val q = StreamingOps.quotaPerKey(ms.toDS(), cap = 5L)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+          ms.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(sink)
+    }
+    quotaRollup(verdicts)
+  }
+
+  /** The shared per-user rollup of quota verdict rows (q335/q336):
+    * admitted/rejected counts + the admitted-id checksum the oracle
+    * pins. Exact integer aggregates.
+    */
+  private def quotaRollup(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy("user_id")
+      .agg(
+        count(when(col("admitted"), 1)).as("n_admitted"),
+        count(when(!col("admitted"), 1)).as("n_rejected"),
+        coalesce(sum(when(col("admitted"), col("event_id"))), lit(0L))
+          .as("admitted_checksum"))
+
+  /** q336: the quota's state ACROSS A QUERY RESTART — the recovery gate
+    * for the TransformWithState store (the family contract: every
+    * stateful operator ships with in-order + recovery gates). Mid-feed
+    * the query stops and resumes from the same checkpoint: the named
+    * ValueState counter must reload at its committed value — a reset
+    * re-admits up to 5 MORE events per key (over-admission the oracle's
+    * checksum catches), a replayed-without-state batch under-admits.
+    * Verdict rows dedupe before the rollup (the q313 idempotent-sink
+    * discipline: a benignly replayed boundary batch re-emits IDENTICAL
+    * verdicts — state versions are per-batch, so recomputing batch N
+    * against state N−1 reproduces the same rows — while a state bug
+    * emits different ones and fails the hash).
+    */
+  def q336StreamQuotaRecovery(spark: SparkSession, dir: String): DataFrame =
+    quotaRollup(
+      withRocksDbStateStore(spark) {
+        runValEventWithRestart(spark, dir,
+          ds => StreamingOps.quotaPerKey(ds, cap = 5L).toDF(),
+          outputMode = "append")
+      }.distinct())
+
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
     * tumbling gate extended to overlapping windows
     * ([[StreamingOps.eventSlidingCounts]]: 1-hour windows sliding every
@@ -258,8 +359,8 @@ object StreamParityQueries {
     */
   private def runValEventWithRestart(
       spark: SparkSession, dir: String,
-      plan: org.apache.spark.sql.Dataset[StreamingOps.ValEvent] => DataFrame)
-      : DataFrame = {
+      plan: org.apache.spark.sql.Dataset[StreamingOps.ValEvent] => DataFrame,
+      outputMode: String = "update"): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     // fresh checkpoint per invocation: a reused one would resume past
@@ -280,7 +381,7 @@ object StreamParityQueries {
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
     val outSchema = plan(ms.toDS()).schema
     def start() = plan(ms.toDS())
-      .writeStream.outputMode("update")
+      .writeStream.outputMode(outputMode)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.collect().foreach(buf.add); ()
@@ -1119,6 +1220,8 @@ object StreamParityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q310_stream_interval_join" -> (q310StreamIntervalJoin _),
+    "q335_stream_quota" -> (q335StreamQuota _),
+    "q336_stream_quota_recovery" -> (q336StreamQuotaRecovery _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1250,6 +1353,13 @@ object StreamParityQueries {
         |       list_reduce(list(value ORDER BY ts, event_id),
         |                   (acc, x) -> acc / 2 + x / 2) AS ewma
         |FROM events GROUP BY user_id""".stripMargin,
+    // the batch row_number admission gate the streaming quota must
+    // bit-equal: first 5 events per user in (ts, event_id) order
+    // admitted, checksum over admitted event ids (q335 in-order,
+    // q336 across a restart — same oracle, the recovery-family
+    // convention)
+    "q335_stream_quota" -> QuotaOracle,
+    "q336_stream_quota_recovery" -> QuotaOracle,
     // the identical coupled IEEE steps walked per key by a recursive
     // CTE (a struct list_reduce would rebind l mid-row — q251 finding)
     "q284_stream_holt" ->

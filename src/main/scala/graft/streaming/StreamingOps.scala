@@ -225,6 +225,70 @@ object StreamingOps {
   case class EwmaState(ewma: Double, n: Long)
   case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
 
+  case class QuotaVerdict(user_id: Long, event_id: Long, admitted: Boolean)
+
+  /** Per-key admission quota processor — the first operator on the
+    * TransformWithState API (Spark 4's arbitrary-state surface, the
+    * successor to mapGroupsWithState: NAMED state variables resolved in
+    * init, per-variable TTL, timer support — and a hard requirement on
+    * the RocksDB state-store provider, which the caller must set; the
+    * q310 toggle's provider is this operator's only store). State is
+    * ONE named ValueState[Long] per key (events admitted so far) with
+    * TTLConfig.NONE — a lifetime quota; a retention-bounded quota would
+    * set a per-variable TTL here, the capability mapGroupsWithState
+    * cannot express per-variable. Each micro-batch's rows fold in
+    * (ts, event_id) order on top of the carried count (the ewmaPerKey
+    * in-batch-sort convention), so for in-order delivery the verdicts
+    * bit-equal the batch row_number gate. Emits one verdict row per
+    * event (append mode, TimeMode.None — no timers needed for a
+    * lifetime cap).
+    */
+  private class QuotaProcessor(cap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ValEvent, QuotaVerdict] {
+    @transient private var nAdmitted:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      nAdmitted = getHandle.getValueState[Long](
+        "n_admitted", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[ValEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QuotaVerdict] = {
+      val sorted = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+      var n = if (nAdmitted.exists()) nAdmitted.get() else 0L
+      val out = sorted.map { e =>
+        val ok = n < cap
+        if (ok) n += 1
+        QuotaVerdict(key, e.event_id, ok)
+      }
+      nAdmitted.update(n)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-key admission cap over an unbounded event feed — the
+    * streaming twin of the batch curation cap (q72's per-source
+    * row_number gate): admit each user's first `cap` events in event
+    * order, reject the rest, emit a per-event verdict. The ingest
+    * quota/rate-limit primitive of a training-data pipeline (cap
+    * contributions per source/user at the door, before anything
+    * downstream pays for them). See [[QuotaProcessor]] for the
+    * TransformWithState mechanics; state is O(1) per key at any scale.
+    */
+  def quotaPerKey(events: Dataset[ValEvent], cap: Long): Dataset[QuotaVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new QuotaProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Per-key EWMA (α = ½) as streaming state — the q143 batch fold run
     * incrementally: state per key is O(1) (current smoothed value +
     * count); each micro-batch's events fold in (ts, event_id) order ON
