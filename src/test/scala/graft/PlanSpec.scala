@@ -385,7 +385,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         // round 10 continued: q325's prefix windows are QI-group-
         // partitioned; q326's two retrieval passes rank through the
         // bounded TopKAgg — no global-order window anywhere
-        "q325_t_closeness", "q326_rocchio_prf")) {
+        "q325_t_closeness", "q326_rocchio_prf",
+        // round 11: q333's corpus decile runs through ntileExact (the
+        // one rank stage the perplexity gate adds on top of q319's
+        // joins); q334 has NO window at all — its per-anchor sort is
+        // array_sort over a cap-bounded collected list
+        "q333_perplexity_gate", "q334_exact_substrings")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val phys = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
@@ -418,7 +423,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // q312: wedge pairs come from the in-place generator, never a
     // neighbor self-JOIN, and the adjacency check is a keyed anti-join
     for (q <- Seq("q289_personalized_pagerank", "q290_covisitation",
-        "q312_adamic_adar")) {
+        "q312_adamic_adar",
+        // round 11: q334's anchor pass, candidate re-join, pairing and
+        // left-band lookup are all keyed joins/aggs — never a pair
+        // cross product
+        "q334_exact_substrings")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
