@@ -154,6 +154,28 @@ object StreamParityQueries {
         col("m.level").as("level"), col("m.trend").as("trend"))
   }
 
+  // batch gaps-and-islands at the per-session grain: island id = running
+  // sum of >30min-gap flags per user, session_start = min epoch micros;
+  // shared verbatim by q296 (flatMapGroupsWithState) and q337
+  // (TransformWithState) — one oracle, two state APIs
+  private val SessionsOracle =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS sid
+      |  FROM l)
+      |SELECT user_id, min(epoch_us(ts)) AS session_start,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   private val QuotaOracle =
     """WITH r AS (
       |  SELECT user_id, event_id,
@@ -665,10 +687,31 @@ object StreamParityQueries {
     * field, a ms-truncated gap compare or a double-emitted session all
     * fail the hash.
     */
-  def q296StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+  def q296StreamSessions(spark: SparkSession, dir: String): DataFrame =
+    runSessionGate(spark, dir, "graft_q296_sessions",
+      ds => StreamingOps.sessionize(ds))
+
+  /** q337: q296's sessionization gate re-run on the TransformWithState
+    * API ([[StreamingOps.sessionizeV2]]: event-time mode, per-key
+    * timers via registerTimer/handleExpiredTimer, product-typed named
+    * ValueState, RocksDB-backed) — SAME oracle as q296, so the driver
+    * hash proves the two state APIs implement identical session
+    * semantics: every session closes exactly once at the same
+    * micro-second boundaries whether the timeout is a GroupState
+    * event-time timeout or a v2 registered timer.
+    */
+  def q337StreamSessionsV2(spark: SparkSession, dir: String): DataFrame =
+    withRocksDbStateStore(spark) {
+      runSessionGate(spark, dir, "graft_q337_sessions",
+        ds => StreamingOps.sessionizeV2(ds))
+    }
+
+  private def runSessionGate(
+      spark: SparkSession, dir: String, sink: String,
+      plan: org.apache.spark.sql.Dataset[StreamingOps.Event] =>
+        org.apache.spark.sql.Dataset[StreamingOps.SessionUpdate]): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val sink = "graft_q296_sessions"
     spark.catalog.dropTempView(sink)
     val ev = RelationalQueries.events(spark, dir)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
@@ -684,7 +727,7 @@ object StreamParityQueries {
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         us / 1000000L, us % 1000000L * 1000L)))
     val ms = MemoryStream[StreamingOps.Event](spark)
-    val q = StreamingOps.sessionize(ms.toDS())
+    val q = plan(ms.toDS())
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
@@ -1222,6 +1265,7 @@ object StreamParityQueries {
     "q310_stream_interval_join" -> (q310StreamIntervalJoin _),
     "q335_stream_quota" -> (q335StreamQuota _),
     "q336_stream_quota_recovery" -> (q336StreamQuotaRecovery _),
+    "q337_stream_sessions_v2" -> (q337StreamSessionsV2 _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1315,23 +1359,10 @@ object StreamParityQueries {
          |FROM rb GROUP BY 1, 2""".stripMargin,
     // batch gaps-and-islands at the per-session grain: island id = running
     // sum of >30min-gap flags per user, session_start = min epoch micros
-    "q296_stream_sessions" ->
-      """WITH l AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |              THEN 1 ELSE 0 END AS ns
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS sid
-        |  FROM l)
-        |SELECT user_id, min(epoch_us(ts)) AS session_start,
-        |       count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q337 = q296's semantics on the TransformWithState API — same
+    // oracle by design: the hash is the cross-API equivalence proof
+    "q337_stream_sessions_v2" -> SessionsOracle,
+    "q296_stream_sessions" -> SessionsOracle,
     // q50's hourly rollup without the value sum (the streaming twin
     // counts only)
     "q297_stream_window_counts" ->

@@ -558,6 +558,86 @@ object StreamingOps {
       }
   }
 
+  /** [[sessionize]] on the TransformWithState API — the state-v2 twin
+    * exercising the parts [[quotaPerKey]] does not: EVENT-TIME mode,
+    * per-key TIMERS (registerTimer / deleteTimer / listTimers /
+    * handleExpiredTimer — the v2 spelling of GroupStateTimeout's
+    * setTimeoutTimestamp), and a product-typed named ValueState. Same
+    * micro-second gap semantics, same timeout-at-ms-ceiling guard, same
+    * emission contract (closed records only, append mode), so the TWO
+    * implementations share q296's batch gaps-and-islands oracle — the
+    * driver hash IS the cross-API equivalence proof. Timer hygiene:
+    * each batch deletes the key's previously registered timer and
+    * re-registers at the new tail, so an expiry can only fire when no
+    * newer event extended the session (the delete-and-rearm pattern;
+    * state-v2 timers are not auto-cancelled by state updates the way a
+    * GroupState timeout is superseded by setTimeoutTimestamp).
+    */
+  private class SessionProcessorV2(gapUs: Long, gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionUpdate] {
+    @transient private var session:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionUpdate] = {
+      val sorted = rows.map(e => epochMicros(e.ts)).toSeq.sorted
+      var closedOut = List.empty[SessionUpdate]
+      var cur = if (session.exists()) Some(session.get()) else None
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.lastSeen <= gapUs =>
+            cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+          case Some(s) =>
+            closedOut ::= SessionUpdate(uid, s.start, s.n, closed = true)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.registerTimer((s.lastSeen + 999L) / 1000L + gapMs)
+      }
+      closedOut.reverseIterator
+    }
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionUpdate] =
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(SessionUpdate(uid, s.start, s.n, closed = true))
+      } else Iterator.empty
+  }
+
+  /** See [[SessionProcessorV2]]. Caller must run under the RocksDB
+    * state-store provider (the state-v2 requirement).
+    */
+  def sessionizeV2(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessorV2(gapMs * 1000L, gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Gap-based sessionization (30-min inactivity) with event-time timeout.
     * State per user is O(1) (start, lastSeen, count) — the custom-state
     * pattern (KeyValueGroupedDataset.flatMapGroupsWithState) that covers
