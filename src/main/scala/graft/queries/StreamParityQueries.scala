@@ -277,6 +277,74 @@ object StreamParityQueries {
           outputMode = "append")
       }.distinct())
 
+  /** q338: per-user event-type counts on MAP state, driver-verified —
+    * [[StreamingOps.typeCountsPerKey]] (the engagement matrix
+    * maintained at ingest; MapState bounded by |event types| per user).
+    * Counts are pure increments, so the operator is delivery-order-
+    * invariant by construction; the rollup keeps each (user, type)'s
+    * max emitted total (counts only grow), and the oracle is the plain
+    * batch GROUP BY — a lost map entry, a reset count, or a
+    * double-applied batch all fail the hash.
+    */
+  def q338StreamTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q338_typecounts"
+    spark.catalog.dropTempView(sink)
+    val verdicts = withRocksDbStateStore(spark) {
+      val ev = RelationalQueries.events(spark, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+        .as[StreamingOps.TypedEvent]
+        .sort("ts", "event_id")
+      val ms = MemoryStream[StreamingOps.TypedEvent](spark)
+      val q = StreamingOps.typeCountsPerKey(ms.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+          ms.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(sink)
+    }
+    verdicts.groupBy("user_id", "event_type")
+      .agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** q339: per-user recent-items ring on LIST state, driver-verified —
+    * [[StreamingOps.recentItemsPerKey]] (last 3 event ids per user,
+    * oldest first — the "recently viewed" serving state a recommender
+    * joins at request time). The ring is ORDER-sensitive: the final
+    * per-user row must hold exactly the last 3 events of the in-order
+    * history, so an unsorted batch fold, a ring that appends without
+    * evicting, or a list that loses its order across the state store
+    * all fail the hash against the batch window oracle.
+    */
+  def q339StreamRecentItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q339_recent"
+    spark.catalog.dropTempView(sink)
+    val verdicts = withRocksDbStateStore(spark) {
+      val ev = valEvents(spark, dir)
+      val ms = MemoryStream[StreamingOps.ValEvent](spark)
+      val q = StreamingOps.recentItemsPerKey(ms.toDS(), keep = 3)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+          ms.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(sink)
+    }
+    verdicts.groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("recent"))).as("m"))
+      .select(col("user_id"), col("m.n_seen").as("n_seen"),
+        col("m.recent").as("recent"))
+  }
+
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
     * tumbling gate extended to overlapping windows
     * ([[StreamingOps.eventSlidingCounts]]: 1-hour windows sliding every
@@ -1266,6 +1334,8 @@ object StreamParityQueries {
     "q335_stream_quota" -> (q335StreamQuota _),
     "q336_stream_quota_recovery" -> (q336StreamQuotaRecovery _),
     "q337_stream_sessions_v2" -> (q337StreamSessionsV2 _),
+    "q338_stream_type_counts" -> (q338StreamTypeCounts _),
+    "q339_stream_recent_items" -> (q339StreamRecentItems _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1391,6 +1461,22 @@ object StreamParityQueries {
     // convention)
     "q335_stream_quota" -> QuotaOracle,
     "q336_stream_quota_recovery" -> QuotaOracle,
+    // the plain batch engagement matrix the map-state counts must equal
+    "q338_stream_type_counts" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // last 3 events per user under the (ts, event_id) total order — the
+    // ring the list state must reproduce, oldest first
+    "q339_stream_recent_items" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+        |       array_to_string(list(event_id ORDER BY rn), '>') AS recent
+        |FROM o WHERE rn > n - 3 GROUP BY user_id""".stripMargin,
     // the identical coupled IEEE steps walked per key by a recursive
     // CTE (a struct list_reduce would rebind l mid-row — q251 finding)
     "q284_stream_holt" ->

@@ -558,6 +558,113 @@ object StreamingOps {
       }
   }
 
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, cnt: Long)
+
+  /** Per-user per-event-type running counts on MAP state — the v2
+    * state type the quota (ValueState) and session (timers) operators
+    * do not touch: one MapState[String, Long] per user, bounded by
+    * |event types| — the engagement-matrix-on-ingest primitive (which
+    * users do what, maintained at the door rather than recomputed by
+    * scans). Counts are ORDER-FREE (pure increments), so this operator
+    * is delivery-order-invariant by construction — no in-batch sort
+    * needed, unlike every fold in this file. Emits each touched
+    * (user, type) with its NEW total per batch; the gate's rollup takes
+    * the max (counts only grow). TTLConfig.NONE: lifetime counts; a
+    * sliding engagement window would set a per-variable TTL here.
+    */
+  private class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, TypeCount] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      val batchAdd = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
+        m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+      }
+      batchAdd.toSeq.sortBy(_._1).map { case (t, add) =>
+        val nw = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + add
+        counts.updateValue(t, nw)
+        TypeCount(uid, t, nw)
+      }.iterator
+    }
+  }
+
+  /** See [[TypeCountProcessor]]. RocksDB-provider-only (state v2). */
+  def typeCountsPerKey(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  case class RecentUpdate(user_id: Long, n_seen: Long, recent: String)
+
+  /** Per-user last-`keep` event ids on LIST state — the remaining v2
+    * state type: one bounded ListState[Long] ring per user, oldest
+    * first — the "recently viewed" serving primitive a recommender
+    * reads (q290's co-visitation scores join against exactly this kind
+    * of recency state at serving time). Each batch folds in
+    * (ts, event_id) order on top of the carried ring (the ewmaPerKey
+    * sort convention — the ring IS order-sensitive, unlike the map
+    * counts), rewrites the whole ≤`keep`-element list (put, not
+    * append: the ring evicts from the front), and emits the key's new
+    * ring + total-seen count; the gate's rollup keeps the max-n row.
+    */
+  private class RecentItemsProcessor(keep: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ValEvent, RecentUpdate] {
+    @transient private var items:
+        org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var nSeen:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      items = getHandle.getListState[Long](
+        "recent", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long](
+        "n_seen", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        uid: Long, rows: Iterator[ValEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RecentUpdate] = {
+      val sorted = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+      val cur = (items.get().toList ++ sorted.map(_.event_id)).takeRight(keep)
+      val n = (if (nSeen.exists()) nSeen.get() else 0L) + sorted.size
+      items.put(cur.toArray)
+      nSeen.update(n)
+      Iterator.single(RecentUpdate(uid, n, cur.mkString(">")))
+    }
+  }
+
+  /** See [[RecentItemsProcessor]]. RocksDB-provider-only (state v2). */
+  def recentItemsPerKey(events: Dataset[ValEvent], keep: Int): Dataset[RecentUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RecentItemsProcessor(keep),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** [[sessionize]] on the TransformWithState API — the state-v2 twin
     * exercising the parts [[quotaPerKey]] does not: EVENT-TIME mode,
     * per-key TIMERS (registerTimer / deleteTimer / listTimers /
