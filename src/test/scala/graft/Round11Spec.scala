@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structural invariants of the round-11 work:
@@ -234,6 +235,95 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
+    sweep()
+  }
+
+  private def withRocksDb[T](body: => T): T = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev.fold(spark.conf.unset(pk))(spark.conf.set(pk, _))
+  }
+
+  private def hm(hhmm: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("typeCountsPerKey: map-state counts are delivery-order-invariant and never reset") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{TypedEvent, TypeCount}
+    import spark.implicits._
+    // the same 6-event history for user 1 (4 clicks, 2 views) split two
+    // different ways across micro-batches, the second REVERSED inside
+    // each batch — counts are pure increments, so both feeds must land
+    // on the identical final map AND every emitted total must be
+    // monotone per (user, type) (a reset or double-apply breaks one)
+    val hist = Seq(
+      TypedEvent(1L, hm("10:00"), 1L, "click"), TypedEvent(1L, hm("10:01"), 2L, "view"),
+      TypedEvent(1L, hm("10:02"), 3L, "click"), TypedEvent(1L, hm("10:03"), 4L, "click"),
+      TypedEvent(1L, hm("10:04"), 5L, "view"), TypedEvent(1L, hm("10:05"), 6L, "click"),
+      TypedEvent(2L, hm("10:06"), 7L, "view"))
+    def run(batches: Seq[Seq[TypedEvent]], sink: String): Seq[TypeCount] =
+      withRocksDb {
+        spark.catalog.dropTempView(sink)
+        val ms = MemoryStream[TypedEvent](spark)
+        val q = StreamingOps.typeCountsPerKey(ms.toDS())
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try {
+          batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+        } finally q.stop()
+        spark.table(sink).as[TypeCount].collect().toSeq
+      }
+    val a = run(Seq(hist.take(3), hist.drop(3)), "r11_tc_a")
+    val b = run(Seq(hist.take(5).reverse, hist.drop(5).reverse), "r11_tc_b")
+    def finalMap(xs: Seq[TypeCount]) =
+      xs.groupBy(x => (x.user_id, x.event_type)).view.mapValues(_.map(_.cnt).max).toMap
+    val expect = Map((1L, "click") -> 4L, (1L, "view") -> 2L, (2L, "view") -> 1L)
+    assert(finalMap(a) == expect, s"split A final counts wrong: ${finalMap(a)}")
+    assert(finalMap(b) == expect, s"reversed split B final counts wrong: ${finalMap(b)}")
+    // monotone WITHIN each run: per (user, type) the emitted totals
+    // strictly increase in emission order — the carried MapState never
+    // loses an increment (the two runs are independent histories)
+    Seq(a, b).foreach(_.groupBy(x => (x.user_id, x.event_type)).foreach { case (k, xs) =>
+      assert(xs.map(_.cnt) == xs.map(_.cnt).sorted && xs.map(_.cnt).distinct == xs.map(_.cnt),
+        s"totals for $k must strictly increase within a run: ${xs.map(_.cnt)}")
+    })
+    sweep()
+  }
+
+  test("recentItemsPerKey: list-state ring evicts from the front and survives batch splits") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{ValEvent, RecentUpdate}
+    import spark.implicits._
+    // 5 events for user 1 (ring must hold the LAST 3 in ts order), 2
+    // for user 2 (under-full ring holds all, oldest first) — fed as
+    // 2+3 with the second batch out of order (the in-batch sort is the
+    // operator's job, the q338 map has no such duty)
+    val b1 = Seq(ValEvent(1L, hm("09:00"), 11L, 0), ValEvent(1L, hm("09:01"), 12L, 0))
+    val b2 = Seq(ValEvent(1L, hm("09:04"), 15L, 0), ValEvent(1L, hm("09:02"), 13L, 0),
+      ValEvent(1L, hm("09:03"), 14L, 0), ValEvent(2L, hm("09:05"), 21L, 0))
+    val got = withRocksDb {
+      spark.catalog.dropTempView("r11_ring")
+      val ms = MemoryStream[ValEvent](spark)
+      val q = StreamingOps.recentItemsPerKey(ms.toDS(), keep = 3)
+        .writeStream.format("memory").queryName("r11_ring").outputMode("append").start()
+      try {
+        ms.addData(b1: _*); q.processAllAvailable()
+        ms.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table("r11_ring").as[RecentUpdate].collect().toSeq
+    }
+    val fin = got.groupBy(_.user_id).view.mapValues(_.maxBy(_.n_seen)).toMap
+    assert(fin(1L).n_seen == 5L && fin(1L).recent == "13>14>15",
+      s"user 1 ring must be the last 3 in time order: ${fin(1L)}")
+    assert(fin(2L).n_seen == 1L && fin(2L).recent == "21",
+      s"user 2 under-full ring must hold its single event: ${fin(2L)}")
+    // batch-1 emission proves the carried ring, not a per-batch rebuild:
+    // after (11, 12) the ring is "11>12" — eviction happened ACROSS the
+    // batch boundary, on state read back from the store
+    val mid = got.filter(x => x.user_id == 1L && x.n_seen == 2L)
+    assert(mid.map(_.recent) == Seq("11>12"),
+      s"batch-1 ring must be 11>12 before the cross-batch eviction: $got")
     sweep()
   }
 }
