@@ -345,6 +345,92 @@ object StreamParityQueries {
         col("m.recent").as("recent"))
   }
 
+  /** q340: BOUNDED-state streaming dedup, driver-verified —
+    * [[StreamingOps.dedupBoundedOnIngest]] (`withWatermark` +
+    * `dropDuplicatesWithinWatermark`), the production retention bound
+    * q259's unbounded `dropDuplicates` cannot provide. The feed is a
+    * deterministic re-timing of the events table built to sit far from
+    * every undefined boundary of the operator's contract: per user,
+    * events are grouped 4-at-a-time into CLUSTERS (10 s apart inside a
+    * cluster — well inside the 60 s delay, so rows 2-4 must dedup
+    * against row 1) and a user's consecutive clusters land two 2-hour
+    * SLICES apart, interleaved by user parity (even users occupy even
+    * slices, odd users odd), with one micro-batch per slice. When an
+    * even user's cluster c arrives at slice 2c, the watermark derived
+    * from slice 2c-1 (the odd users' data) already exceeds the user's
+    * cluster-(c-1) expiry by ~7,000 s — under EITHER defensible expiry
+    * anchor (first-seen or last-seen + delay) and either eviction
+    * timing (end-of-previous-batch or start-of-current), the state is
+    * gone and the cluster head MUST be re-admitted. So the oracle is
+    * exact: one emission per (user, cluster) — a leak (plain-
+    * `dropDuplicates` semantics, no eviction) collapses each user to
+    * one row and fails on row count; a failure to dedup in-cluster
+    * doubles n_emitted and fails the hash. Rollup is at (user, slice)
+    * grain, not survivor event ids: within a micro-batch which of the
+    * 4 cluster rows survives is engine-arbitrary (the q259 fingerprint-
+    * grain discipline), but its slice tag is shared by construction.
+    */
+  def q340StreamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q340_bounded"
+    spark.catalog.dropTempView(sink)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
+    // 2024-01-01T00:00:00Z; timestamp_seconds is epoch-based, so the
+    // construction (and its oracle mirror) is timezone-independent
+    val epoch0 = 1704067200L
+    val users = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("slice",
+        lit(2L) * floor(col("rn") / 4).cast("long") + pmod(col("user_id"), lit(2L)))
+      .select(col("user_id"),
+        timestamp_seconds(lit(epoch0) + col("slice") * 7200L +
+          pmod(col("rn"), lit(4L)) * 10L).as("ts"),
+        col("event_id"), col("slice"))
+    // harness ticker: one row of a reserved key in EVERY slice, so the
+    // watermark advances slice-by-slice even where a parity class has
+    // run out of clusters (the heaviest users' tail slices have no
+    // opposite-parity data — without a tick the watermark stalls one
+    // batch back and their last cluster heads would NOT re-admit).
+    // Watermark advance is driven by INPUT event times, so the tick
+    // works whether or not its own row survives the dedup; the ticker
+    // key is filtered from the rollup because its own emission pattern
+    // is exactly the anchor-dependent middle band the contract excludes.
+    val maxSlice = users.agg(max(col("slice"))).head().getLong(0) // 1-row collect
+    val ticks = spark.range(0L, maxSlice + 1L)
+      .select(lit(-1L).as("user_id"),
+        timestamp_seconds(lit(epoch0) + col("id") * 7200L + lit(30L)).as("ts"),
+        (-col("id") - 1L).as("event_id"), col("id").as("slice"))
+    val feed = users.unionByName(ticks)
+      .as[StreamingOps.SlicedEvent]
+      .sort("slice", "user_id", "event_id")
+    val ms = MemoryStream[StreamingOps.SlicedEvent](spark)
+    val q = StreamingOps
+      .dedupBoundedOnIngest(ms.toDF(), Seq("user_id"), "ts", "60 seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // one micro-batch per slice: the slice boundary IS the watermark
+      // step the contract above reasons about, so it must be a real
+      // batch boundary, not a row-count accident
+      val buf = scala.collection.mutable.ArrayBuffer[StreamingOps.SlicedEvent]()
+      var cur = Long.MinValue
+      def flush(): Unit = if (buf.nonEmpty) {
+        ms.addData(buf.toIndexedSeq); q.processAllAvailable(); buf.clear()
+      }
+      feed.toLocalIterator().asScala.foreach { e =>
+        if (e.slice != cur) { flush(); cur = e.slice }
+        buf += e
+      }
+      flush()
+    } finally q.stop()
+    spark.table(sink)
+      .filter(col("user_id") >= 0L) // drop the harness ticker key
+      .groupBy("user_id", "slice")
+      .agg(count(lit(1)).as("n_emitted"))
+  }
+
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
     * tumbling gate extended to overlapping windows
     * ([[StreamingOps.eventSlidingCounts]]: 1-hour windows sliding every
@@ -1336,6 +1422,7 @@ object StreamParityQueries {
     "q337_stream_sessions_v2" -> (q337StreamSessionsV2 _),
     "q338_stream_type_counts" -> (q338StreamTypeCounts _),
     "q339_stream_recent_items" -> (q339StreamRecentItems _),
+    "q340_stream_dedup_bounded" -> (q340StreamDedupBounded _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1477,6 +1564,19 @@ object StreamParityQueries {
         |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
         |       array_to_string(list(event_id ORDER BY rn), '>') AS recent
         |FROM o WHERE rn > n - 3 GROUP BY user_id""".stripMargin,
+    // exactly one emission per (user, cluster): the cluster head is
+    // re-admitted after eviction, its 3 in-window followers dedup —
+    // the same slice arithmetic the gate's feed construction uses
+    "q340_stream_dedup_bounded" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(2 * (rn // 4) + user_id % 2 AS BIGINT) AS slice,
+        |       CAST(1 AS BIGINT) AS n_emitted
+        |FROM o WHERE rn % 4 = 0""".stripMargin,
     // the identical coupled IEEE steps walked per key by a recursive
     // CTE (a struct list_reduce would rebind l mid-row — q251 finding)
     "q284_stream_holt" ->

@@ -75,6 +75,29 @@ object StreamingOps {
       .drop(fp)
   }
 
+  /** BOUNDED-state dedup on ingest — the production retention bound
+    * [[dedupOnIngest]]'s doc names: `withWatermark` +
+    * `dropDuplicatesWithinWatermark`, so the seen-key state is EVICTED
+    * once the event-time watermark passes a key's first-seen time plus
+    * the delay, instead of growing with every distinct key forever
+    * (plain streaming `dropDuplicates` at 100 TB of ingest = one state
+    * row per distinct document for the life of the stream; this keeps
+    * state proportional to the delay window's distinct keys). The
+    * contract that makes an exact oracle possible: duplicates arriving
+    * within the delay of the key's first event are GUARANTEED dropped;
+    * a key recurring after the watermark has passed its expiry is
+    * GUARANTEED re-admitted (its state is gone); and recurrences in
+    * the undefined middle band are a fixture-design problem, not an
+    * operator one — q340's feed keeps every gap far on one side or the
+    * other, so its hash is exact under either of the two defensible
+    * expiry anchors (first-seen vs last-seen: the fixture's in-window
+    * span ≪ its across-window gap).
+    */
+  def dedupBoundedOnIngest(
+      events: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static enrichment: left-join the unbounded stream against a
     * broadcast dimension — the standard lookup pattern; the static side
     * is re-broadcast per micro-batch, the stream side never shuffles.
@@ -209,6 +232,12 @@ object StreamingOps {
   case class SessionState(start: Long, lastSeen: Long, n: Int)
 
   case class ValEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+  /** q340's re-timed feed row: `slice` tags which 2-hour micro-batch
+    * window the row belongs to — it rides through the dedup untouched
+    * so the gate can roll emissions up at (user, slice) grain.
+    */
+  case class SlicedEvent(user_id: Long, ts: Timestamp, event_id: Long, slice: Long)
 
   /** Full-microsecond epoch of a timestamp. The fold operators declare a
     * (ts, event_id) arrival order and the batch oracles sort by the
