@@ -195,6 +195,70 @@ object SearchQueries {
       .select(col("pattern"), col("word"), col("df"))
   }
 
+  /** q341: SymSpell spell correction — candidate generation by DELETE-
+    * NEIGHBORHOOD blocking (Garbe's SymSpell; the same trick behind
+    * fuzzy lookup in production spell/entity services): every
+    * dictionary word emits its ≤2-deletion variants as join keys
+    * (1 + L + C(L,2) keys, vocabulary-grain), every probe emits its
+    * own, and candidates are one EQUI-JOIN on the shared key — never a
+    * |probes| × |dict| distance scan. Deletes on BOTH sides at depth 2
+    * are COMPLETE for Levenshtein ≤ 2 (any ≤2-edit script decomposes
+    * into ≤2 deletions from each side reaching a common string), so
+    * unlike windowed sorted-neighborhood blocking (q178, which trades
+    * recall for candidate volume) this blocking loses NO true pair —
+    * and the ORACLE is the plain brute-force distance scan, so the
+    * driver hash IS the completeness proof (the q330/q332 equivalence
+    * discipline). The probe set is a deterministic corruption of the
+    * corpus: for every ≥4-char word, a mid-char deletion and a
+    * mid-char 'z' substitution, minus corruptions that collide with a
+    * real vocabulary word (both mirrored in the oracle). Final pick
+    * per probe: (levenshtein asc, freq desc, word asc) through one
+    * struct-min aggregate; the distance call uses the bounded 3-arg
+    * `levenshtein(_, _, 2)` so the DP early-exits on the hot path.
+    * Scale shape: keys are vocabulary-grain × O(L²); the probe-key
+    * side broadcasts; dict keys partition by the delete string — at a
+    * 32k-token production vocabulary the whole structure is MBs.
+    */
+  def q341SpellCorrect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vocabAll = Ranking.tokensWithPos(docs(spark, dir), "text", "doc_id")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val dict = vocabAll.filter(length(col("word")) >= 4)
+    // deterministic probes: corrupt each dictionary word at its middle
+    // position; drop corruptions that are themselves real words
+    val withMid = dict.withColumn("m", expr("length(word) div 2 + 1"))
+    val probes = withMid
+      .select(expr("concat(substring(word, 1, m - 1), substring(word, m + 1, length(word)))")
+        .as("probe"))
+      .unionByName(withMid.select(
+        expr("concat(substring(word, 1, m - 1), 'z', substring(word, m + 1, length(word)))")
+          .as("probe")))
+      .distinct()
+      .join(vocabAll, col("probe") === col("word"), "left_anti")
+    def deleteKeys(c: String) = expr(
+      s"""array_distinct(concat(
+         |  array($c),
+         |  transform(sequence(1, length($c)),
+         |            i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c)))),
+         |  flatten(transform(
+         |    transform(sequence(1, length($c)),
+         |              i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c)))),
+         |    d -> transform(sequence(1, length(d)),
+         |                   j -> concat(substring(d, 1, j - 1), substring(d, j + 1, length(d))))))))"""
+        .stripMargin)
+    val dictKeys = dict.select(col("word").as("suggestion"), col("freq"),
+      explode(deleteKeys("word")).as("k"))
+    val probeKeys = probes.select(col("probe"), explode(deleteKeys("probe")).as("k"))
+    dictKeys.join(broadcast(probeKeys), Seq("k"))
+      .select("probe", "suggestion", "freq").distinct()
+      .withColumn("dist", levenshtein(col("probe"), col("suggestion"), 2))
+      .filter(col("dist") >= 1) // -1 = beyond threshold; 0 impossible (collisions excluded)
+      .groupBy("probe")
+      .agg(min(struct(col("dist"), (-col("freq")).as("nf"), col("suggestion"))).as("b"))
+      .select(col("probe"), col("b.suggestion").as("suggestion"),
+        col("b.dist").cast("long").as("dist"), (-col("b.nf")).cast("long").as("freq"))
+  }
+
   /** q234: per-term BM25 serving top-k — for every query term, the top-5
     * documents by (bm25 desc, doc_id) through the bounded `TopKAgg`
     * (q121's shape on the search index): only k rows per term per
@@ -387,6 +451,7 @@ object SearchQueries {
     "q292_retrieve_rerank" -> (q292RetrieveRerank _),
     "q326_rocchio_prf" -> (q326RocchioPrf _),
     "q330_wildcard_search" -> (q330WildcardSearch _),
+    "q341_spell_correct" -> (q341SpellCorrect _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
     "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
@@ -578,6 +643,32 @@ object SearchQueries {
          |UNION ALL SELECT 'c*n', word, df FROM vocab WHERE word LIKE 'c%n'
          |UNION ALL SELECT '*e', word, df FROM vocab WHERE word LIKE '%e'
          |UNION ALL SELECT 'b*h', word, df FROM vocab WHERE word LIKE 'b%h'""".stripMargin,
+    // the plain brute-force distance scan — the hash match proves the
+    // engine's delete-neighborhood blocking is COMPLETE for lev <= 2
+    "q341_spell_correct" ->
+      s"""$WordsCte,
+         |toks AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |vocab AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+         |dict AS (SELECT word, freq FROM vocab WHERE length(word) >= 4),
+         |pr AS (
+         |  SELECT DISTINCT probe FROM (
+         |    SELECT concat(substring(word, 1, m - 1),
+         |                  substring(word, m + 1, length(word))) AS probe
+         |    FROM (SELECT word, length(word) // 2 + 1 AS m FROM dict)
+         |    UNION
+         |    SELECT concat(substring(word, 1, m - 1), 'z',
+         |                  substring(word, m + 1, length(word)))
+         |    FROM (SELECT word, length(word) // 2 + 1 AS m FROM dict))
+         |  WHERE probe NOT IN (SELECT word FROM vocab)),
+         |cand AS (
+         |  SELECT pr.probe, d.word AS suggestion, d.freq,
+         |         levenshtein(pr.probe, d.word) AS dist
+         |  FROM pr CROSS JOIN dict d)
+         |SELECT probe, suggestion, CAST(dist AS BIGINT) AS dist,
+         |       CAST(freq AS BIGINT) AS freq
+         |FROM cand WHERE dist BETWEEN 1 AND 2
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY probe ORDER BY dist, freq DESC, suggestion) = 1""".stripMargin,
     // q9's scoring with a per-term (bm25 desc, doc_id) rank <= 5 window
     "q234_bm25_topk" ->
       s"""$WordsCte,

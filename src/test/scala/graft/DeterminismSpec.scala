@@ -135,7 +135,9 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // decile's range exchange; the substring extension's sorted
     // pairing + token-lcp must survive any partitioning of the anchor
     // groups
-    "q333_perplexity_gate", "q334_exact_substrings")
+    "q333_perplexity_gate", "q334_exact_substrings",
+    // SymSpell: exact string keys, bounded levenshtein, struct-min pick
+    "q341_spell_correct")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
