@@ -518,8 +518,9 @@ object DedupQueries {
 
   /** Shared DuckDB CTEs: word arrays and distinct (doc, shingle) pairs —
     * SQL twins of TextFunctions.wordsArr / Dedup.shinglePairs.
+    * (`private[queries]`: q342's streaming near-dup oracle reuses it.)
     */
-  private val ShingleCte =
+  private[queries] val ShingleCte =
     """WITH wd AS (
       |  SELECT doc_id,
       |         list_filter(

@@ -431,6 +431,28 @@ object StreamParityQueries {
       .agg(count(lit(1)).as("n_emitted"))
   }
 
+  /** q342: NEAR-dup detection on ingest, driver-verified —
+    * [[StreamingOps.nearDupOnIngest]] (row-local q31 signatures, one
+    * carried Long per live LSH band bucket), the MinHash rung of the
+    * streaming dedup ladder between exact q259 and bounded q340. The
+    * corpus arrives in doc-id-ordered chunks; every document sharing a
+    * band with an earlier one must be flagged with the EARLIEST such
+    * band-mate across all its bands (min over per-band verdicts). The
+    * oracle is batch q31's band construction verbatim plus one
+    * min-earlier-band-mate aggregation — so the driver hash proves the
+    * stream's carried bucket minima reproduce the batch LSH candidate
+    * structure exactly: a bucket min lost across batches under-flags, a
+    * per-batch rebuild mis-reports dup_of, and any drift in the
+    * row-local signature path (vs q31's groupBy formulation) changes
+    * the digests and misses buckets outright.
+    */
+  def q342StreamNearDup(spark: SparkSession, dir: String): DataFrame =
+    runChunked(spark, dir, "graft_q342_neardup",
+      df => StreamingOps.nearDupOnIngest(df, "text", "doc_id").toDF(),
+      maxChunk = 4096)
+      .groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"))
+
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
     * tumbling gate extended to overlapping windows
     * ([[StreamingOps.eventSlidingCounts]]: 1-hour windows sliding every
@@ -1423,6 +1445,7 @@ object StreamParityQueries {
     "q338_stream_type_counts" -> (q338StreamTypeCounts _),
     "q339_stream_recent_items" -> (q339StreamRecentItems _),
     "q340_stream_dedup_bounded" -> (q340StreamDedupBounded _),
+    "q342_stream_near_dup" -> (q342StreamNearDup _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1567,6 +1590,24 @@ object StreamParityQueries {
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses
+    // batch q31's band construction verbatim + min earlier band-mate —
+    // the stream's carried bucket minima must reproduce it exactly
+    "q342_stream_near_dup" ->
+      s"""${DedupQueries.ShingleCte},
+        |mh AS (
+        |  SELECT doc_id, j,
+        |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+        |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
+        |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+        |  WHERE e.j % 2 = 0)
+        |SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS dup_of
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+        |GROUP BY b.doc_id""".stripMargin,
     "q340_stream_dedup_bounded" ->
       """WITH o AS (
         |  SELECT user_id,

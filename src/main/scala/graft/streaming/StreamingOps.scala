@@ -98,6 +98,61 @@ object StreamingOps {
       delay: String): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  case class BandRow(doc_id: Long, band: Int, digest: String)
+  case class DupVerdict(doc_id: Long, band: Int, dup_of: Long)
+
+  /** NEAR-dup detection on ingest — the MinHash/LSH rung of the
+    * streaming dedup ladder (exact [[dedupOnIngest]], bounded
+    * [[dedupBoundedOnIngest]]): flag each arriving document that
+    * shares an LSH band with ANY earlier document, reporting the
+    * earliest such band-mate. The signature is computed ROW-LOCALLY
+    * (batch q31's exact shingle→minhash→band scheme via the shared
+    * `TextFunctions` helpers, but as array expressions inside one
+    * projection — no aggregation, so the stream stays stateless until
+    * the band-bucket grouping), then the only state is one Long per
+    * LIVE band bucket: the minimum doc id seen. Per bucket per batch,
+    * rows fold in doc-id order on the carried min — each doc with an
+    * earlier band-mate emits one verdict per matching band, and the
+    * gate's rollup takes the min across bands. State is bucket-grain
+    * (≈ 4 rows per distinct signature region); an eviction policy
+    * (TTL on buckets cold for a window) is the retention knob at
+    * unbounded scale, exactly [[dedupBoundedOnIngest]]'s trade.
+    */
+  def nearDupOnIngest(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8): Dataset[DupVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions.{wordsArr, shingles, minhash}
+    val bandCols = (0 until numHashes / 2).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("digest"))
+    }
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), wordsArr(col(textCol)).as("w"))
+      .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh_set"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => minhash(col("sh_set"), j).as(s"mh$j")): _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.digest))
+      .flatMapGroupsWithState[Long, DupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          // doc-id order = arrival order (the harness feeds sorted);
+          // the carried min is "earliest doc ever seen in this bucket"
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var cur = if (state.exists) state.get else Long.MaxValue
+          val out = sorted.flatMap { r =>
+            val v = if (cur < r.doc_id) Some(DupVerdict(r.doc_id, key._1, cur)) else None
+            cur = math.min(cur, r.doc_id)
+            v
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment: left-join the unbounded stream against a
     * broadcast dimension — the standard lookup pattern; the static side
     * is re-broadcast per micro-batch, the stream side never shuffles.
