@@ -195,7 +195,7 @@ object StreamParityQueries {
     * ONLY on the RocksDB provider — and available to any gate that
     * wants the production store (the q310 toggle).
     */
-  private def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
     val pk = "spark.sql.streaming.stateStore.providerClass"
     val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevP = spark.conf.getOption(pk)
@@ -224,23 +224,36 @@ object StreamParityQueries {
     */
   def q335StreamQuota(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    quotaRollup(runStatefulGate(spark, "graft_q335_quota",
+      valEvents(spark, dir),
+      (ds: org.apache.spark.sql.Dataset[StreamingOps.ValEvent]) =>
+        StreamingOps.quotaPerKey(ds, cap = 5L).toDF()))
+  }
+
+  /** The TransformWithState gates' shared harness (q335/q338/q339):
+    * feed a sorted Dataset through a MemoryStream in 16384-row chunks
+    * (one micro-batch barrier per chunk — the q267 budget) under the
+    * RocksDB provider the state-v2 API requires, and return the memory
+    * sink's contents.
+    */
+  private def runStatefulGate[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, sink: String,
+      feed: org.apache.spark.sql.Dataset[T],
+      plan: org.apache.spark.sql.Dataset[T] => DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val sink = "graft_q335_quota"
     spark.catalog.dropTempView(sink)
-    val verdicts = withRocksDbStateStore(spark) {
-      val ev = valEvents(spark, dir)
-      val ms = MemoryStream[StreamingOps.ValEvent](spark)
-      val q = StreamingOps.quotaPerKey(ms.toDS(), cap = 5L)
+    withRocksDbStateStore(spark) {
+      val ms = MemoryStream[T](spark)
+      val q = plan(ms.toDS())
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
       try {
-        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
+        feed.toLocalIterator().asScala.grouped(16384).foreach { batch =>
           ms.addData(batch.toIndexedSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
       spark.table(sink)
     }
-    quotaRollup(verdicts)
   }
 
   /** The shared per-user rollup of quota verdict rows (q335/q336):
@@ -288,27 +301,15 @@ object StreamParityQueries {
     */
   def q338StreamTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val sink = "graft_q338_typecounts"
-    spark.catalog.dropTempView(sink)
-    val verdicts = withRocksDbStateStore(spark) {
-      val ev = RelationalQueries.events(spark, dir)
-        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-          col("event_id"), col("event_type"))
-        .as[StreamingOps.TypedEvent]
-        .sort("ts", "event_id")
-      val ms = MemoryStream[StreamingOps.TypedEvent](spark)
-      val q = StreamingOps.typeCountsPerKey(ms.toDS())
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
-          ms.addData(batch.toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      spark.table(sink)
-    }
-    verdicts.groupBy("user_id", "event_type")
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      .as[StreamingOps.TypedEvent]
+      .sort("ts", "event_id")
+    runStatefulGate(spark, "graft_q338_typecounts", ev,
+      (ds: org.apache.spark.sql.Dataset[StreamingOps.TypedEvent]) =>
+        StreamingOps.typeCountsPerKey(ds).toDF())
+      .groupBy("user_id", "event_type")
       .agg(max(col("cnt")).as("cnt"))
   }
 
@@ -323,23 +324,10 @@ object StreamParityQueries {
     */
   def q339StreamRecentItems(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val sink = "graft_q339_recent"
-    spark.catalog.dropTempView(sink)
-    val verdicts = withRocksDbStateStore(spark) {
-      val ev = valEvents(spark, dir)
-      val ms = MemoryStream[StreamingOps.ValEvent](spark)
-      val q = StreamingOps.recentItemsPerKey(ms.toDS(), keep = 3)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        ev.toLocalIterator().asScala.grouped(16384).foreach { batch =>
-          ms.addData(batch.toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      spark.table(sink)
-    }
-    verdicts.groupBy("user_id")
+    runStatefulGate(spark, "graft_q339_recent", valEvents(spark, dir),
+      (ds: org.apache.spark.sql.Dataset[StreamingOps.ValEvent]) =>
+        StreamingOps.recentItemsPerKey(ds, keep = 3).toDF())
+      .groupBy("user_id")
       .agg(max(struct(col("n_seen"), col("recent"))).as("m"))
       .select(col("user_id"), col("m.n_seen").as("n_seen"),
         col("m.recent").as("recent"))
@@ -380,6 +368,8 @@ object StreamParityQueries {
     // 2024-01-01T00:00:00Z; timestamp_seconds is epoch-based, so the
     // construction (and its oracle mirror) is timezone-independent
     val epoch0 = 1704067200L
+    // persisted: the maxSlice 1-row collect and the feed drain otherwise
+    // each re-run the scan + per-user window (runner owns the lifecycle)
     val users = RelationalQueries.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(w).cast("long") - 1L)
@@ -389,6 +379,7 @@ object StreamParityQueries {
         timestamp_seconds(lit(epoch0) + col("slice") * 7200L +
           pmod(col("rn"), lit(4L)) * 10L).as("ts"),
         col("event_id"), col("slice"))
+      .persist()
     // harness ticker: one row of a reserved key in EVERY slice, so the
     // watermark advances slice-by-slice even where a parity class has
     // run out of clusters (the heaviest users' tail slices have no
@@ -1149,17 +1140,7 @@ object StreamParityQueries {
     import scala.jdk.CollectionConverters._
     require(Set("default", "rocksdb")(stateStore),
       s"q310 stateStore must be 'default' or 'rocksdb', got '$stateStore'")
-    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-    val ChangelogKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevProvider = spark.conf.getOption(ProviderKey)
-    val prevChangelog = spark.conf.getOption(ChangelogKey)
-    if (stateStore == "rocksdb") {
-      spark.conf.set(ProviderKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set(ChangelogKey, "true")
-    }
-    try {
+    def core(): DataFrame = {
       val sink = "graft_q310_attr"
       spark.catalog.dropTempView(sink)
       val ev = viewClickFeed(spark, dir)
@@ -1179,16 +1160,8 @@ object StreamParityQueries {
         }
       } finally q.stop()
       spark.table(sink)
-    } finally {
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      if (stateStore == "rocksdb") {
-        restore(ProviderKey, prevProvider)
-        restore(ChangelogKey, prevChangelog)
-      }
     }
+    if (stateStore == "rocksdb") withRocksDbStateStore(spark)(core()) else core()
   }
 
   /** q313: q310's interval join ACROSS A QUERY RESTART — the recovery

@@ -117,6 +117,14 @@ object StreamingOps {
     * (≈ 4 rows per distinct signature region); an eviction policy
     * (TTL on buckets cold for a window) is the retention knob at
     * unbounded scale, exactly [[dedupBoundedOnIngest]]'s trade.
+    *
+    * CONTRACT: `idCol` must be monotone with ARRIVAL order (an ingest
+    * sequence number — what a production door assigns). The carried
+    * state is a doc-id min standing in for "earliest arrival"; if a
+    * smaller id arrived AFTER a larger band-mate, the pair would go
+    * entirely unflagged (the larger id was already processed, and the
+    * smaller one compares below the stored min). The q342 harness
+    * feeds id-sorted chunks, satisfying this by construction.
     */
   def nearDupOnIngest(
       docs: DataFrame, textCol: String, idCol: String,

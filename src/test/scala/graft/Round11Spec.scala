@@ -238,13 +238,10 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
     sweep()
   }
 
-  private def withRocksDb[T](body: => T): T = {
-    val pk = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(pk)
-    spark.conf.set(pk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev.fold(spark.conf.unset(pk))(spark.conf.set(pk, _))
-  }
+  // the production helper, not a copy — one definition of the provider
+  // save/set/restore protocol for gates and specs alike
+  private def withRocksDb[T](body: => T): T =
+    graft.queries.StreamParityQueries.withRocksDbStateStore(spark)(body)
 
   private def hm(hhmm: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
