@@ -176,6 +176,26 @@ object StreamParityQueries {
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Batch q31's band construction verbatim + one min-earlier-band-mate
+    * aggregation — shared by the q342 in-order and q343 recovery gates.
+    */
+  private val NearDupOracle =
+    s"""${DedupQueries.ShingleCte},
+       |mh AS (
+       |  SELECT doc_id, j,
+       |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
+       |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
+       |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+       |  WHERE e.j % 2 = 0)
+       |SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS dup_of
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+       |GROUP BY b.doc_id""".stripMargin
+
   private val QuotaOracle =
     """WITH r AS (
       |  SELECT user_id, event_id,
@@ -443,6 +463,67 @@ object StreamParityQueries {
       maxChunk = 4096)
       .groupBy("doc_id")
       .agg(min(col("dup_of")).as("dup_of"))
+
+  /** q343: q342's near-dup detection ACROSS A QUERY RESTART — the
+    * recovery gate completing the family contract for the LSH-bucket
+    * state (every stateful operator ships with in-order + recovery
+    * gates). Mid-feed the query stops and resumes from the same
+    * checkpoint: the per-bucket doc-id minima must reload at their
+    * committed values — a bucket min lost to the restart un-flags
+    * every later near-duplicate whose earliest band-mate arrived
+    * before the boundary (rows vanish), and a replayed-without-state
+    * boundary batch mis-reports dup_of (hash fails). Verdicts dedupe
+    * before the rollup (the q313 idempotent-sink discipline: a benign
+    * replay recomputes the same batch against the same committed state
+    * version and re-emits IDENTICAL verdict rows — the per-bucket fold
+    * is deterministic — while a state bug emits different ones). Same
+    * oracle as q342, the recovery-family convention.
+    */
+  def q343StreamNearDupRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .sort("doc_id")
+    val n = docs.count()
+    val chunk = math.max(1L, math.min(4096L, (n + 5) / 6)).toInt
+    val ms = MemoryStream[(Long, String)](spark)
+    // verdicts only, so the driver buffer is bounded by (near-dup docs
+    // × matching bands), not the corpus
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.DupVerdict]()
+    def start() =
+      StreamingOps.nearDupOnIngest(ms.toDF.toDF("doc_id", "text"), "text", "doc_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingOps.DupVerdict], _: Long) =>
+            batch.collect().foreach(buf.add)
+            ()
+        }
+        .start()
+    val emitted =
+      try {
+        var q = start()
+        var fed = 0L
+        var restarted = false
+        docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
+          if (!restarted && fed >= (n + 1) / 2) {
+            q.stop()
+            q = start() // same checkpoint: bucket minima must carry over
+            restarted = true
+          }
+          ms.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+          fed += batch.size
+        }
+        q.stop()
+        buf.asScala.toSeq.toDF()
+      } finally deleteRecursively(ckpt)
+    emitted.distinct()
+      .groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"))
+  }
 
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
     * tumbling gate extended to overlapping windows
@@ -1419,6 +1500,7 @@ object StreamParityQueries {
     "q339_stream_recent_items" -> (q339StreamRecentItems _),
     "q340_stream_dedup_bounded" -> (q340StreamDedupBounded _),
     "q342_stream_near_dup" -> (q342StreamNearDup _),
+    "q343_stream_near_dup_recovery" -> (q343StreamNearDupRecovery _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1565,22 +1647,9 @@ object StreamParityQueries {
     // the same slice arithmetic the gate's feed construction uses
     // batch q31's band construction verbatim + min earlier band-mate —
     // the stream's carried bucket minima must reproduce it exactly
-    "q342_stream_near_dup" ->
-      s"""${DedupQueries.ShingleCte},
-        |mh AS (
-        |  SELECT doc_id, j,
-        |         min(substr(CASE WHEN j < 4 THEN md5(sh) ELSE md5('1|' || sh) END,
-        |                    CAST((j % 4) * 8 + 1 AS INT), 8)) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
-        |  GROUP BY doc_id, j),
-        |bands AS (
-        |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
-        |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
-        |  WHERE e.j % 2 = 0)
-        |SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS dup_of
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
-        |GROUP BY b.doc_id""".stripMargin,
+    // (same oracle for the recovery twin — the family convention)
+    "q342_stream_near_dup" -> NearDupOracle,
+    "q343_stream_near_dup_recovery" -> NearDupOracle,
     "q340_stream_dedup_bounded" ->
       """WITH o AS (
         |  SELECT user_id,
