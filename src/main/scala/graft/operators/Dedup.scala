@@ -697,11 +697,9 @@ object Dedup {
     * pos_b, dup_text = the duplicated substring itself). Intra-doc
     * repeats count (the occurrence pair carries the same id twice).
     * DETERMINISM: md5 grouping, exact integer lcp over a total sort
-    * order — identical across partitionings and engines: the engine
-    * sorts occurrence structs by the token ARRAY (lexicographic =
-    * token-sequence order), the oracle by the space-joined string,
-    * and the two orders coincide because tokens are [a-z0-9]+ and the
-    * space sorts below every token character. No window function
+    * order — identical across partitionings and engines (tokens are
+    * [a-z0-9]+, so space-joined string order IS token-sequence order:
+    * the space sorts below every token character). No window function
     * anywhere — the per-anchor sort is array_sort over a bounded list.
     */
   def exactSubstrings(
@@ -729,18 +727,24 @@ object Dedup {
     val anchors = anchorCounts
       .filter(col("n") >= 2 && col("n") <= anchorCap)
       .select("fp")
-    // the window rides ONCE, as the token array `win` leading the
-    // struct — array_sort orders by it lexicographically, which IS
-    // token-sequence order; the oracle's space-joined string sort is
-    // the same order because the space sorts below every [a-z0-9]
-    // token character. (A separate joined-string sort key would double
-    // the window bytes crossing the candidate-grain shuffle.)
+    // the window deliberately rides TWICE — `winstr` (the flat
+    // memcmp-ordered sort key) and `win` (the token array the lcp
+    // reads). Both single-copy alternatives were MEASURED and lose:
+    // sorting by the array instead of the string is 1.8x slower at
+    // sf0.1 (per-element array ordering vs one flat compare), and
+    // shipping only the string then rebuilding tokens by split() at
+    // pair grain reads 25-30% slower end-to-end (lambda-referenced
+    // columns defeat CSE, so the split re-evaluates per use — the
+    // same effect as the wordsArr note at the top of this file). The
+    // 2x window bytes price the duplicated-anchor-sized candidate
+    // table only — bounded by anchorCap, never corpus-grain.
     val cand = posTab.join(anchors, Seq("fp"), "left_semi")
       .join(wd, Seq(idCol))
       .select(col("fp"), struct(
-        slice(col("w"), col("pos"), lit(window)).as("win"),
+        concat_ws(" ", slice(col("w"), col("pos"), lit(window))).as("winstr"),
         col(idCol).as("doc_id"), col("pos"),
         when(col("pos") > 1, element_at(col("w"), col("pos") - 1)).as("prev"),
+        slice(col("w"), col("pos"), lit(window)).as("win"),
         when(col("pos") > 1,
           md5(concat_ws(" ", slice(col("w"), col("pos") - 1, lit(k)))))
           .as("left_fp")).as("o"))
