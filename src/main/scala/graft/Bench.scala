@@ -93,7 +93,11 @@ object Bench {
     // and exact-substring dedup (fingerprint-only anchor pass +
     // window-sorted consecutive-pair lcp extension)
     "q333_perplexity_gate",
-    "q334_exact_substrings")
+    "q334_exact_substrings",
+    // round-11 continued: SymSpell spell correction (delete-neighborhood
+    // candidate join, vocabulary-grain — the completeness-proved fuzzy
+    // lookup)
+    "q341_spell_correct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
