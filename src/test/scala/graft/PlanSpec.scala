@@ -164,6 +164,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"pattern list must be the broadcast build side:\n$p")
   }
 
+  test("q341: the probe delete-keys are the broadcast side; no cartesian anywhere") {
+    // SymSpell's whole point is that candidates come from a keyed
+    // equi-join on the shared delete string — a cartesian (the oracle's
+    // brute-force formulation) must never appear in the engine plan,
+    // and the bounded probe-key side (|probes| × O(L²) rows) must be
+    // the broadcast build, not the vocabulary-grain dict keys
+    val p = plan("q341_spell_correct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay a keyed equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-key side must broadcast into the dict-key scan:\n$p")
+  }
+
   test("q213/q216: bottom-k sketch/sample plan TakeOrdered, never a full sort") {
     // the mergeability story depends on it: TakeOrdered is k rows per
     // partition + a driver merge; a global Sort would be a full shuffle
