@@ -323,4 +323,42 @@ class Round11Spec extends AnyFunSuite with SparkTestBase {
       s"batch-1 ring must be 11>12 before the cross-batch eviction: $got")
     sweep()
   }
+
+  test("dedupBoundedOnIngest: in-window duplicates drop, post-eviction keys re-admit") {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    // key 1: duplicate 10 s after the original (inside the 60 s delay,
+    // same batch) -> dropped. key 2: duplicate in the NEXT batch but
+    // still in-window (watermark at batch 2 = 10:00:20 - 60 s, behind
+    // key 2's expiry) -> dropped. Batch 3's fresh key 8 at 11:00
+    // pushes the watermark (input-driven, one-batch lag); by batch 4
+    // the watermark (10:59) is past key 1's expiry under EITHER anchor
+    // (first-seen 10:01, last-seen 10:01:10) -> state evicted, key 1's
+    // 12:00 row MUST re-admit. The micro twin of q340's corpus-scale
+    // contract, with every gap far from the undefined band.
+    val b1 = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 101L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), 102L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:20"), 103L))
+    val b2 = Seq(
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 104L),
+      (9L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 105L))
+    val b3 = Seq(
+      (8L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 106L))
+    val b4 = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 107L))
+    spark.catalog.dropTempView("r11_wmdedup")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val q = StreamingOps.dedupBoundedOnIngest(
+      ms.toDF.toDF("user_id", "ts", "event_id"), Seq("user_id"), "ts", "60 seconds")
+      .writeStream.format("memory").queryName("r11_wmdedup").outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, b4).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("r11_wmdedup")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(101L, 103L, 105L, 106L, 107L),
+      s"want in-window drops (102, 104) and post-eviction re-admission (107): $got")
+    sweep()
+  }
 }
