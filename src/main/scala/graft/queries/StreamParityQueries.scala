@@ -1642,14 +1642,14 @@ object StreamParityQueries {
         |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
         |       array_to_string(list(event_id ORDER BY rn), '>') AS recent
         |FROM o WHERE rn > n - 3 GROUP BY user_id""".stripMargin,
-    // exactly one emission per (user, cluster): the cluster head is
-    // re-admitted after eviction, its 3 in-window followers dedup —
-    // the same slice arithmetic the gate's feed construction uses
     // batch q31's band construction verbatim + min earlier band-mate —
     // the stream's carried bucket minima must reproduce it exactly
     // (same oracle for the recovery twin — the family convention)
     "q342_stream_near_dup" -> NearDupOracle,
     "q343_stream_near_dup_recovery" -> NearDupOracle,
+    // exactly one emission per (user, cluster): the cluster head is
+    // re-admitted after eviction, its 3 in-window followers dedup —
+    // the same slice arithmetic the gate's feed construction uses
     "q340_stream_dedup_bounded" ->
       """WITH o AS (
         |  SELECT user_id,
