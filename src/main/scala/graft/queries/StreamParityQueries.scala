@@ -481,46 +481,17 @@ object StreamParityQueries {
     */
   def q343StreamNearDupRecovery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .sort("doc_id")
-    val n = docs.count()
-    val chunk = math.max(1L, math.min(4096L, (n + 5) / 6)).toInt
-    val ms = MemoryStream[(Long, String)](spark)
-    // verdicts only, so the driver buffer is bounded by (near-dup docs
-    // × matching bands), not the corpus
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.DupVerdict]()
-    def start() =
-      StreamingOps.nearDupOnIngest(ms.toDF.toDF("doc_id", "text"), "text", "doc_id")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[StreamingOps.DupVerdict], _: Long) =>
-            batch.collect().foreach(buf.add)
-            ()
-        }
-        .start()
-    val emitted =
-      try {
-        var q = start()
-        var fed = 0L
-        var restarted = false
-        docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
-          if (!restarted && fed >= (n + 1) / 2) {
-            q.stop()
-            q = start() // same checkpoint: bucket minima must carry over
-            restarted = true
-          }
-          ms.addData(batch.toIndexedSeq)
-          q.processAllAvailable()
-          fed += batch.size
-        }
-        q.stop()
-        buf.asScala.toSeq.toDF()
-      } finally deleteRecursively(ckpt)
-    emitted.distinct()
+    // verdicts only, so the shared harness's driver buffer is bounded
+    // by (near-dup docs × matching bands), not the corpus
+    runFeedWithRestart(spark, docs,
+      (ds: org.apache.spark.sql.Dataset[(Long, String)]) =>
+        StreamingOps.nearDupOnIngest(
+          ds.toDF("doc_id", "text"), "text", "doc_id").toDF(),
+      outputMode = "append", maxChunk = 4096L)
+      .distinct()
       .groupBy("doc_id")
       .agg(min(col("dup_of")).as("dup_of"))
   }
@@ -632,22 +603,39 @@ object StreamParityQueries {
       plan: org.apache.spark.sql.Dataset[StreamingOps.ValEvent] => DataFrame,
       outputMode: String = "update"): DataFrame = {
     import spark.implicits._
+    runFeedWithRestart(spark, valEvents(spark, dir), plan, outputMode,
+      maxChunk = 16384L)
+  }
+
+  /** Generic single-stream restart harness (q285/q286/q307/q336/q343):
+    * feed `ev` in ⌈n/6⌉-row chunks (capped at `maxChunk`), stop the
+    * query once mid-feed and resume it from the same checkpoint, and
+    * return every output row buffered through ForeachBatchSink — the
+    * memory sink refuses checkpoint recovery (not durable), while
+    * ForeachBatchSink is the standard recoverable production pattern.
+    * The driver buffer holds the emitted rows — bounded by the gate's
+    * answer grain, a harness-scale contract like the chunked feed. A
+    * fresh checkpoint per invocation (a reused one would resume past
+    * the re-fed MemoryStream offsets and process nothing); the feed is
+    * persisted (the count and the drain otherwise each re-run the
+    * corpus sort; the runner owns the cache lifecycle). The active
+    * query is stopped on ALL paths BEFORE the checkpoint dir is
+    * deleted — an error mid-feed must not leave a zombie query
+    * writing into a deleted checkpoint for the rest of the run.
+    */
+  private def runFeedWithRestart[I: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      feed: org.apache.spark.sql.Dataset[I],
+      plan: org.apache.spark.sql.Dataset[I] => DataFrame,
+      outputMode: String,
+      maxChunk: Long): DataFrame = {
     import scala.jdk.CollectionConverters._
-    // fresh checkpoint per invocation: a reused one would resume past
-    // the re-fed MemoryStream offsets and process nothing
     val ckpt = java.nio.file.Files.createTempDirectory("graft-recov").toString
-    // persisted: the count and the feed pass otherwise each re-run the
-    // corpus sort (runner owns the cache lifecycle)
-    val ev = valEvents(spark, dir).persist()
+    val ev = feed.persist()
     val n = ev.count()
     // ≥6 chunks (restart after 3) — bounded driver memory either way
-    val chunk = math.max(1L, math.min(16384L, (n + 5) / 6)).toInt
-    val ms = MemoryStream[StreamingOps.ValEvent](spark)
-    // foreachBatch, not the memory sink: the memory sink refuses
-    // checkpoint recovery (it is not durable), while ForeachBatchSink
-    // is the standard recoverable production pattern. The driver buffer
-    // holds per-batch per-active-key UPDATE rows — bounded by
-    // |keys| × #batches, a harness-scale contract like the chunked feed
+    val chunk = math.max(1L, math.min(maxChunk, (n + 5) / 6)).toInt
+    val ms = MemoryStream[I](spark)
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
     val outSchema = plan(ms.toDS()).schema
     def start() = plan(ms.toDS())
@@ -657,8 +645,9 @@ object StreamParityQueries {
         batch.collect().foreach(buf.add); ()
       }
       .start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      var q = start()
+      q = start()
       var fed = 0L
       var restarted = false
       ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
@@ -674,7 +663,10 @@ object StreamParityQueries {
       q.stop()
       spark.createDataFrame(
         new java.util.ArrayList(buf), outSchema)
-    } finally deleteRecursively(ckpt)
+    } finally {
+      if (q != null) q.stop() // no-op when already stopped
+      deleteRecursively(ckpt)
+    }
   }
 
   /** q285: q267's streaming-EWMA parity RE-ASSERTED ACROSS A QUERY
@@ -758,9 +750,10 @@ object StreamParityQueries {
           ()
         }
         .start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     val emitted =
       try {
-        var q = start()
+        q = start()
         var fed = 0L
         var restarted = false
         docs.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
@@ -775,7 +768,10 @@ object StreamParityQueries {
         }
         q.stop()
         buf.asScala.toSeq.toDF("fp", "doc_id")
-      } finally deleteRecursively(ckpt)
+      } finally {
+        if (q != null) q.stop() // all paths, BEFORE the checkpoint delete
+        deleteRecursively(ckpt)
+      }
     emitted.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_emitted_ids"))
   }
 
@@ -1284,8 +1280,9 @@ object StreamParityQueries {
         batch.collect().foreach(buf.add); ()
       }
       .start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      var q = start()
+      q = start()
       var fed = 0L
       var restarted = false
       ev.toLocalIterator().asScala.grouped(chunk).foreach { batch =>
@@ -1300,7 +1297,10 @@ object StreamParityQueries {
       }
       q.stop()
       spark.createDataFrame(new java.util.ArrayList(buf), outSchema).distinct()
-    } finally deleteRecursively(ckpt)
+    } finally {
+      if (q != null) q.stop() // all paths, BEFORE the checkpoint delete
+      deleteRecursively(ckpt)
+    }
   }
 
   /** q314: stream-STATIC dimension enrichment, driver-verified — the

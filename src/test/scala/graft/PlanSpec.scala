@@ -173,8 +173,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("q341_spell_correct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must stay a keyed equi-join:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"probe-key side must broadcast into the dict-key scan:\n$p")
+    // the probe keys are the RIGHT side of dictKeys.join(broadcast(probeKeys))
+    // — BuildRight is the claim, not just "some broadcast join exists":
+    // a flipped hint would broadcast the vocabulary-grain dict keys
+    assert("BroadcastHashJoin.*BuildRight".r.findFirstIn(p).isDefined,
+      s"probe-key side must be the broadcast BUILD side:\n$p")
+    assert(!p.contains("BuildLeft"),
+      s"no join may broadcast the vocabulary-grain left side:\n$p")
   }
 
   test("q213/q216: bottom-k sketch/sample plan TakeOrdered, never a full sort") {
