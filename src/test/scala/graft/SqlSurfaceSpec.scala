@@ -25,6 +25,24 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(sqlResult == dfResult)
   }
 
+  test("SQL pipe syntax composes the registered functions (Spark 4 surface)") {
+    // the |> operator chain must produce the identical doc-frequency
+    // table as the nested-subquery formulation and the DataFrame path —
+    // pipe syntax is sugar over the same plan, not a second engine
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    val piped = spark.sql(
+      """FROM documents
+        ||> SELECT doc_id, explode(split(text, '\\s+')) AS tok
+        ||> SELECT doc_id, ascii_clean_lower(tok) AS word
+        ||> WHERE length(word) > 0
+        ||> AGGREGATE count(DISTINCT doc_id) AS df GROUP BY word""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    val dfResult = graft.queries.ReferenceQueries.q3DocFrequency(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(piped == dfResult, "pipe-syntax plan diverged from the DataFrame path")
+  }
+
   test("registered generators and vector_dot work through spark.sql") {
     GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
