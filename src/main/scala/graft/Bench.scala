@@ -108,6 +108,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // checkpoint file checksums OFF for the proof harness: Spark 4.1's
+      // ChecksumCheckpointFileManager routes every checkpoint rename through
+      // Hadoop ChecksumFs, which shells out (fork+exec) per rename — a fork
+      // that can wedge a many-threaded local JVM (observed: a stuck
+      // jspawnhelper deadlocked a streaming gate's changelog commit). The
+      // checksums protect durable production checkpoints; these JVMs run
+      // MemoryStream gates on tmpfs-scratch checkpoints.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the per-query `freeAllPersistedRdds` sweep emits a
     // localCheckpoint-lineage WARN per freed block, and hundreds of those

@@ -780,6 +780,60 @@ object Dedup {
           .as("dup_text"))
   }
 
+  /** Exact-substring dedup APPLIED — the production cut step of Lee et
+    * al. 2022 composed onto [[exactSubstrings]]' pair output: for every
+    * duplicated pair of length ≥ `minLen` tokens, CUT the
+    * (doc, pos)-LATER occurrence's token range (the earlier occurrence
+    * — document order, not window-sort order — survives, so the
+    * globally first copy of a region is never cut), merge each
+    * document's cut ranges at token grain, and rebuild its text from
+    * the surviving tokens. Output per document (ALL documents, cut or
+    * not): `(id, n_tokens, n_cut, text_kept)` — `text_kept` is the
+    * space-joined surviving tokens (the [[passageDedup]] normal form).
+    *
+    * Scale shape: the pair set is [[exactSubstrings]]' bounded output
+    * (anchor-capped, never corpus²); the cut explode is ≤ `window`
+    * positions per pair; the merge is one doc-keyed collect_set bounded
+    * by the document's own token count; the rebuild is one narrow
+    * projection over a doc-keyed left join. DETERMINISM: the victim
+    * rule is an exact (doc, pos) comparison over a deterministic pair
+    * set; the cut-position SET is order-free.
+    */
+  def exactSubstringApply(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, window: Int = 64, anchorCap: Int = 256,
+      minLen: Int = 10): DataFrame = {
+    require(minLen >= k, "exactSubstringApply needs minLen >= k")
+    val later = col("doc_a") > col("doc_b") ||
+      (col("doc_a") === col("doc_b") && col("pos_a") > col("pos_b"))
+    val vpos = when(later, col("pos_a")).otherwise(col("pos_b"))
+    val cuts = exactSubstrings(docs, textCol, idCol, k, window, anchorCap)
+      .filter(col("len_tokens") >= minLen)
+      .select(
+        when(later, col("doc_a")).otherwise(col("doc_b")).as(idCol),
+        explode(sequence(vpos, vpos + col("len_tokens").cast("int") - 1)).as("p"))
+      .groupBy(idCol)
+      .agg(collect_set(col("p")).as("cuts"))
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.wordsArr(col(textCol)).as("w"))
+      .join(cuts, Seq(idCol), "left")
+      // `cuts` materialized in its own projection before the lambda
+      // reads it (the HOF-reference trap — see passageDedup's rebuild)
+      .withColumn("cs", coalesce(col("cuts"), array_repeat(lit(1), 0)))
+      .select(
+        col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("cs")).cast("long").as("n_cut"),
+        array_join(
+          transform(
+            filter(
+              transform(col("w"), (x, i) => struct(x.as("tk"), (i + 1).as("p"))),
+              s => !array_contains(col("cs"), s.getField("p"))),
+            s => s.getField("tk")),
+          " ").as("text_kept"))
+  }
+
   /** Passage-level exact dedup APPLIED (C4/RefinedWeb-style): cut every
     * document into NON-overlapping `passageWords`-word passages, keep
     * only the globally FIRST occurrence of each distinct passage (min

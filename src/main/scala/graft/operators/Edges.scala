@@ -55,7 +55,9 @@ object Edges {
     */
   private def materializedPairs(
       spark: SparkSession, dir: String, minSupport: Long): DataFrame =
-    materializedTable(spark, s"graft_copurchase_${dirTag(dir)}_s$minSupport", "a") {
+    materializedTable(spark,
+      s"graft_copurchase_${dirTag(spark, dir, Seq("lineitem.parquet"))}_s$minSupport",
+      "a") {
       // persisted across the union's two arms: without it the write job
       // evaluates the whole basket-build subtree twice (the arms differ
       // by a rename projection, so exchange reuse is not guaranteed);
@@ -66,11 +68,29 @@ object Edges {
     }
 
   // md5 of the full path (12 hex chars) — a 32-bit hashCode tag would
-  // let two dataset dirs collide and silently share one graph table
-  private def dirTag(dir: String): String =
+  // let two dataset dirs collide and silently share one graph table —
+  // FOLDED WITH a cheap source fingerprint of the input files it was
+  // built from (per table: file count, total bytes, max mtime — one FS
+  // listing per call, no data read). A dataset regenerated at the same
+  // path therefore resolves to a NEW table name and rebuilds, instead
+  // of silently serving stale edges to the whole graph family; the
+  // session-immutable-sources contract is now enforced, not just
+  // documented. (The single-writer contract remains documented-only:
+  // two JVMs racing one warehouse path is out of a tag's reach.)
+  private def dirTag(spark: SparkSession, dir: String, tables: Seq[String]): String = {
+    val fp = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files =
+        if (fs.exists(p)) fs.listStatus(p).filter(_.isFile)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      s"$t:${files.length}:${files.map(_.getLen).sum}:" +
+        files.map(_.getModificationTime).foldLeft(0L)(math.max)
+    }.mkString(";")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
+      .digest(s"$dir|$fp".getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
+  }
 
   /** Write-once-per-session bucketed materialization: builds `build` on
     * first use, lands it as a bucketed+sorted catalog table on
@@ -157,7 +177,9 @@ object Edges {
     * query runner owns the cache lifecycle.
     */
   def customerPart(spark: SparkSession, dir: String): DataFrame =
-    materializedTable(spark, s"graft_custpart_${dirTag(dir)}", "c") {
+    materializedTable(spark,
+      s"graft_custpart_${dirTag(spark, dir, Seq("orders.parquet", "lineitem.parquet"))}",
+      "c") {
       val o = spark.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"))
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -385,9 +407,20 @@ object Edges {
   def adamicAdar(e0: DataFrame, hubCap: Int = 256): DataFrame = {
     require(hubCap >= 2, "adamicAdar needs hubCap >= 2")
     val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-    val nbr = und.groupBy(col("a").as("w"))
+    // persisted: read by the dropped-center census AND the pair build;
+    // the query runner's sweep frees the cache
+    val nbrAll = und.groupBy(col("a").as("w"))
       .agg(array_sort(collect_set(col("b"))).as("ns"))
-      .filter(size(col("ns")) <= hubCap)
+      .persist()
+    // the no-silent-caps discipline: the hub cap DROPS whole centers
+    // from pair emission, so callers get a count, not silence (one
+    // node-grain pass over the persisted agg — the cap never binds on
+    // the fixtures, so the census costs the count job only)
+    val nDropped = nbrAll.filter(size(col("ns")) > hubCap).count()
+    if (nDropped > 0)
+      println(s"[adamicAdar] hubCap=$hubCap dropped $nDropped hub center(s) " +
+        "from pair emission — their wedges are NOT scored; raise hubCap to include them")
+    val nbr = nbrAll.filter(size(col("ns")) <= hubCap)
     val pairs = nbr.select(
       explode(expr(
         """flatten(transform(ns, (x, i) ->

@@ -134,6 +134,21 @@ object HygieneQueries {
         col("doc_b"), col("pos_b"))
       .limit(50)
 
+  /** q344: exact-substring dedup APPLIED — q334 finds the duplicated
+    * spans; this is the production cut ([[Dedup.exactSubstringApply]],
+    * the Lee et al. 2022 step that actually shrinks the corpus, and the
+    * substring tier's analog of q38's near-dup apply): every pair ≥ 10
+    * tokens has its (doc, pos)-later occurrence cut at token grain, and
+    * every document is re-emitted with its surviving text. The oracle
+    * composes the identical cut rule onto q334's pair CTE (no top-50 —
+    * the apply consumes the FULL pair set), so a wrong victim choice, a
+    * mis-merged overlap, or an off-by-one in the cut range all fail the
+    * hash on `text_kept` itself.
+    */
+  def q344SubstringDedupApply(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringApply(docs(spark, dir), "text", "doc_id",
+      k = 5, window = 64, anchorCap = 256, minLen = 10)
+
   /** q104: column profile over `lineitem` — the ANALYZE-style stats
     * pass ([[graft.sources.Tables.profile]]): one scan, one row per
     * column with nulls / exact distincts / numeric min-max.
@@ -605,6 +620,7 @@ object HygieneQueries {
     "q102_pii_scrub" -> (q102PiiScrub _),
     "q103_dup_spans" -> (q103DupSpans _),
     "q334_exact_substrings" -> (q334ExactSubstrings _),
+    "q344_substring_dedup_apply" -> (q344SubstringDedupApply _),
     "q104_table_profile" -> (q104TableProfile _),
     "q105_bpe_pairs" -> (q105BpePairs _),
     "q106_histogram" -> (q106Histogram _))
@@ -620,6 +636,54 @@ object HygieneQueries {
       |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
       |           x -> length(x) > 0) AS w
       |  FROM documents)""".stripMargin
+
+  // same 5-gram anchors (raw strings where the engine uses their
+  // md5 — identical grouping), same 2..256 occurrence band, same
+  // (window-string, doc, pos) sort with consecutive-pair lead, same
+  // token-lcp extension, same left-maximality rule (drop only when
+  // prevs agree AND the left-shifted anchor is itself in-band — the
+  // same cnt table serves both the band filter and the left lookup).
+  // Shared through `e` (the full surviving pair set) by the q334
+  // top-50 report and the q344 apply.
+  private val ExactSubstrCte =
+    s"""$WordsCte,
+       |p AS (
+       |  SELECT doc_id, CAST(t.i AS INT) AS pos,
+       |         array_to_string(w[t.i:t.i+4], ' ') AS a
+       |  FROM wd, unnest(range(1, len(w) - 3)) AS t(i)
+       |  WHERE len(w) >= 5),
+       |cnt AS (SELECT a, count(*) AS n FROM p GROUP BY a),
+       |an AS (SELECT a FROM cnt WHERE n BETWEEN 2 AND 256),
+       |cand AS (
+       |  SELECT p.a, p.doc_id, p.pos,
+       |         array_to_string(w[p.pos:p.pos+63], ' ') AS winstr,
+       |         CASE WHEN p.pos > 1 THEN w[p.pos-1] END AS prev,
+       |         w[p.pos:p.pos+63] AS win,
+       |         CASE WHEN p.pos > 1
+       |              THEN array_to_string(w[p.pos-1:p.pos+3], ' ') END AS lg
+       |  FROM p JOIN an USING (a) JOIN wd USING (doc_id)),
+       |pr AS (
+       |  SELECT doc_id, pos, prev, win, lg,
+       |         lead(doc_id) OVER ww AS doc_id2,
+       |         lead(pos) OVER ww AS pos2,
+       |         lead(prev) OVER ww AS prev2,
+       |         lead(win) OVER ww AS win2
+       |  FROM cand WINDOW ww AS (PARTITION BY a ORDER BY winstr, doc_id, pos)),
+       |l AS (
+       |  SELECT doc_id AS doc_a, pos AS pos_a, doc_id2 AS doc_b,
+       |         pos2 AS pos_b, win,
+       |         list_filter(range(1, least(len(win), len(win2)) + 1),
+       |                     i -> win[i] <> win2[i]) AS m,
+       |         least(len(win), len(win2)) AS mn
+       |  FROM pr LEFT JOIN cnt lcnt ON lcnt.a = pr.lg
+       |  WHERE doc_id2 IS NOT NULL
+       |    AND (prev IS NULL OR prev2 IS NULL OR prev <> prev2
+       |         OR lcnt.n > 256)),
+       |e AS (
+       |  SELECT CAST(CASE WHEN len(m) = 0 THEN mn ELSE m[1] - 1 END
+       |              AS BIGINT) AS len_tokens,
+       |         doc_a, pos_a, doc_b, pos_b, win
+       |  FROM l)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // same alnum token alphabet, same normalized fingerprint, same
@@ -902,57 +966,47 @@ object HygieneQueries {
          |SELECT doc_id, CAST(mn AS INT) AS start_tok, n_grams,
          |       least(mx + 3 - mn, nw) AS n_tokens
          |FROM sp""".stripMargin,
-    // same 5-gram anchors (raw strings where the engine uses their
-    // md5 — identical grouping), same 2..256 occurrence band, same
-    // (window-string, doc, pos) sort with consecutive-pair lead, same
-    // token-lcp extension, same left-maximality rule (drop only when
-    // prevs agree AND the left-shifted anchor is itself in-band — the
-    // same cnt table serves both the band filter and the left lookup),
-    // same top-50
+    // the shared pair CTE (see ExactSubstrCte), top-50 report
     "q334_exact_substrings" ->
-      s"""$WordsCte,
-         |p AS (
-         |  SELECT doc_id, CAST(t.i AS INT) AS pos,
-         |         array_to_string(w[t.i:t.i+4], ' ') AS a
-         |  FROM wd, unnest(range(1, len(w) - 3)) AS t(i)
-         |  WHERE len(w) >= 5),
-         |cnt AS (SELECT a, count(*) AS n FROM p GROUP BY a),
-         |an AS (SELECT a FROM cnt WHERE n BETWEEN 2 AND 256),
-         |cand AS (
-         |  SELECT p.a, p.doc_id, p.pos,
-         |         array_to_string(w[p.pos:p.pos+63], ' ') AS winstr,
-         |         CASE WHEN p.pos > 1 THEN w[p.pos-1] END AS prev,
-         |         w[p.pos:p.pos+63] AS win,
-         |         CASE WHEN p.pos > 1
-         |              THEN array_to_string(w[p.pos-1:p.pos+3], ' ') END AS lg
-         |  FROM p JOIN an USING (a) JOIN wd USING (doc_id)),
-         |pr AS (
-         |  SELECT doc_id, pos, prev, win, lg,
-         |         lead(doc_id) OVER ww AS doc_id2,
-         |         lead(pos) OVER ww AS pos2,
-         |         lead(prev) OVER ww AS prev2,
-         |         lead(win) OVER ww AS win2
-         |  FROM cand WINDOW ww AS (PARTITION BY a ORDER BY winstr, doc_id, pos)),
-         |l AS (
-         |  SELECT doc_id AS doc_a, pos AS pos_a, doc_id2 AS doc_b,
-         |         pos2 AS pos_b, win,
-         |         list_filter(range(1, least(len(win), len(win2)) + 1),
-         |                     i -> win[i] <> win2[i]) AS m,
-         |         least(len(win), len(win2)) AS mn
-         |  FROM pr LEFT JOIN cnt lcnt ON lcnt.a = pr.lg
-         |  WHERE doc_id2 IS NOT NULL
-         |    AND (prev IS NULL OR prev2 IS NULL OR prev <> prev2
-         |         OR lcnt.n > 256)),
-         |e AS (
-         |  SELECT CAST(CASE WHEN len(m) = 0 THEN mn ELSE m[1] - 1 END
-         |              AS BIGINT) AS len_tokens,
-         |         doc_a, pos_a, doc_b, pos_b, win
-         |  FROM l)
+      s"""$ExactSubstrCte
          |SELECT len_tokens, doc_a, pos_a, doc_b, pos_b,
          |       array_to_string(win[1:CAST(len_tokens AS INT)], ' ') AS dup_text
          |FROM e
          |ORDER BY len_tokens DESC, doc_a, pos_a, doc_b, pos_b
          |LIMIT 50""".stripMargin,
+    // the same pair CTE composed with the cut rule: victim = the
+    // (doc, pos)-later occurrence of every >= 10-token pair, cut at
+    // token grain (DISTINCT merges overlaps), every doc re-emitted
+    // from its surviving tokens in order
+    "q344_substring_dedup_apply" ->
+      s"""$ExactSubstrCte,
+         |v AS (
+         |  SELECT CASE WHEN doc_a > doc_b OR (doc_a = doc_b AND pos_a > pos_b)
+         |              THEN doc_a ELSE doc_b END AS vd,
+         |         CASE WHEN doc_a > doc_b OR (doc_a = doc_b AND pos_a > pos_b)
+         |              THEN pos_a ELSE pos_b END AS vp,
+         |         len_tokens AS lt
+         |  FROM e WHERE len_tokens >= 10),
+         |cut AS (
+         |  SELECT DISTINCT vd AS doc_id, CAST(t.i AS INT) AS cp
+         |  FROM v, unnest(range(vp, vp + lt)) AS t(i)),
+         |tok AS (
+         |  SELECT doc_id, CAST(t.i AS INT) AS p, w[CAST(t.i AS INT)] AS tk
+         |  FROM wd, unnest(range(1, len(w) + 1)) AS t(i)),
+         |keep AS (
+         |  SELECT t.doc_id, t.p, t.tk
+         |  FROM tok t LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.cp = t.p
+         |  WHERE c.doc_id IS NULL),
+         |fin AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text_kept
+         |  FROM keep GROUP BY doc_id),
+         |nc AS (SELECT doc_id, count(*) AS n_cut FROM cut GROUP BY doc_id)
+         |SELECT wd.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(nc.n_cut, 0) AS BIGINT) AS n_cut,
+         |       coalesce(f.text_kept, '') AS text_kept
+         |FROM wd
+         |LEFT JOIN nc ON nc.doc_id = wd.doc_id
+         |LEFT JOIN fin f ON f.doc_id = wd.doc_id""".stripMargin,
     "q104_table_profile" -> {
       def one(c: String, num: Boolean) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -176,10 +176,12 @@ object StreamParityQueries {
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
-  /** Batch q31's band construction verbatim + one min-earlier-band-mate
-    * aggregation — shared by the q342 in-order and q343 recovery gates.
+  /** Batch q31's band construction verbatim — the (doc_id, band,
+    * digest) table every near-dup oracle reads (q342/q343's
+    * min-band-mate, q345's eligibility arithmetic, q346's order-free
+    * bucket census).
     */
-  private val NearDupOracle =
+  private val BandsCte =
     s"""${DedupQueries.ShingleCte},
        |mh AS (
        |  SELECT doc_id, j,
@@ -190,11 +192,75 @@ object StreamParityQueries {
        |bands AS (
        |  SELECT e.doc_id, e.j // 2 AS band, md5(e.mh || '|' || o.mh) AS digest
        |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.j = e.j + 1
-       |  WHERE e.j % 2 = 0)
+       |  WHERE e.j % 2 = 0)""".stripMargin
+
+  /** [[BandsCte]] + one min-earlier-band-mate aggregation — shared by
+    * the q342 in-order and q343 recovery gates.
+    */
+  private val NearDupOracle =
+    s"""$BandsCte
        |SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS dup_of
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
        |GROUP BY b.doc_id""".stripMargin
+
+  /** q345's closed-form expected verdicts: the same eligibility rule
+    * the harness applies (≥ 3 words, no cross-doc band-mate, first 60
+    * by id) ranked the same way, each rank emitting exactly its copy-1
+    * row — copy 1 flagged against copy 0 (in-retention, same slice),
+    * copy 2 absent (bucket evicted before slice s+4).
+    */
+  private val NearDupEvictOracle =
+    s"""$BandsCte,
+       |mates AS (
+       |  SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id <> b.doc_id),
+       |elig AS (
+       |  SELECT doc_id FROM wd
+       |  WHERE len(w) >= 3 AND doc_id NOT IN (SELECT doc_id FROM mates)
+       |  ORDER BY doc_id LIMIT 60),
+       |r AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS r FROM elig)
+       |SELECT CAST((r % 6) * 1000000 + r * 10 + 1 AS BIGINT) AS doc_id,
+       |       CAST((r % 6) * 1000000 + r * 10 + 0 AS BIGINT) AS dup_of
+       |FROM r""".stripMargin
+
+  /** q346's order-free bucket census: every LSH band bucket with ≥ 2
+    * members, with exact member count / sum / min / max — the grain at
+    * which ANY arrival order of the stream must agree with batch.
+    */
+  private val NearDupOooOracle =
+    s"""$BandsCte
+       |SELECT CAST(band AS INT) AS band, digest,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |       CAST(min(doc_id) AS BIGINT) AS min_id,
+       |       CAST(max(doc_id) AS BIGINT) AS max_id
+       |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** q347's per-(user, slice) admission gate: the q335 row_number
+    * oracle re-run inside each of the three per-user slices the TTL
+    * harness feeds — the slice arithmetic (rn div ceil(n/3)) mirrors
+    * the harness's re-slicing exactly.
+    */
+  private val QuotaTtlOracle =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) - 1 AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id, rn // ((n + 2) // 3) AS slice FROM o),
+      |r AS (
+      |  SELECT user_id, slice, event_id,
+      |         row_number() OVER (PARTITION BY user_id, slice
+      |                            ORDER BY ts, event_id) AS rns
+      |  FROM s)
+      |SELECT user_id, CAST(slice AS BIGINT) AS slice,
+      |       CAST(count(*) FILTER (rns <= 5) AS BIGINT) AS n_admitted,
+      |       CAST(count(*) FILTER (rns > 5) AS BIGINT) AS n_rejected,
+      |       CAST(coalesce(sum(event_id) FILTER (rns <= 5), 0) AS BIGINT)
+      |         AS admitted_checksum
+      |FROM r GROUP BY 1, 2""".stripMargin
 
   private val QuotaOracle =
     """WITH r AS (
@@ -209,20 +275,25 @@ object StreamParityQueries {
       |         AS admitted_checksum
       |FROM r GROUP BY user_id""".stripMargin
 
-  /** Scope `body` under the RocksDB state-store provider + changelog
-    * checkpointing (conf read at query start; restored after). Required
-    * by the TransformWithState operators — Spark's state-v2 API runs
-    * ONLY on the RocksDB provider — and available to any gate that
-    * wants the production store (the q310 toggle).
+  /** Scope `body` under the RocksDB state-store provider (conf read at
+    * query start; restored after). Required by the TransformWithState
+    * operators — Spark's state-v2 API runs ONLY on the RocksDB provider
+    * — and available to any gate that wants the production store (the
+    * q310 toggle). `changelog` toggles changelog checkpointing (true =
+    * the production default here: per-batch deltas instead of full
+    * snapshot rewrites; false = snapshot checkpointing — a DIFFERENT
+    * on-disk checkpoint format whose answer must be identical, the
+    * parity Round12Spec pins on a q335-family gate).
     */
-  private[graft] def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbStateStore[T](
+      spark: SparkSession, changelog: Boolean = true)(body: => T): T = {
     val pk = "spark.sql.streaming.stateStore.providerClass"
     val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevP = spark.conf.getOption(pk)
     val prevC = spark.conf.getOption(ck)
     spark.conf.set(pk,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(ck, "true")
+    spark.conf.set(ck, changelog.toString)
     try body finally {
       prevP.fold(spark.conf.unset(pk))(spark.conf.set(pk, _))
       prevC.fold(spark.conf.unset(ck))(spark.conf.set(ck, _))
@@ -242,12 +313,22 @@ object StreamParityQueries {
     * double-counts (under-admit), or mis-orders inside a batch fails
     * the per-user admitted checksum.
     */
-  def q335StreamQuota(spark: SparkSession, dir: String): DataFrame = {
+  def q335StreamQuota(spark: SparkSession, dir: String): DataFrame =
+    q335StreamQuota(spark, dir, changelog = true)
+
+  /** [[q335StreamQuota]] with the RocksDB changelog-checkpointing knob
+    * explicit — Round12Spec pins bit parity across the two checkpoint
+    * formats (the checkpoint layout is an implementation detail of
+    * STATE durability, never of the answer).
+    */
+  private[graft] def q335StreamQuota(
+      spark: SparkSession, dir: String, changelog: Boolean): DataFrame = {
     import spark.implicits._
     quotaRollup(runStatefulGate(spark, "graft_q335_quota",
       valEvents(spark, dir),
       (ds: org.apache.spark.sql.Dataset[StreamingOps.ValEvent]) =>
-        StreamingOps.quotaPerKey(ds, cap = 5L).toDF()))
+        StreamingOps.quotaPerKey(ds, cap = 5L).toDF(),
+      changelog = changelog))
   }
 
   /** The TransformWithState gates' shared harness (q335/q338/q339):
@@ -259,10 +340,11 @@ object StreamParityQueries {
   private def runStatefulGate[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, sink: String,
       feed: org.apache.spark.sql.Dataset[T],
-      plan: org.apache.spark.sql.Dataset[T] => DataFrame): DataFrame = {
+      plan: org.apache.spark.sql.Dataset[T] => DataFrame,
+      changelog: Boolean = true): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.catalog.dropTempView(sink)
-    withRocksDbStateStore(spark) {
+    withRocksDbStateStore(spark, changelog) {
       val ms = MemoryStream[T](spark)
       val q = plan(ms.toDS())
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -274,6 +356,33 @@ object StreamParityQueries {
       } finally q.stop()
       spark.table(sink)
     }
+  }
+
+  /** Exact batch barrier for plans `processAllAvailable` cannot wait on
+    * (TimeMode.ProcessingTime constructs a batch on EVERY trigger, so
+    * the engine never signals no-new-data): poll the memory sink until
+    * it holds exactly `expected` rows. Callers guarantee the operator
+    * emits a KNOWN row count per fed event (the quota: exactly one),
+    * which makes the count an exact boundary, not a heuristic. Fails
+    * loudly after `timeoutMs` or if the query died.
+    */
+  private def awaitSinkCount(
+      spark: SparkSession, sink: String, expected: Long,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var n = spark.table(sink).count()
+    while (n < expected) {
+      if (q.exception.isDefined) throw q.exception.get
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"$sink: expected $expected rows, still $n after ${timeoutMs} ms")
+      Thread.sleep(50L)
+      n = spark.table(sink).count()
+    }
+    if (n > expected)
+      throw new IllegalStateException(
+        s"$sink: expected exactly $expected rows, sink holds $n (operator over-emitted)")
   }
 
   /** The shared per-user rollup of quota verdict rows (q335/q336):
@@ -442,14 +551,39 @@ object StreamParityQueries {
       .agg(count(lit(1)).as("n_emitted"))
   }
 
+  /** 2024-01-01T00:00:00Z — the q340 fixture's epoch, shared by every
+    * synthetic-event-time harness in this file (timestamp_seconds is
+    * epoch-based, so the constructions are timezone-independent).
+    */
+  private val Epoch0 = 1704067200L
+
+  /** One year in ms — the "retention spanning the whole feed" setting
+    * under which the evicting near-dup operators provably reproduce
+    * unbounded semantics on the gate fixtures (the watermark, lagging
+    * the feed by a year, never passes any bucket's timeout).
+    */
+  private val YearMs = 365L * 86400L * 1000L
+
+  /** Attach the synthetic ingest event time the near-dup gates feed the
+    * operator's retention clock with: one second per doc id past
+    * [[Epoch0]] — monotone with the id-ordered feed, so the watermark
+    * advances batch-by-batch while the year-long retention keeps every
+    * bucket live for the whole fixture.
+    */
+  private def withDocTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_seconds(lit(Epoch0) + col("doc_id")))
+
   /** q342: NEAR-dup detection on ingest, driver-verified —
     * [[StreamingOps.nearDupOnIngest]] (row-local q31 signatures, one
-    * carried Long per live LSH band bucket), the MinHash rung of the
-    * streaming dedup ladder between exact q259 and bounded q340. The
-    * corpus arrives in doc-id-ordered chunks; every document sharing a
-    * band with an earlier one must be flagged with the EARLIEST such
-    * band-mate across all its bands (min over per-band verdicts). The
-    * oracle is batch q31's band construction verbatim plus one
+    * carried (min, max) id pair per live LSH band bucket, event-time
+    * eviction past retention), the MinHash rung of the streaming dedup
+    * ladder between exact q259 and bounded q340. The corpus arrives in
+    * doc-id-ordered chunks with a synthetic monotone ingest time and a
+    * retention spanning the feed (so no bucket evicts — the eviction
+    * path is q345's gate); every document sharing a band with an
+    * earlier one must be flagged with the EARLIEST such band-mate
+    * across all its bands (min over per-band verdicts). The oracle is
+    * batch q31's band construction verbatim plus one
     * min-earlier-band-mate aggregation — so the driver hash proves the
     * stream's carried bucket minima reproduce the batch LSH candidate
     * structure exactly: a bucket min lost across batches under-flags, a
@@ -459,7 +593,8 @@ object StreamParityQueries {
     */
   def q342StreamNearDup(spark: SparkSession, dir: String): DataFrame =
     runChunked(spark, dir, "graft_q342_neardup",
-      df => StreamingOps.nearDupOnIngest(df, "text", "doc_id").toDF(),
+      df => StreamingOps.nearDupOnIngest(
+        withDocTs(df), "text", "doc_id", "ts", retentionMs = YearMs).toDF(),
       maxChunk = 4096)
       .groupBy("doc_id")
       .agg(min(col("dup_of")).as("dup_of"))
@@ -489,11 +624,204 @@ object StreamParityQueries {
     runFeedWithRestart(spark, docs,
       (ds: org.apache.spark.sql.Dataset[(Long, String)]) =>
         StreamingOps.nearDupOnIngest(
-          ds.toDF("doc_id", "text"), "text", "doc_id").toDF(),
+          withDocTs(ds.toDF("doc_id", "text")),
+          "text", "doc_id", "ts", retentionMs = YearMs).toDF(),
       outputMode = "append", maxChunk = 4096L)
       .distinct()
       .groupBy("doc_id")
       .agg(min(col("dup_of")).as("dup_of"))
+  }
+
+  /** q345: near-dup bucket EVICTION, driver-verified — the q340-style
+    * micro fixture proving [[StreamingOps.nearDupOnIngest]]'s retention
+    * actually evicts: a band-mate recurring AFTER retention must be
+    * re-admitted (treated as novel — no verdict), while one recurring
+    * within it must be flagged. The feed is synthesized from the corpus:
+    * the first 60 documents (by id) that have ≥ 3 words and share NO LSH
+    * band with any other document — so each group's copies can only
+    * collide with each other and the expected verdict set is
+    * closed-form — each emitted THREE times: two copies 10 s apart in a
+    * base 2-hour slice (the in-retention control: copy 1 must be flagged
+    * against copy 0, same micro-batch), and a third copy FOUR slices
+    * later (ids encode (slice, group, copy) and stay arrival-monotone).
+    * With retention 60 s, a bucket touched in slice s times out during
+    * batch s+2 — its timer (last-seen + 60 s) is below the watermark
+    * slice s+1's data sets, and slices s+1..s+3 contain no data for it
+    * (base groups round-robin over 6 slices; recurrences land at s+4) —
+    * so the third copy finds NO state and must re-anchor silently. The
+    * oracle emits exactly the copy-1 rows from the same eligibility
+    * rank arithmetic: a missing eviction (the third copy flagged) fails
+    * on row count; a premature one (copy 1 unflagged) fails the hash.
+    */
+  def q345StreamNearDupEvict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q345_evict"
+    spark.catalog.dropTempView(sink)
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // batch-side eligibility on the SAME row-local banding the stream
+    // runs (lshBands is batch-reusable by construction)
+    val bands = StreamingOps.lshBands(docs0, "text", "doc_id", 8).persist()
+    val mates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.digest") === col("y.digest") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    // ≤ 60 rows by the LIMIT — harness feed construction, the bounded
+    // driver collect every MemoryStream gate performs
+    val elig = docs0
+      .filter(size(graft.functions.TextFunctions.wordsArr(col("text"))) >= 3)
+      .join(mates, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id").limit(60)
+      .select(col("text")).as[String].collect()
+    case class F(slice: Long, doc_id: Long, text: String, ts: java.sql.Timestamp)
+    def mk(s: Long, r: Int, c: Long, off: Long, text: String) =
+      F(s, s * 1000000L + r * 10L + c, text,
+        usTimestamp((Epoch0 + s * 7200L + off) * 1000000L))
+    val rows = elig.zipWithIndex.flatMap { case (text, r) =>
+      val s0 = (r % 6).toLong
+      Seq(mk(s0, r, 0L, 0L, text), mk(s0, r, 1L, 10L, text),
+        mk(s0 + 4L, r, 2L, 20L, text))
+    }.sortBy(f => (f.slice, f.doc_id))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = StreamingOps.nearDupOnIngest(
+        ms.toDF.toDF("doc_id", "text", "ts"),
+        "text", "doc_id", "ts", retentionMs = 60000L)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // one micro-batch per slice — the slice boundary IS the watermark
+      // step the eviction argument above reasons about (q340's rule)
+      rows.groupBy(_.slice).toSeq.sortBy(_._1).foreach { case (_, fs) =>
+        ms.addData(fs.map(f => (f.doc_id, f.text, f.ts)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"))
+  }
+
+  /** q346: near-dup detection under ARBITRARY arrival order, driver-
+    * verified — [[StreamingOps.nearDupOnIngestUnordered]], which
+    * removes q342's id-monotone contract by anchoring each bucket at
+    * its first ARRIVAL instead of its minimum id. The corpus arrives in
+    * deterministically id-SHUFFLED chunks (md5-of-id order — the
+    * repo's reproducible-shuffle idiom), so smaller ids routinely land
+    * after larger band-mates: exactly the feed the ordered operator
+    * fails fast on (Round12Spec pins that). The gate rolls the verdicts
+    * up at the BUCKET grain — the union of a bucket's verdict ids and
+    * its anchor is the bucket's member set, invariant under ANY
+    * delivery order — and the oracle is the order-FREE batch LSH bucket
+    * census (every (band, digest) with ≥ 2 members, with exact count /
+    * sum / min / max over the members), so the hash proves no member is
+    * lost or invented no matter how the feed was shuffled.
+    */
+  def q346StreamNearDupOoo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q346_neardup_ooo"
+    spark.catalog.dropTempView(sink)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy(md5(col("doc_id").cast("string"))) // deterministic id-shuffle
+      .as[(Long, String)]
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = StreamingOps.nearDupOnIngestUnordered(
+        ms.toDF.toDF("doc_id", "text", "ts"),
+        "text", "doc_id", "ts", retentionMs = YearMs)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // arrival time = chunk index (the unordered operator's retention
+      // clock is ARRIVAL-based — ingest time, not any doc property)
+      docs.toLocalIterator().asScala.grouped(4096).zipWithIndex.foreach {
+        case (batch, i) =>
+          val ts = usTimestamp((Epoch0 + i) * 1000000L)
+          ms.addData(batch.map { case (id, t) => (id, t, ts) }.toIndexedSeq)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val v = spark.table(sink)
+    v.select(col("band"), col("digest"), col("doc_id"))
+      .unionByName(v.select(col("band"), col("digest"), col("dup_of").as("doc_id")))
+      .distinct()
+      .groupBy("band", "digest")
+      .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** q347: the RETENTION-bounded quota, driver-verified —
+    * [[StreamingOps.quotaPerKeyTtl]], the per-variable state TTL the
+    * TransformWithState family otherwise demonstrates only in prose
+    * (q335 ships TTLConfig.NONE). The feed re-slices each user's
+    * history into three consecutive slices fed 2.5 s apart into ONE
+    * continuous query. HARNESS NOTE: a TimeMode.ProcessingTime plan
+    * re-triggers micro-batches forever by design (a TTL could expire
+    * at any instant, so `shouldRunAnotherBatch` is unconditionally
+    * true — and because every trigger constructs a batch, the engine
+    * NEVER signals no-new-data, so `processAllAvailable` and even
+    * `Trigger.AvailableNow` termination block indefinitely; both
+    * measured). The barrier here is therefore the SINK COUNT: the
+    * quota emits exactly one verdict per input event, so "sink holds
+    * as many rows as were fed" is an exact batch boundary, and a
+    * 200 ms trigger interval keeps the obligatory idle re-triggers
+    * cheap. The 2.5 s inter-slice sleep dominates the 1 s TTL
+    * deterministically, so every key's admitted-count state has
+    * PROVABLY expired by its next slice's batch: the quota must
+    * restart per slice — first 5 events of EVERY (user, slice)
+    * admitted, the rest rejected. The oracle is the batch row_number
+    * gate at (user, slice) grain — a counter that survives expiry
+    * under-admits slice 2+ (checksum fails), one that expires within a
+    * batch over-admits, and a TTL that never fires collapses to
+    * q335's lifetime semantics and fails on every multi-slice user.
+    */
+  def q347StreamQuotaTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q347_quota_ttl"
+    spark.catalog.dropTempView(sink)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    // persisted: the slice map join and the feed drain otherwise each
+    // re-run the scan + per-user windows (runner owns the lifecycle)
+    val sliced = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("slice", expr("rn div ((n + 2) div 3)"))
+      .persist()
+    val feed = sliced
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("slice"))
+      .orderBy("slice", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Long)]
+      .collect() // events-table scale, the bounded harness feed
+    withRocksDbStateStore(spark) {
+      val ms = MemoryStream[StreamingOps.ValEvent](spark)
+      val q = StreamingOps.quotaPerKeyTtl(ms.toDS(), cap = 5L, ttlMs = 1000L)
+        .toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      try {
+        var fed = 0L
+        feed.groupBy(_._5).toSeq.sortBy(_._1).zipWithIndex.foreach {
+          case ((_, rows), i) =>
+            // the 1 s TTL must provably lapse between consecutive slice
+            // batches (2.5 s >> 1 s: deterministic under any scheduling)
+            if (i > 0) Thread.sleep(2500L)
+            ms.addData(rows.map { case (u, ts, eid, v, _) =>
+              StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq)
+            fed += rows.size
+            awaitSinkCount(spark, sink, fed, q)
+        }
+      } finally q.stop()
+    }
+    spark.table(sink)
+      .join(sliced.select(col("event_id"), col("slice")), Seq("event_id"))
+      .groupBy("user_id", "slice")
+      .agg(
+        count(when(col("admitted"), 1)).as("n_admitted"),
+        count(when(!col("admitted"), 1)).as("n_rejected"),
+        coalesce(sum(when(col("admitted"), col("event_id"))), lit(0L))
+          .as("admitted_checksum"))
   }
 
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
@@ -1501,6 +1829,9 @@ object StreamParityQueries {
     "q340_stream_dedup_bounded" -> (q340StreamDedupBounded _),
     "q342_stream_near_dup" -> (q342StreamNearDup _),
     "q343_stream_near_dup_recovery" -> (q343StreamNearDupRecovery _),
+    "q345_stream_near_dup_evict" -> (q345StreamNearDupEvict _),
+    "q346_stream_near_dup_ooo" -> (q346StreamNearDupOoo _),
+    "q347_stream_quota_ttl" -> (q347StreamQuotaTtl _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1647,6 +1978,15 @@ object StreamParityQueries {
     // (same oracle for the recovery twin — the family convention)
     "q342_stream_near_dup" -> NearDupOracle,
     "q343_stream_near_dup_recovery" -> NearDupOracle,
+    // closed-form copy-1 rows from the shared eligibility arithmetic:
+    // an eviction that never fires adds copy-2 rows (row count fails);
+    // a premature one loses copy-1 rows (hash fails)
+    "q345_stream_near_dup_evict" -> NearDupEvictOracle,
+    // the order-free bucket census an id-shuffled feed must still match
+    "q346_stream_near_dup_ooo" -> NearDupOooOracle,
+    // the q335 admission gate re-run per slice: expired counters must
+    // restart the quota, surviving ones must not
+    "q347_stream_quota_ttl" -> QuotaTtlOracle,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses

@@ -98,66 +98,181 @@ object StreamingOps {
       delay: String): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
-  case class BandRow(doc_id: Long, band: Int, digest: String)
+  case class BandRow(doc_id: Long, band: Int, digest: String, ts: Timestamp)
   case class DupVerdict(doc_id: Long, band: Int, dup_of: Long)
-
-  /** NEAR-dup detection on ingest — the MinHash/LSH rung of the
-    * streaming dedup ladder (exact [[dedupOnIngest]], bounded
-    * [[dedupBoundedOnIngest]]): flag each arriving document that
-    * shares an LSH band with ANY earlier document, reporting the
-    * earliest such band-mate. The signature is computed ROW-LOCALLY
-    * (batch q31's exact shingle→minhash→band scheme via the shared
-    * `TextFunctions` helpers, but as array expressions inside one
-    * projection — no aggregation, so the stream stays stateless until
-    * the band-bucket grouping), then the only state is one Long per
-    * LIVE band bucket: the minimum doc id seen. Per bucket per batch,
-    * rows fold in doc-id order on the carried min — each doc with an
-    * earlier band-mate emits one verdict per matching band, and the
-    * gate's rollup takes the min across bands. State is bucket-grain
-    * (≈ 4 rows per distinct signature region); an eviction policy
-    * (TTL on buckets cold for a window) is the retention knob at
-    * unbounded scale, exactly [[dedupBoundedOnIngest]]'s trade.
-    *
-    * CONTRACT: `idCol` must be monotone with ARRIVAL order (an ingest
-    * sequence number — what a production door assigns). The carried
-    * state is a doc-id min standing in for "earliest arrival"; if a
-    * smaller id arrived AFTER a larger band-mate, the pair would go
-    * entirely unflagged (the larger id was already processed, and the
-    * smaller one compares below the stored min). The q342 harness
-    * feeds id-sorted chunks, satisfying this by construction.
+  /** [[nearDupOnIngestUnordered]]'s verdict carries the bucket DIGEST
+    * too: its rollup grain is the bucket (order-free member sets), not
+    * the doc, and the band index alone does not identify a bucket.
     */
-  def nearDupOnIngest(
+  case class DupVerdictU(doc_id: Long, band: Int, digest: String, dup_of: Long)
+  /** Per-bucket state of the ordered near-dup fold: the minimum
+    * (earliest-arrived) doc id — the carried answer — plus the maximum
+    * id ever seen, which exists ONLY to make the arrival-order contract
+    * executable: a batch whose smallest id undercuts `maxId` proves the
+    * feed violated id-monotone arrival, and the operator FAILS FAST
+    * instead of silently under-flagging the pair.
+    */
+  case class NearDupBucket(minId: Long, maxId: Long)
+
+  /** Row-local LSH banding — batch q31's exact shingle→minhash→band
+    * scheme via the shared `TextFunctions` helpers, as pure array
+    * expressions inside one projection chain (no aggregation): one
+    * (doc_id, band, digest) row per document per band, with `carry`
+    * columns riding through untouched. Stateless, so it is
+    * streaming-safe as-is, and batch-reusable (the q345 eviction
+    * fixture's eligibility filter runs it on a static frame).
+    */
+  private[graft] def lshBands(
       docs: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 8): Dataset[DupVerdict] = {
-    import docs.sparkSession.implicits._
+      numHashes: Int, carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.TextFunctions.{wordsArr, shingles, minhash}
+    val cc = carry.map(col)
     val bandCols = (0 until numHashes / 2).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("digest"))
     }
     docs
-      .select(col(idCol).cast("long").as("doc_id"), wordsArr(col(textCol)).as("w"))
-      .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("sh_set"))
-      .select(col("doc_id") +:
-        (0 until numHashes).map(j => minhash(col("sh_set"), j).as(s"mh$j")): _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.digest").as("digest"))
+      .select(col(idCol).cast("long").as("doc_id") +: wordsArr(col(textCol)).as("w") +: cc: _*)
+      .select(col("doc_id") +: array_distinct(shingles(col("w"), 3)).as("sh_set") +: cc: _*)
+      .select((col("doc_id") +:
+        (0 until numHashes).map(j => minhash(col("sh_set"), j).as(s"mh$j"))) ++ cc: _*)
+      .select(col("doc_id") +: explode(array(bandCols: _*)).as("bd") +: cc: _*)
+      .select(col("doc_id") +: col("bd.band").as("band") +: col("bd.digest").as("digest") +: cc: _*)
+  }
+
+  /** Attach the event-time watermark and band the stream — the shared
+    * front half of both near-dup operators. `retentionMs` doubles as
+    * the watermark delay (the [[dedupBoundedOnIngest]] convention: one
+    * knob bounds both allowed disorder and state retention).
+    */
+  private def watermarkedBands(
+      docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, retentionMs: Long, numHashes: Int): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    lshBands(docs.withWatermark(tsCol, s"$retentionMs milliseconds"),
+      textCol, idCol, numHashes, carry = Seq(tsCol))
+      .withColumnRenamed(tsCol, "ts")
       .as[BandRow]
+  }
+
+  /** NEAR-dup detection on ingest — the MinHash/LSH rung of the
+    * streaming dedup ladder (exact [[dedupOnIngest]], bounded
+    * [[dedupBoundedOnIngest]]): flag each arriving document that
+    * shares an LSH band with ANY earlier LIVE document, reporting the
+    * earliest such band-mate. The signature is computed ROW-LOCALLY
+    * ([[lshBands]] — no aggregation, so the stream stays stateless
+    * until the band-bucket grouping), then the only state is one
+    * (min, max) id pair per LIVE band bucket. Per bucket per batch,
+    * rows fold in doc-id order on the carried min — each doc with an
+    * earlier band-mate emits one verdict per matching band, and the
+    * gate's rollup takes the min across bands.
+    *
+    * STATE IS EVICTED: every bucket carries an event-time timeout at
+    * its last-seen time + `retentionMs`; once the watermark (delay =
+    * the same `retentionMs`) passes it, the bucket's state is removed —
+    * so on unbounded ingest the live state is proportional to the
+    * retention window's distinct signature regions, never the stream's
+    * history (exactly [[dedupBoundedOnIngest]]'s trade: a band-mate
+    * recurring after retention is treated as novel and re-anchors the
+    * bucket — the q345 fixture proves the re-admission). A retention
+    * spanning the whole feed reproduces unbounded semantics (the
+    * q342/q343 gates, whose hashes match the full batch LSH oracle).
+    *
+    * CONTRACT (enforced): `idCol` must be monotone with ARRIVAL order
+    * (an ingest sequence number — what a production door assigns). The
+    * carried min stands in for "earliest arrival"; a smaller id
+    * arriving AFTER a larger band-mate would leave the pair unflagged,
+    * so the fold FAILS FAST — the per-bucket max-seen id makes the
+    * violation detectable — rather than silently under-reporting. For
+    * arrival-order-free ingest use [[nearDupOnIngestUnordered]], which
+    * assigns its own anchors and needs no id contract.
+    */
+  def nearDupOnIngest(
+      docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, retentionMs: Long,
+      numHashes: Int = 8): Dataset[DupVerdict] = {
+    import docs.sparkSession.implicits._
+    watermarkedBands(docs, textCol, idCol, tsCol, retentionMs, numHashes)
       .groupByKey(r => (r.band, r.digest))
-      .flatMapGroupsWithState[Long, DupVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[Long]) =>
-          // doc-id order = arrival order (the harness feeds sorted);
-          // the carried min is "earliest doc ever seen in this bucket"
-          val sorted = rows.toSeq.sortBy(_.doc_id)
-          var cur = if (state.exists) state.get else Long.MaxValue
-          val out = sorted.flatMap { r =>
-            val v = if (cur < r.doc_id) Some(DupVerdict(r.doc_id, key._1, cur)) else None
-            cur = math.min(cur, r.doc_id)
-            v
+      .flatMapGroupsWithState[NearDupBucket, DupVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[NearDupBucket]) =>
+          if (state.hasTimedOut) {
+            // cold past retention: evict — a later band-mate re-anchors
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.doc_id)
+            val st0 = state.getOption
+            st0.foreach { s =>
+              if (sorted.head.doc_id < s.maxId)
+                throw new IllegalStateException(
+                  s"nearDupOnIngest: arrival-order contract violated in bucket $key — " +
+                    s"doc ${sorted.head.doc_id} arrived after ${s.maxId}; feed an ingest " +
+                    "sequence as idCol, or use nearDupOnIngestUnordered")
+            }
+            var cur = st0.map(_.minId).getOrElse(Long.MaxValue)
+            val out = sorted.flatMap { r =>
+              val v = if (cur < r.doc_id) Some(DupVerdict(r.doc_id, key._1, cur)) else None
+              cur = math.min(cur, r.doc_id)
+              v
+            }
+            state.update(NearDupBucket(cur,
+              math.max(st0.map(_.maxId).getOrElse(Long.MinValue), sorted.last.doc_id)))
+            // retention clock: ms CEILING of the bucket's last event so
+            // the timeout can never fire early; clamped above the
+            // current watermark (setTimeoutTimestamp's requirement when
+            // a straggler batch arrives at an already-passed boundary)
+            val lastUs = sorted.iterator.map(e => epochMicros(e.ts)).max
+            state.setTimeoutTimestamp(math.max(
+              (lastUs + 999L) / 1000L + retentionMs,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(cur)
-          out.iterator
+      }
+  }
+
+  /** [[nearDupOnIngest]] WITHOUT the id-monotone arrival contract: the
+    * operator assigns its own anchors from arrival order, so any feed
+    * order is legal. Per bucket the state is the FIRST-ARRIVED doc id
+    * (in-batch ties broken by doc-id order — deterministic given the
+    * batch's content); every later arrival in the bucket emits a
+    * verdict against that anchor regardless of id order. The verdict
+    * carries the bucket digest because the order-free contract lives at
+    * the BUCKET grain: the union of a bucket's verdict ids and its
+    * anchor is exactly the bucket's member set, invariant under ANY
+    * delivery order — which is what lets the q346 gate feed id-shuffled
+    * chunks and still hash-match the order-free batch LSH oracle (which
+    * member was "first" is arrival-dependent; the member set is not).
+    * Same event-time eviction as the ordered form: buckets cold past
+    * `retentionMs` are removed and a recurring band-mate re-anchors.
+    */
+  def nearDupOnIngestUnordered(
+      docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, retentionMs: Long,
+      numHashes: Int = 8): Dataset[DupVerdictU] = {
+    import docs.sparkSession.implicits._
+    watermarkedBands(docs, textCol, idCol, tsCol, retentionMs, numHashes)
+      .groupByKey(r => (r.band, r.digest))
+      .flatMapGroupsWithState[Long, DupVerdictU](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.doc_id)
+            val (anchor, rest) =
+              if (state.exists) (state.get, sorted)
+              else (sorted.head.doc_id, sorted.tail)
+            state.update(anchor)
+            val lastUs = sorted.iterator.map(e => epochMicros(e.ts)).max
+            state.setTimeoutTimestamp(math.max(
+              (lastUs + 999L) / 1000L + retentionMs,
+              state.getCurrentWatermarkMs() + 1L))
+            rest.iterator.filter(_.doc_id != anchor)
+              .map(r => DupVerdictU(r.doc_id, key._1, key._2, anchor))
+          }
       }
   }
 
@@ -325,17 +440,19 @@ object StreamingOps {
     * init, per-variable TTL, timer support — and a hard requirement on
     * the RocksDB state-store provider, which the caller must set; the
     * q310 toggle's provider is this operator's only store). State is
-    * ONE named ValueState[Long] per key (events admitted so far) with
-    * TTLConfig.NONE — a lifetime quota; a retention-bounded quota would
-    * set a per-variable TTL here, the capability mapGroupsWithState
-    * cannot express per-variable. Each micro-batch's rows fold in
-    * (ts, event_id) order on top of the carried count (the ewmaPerKey
-    * in-batch-sort convention), so for in-order delivery the verdicts
-    * bit-equal the batch row_number gate. Emits one verdict row per
-    * event (append mode, TimeMode.None — no timers needed for a
-    * lifetime cap).
+    * ONE named ValueState[Long] per key (events admitted so far). The
+    * TTL config is the caller's: [[quotaPerKey]] passes TTLConfig.NONE
+    * (a lifetime quota); [[quotaPerKeyTtl]] passes a real per-variable
+    * TTL (a retention-bounded quota — the capability
+    * mapGroupsWithState cannot express per-variable). Each
+    * micro-batch's rows fold in (ts, event_id) order on top of the
+    * carried count (the ewmaPerKey in-batch-sort convention), so for
+    * in-order delivery the verdicts bit-equal the batch row_number
+    * gate. Emits one verdict row per event (append mode; no timers —
+    * TTL expiry is the store's job, not a timer's).
     */
-  private class QuotaProcessor(cap: Long)
+  private class QuotaProcessor(
+      cap: Long, ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, ValEvent, QuotaVerdict] {
     @transient private var nAdmitted:
@@ -344,8 +461,7 @@ object StreamingOps {
         outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       nAdmitted = getHandle.getValueState[Long](
-        "n_admitted", org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "n_admitted", org.apache.spark.sql.Encoders.scalaLong, ttl)
     override def handleInputRows(
         key: Long, rows: Iterator[ValEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
@@ -376,8 +492,39 @@ object StreamingOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(
-        new QuotaProcessor(cap),
+        new QuotaProcessor(cap, org.apache.spark.sql.streaming.TTLConfig.NONE),
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** [[quotaPerKey]] with a RETENTION-bounded counter — the per-variable
+    * TTL the state-v2 API exists to express: a key's admitted-count
+    * state expires `ttlMs` of PROCESSING time after its last write
+    * (Spark's TTL clock is the batch processing timestamp — a non-NONE
+    * TTLConfig requires TimeMode.ProcessingTime), so a key quiet past
+    * the TTL gets a FRESH quota on its next arrival — the
+    * rate-limit-per-window shape (admit ≤ cap per burst) where
+    * [[quotaPerKey]] is the lifetime cap. At 100 TB of ingest this is
+    * also the state bound: expired counters are store-evicted instead
+    * of accumulating one row per key forever. EXECUTION CAVEAT: a
+    * ProcessingTime-mode plan re-triggers micro-batches unconditionally
+    * (a TTL could expire at any instant, so `shouldRunAnotherBatch` is
+    * always true) — `processAllAvailable` never quiesces on it; run it
+    * with `Trigger.AvailableNow` drains (the q347 harness) or a real
+    * trigger interval. The q347 gate proves the expiry (every
+    * inter-drain gap exceeds the TTL, so each slice's admissions
+    * restart — the per-slice batch oracle) and Round12Spec pins expiry
+    * vs the NONE control on a micro fixture.
+    */
+  def quotaPerKeyTtl(
+      events: Dataset[ValEvent], cap: Long, ttlMs: Long): Dataset[QuotaVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new QuotaProcessor(cap,
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
 

@@ -137,7 +137,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     // groups
     "q333_perplexity_gate", "q334_exact_substrings",
     // SymSpell: exact string keys, bounded levenshtein, struct-min pick
-    "q341_spell_correct")
+    "q341_spell_correct",
+    // round 12: the substring APPLY — the deterministic (doc, pos)
+    // victim rule over q334's pair set, order-free cut-position sets
+    "q344_substring_dedup_apply")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
