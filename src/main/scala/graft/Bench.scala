@@ -97,7 +97,12 @@ object Bench {
     // round-11 continued: SymSpell spell correction (delete-neighborhood
     // candidate join, vocabulary-grain — the completeness-proved fuzzy
     // lookup)
-    "q341_spell_correct")
+    "q341_spell_correct",
+    // round-12 flagship: the exact-substring cut — q334's anchor/lcp
+    // machinery plus the (doc, pos)-later victim rule, a token-grain
+    // cut merge and the per-doc rebuild (the operator that actually
+    // shrinks the corpus)
+    "q344_substring_dedup_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
