@@ -38,7 +38,10 @@ object BenchOne {
     def time(q: String, label: String): Unit = {
       val t0 = System.nanoTime()
       try {
-        val n = SparkEntry.queries(q)(spark, sfDir).count()
+        // toRdd.count(): full-plan materialization, never the
+        // count-collapsed plan (see Bench.scala — pruned row-preserving
+        // shapes would otherwise "benchmark" as bare scans)
+        val n = SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         mins(q) = math.min(mins.getOrElse(q, Double.MaxValue), sec)
         println(f"[benchone] $q $label: $sec%.3f s ($n rows)")
