@@ -107,21 +107,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.sources.SessionDefaults.harness(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // checkpoint file checksums OFF for the proof harness: Spark 4.1's
-      // ChecksumCheckpointFileManager routes every checkpoint rename through
-      // Hadoop ChecksumFs, which shells out (fork+exec) per rename — a fork
-      // that can wedge a many-threaded local JVM (observed: a stuck
-      // jspawnhelper deadlocked a streaming gate's changelog commit). The
-      // checksums protect durable production checkpoints; these JVMs run
-      // MemoryStream gates on tmpfs-scratch checkpoints.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     // ERROR, not WARN: the per-query `freeAllPersistedRdds` sweep emits a
     // localCheckpoint-lineage WARN per freed block, and hundreds of those
     // lines around the single JSON result line have (every round so far)

@@ -17,21 +17,11 @@ object BenchOne {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder()
+    val spark = graft.sources.SessionDefaults.harness(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // checkpoint file checksums OFF for the proof harness: Spark 4.1's
-      // ChecksumCheckpointFileManager routes every checkpoint rename through
-      // Hadoop ChecksumFs, which shells out (fork+exec) per rename — a fork
-      // that can wedge a many-threaded local JVM (observed: a stuck
-      // jspawnhelper deadlocked a streaming gate's changelog commit). The
-      // checksums protect durable production checkpoints; these JVMs run
-      // MemoryStream gates on tmpfs-scratch checkpoints.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
     val mins = collection.mutable.LinkedHashMap.empty[String, Double]

@@ -7,20 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.sources.SessionDefaults.harness(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // checkpoint file checksums OFF for the proof harness: Spark 4.1's
-      // ChecksumCheckpointFileManager routes every checkpoint rename through
-      // Hadoop ChecksumFs, which shells out (fork+exec) per rename — a fork
-      // that can wedge a many-threaded local JVM (observed: a stuck
-      // jspawnhelper deadlocked a streaming gate's changelog commit). The
-      // checksums protect durable production checkpoints; these JVMs run
-      // MemoryStream gates on tmpfs-scratch checkpoints.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-dev subset filter (comma-separated exact names). The driver

@@ -413,9 +413,13 @@ object Edges {
       .agg(array_sort(collect_set(col("b"))).as("ns"))
       .persist()
     // the no-silent-caps discipline: the hub cap DROPS whole centers
-    // from pair emission, so callers get a count, not silence (one
-    // node-grain pass over the persisted agg — the cap never binds on
-    // the fixtures, so the census costs the count job only)
+    // from pair emission, so callers get a count, not silence. This is
+    // a DELIBERATE construction-time job (one node-grain count over the
+    // persisted agg, which the pair build then reuses): every caller of
+    // this operator executes the result (q312, the spec fixtures), so
+    // the lazy alternative (a Dataset.observe metric, visible only
+    // through listeners) would trade a visible signal for laziness
+    // nobody uses — revisit if a plan-only consumer ever appears.
     val nDropped = nbrAll.filter(size(col("ns")) > hubCap).count()
     if (nDropped > 0)
       println(s"[adamicAdar] hubCap=$hubCap dropped $nDropped hub center(s) " +

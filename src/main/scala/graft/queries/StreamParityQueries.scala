@@ -366,7 +366,7 @@ object StreamParityQueries {
     * which makes the count an exact boundary, not a heuristic. Fails
     * loudly after `timeoutMs` or if the query died.
     */
-  private def awaitSinkCount(
+  private[graft] def awaitSinkCount(
       spark: SparkSession, sink: String, expected: Long,
       q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = 120000L): Unit = {
@@ -568,10 +568,32 @@ object StreamParityQueries {
     * operator's retention clock with: one second per doc id past
     * [[Epoch0]] — monotone with the id-ordered feed, so the watermark
     * advances batch-by-batch while the year-long retention keeps every
-    * bucket live for the whole fixture.
+    * bucket live for the whole fixture. The premise only holds while
+    * the corpus id RANGE stays well inside the retention (event time
+    * advances one second per id; a range past ~2× the retention's
+    * seconds would start evicting the earliest buckets MID-FEED and
+    * the gate would diverge from the unbounded batch oracle with the
+    * operator behaving correctly) — [[assertDocTsRange]] makes that
+    * bound executable instead of silent.
     */
   private def withDocTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_seconds(lit(Epoch0) + col("doc_id")))
+
+  /** Fail loudly if the fixture's doc-id range could let [[withDocTs]]'s
+    * second-per-id clock evict buckets mid-feed (the no-evict premise of
+    * the q342/q343 oracles): require the range ≤ the retention's seconds
+    * — 2× inside the true eviction boundary (watermark = max − retention
+    * must pass min + retention, i.e. range > 2 × retention).
+    */
+  private def assertDocTsRange(spark: SparkSession, dir: String): Unit = {
+    val r = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val range = r.getLong(1) - r.getLong(0)
+    require(range <= YearMs / 1000L,
+      s"q342/q343 fixture premise broken: doc-id range $range seconds of " +
+        s"synthetic event time approaches the ${YearMs / 1000L}s retention — " +
+        "widen the retention or re-base the synthetic clock")
+  }
 
   /** q342: NEAR-dup detection on ingest, driver-verified —
     * [[StreamingOps.nearDupOnIngest]] (row-local q31 signatures, one
@@ -591,13 +613,15 @@ object StreamParityQueries {
     * row-local signature path (vs q31's groupBy formulation) changes
     * the digests and misses buckets outright.
     */
-  def q342StreamNearDup(spark: SparkSession, dir: String): DataFrame =
+  def q342StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    assertDocTsRange(spark, dir)
     runChunked(spark, dir, "graft_q342_neardup",
       df => StreamingOps.nearDupOnIngest(
         withDocTs(df), "text", "doc_id", "ts", retentionMs = YearMs).toDF(),
       maxChunk = 4096)
       .groupBy("doc_id")
       .agg(min(col("dup_of")).as("dup_of"))
+  }
 
   /** q343: q342's near-dup detection ACROSS A QUERY RESTART — the
     * recovery gate completing the family contract for the LSH-bucket
@@ -616,6 +640,7 @@ object StreamParityQueries {
     */
   def q343StreamNearDupRecovery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    assertDocTsRange(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .sort("doc_id")
@@ -746,6 +771,46 @@ object StreamParityQueries {
       .groupBy("band", "digest")
       .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("sum_ids"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** q348: deterministic streaming reservoir sample, driver-verified —
+    * [[StreamingOps.reservoirPerKey]] (per-source bottom-20 by the
+    * md5-of-id priority coin; state = exactly ≤ 20 ids + a count per
+    * source, bounded for the stream's life with NO eviction needed —
+    * the sampling rung of the bounded-state ingest family, and the
+    * door-side twin of batch q138's priority sampling). The corpus
+    * arrives in deterministically id-SHUFFLED chunks (the q346 feed
+    * discipline): the operator claims delivery-order invariance by
+    * construction (the reservoir is the exact bottom-k of a pure
+    * priority function), so the gate feeds the adversarial order and
+    * the hash must still equal the batch bottom-k — a reservoir that
+    * forgets a winner across batches, re-admits a loser, or breaks the
+    * (priority, id) order inside the sample string all fail against
+    * the batch row_number oracle.
+    */
+  def q348StreamReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q348_reservoir"
+    spark.catalog.dropTempView(sink)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string"))) // deterministic id-shuffle
+      .as[StreamingOps.DocArrival]
+    val ms = MemoryStream[StreamingOps.DocArrival](spark)
+    val q = StreamingOps.reservoirPerKey(ms.toDS(), k = 20)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      docs.toLocalIterator().asScala.grouped(4096).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy("source")
+      .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+      .select(col("source"), col("m.n_seen").as("n_seen"),
+        col("m.sample").as("sample"))
   }
 
   /** q347: the RETENTION-bounded quota, driver-verified —
@@ -1832,6 +1897,7 @@ object StreamParityQueries {
     "q345_stream_near_dup_evict" -> (q345StreamNearDupEvict _),
     "q346_stream_near_dup_ooo" -> (q346StreamNearDupOoo _),
     "q347_stream_quota_ttl" -> (q347StreamQuotaTtl _),
+    "q348_stream_reservoir" -> (q348StreamReservoir _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -1987,6 +2053,21 @@ object StreamParityQueries {
     // the q335 admission gate re-run per slice: expired counters must
     // restart the quota, surviving ones must not
     "q347_stream_quota_ttl" -> QuotaTtlOracle,
+    // the exact batch bottom-20 per source under the same md5 priority
+    // coin — what the streamed reservoir must equal under ANY arrival
+    // order (the gate feeds a shuffled one)
+    "q348_stream_reservoir" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pr
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, pr,
+        |         row_number() OVER (PARTITION BY source ORDER BY pr, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM p)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
+        |       array_to_string(list(doc_id ORDER BY pr, doc_id), '>') AS sample
+        |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses

@@ -276,6 +276,61 @@ object StreamingOps {
       }
   }
 
+  case class DocArrival(source: String, doc_id: Long)
+  case class ReservoirState(ids: Seq[Long], n: Long)
+  case class ReservoirUpdate(source: String, n_seen: Long, sample: String)
+
+  /** Deterministic bounded RESERVOIR SAMPLE per key on an unbounded
+    * stream — the ingest-door twin of batch q138's priority sampling,
+    * and the sampling rung of the bounded-state ladder (dedup has
+    * [[dedupBoundedOnIngest]]; sampling needs no eviction at all): keep,
+    * per source, the `k` documents with the smallest md5-of-id priority
+    * ever seen. The md5 coin is the repo's reproducibility idiom
+    * (q71/q98/q138): a pure function of the id, so the reservoir is the
+    * exact bottom-k of the history under the (priority, id) total order
+    * — which makes the operator DELIVERY-ORDER-INVARIANT by
+    * construction (any arrival order folds to the same set; the q348
+    * gate feeds id-shuffled chunks and hash-matches the batch bottom-k)
+    * and APPEND-STABLE (a re-run over a grown corpus keeps every
+    * previously sampled doc that still wins). State per key is exactly
+    * ≤ k ids + a count — bounded for the life of the stream by design,
+    * the whole point of a reservoir: sampling 100 TB of ingest costs
+    * k × |sources| rows of state, no watermark needed. Emits each key's
+    * reservoir + seen-count per batch (update mode); the gate's rollup
+    * keeps the max-n row.
+    */
+  def reservoirPerKey(
+      docs: Dataset[DocArrival], k: Int): Dataset[ReservoirUpdate] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1, "reservoirPerKey needs k >= 1")
+    def priority(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString // lowercase hex = DuckDB md5()
+    }
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[ReservoirState, ReservoirUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, batch: Iterator[DocArrival], state: GroupState[ReservoirState]) =>
+          val st = state.getOption.getOrElse(ReservoirState(Nil, 0L))
+          var n = st.n
+          // the carried reservoir re-derives its priorities (k strings
+          // per key per batch — cheaper than persisting them as state)
+          val merged = batch.foldLeft(
+            st.ids.map(id => (priority(id), id)).sortBy(identity)) { (res, d) =>
+            n += 1
+            val e = (priority(d.doc_id), d.doc_id)
+            if (res.size < k) (res :+ e).sortBy(identity)
+            else if (implicitly[Ordering[(String, Long)]].lt(e, res.last))
+              (res.init :+ e).sortBy(identity)
+            else res
+          }
+          state.update(ReservoirState(merged.map(_._2), n))
+          ReservoirUpdate(src, n, merged.map(_._2).mkString(">"))
+      }
+  }
+
   /** Stream-static enrichment: left-join the unbounded stream against a
     * broadcast dimension — the standard lookup pattern; the static side
     * is re-broadcast per micro-batch, the stream side never shuffles.

@@ -52,21 +52,11 @@ object ScaleUp {
         s"unknown table name(s) ${bad.toSeq.sorted.mkString(", ")}; " +
           s"valid: ${known.toSeq.sorted.mkString(", ")}")
     }
-    val spark = SparkSession.builder()
+    val spark = graft.sources.SessionDefaults.harness(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // checkpoint file checksums OFF for the proof harness: Spark 4.1's
-      // ChecksumCheckpointFileManager routes every checkpoint rename through
-      // Hadoop ChecksumFs, which shells out (fork+exec) per rename — a fork
-      // that can wedge a many-threaded local JVM (observed: a stuck
-      // jspawnhelper deadlocked a streaming gate's changelog commit). The
-      // checksums protect durable production checkpoints; these JVMs run
-      // MemoryStream gates on tmpfs-scratch checkpoints.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def table(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")

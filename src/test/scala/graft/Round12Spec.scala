@@ -159,14 +159,9 @@ class Round12Spec extends AnyFunSuite with SparkTestBase {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
           .start()
-        def awaitCount(expected: Long): Unit = {
-          val deadline = System.nanoTime() + 60000L * 1000000L
-          while (spark.table(sink).count() < expected) {
-            if (q.exception.isDefined) throw q.exception.get
-            assert(System.nanoTime() < deadline, s"$sink never reached $expected rows")
-            Thread.sleep(50L)
-          }
-        }
+        // the q347 harness's barrier, shared (incl. its over-emit check)
+        def awaitCount(expected: Long): Unit =
+          graft.queries.StreamParityQueries.awaitSinkCount(spark, sink, expected, q)
         try {
           ms.addData(Seq(
             StreamingOps.ValEvent(7L, ts(E0), 1L, 0.0),
@@ -239,6 +234,35 @@ class Round12Spec extends AnyFunSuite with SparkTestBase {
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
       finally walk.close()
     }
+  }
+
+  test("reservoirPerKey: any arrival order lands the identical bottom-k, state stays ≤ k") {
+    import spark.implicits._
+    // 9 docs across 2 sources, k = 3 — run the same population through
+    // two opposite arrival orders split differently into micro-batches;
+    // the final reservoirs must be identical (the priority coin is a
+    // pure function of the id) and hold at most k ids
+    val docs = (1L to 9L).map(i =>
+      StreamingOps.DocArrival(if (i % 2 == 0) "even" else "odd", i))
+    def run(batches: Seq[Seq[StreamingOps.DocArrival]]): Map[String, (Long, String)] = {
+      val sink = "graft_r12_reservoir"
+      spark.catalog.dropTempView(sink)
+      val ms = MemoryStream[StreamingOps.DocArrival](spark)
+      val q = StreamingOps.reservoirPerKey(ms.toDS(), k = 3)
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(sink).groupBy("source")
+        .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getStruct(1).getLong(0), r.getStruct(1).getString(1))).toMap
+    }
+    val asc = run(docs.grouped(4).toSeq)
+    val desc = run(docs.reverse.grouped(2).toSeq)
+    assert(asc == desc, s"arrival order changed the reservoir: $asc vs $desc")
+    assert(asc.values.forall { case (n, s) => s.split(">").length <= 3 && n >= 4 },
+      s"reservoir must hold at most k ids: $asc")
   }
 
   test("exactSubstringApply: the (doc, pos)-later occurrence is cut, the earlier survives") {
