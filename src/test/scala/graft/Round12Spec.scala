@@ -261,8 +261,12 @@ class Round12Spec extends AnyFunSuite with SparkTestBase {
     val asc = run(docs.grouped(4).toSeq)
     val desc = run(docs.reverse.grouped(2).toSeq)
     assert(asc == desc, s"arrival order changed the reservoir: $asc vs $desc")
-    assert(asc.values.forall { case (n, s) => s.split(">").length <= 3 && n >= 4 },
-      s"reservoir must hold at most k ids: $asc")
+    // the LITERAL bottom-3 by (md5(id), id) — a top-k or min-only
+    // regression would still be order-invariant, so the membership
+    // itself is the pin (priorities: md5("9") < md5("7") < md5("1")
+    // on the odd side, md5("6") < md5("4") < md5("2") on the even)
+    assert(asc == Map("odd" -> ((5L, "9>7>1")), "even" -> ((4L, "6>4>2"))),
+      s"reservoir must be the exact bottom-k of the priority coin: $asc")
   }
 
   test("exactSubstringApply: the (doc, pos)-later occurrence is cut, the earlier survives") {
