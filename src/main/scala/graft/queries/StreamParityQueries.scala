@@ -813,6 +813,43 @@ object StreamParityQueries {
         col("m.sample").as("sample"))
   }
 
+  /** q349: WEIGHTED streaming reservoir, driver-verified —
+    * [[StreamingOps.weightedReservoirPerKey]] (Efraimidis–Spirakis
+    * A-ES under the deterministic q138 coin: per-source bottom-20 by
+    * u/w with u the md5-fraction of the id and w = n_chars — the
+    * size-proportional sample a corpus-mixing pipeline draws at the
+    * door, and the EXACT stream twin of batch q138). Same adversarial
+    * feed as q348 (id-shuffled chunks) and the same invariance claim,
+    * now with the carried state holding (priority, id) PAIRS (the
+    * weight is not recoverable from the id): a priority lost or
+    * re-derived wrongly across batches reorders the reservoir and the
+    * sample string diverges from the batch bottom-k oracle.
+    */
+  def q349StreamWeightedReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q349_wreservoir"
+    spark.catalog.dropTempView(sink)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("double").as("weight"))
+      .orderBy(md5(col("doc_id").cast("string"))) // deterministic id-shuffle
+      .as[StreamingOps.WeightedArrival]
+    val ms = MemoryStream[StreamingOps.WeightedArrival](spark)
+    val q = StreamingOps.weightedReservoirPerKey(ms.toDS(), k = 20)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      docs.toLocalIterator().asScala.grouped(4096).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy("source")
+      .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+      .select(col("source"), col("m.n_seen").as("n_seen"),
+        col("m.sample").as("sample"))
+  }
+
   /** q347: the RETENTION-bounded quota, driver-verified —
     * [[StreamingOps.quotaPerKeyTtl]], the per-variable state TTL the
     * TransformWithState family otherwise demonstrates only in prose
@@ -1898,6 +1935,7 @@ object StreamParityQueries {
     "q346_stream_near_dup_ooo" -> (q346StreamNearDupOoo _),
     "q347_stream_quota_ttl" -> (q347StreamQuotaTtl _),
     "q348_stream_reservoir" -> (q348StreamReservoir _),
+    "q349_stream_weighted_reservoir" -> (q349StreamWeightedReservoir _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2067,6 +2105,24 @@ object StreamParityQueries {
         |  FROM p)
         |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
         |       array_to_string(list(doc_id ORDER BY pr, doc_id), '>') AS sample
+        |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin,
+    // q138's weighted coin verbatim (u/2^52 then /w, two left-assoc
+    // IEEE divisions) — the streamed weighted reservoir must equal the
+    // batch bottom-20 under ANY arrival order
+    "q349_stream_weighted_reservoir" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |         (CAST(('0x' || substr(md5('graft-ws-' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |               AS BIGINT) / 4503599627370496.0)
+        |         / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, pri,
+        |         row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM p)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
+        |       array_to_string(list(doc_id ORDER BY pri, doc_id), '>') AS sample
         |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —

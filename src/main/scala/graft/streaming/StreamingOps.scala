@@ -277,8 +277,24 @@ object StreamingOps {
   }
 
   case class DocArrival(source: String, doc_id: Long)
+  case class WeightedArrival(source: String, doc_id: Long, weight: Double)
   case class ReservoirState(ids: Seq[Long], n: Long)
+  case class WReservoirState(pris: Seq[Double], ids: Seq[Long], n: Long)
   case class ReservoirUpdate(source: String, n_seen: Long, sample: String)
+
+  /** The shared bottom-k fold both reservoirs run per batch: merge the
+    * carried ≤ k (priority, id) entries with the batch's, keep the k
+    * smallest under the (priority, id) total order. O(batch × k log k)
+    * — k is small by contract (a sample size).
+    */
+  private def bottomK[P](
+      cur: Seq[(P, Long)], add: Iterator[(P, Long)], k: Int)(
+      implicit ord: Ordering[(P, Long)]): Seq[(P, Long)] =
+    add.foldLeft(cur.sorted) { (res, e) =>
+      if (res.size < k) (res :+ e).sorted
+      else if (ord.lt(e, res.last)) (res.init :+ e).sorted
+      else res
+    }
 
   /** Deterministic bounded RESERVOIR SAMPLE per key on an unbounded
     * stream — the ingest-door twin of batch q138's priority sampling,
@@ -317,16 +333,50 @@ object StreamingOps {
           var n = st.n
           // the carried reservoir re-derives its priorities (k strings
           // per key per batch — cheaper than persisting them as state)
-          val merged = batch.foldLeft(
-            st.ids.map(id => (priority(id), id)).sortBy(identity)) { (res, d) =>
-            n += 1
-            val e = (priority(d.doc_id), d.doc_id)
-            if (res.size < k) (res :+ e).sortBy(identity)
-            else if (implicitly[Ordering[(String, Long)]].lt(e, res.last))
-              (res.init :+ e).sortBy(identity)
-            else res
-          }
+          val merged = bottomK(
+            st.ids.map(id => (priority(id), id)),
+            batch.map { d => n += 1; (priority(d.doc_id), d.doc_id) }, k)
           state.update(ReservoirState(merged.map(_._2), n))
+          ReservoirUpdate(src, n, merged.map(_._2).mkString(">"))
+      }
+  }
+
+  /** WEIGHTED streaming reservoir — Efraimidis–Spirakis A-ES with the
+    * repo's deterministic coin, and the exact stream twin of batch
+    * q138: keep, per source, the `k` documents with the smallest
+    * priority u/w, where u is the md5-fraction of the doc id (the
+    * LITERAL q138 coin: first 13 hex chars of md5("graft-ws-" + id)
+    * over 2⁵²) and w the document's weight — inclusion probability
+    * scales with w, so a big document is proportionally likelier to be
+    * sampled, with the whole reservoir still reproducible, delivery-
+    * order-invariant and append-stable (pure function of (id, w)).
+    * State per key is ≤ k (priority, id) pairs + a count — priorities
+    * are CARRIED here (unlike [[reservoirPerKey]], they depend on the
+    * weight, which is not recoverable from the id). Same bounded-state
+    * story: sampling unbounded ingest costs k × |sources| state rows.
+    */
+  def weightedReservoirPerKey(
+      docs: Dataset[WeightedArrival], k: Int): Dataset[ReservoirUpdate] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1, "weightedReservoirPerKey needs k >= 1")
+    def priority(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-ws-$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      // two left-associated IEEE divisions — q138's exact expression
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 / w
+    }
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[WReservoirState, ReservoirUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, batch: Iterator[WeightedArrival], state: GroupState[WReservoirState]) =>
+          val st = state.getOption.getOrElse(WReservoirState(Nil, Nil, 0L))
+          var n = st.n
+          val merged = bottomK(
+            st.pris.zip(st.ids),
+            batch.map { d => n += 1; (priority(d.doc_id, d.weight), d.doc_id) }, k)
+          state.update(WReservoirState(merged.map(_._1), merged.map(_._2), n))
           ReservoirUpdate(src, n, merged.map(_._2).mkString(">"))
       }
   }

@@ -269,6 +269,32 @@ class Round12Spec extends AnyFunSuite with SparkTestBase {
       s"reservoir must be the exact bottom-k of the priority coin: $asc")
   }
 
+  test("weightedReservoirPerKey: weight shifts membership exactly as u/w says") {
+    import spark.implicits._
+    // u-fractions of ids 1..4 under the q138 coin: .5756, .3133,
+    // .5939, .0600 — equal weights sample {4, 2}; weighting id 1 by
+    // 1000 drops its priority to .000576 and the sample must become
+    // {1, 4}: the literal A-ES inclusion shift, cross-batch
+    def run(w1: Double): (Long, String) = {
+      val sink = "graft_r12_wres"
+      spark.catalog.dropTempView(sink)
+      val ms = MemoryStream[StreamingOps.WeightedArrival](spark)
+      val q = StreamingOps.weightedReservoirPerKey(ms.toDS(), k = 2)
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      try Seq(Seq(1L -> w1, 2L -> 1.0), Seq(3L -> 1.0, 4L -> 1.0)).foreach { b =>
+        ms.addData(b.map { case (id, w) => StreamingOps.WeightedArrival("s", id, w) })
+        q.processAllAvailable()
+      } finally q.stop()
+      val r = spark.table(sink)
+        .groupBy("source").agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+        .head()
+      (r.getStruct(1).getLong(0), r.getStruct(1).getString(1))
+    }
+    assert(run(1.0) == ((4L, "4>2")), "equal weights must sample the two smallest u")
+    assert(run(1000.0) == ((4L, "1>4")),
+      "a 1000x weight must pull id 1 into the reservoir (u/w = .000576)")
+  }
+
   test("exactSubstringApply: the (doc, pos)-later occurrence is cut, the earlier survives") {
     import spark.implicits._
     val run = (1 to 12).map(i => s"w$i").mkString(" ")
