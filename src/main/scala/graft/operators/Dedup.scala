@@ -798,6 +798,20 @@ object Dedup {
     * projection over a doc-keyed left join. DETERMINISM: the victim
     * rule is an exact (doc, pos) comparison over a deterministic pair
     * set; the cut-position SET is order-free.
+    *
+    * FIXED-POINT SEMANTICS (round-13 adjudication, property-pinned in
+    * Round13Spec): one pass is idempotent — re-applying to its own
+    * `text_kept` yields zero new cuts — exactly when every duplicated
+    * region fits inside `window` tokens. A LONGER region is reported
+    * only at its left-maximal head ([[exactSubstrings]] suppresses
+    * interior anchors and caps the report at `window`), so one pass
+    * cuts its first `window` tokens and the surviving tail BECOMES
+    * left-maximal on the next pass — the same head-by-head progression
+    * a suffix-array cutter performs in one shot. Use
+    * [[exactSubstringApplyToFixedPoint]] when full-length excision of
+    * over-window regions is required; each pass strictly shrinks the
+    * total surviving token count, so it terminates (fixture converges
+    * in ≤ ⌈maxRegion/window⌉ + 1 passes).
     */
   def exactSubstringApply(
       docs: DataFrame, textCol: String, idCol: String,
@@ -818,20 +832,61 @@ object Dedup {
       .select(col(idCol),
         graft.functions.TextFunctions.wordsArr(col(textCol)).as("w"))
       .join(cuts, Seq(idCol), "left")
-      // `cuts` materialized in its own projection before the lambda
-      // reads it (the HOF-reference trap — see passageDedup's rebuild)
       .withColumn("cs", coalesce(col("cuts"), array_repeat(lit(1), 0)))
       .select(
         col(idCol),
         size(col("w")).cast("long").as("n_tokens"),
         size(col("cs")).cast("long").as("n_cut"),
-        array_join(
-          transform(
-            filter(
-              transform(col("w"), (x, i) => struct(x.as("tk"), (i + 1).as("p"))),
-              s => !array_contains(col("cs"), s.getField("p"))),
-            s => s.getField("tk")),
-          " ").as("text_kept"))
+        // native merge-walk rebuild — O(n_tokens + n_cut log n_cut) per
+        // doc. The previous HOF chain (transform→filter(array_contains)
+        // →transform→array_join) rescanned the cut set per token:
+        // O(n_tokens × n_cut), a single-row straggler on a long, mostly
+        // duplicated document (the exact corpus this operator exists
+        // for). Bit-identical output — see [[graft.functions.KeepTokens]].
+        graft.functions.KeepTokens(col("w"), col("cs")).as("text_kept"))
+  }
+
+  /** [[exactSubstringApply]] iterated to its fixed point: re-applies the
+    * cut pass to its own `text_kept` until a pass cuts nothing (or
+    * `maxPasses` passes ran — each pass strictly shrinks the surviving
+    * token total, so the loop always terminates; over-window regions
+    * lose one `window`-sized head per pass, see the fixed-point note on
+    * [[exactSubstringApply]]). Output schema matches the single pass:
+    * `(id, n_tokens, n_cut, text_kept)` with `n_tokens` the ORIGINAL
+    * token count and `n_cut` the TOTAL positions cut across passes.
+    *
+    * Scale shape: a driver-side loop of the bounded single-pass plan,
+    * `localCheckpoint` per pass (uncut lineage would re-embed every
+    * prior pass's subtree — the MMR lesson), one scalar probe per pass
+    * for the stop condition. Pass count is data-dependent but tiny:
+    * ⌈longest duplicated region / window⌉ + 1.
+    */
+  def exactSubstringApplyToFixedPoint(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, window: Int = 64, anchorCap: Int = 256,
+      minLen: Int = 10, maxPasses: Int = 8): DataFrame = {
+    require(maxPasses >= 1, "exactSubstringApplyToFixedPoint needs maxPasses >= 1")
+    var state = exactSubstringApply(
+      docs, textCol, idCol, k, window, anchorCap, minLen).localCheckpoint()
+    var lastPassCuts =
+      state.agg(coalesce(sum("n_cut"), lit(0L))).head.getLong(0)
+    var passes = 1
+    while (lastPassCuts > 0L && passes < maxPasses) {
+      val again = exactSubstringApply(
+        state.select(col(idCol), col("text_kept").as(textCol)),
+        textCol, idCol, k, window, anchorCap, minLen).localCheckpoint()
+      lastPassCuts = again.agg(coalesce(sum("n_cut"), lit(0L))).head.getLong(0)
+      if (lastPassCuts > 0L) {
+        state = state.select(col(idCol), col("n_tokens"), col("n_cut"))
+          .join(again.select(
+            col(idCol), col("n_cut").as("_cut2"), col("text_kept")), Seq(idCol))
+          .select(col(idCol), col("n_tokens"),
+            (col("n_cut") + col("_cut2")).as("n_cut"), col("text_kept"))
+          .localCheckpoint()
+      }
+      passes += 1
+    }
+    state
   }
 
   /** Passage-level exact dedup APPLIED (C4/RefinedWeb-style): cut every
