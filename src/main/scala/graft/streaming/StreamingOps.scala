@@ -112,7 +112,8 @@ object StreamingOps {
     * feed violated id-monotone arrival, and the operator FAILS FAST
     * instead of silently under-flagging the pair.
     */
-  case class NearDupBucket(minId: Long, maxId: Long)
+  case class NearDupBucket(minId: Long, maxId: Long, lastSeenUs: Long)
+  case class AnchorBucket(anchor: Long, lastSeenUs: Long)
 
   /** Row-local LSH banding — batch q31's exact shingle→minhash→band
     * scheme via the shared `TextFunctions` helpers, as pure array
@@ -217,13 +218,18 @@ object StreamingOps {
               cur = math.min(cur, r.doc_id)
               v
             }
-            state.update(NearDupBucket(cur,
-              math.max(st0.map(_.maxId).getOrElse(Long.MinValue), sorted.last.doc_id)))
-            // retention clock: ms CEILING of the bucket's last event so
-            // the timeout can never fire early; clamped above the
+            // retention clock: ms CEILING of the LATEST event the bucket
+            // has EVER seen (carried in state — an in-watermark but
+            // event-time-older straggler must not pull an already-set
+            // timeout backward and evict early), clamped above the
             // current watermark (setTimeoutTimestamp's requirement when
             // a straggler batch arrives at an already-passed boundary)
-            val lastUs = sorted.iterator.map(e => epochMicros(e.ts)).max
+            val lastUs = math.max(
+              st0.map(_.lastSeenUs).getOrElse(Long.MinValue),
+              sorted.iterator.map(e => epochMicros(e.ts)).max)
+            state.update(NearDupBucket(cur,
+              math.max(st0.map(_.maxId).getOrElse(Long.MinValue), sorted.last.doc_id),
+              lastUs))
             state.setTimeoutTimestamp(math.max(
               (lastUs + 999L) / 1000L + retentionMs,
               state.getCurrentWatermarkMs() + 1L))
@@ -254,19 +260,24 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     watermarkedBands(docs, textCol, idCol, tsCol, retentionMs, numHashes)
       .groupByKey(r => (r.band, r.digest))
-      .flatMapGroupsWithState[Long, DupVerdictU](
+      .flatMapGroupsWithState[AnchorBucket, DupVerdictU](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (key, rows, state: GroupState[Long]) =>
+        case (key, rows, state: GroupState[AnchorBucket]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(_.doc_id)
+            val st0 = state.getOption
             val (anchor, rest) =
-              if (state.exists) (state.get, sorted)
+              if (st0.isDefined) (st0.get.anchor, sorted)
               else (sorted.head.doc_id, sorted.tail)
-            state.update(anchor)
-            val lastUs = sorted.iterator.map(e => epochMicros(e.ts)).max
+            // max event time EVER seen, carried — same no-backward-pull
+            // retention clock as the ordered form
+            val lastUs = math.max(
+              st0.map(_.lastSeenUs).getOrElse(Long.MinValue),
+              sorted.iterator.map(e => epochMicros(e.ts)).max)
+            state.update(AnchorBucket(anchor, lastUs))
             state.setTimeoutTimestamp(math.max(
               (lastUs + 999L) / 1000L + retentionMs,
               state.getCurrentWatermarkMs() + 1L))
@@ -285,13 +296,20 @@ object StreamingOps {
   /** The shared bottom-k fold both reservoirs run per batch: merge the
     * carried ≤ k (priority, id) entries with the batch's, keep the k
     * smallest under the (priority, id) total order. O(batch × k log k)
-    * — k is small by contract (a sample size).
+    * — k is small by contract (a sample size). ID-DEDUPLICATING: an id
+    * already holding a reservoir slot is skipped, so at-least-once
+    * upstream delivery (or an in-batch duplicate) can never occupy two
+    * slots — both reservoirs' priorities are pure functions of the id
+    * (+ weight, itself a function of the id by the weighted contract),
+    * so a re-delivery carries the identical priority and skipping it is
+    * exactly "the bottom-k of the history's id SET".
     */
   private def bottomK[P](
       cur: Seq[(P, Long)], add: Iterator[(P, Long)], k: Int)(
       implicit ord: Ordering[(P, Long)]): Seq[(P, Long)] =
     add.foldLeft(cur.sorted) { (res, e) =>
-      if (res.size < k) (res :+ e).sorted
+      if (res.exists(_._2 == e._2)) res
+      else if (res.size < k) (res :+ e).sorted
       else if (ord.lt(e, res.last)) (res.init :+ e).sorted
       else res
     }
@@ -313,7 +331,10 @@ object StreamingOps {
     * the whole point of a reservoir: sampling 100 TB of ingest costs
     * k × |sources| rows of state, no watermark needed. Emits each key's
     * reservoir + seen-count per batch (update mode); the gate's rollup
-    * keeps the max-n row.
+    * keeps the max-n row. At-least-once upstream delivery is safe for
+    * MEMBERSHIP (the fold skips ids already holding a slot); `n_seen`
+    * counts deliveries, not distinct ids — distinct counting would need
+    * unbounded state, the thing a reservoir exists to avoid.
     */
   def reservoirPerKey(
       docs: Dataset[DocArrival], k: Int): Dataset[ReservoirUpdate] = {
@@ -354,6 +375,9 @@ object StreamingOps {
     * are CARRIED here (unlike [[reservoirPerKey]], they depend on the
     * weight, which is not recoverable from the id). Same bounded-state
     * story: sampling unbounded ingest costs k × |sources| state rows.
+    * INPUT CONTRACT: a document's weight is a pure function of its id
+    * (re-deliveries repeat it verbatim) — that is what makes the
+    * priority re-delivery-identical and the fold's id-dedup sound.
     */
   def weightedReservoirPerKey(
       docs: Dataset[WeightedArrival], k: Int): Dataset[ReservoirUpdate] = {

@@ -199,4 +199,105 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
       fp.select(col("id"), col("text_kept").as("text")), "text", "id")
     assert(again.agg(coalesce(sum("n_cut"), lit(0L))).head.getLong(0) == 0L)
   }
+
+  // ---- streaming retention clock: no backward pull (round-12 ADVICE) ----
+
+  private def ts(sec: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  private val T = "alpha beta gamma delta epsilon"
+  private val U = "one two three four five six"
+  private val V = "red green blue yellow purple orange"
+
+  private def runNearDup(
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp)]],
+      retentionMs: Long, ordered: Boolean): Map[Long, Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sink = s"graft_r13_neardup_${if (ordered) "o" else "u"}"
+    spark.catalog.dropTempView(sink)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val in = ms.toDF.toDF("doc_id", "text", "ts")
+    val plan =
+      if (ordered)
+        streaming.StreamingOps.nearDupOnIngest(in, "text", "doc_id", "ts", retentionMs).toDF()
+      else
+        streaming.StreamingOps.nearDupOnIngestUnordered(in, "text", "doc_id", "ts", retentionMs).toDF()
+    val q = plan.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(sink).groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  for (ordered <- Seq(true, false))
+    test(s"near-dup retention clock (ordered=$ordered): " +
+      "an event-time-older straggler cannot pull eviction earlier") {
+      // retention 120s. The T bucket's TRUE last-seen is 100s (correct
+      // timeout 220s); the in-watermark straggler @40s used to RESET the
+      // clock to 160s. Batches 2-3 drive the watermark to 180s — past
+      // the buggy timeout, short of the correct one — with the bucket
+      // silent, which is exactly when timers fire. The recurrence @310s
+      // must still be FLAGGED against the original anchor: an early
+      // eviction would re-anchor it silently and emit nothing.
+      val E0 = 1704067200L
+      val got = runNearDup(Seq(
+        Seq((1L, T, ts(E0 + 100))),
+        Seq((2L, T, ts(E0 + 40))), // straggler: older event, same bucket
+        Seq((3L, U, ts(E0 + 300))), // sets wm(next) = 180
+        Seq((4L, V, ts(E0 + 301))), // T silent here: the would-be firing
+        Seq((5L, T, ts(E0 + 310)))),
+        retentionMs = 120000L, ordered = ordered)
+      assert(got.get(2L).contains(1L), s"straggler itself must be flagged: $got")
+      assert(got.get(5L).contains(1L),
+        s"bucket evicted early — the straggler pulled the clock backward: $got")
+    }
+
+  test("reservoir re-delivery: an at-least-once duplicate cannot occupy two slots") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StreamingOps
+    // ids {1,3,5,7,9} under the md5 coin sample to 9>7>1 at k=3
+    // (Round12Spec's pin); id 9 is delivered FOUR times, in-batch and
+    // across batches — the pre-fix fold produced "9>9>7"
+    val sink = "graft_r13_res_dup"
+    spark.catalog.dropTempView(sink)
+    val ms = MemoryStream[StreamingOps.DocArrival](spark)
+    val q = StreamingOps.reservoirPerKey(ms.toDS(), k = 3)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try Seq(Seq(1L, 3L, 9L, 9L), Seq(5L, 7L, 9L), Seq(9L)).foreach { b =>
+      ms.addData(b.map(StreamingOps.DocArrival("s", _))); q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table(sink)
+      .groupBy("source").agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+      .head().getStruct(1)
+    assert(r.getString(1) == "9>7>1",
+      s"re-delivered id must hold ONE slot: sample=${r.getString(1)}")
+    assert(r.getLong(0) == 8L, s"n_seen counts deliveries: ${r.getLong(0)}")
+  }
+
+  test("weighted reservoir re-delivery: duplicate (id, weight) holds one slot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.StreamingOps
+    val sink = "graft_r13_wres_dup"
+    spark.catalog.dropTempView(sink)
+    val ms = MemoryStream[StreamingOps.WeightedArrival](spark)
+    val q = StreamingOps.weightedReservoirPerKey(ms.toDS(), k = 2)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    // id 1 @ w=1000 (u/w = .000576, always wins) re-delivered across
+    // batches; pre-fix it would fill BOTH slots and evict id 4
+    try Seq(Seq(1L -> 1000.0, 2L -> 1.0), Seq(1L -> 1000.0, 4L -> 1.0))
+      .foreach { b =>
+        ms.addData(b.map { case (id, w) => StreamingOps.WeightedArrival("s", id, w) })
+        q.processAllAvailable()
+      } finally q.stop()
+    val r = spark.table(sink)
+      .groupBy("source").agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+      .head().getStruct(1)
+    assert(r.getString(1) == "1>4",
+      s"re-delivered id must hold ONE slot: sample=${r.getString(1)}")
+    assert(r.getLong(0) == 4L)
+  }
 }
