@@ -698,6 +698,21 @@ object StreamParityQueries {
       .join(mates, Seq("doc_id"), "left_anti")
       .orderBy("doc_id").limit(60)
       .select(col("text")).as[String].collect()
+    // PREMISE, made executable (the assertDocTsRange discipline): the
+    // no-late-flag expectation needs, per group, a non-empty micro-batch
+    // strictly between its base slice and its recurrence — timeouts fire
+    // only in a batch the bucket has NO data in, and only batches with
+    // rows exist at all. With ≥ 6 groups the round-robin occupies every
+    // base slice 0..5 AND every recurrence slice 4..9, so each group has
+    // three intermediate batches (the first to move the watermark past
+    // its timeout, the rest to fire it); below that, intermediate slices
+    // can be empty, the bucket never times out, copy 2 gets flagged, and
+    // the gate fails WITH THE OPERATOR BEHAVING CORRECTLY. 12 keeps a
+    // 2× margin over the bound.
+    require(elig.length >= 12,
+      s"q345 premise: need >= 12 band-isolated docs with >= 3 words, got " +
+        s"${elig.length} — corpus too small for the eviction fixture's " +
+        "slice arithmetic (empty intermediate batches never fire timers)")
     case class F(slice: Long, doc_id: Long, text: String, ts: java.sql.Timestamp)
     def mk(s: Long, r: Int, c: Long, off: Long, text: String) =
       F(s, s * 1000000L + r * 10L + c, text,

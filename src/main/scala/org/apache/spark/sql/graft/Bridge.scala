@@ -53,4 +53,15 @@ object Bridge {
   def freeAllPersistedRdds(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+
+  /** Storage location of a catalog table. `private[sql]` session state
+    * is the only road to an EXTERNAL table's path (the catalog API
+    * exposes none), and graft's materialized graph tables are external —
+    * DROP TABLE alone would strand their files in the warehouse, which
+    * is exactly what the superseded-table GC needs to clean up.
+    */
+  def tableLocation(spark: SparkSession, table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
 }

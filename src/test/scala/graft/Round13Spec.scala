@@ -300,4 +300,84 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
       s"re-delivered id must hold ONE slot: sample=${r.getString(1)}")
     assert(r.getLong(0) == 4L)
   }
+
+  // ---- graph materialization: nested fingerprints + superseded GC ----
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private def hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+
+  test("graph materialization: a regenerated PARTITIONED dataset invalidates (recursive fingerprint)") {
+    import spark.implicits._
+    // the round-12 fingerprint listed only top-level files — a
+    // partitioned layout (leaf files under pt=*/ subdirs) contributed
+    // nothing and silently fell back to path-only tagging
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-fp").toString
+    try {
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+        .toDF("l_orderkey", "l_partkey").withColumn("pt", col("l_orderkey") % 2)
+        .write.mode("overwrite").partitionBy("pt")
+        .parquet(s"$dir/lineitem.parquet")
+      val n1 = graft.operators.Edges.coPurchase(spark, dir).count()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L))
+        .toDF("l_orderkey", "l_partkey").withColumn("pt", col("l_orderkey") % 2)
+        .write.mode("overwrite").partitionBy("pt")
+        .parquet(s"$dir/lineitem.parquet")
+      val n2 = graft.operators.Edges.coPurchase(spark, dir).count()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      assert(n1 == 1L && n2 == 2L,
+        s"recursive fingerprint must see leaf files: $n1 -> $n2")
+    } finally rmTree(dir)
+  }
+
+  test("graph materialization GC: a regeneration drops the superseded table AND its files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-gc").toString
+    val prefix = s"graft_copurchase_${hex8(dir)}_"
+    def liveTables(): Seq[String] = spark.catalog.listTables().collect()
+      .filter(t => !t.isTemporary && t.name.startsWith(prefix)).map(_.name).toSeq
+    try {
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+        .toDF("l_orderkey", "l_partkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      graft.operators.Edges.coPurchase(spark, dir).count()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      val t1 = liveTables()
+      assert(t1.size == 1, s"expected one fresh table: $t1")
+      val loc1 = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graft.Bridge.tableLocation(spark, t1.head))
+      val fs = loc1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(loc1))
+      // regenerate → new fingerprint; the superseded table must vanish
+      // from the catalog AND the warehouse (external table: DROP alone
+      // strands the files)
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+        (4L, 1L), (4L, 3L))
+        .toDF("l_orderkey", "l_partkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      graft.operators.Edges.coPurchase(spark, dir).count()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      val t2 = liveTables()
+      assert(t2.size == 1 && t2 != t1,
+        s"superseded table must be GC'd, new one live: $t1 -> $t2")
+      assert(!fs.exists(loc1), s"superseded table's files must be deleted: $loc1")
+    } finally rmTree(dir)
+  }
 }
