@@ -262,6 +262,70 @@ object StreamParityQueries {
       |         AS admitted_checksum
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** q352's expected verdicts: the q347 slice arithmetic collapsed to
+    * two PHASES — slices 0-1 share one cumulative quota (the restart
+    * between them is within the TTL, so the counter must carry), slice
+    * 2 starts fresh (the inter-slice sleep exceeds the TTL).
+    */
+  private val QuotaTtlRecoveryOracle =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) - 1 AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, rn,
+      |         CASE WHEN rn // ((n + 2) // 3) <= 1 THEN 0 ELSE 1 END AS phase
+      |  FROM o),
+      |r AS (
+      |  SELECT user_id, phase, event_id,
+      |         row_number() OVER (PARTITION BY user_id, phase
+      |                            ORDER BY ts, event_id) AS rns
+      |  FROM s)
+      |SELECT user_id, CAST(phase AS BIGINT) AS phase,
+      |       CAST(count(*) FILTER (rns <= 5) AS BIGINT) AS n_admitted,
+      |       CAST(count(*) FILTER (rns > 5) AS BIGINT) AS n_rejected,
+      |       CAST(coalesce(sum(event_id) FILTER (rns <= 5), 0) AS BIGINT)
+      |         AS admitted_checksum
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** The exact batch bottom-20 per source under the md5 priority coin —
+    * what the streamed reservoir must equal under ANY arrival order
+    * (shared by the in-order q348 and the recovery twin q350).
+    */
+  private val ReservoirOracle =
+    """WITH p AS (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pr
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, pr,
+      |         row_number() OVER (PARTITION BY source ORDER BY pr, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM p)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
+      |       array_to_string(list(doc_id ORDER BY pr, doc_id), '>') AS sample
+      |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin
+
+  /** The weighted twin (q349/q351): q138's coin verbatim — u/2^52 then
+    * /w, two left-associated IEEE divisions.
+    */
+  private val WReservoirOracle =
+    """WITH p AS (
+      |  SELECT source, doc_id,
+      |         (CAST(('0x' || substr(md5('graft-ws-' || CAST(doc_id AS VARCHAR)), 1, 13))
+      |               AS BIGINT) / 4503599627370496.0)
+      |         / CAST(n_chars AS DOUBLE) AS pri
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, pri,
+      |         row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM p)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
+      |       array_to_string(list(doc_id ORDER BY pri, doc_id), '>') AS sample
+      |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin
+
   private val QuotaOracle =
     """WITH r AS (
       |  SELECT user_id, event_id,
@@ -865,6 +929,62 @@ object StreamParityQueries {
         col("m.sample").as("sample"))
   }
 
+  /** q350: q348's reservoir ACROSS A QUERY RESTART — the recovery gate
+    * completing the family contract for the sampling rung (every
+    * stateful operator ships with in-order + recovery gates; q348/q349
+    * were the round-12 holdouts). Mid-feed the query stops and resumes
+    * from the same checkpoint: the per-source (ids, n) state must
+    * reload at its committed value — a RESET reservoir re-admits
+    * late-arriving ids whose priority would have lost to the already-
+    * locked-out bottom-k (the id-shuffled feed guarantees high-priority
+    * winners arrive on BOTH sides of the boundary, so a reset changes
+    * membership and the sample string diverges), and a replayed
+    * boundary batch double-counts n_seen. Same oracle as q348, the
+    * recovery-family convention; the max-n rollup is idempotent under
+    * benign replay because n_seen strictly increases and the reservoir
+    * fold is deterministic.
+    */
+  def q350StreamReservoirRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string"))) // deterministic id-shuffle
+      .as[StreamingOps.DocArrival]
+    runFeedWithRestart(spark, docs,
+      (ds: org.apache.spark.sql.Dataset[StreamingOps.DocArrival]) =>
+        StreamingOps.reservoirPerKey(ds, k = 20).toDF(),
+      outputMode = "update", maxChunk = 4096L)
+      .groupBy("source")
+      .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+      .select(col("source"), col("m.n_seen").as("n_seen"),
+        col("m.sample").as("sample"))
+  }
+
+  /** q351: q349's WEIGHTED reservoir across a query restart — the
+    * recovery twin where the carried state is (priority, id) PAIRS, so
+    * the checkpoint must round-trip the DOUBLE priorities bit-exactly
+    * (the weight is not recoverable from the id): a priority perturbed
+    * by the restart reorders the reservoir and the sample string fails
+    * the q349 batch bottom-k oracle even when membership survives.
+    */
+  def q351StreamWeightedReservoirRecovery(
+      spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("double").as("weight"))
+      .orderBy(md5(col("doc_id").cast("string"))) // deterministic id-shuffle
+      .as[StreamingOps.WeightedArrival]
+    runFeedWithRestart(spark, docs,
+      (ds: org.apache.spark.sql.Dataset[StreamingOps.WeightedArrival]) =>
+        StreamingOps.weightedReservoirPerKey(ds, k = 20).toDF(),
+      outputMode = "update", maxChunk = 4096L)
+      .groupBy("source")
+      .agg(max(struct(col("n_seen"), col("sample"))).as("m"))
+      .select(col("source"), col("m.n_seen").as("n_seen"),
+        col("m.sample").as("sample"))
+  }
+
   /** q347: the RETENTION-bounded quota, driver-verified —
     * [[StreamingOps.quotaPerKeyTtl]], the per-variable state TTL the
     * TransformWithState family otherwise demonstrates only in prose
@@ -934,6 +1054,122 @@ object StreamParityQueries {
     spark.table(sink)
       .join(sliced.select(col("event_id"), col("slice")), Seq("event_id"))
       .groupBy("user_id", "slice")
+      .agg(
+        count(when(col("admitted"), 1)).as("n_admitted"),
+        count(when(!col("admitted"), 1)).as("n_rejected"),
+        coalesce(sum(when(col("admitted"), col("event_id"))), lit(0L))
+          .as("admitted_checksum"))
+  }
+
+  /** q352: the TTL quota's state ACROSS A QUERY RESTART — the recovery
+    * gate for the TransformWithState TTL surface (q347's in-order twin;
+    * q336 covers the TTLConfig.NONE store). The RocksDB TTL encoding
+    * prefixes each value with its expiration timestamp, and changelog
+    * checkpointing serializes exactly those bytes — so a restart must
+    * reload TTL'd counters WITH their expiry metadata: the gate stops
+    * the query between slice 0 and slice 1 and resumes from the same
+    * checkpoint WITHIN the TTL (counters must SURVIVE: slice 1
+    * continues each user's slice-0 count — a reset store re-admits a
+    * fresh cap and the checksum fails), then sleeps PAST the TTL before
+    * slice 2 (counters must REFRESH: a store that reloads values but
+    * drops expiry metadata keeps rejecting and fails the phase-1
+    * checksum). Processing-time TTL makes wall-clock part of the
+    * fixture, so both premises are MEASURED: the gate aborts with a
+    * premise error (not a false verdict) if the restart overran the
+    * TTL. The oracle is the batch row_number gate at (user, phase)
+    * grain: phase 0 = slices 0-1 under ONE cumulative quota, phase 1 =
+    * slice 2 fresh.
+    */
+  def q352StreamQuotaTtlRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ttlMs = 10000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val sliced = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("slice", expr("rn div ((n + 2) div 3)"))
+      .persist()
+    val feed = sliced
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("slice"))
+      .orderBy("slice", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Long)]
+      .collect() // events-table scale, the bounded harness feed
+    val bySlice = feed.groupBy(_._5).toSeq.sortBy(_._1)
+      .map { case (s, rows) => s -> rows.map { case (u, ts, eid, v, _) =>
+        StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq }
+    require(bySlice.map(_._1) == Seq(0L, 1L, 2L),
+      s"q352 premise: need exactly slices 0..2, got ${bySlice.map(_._1)}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q352").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    // exact-count barrier on DISTINCT rows (the q336 idempotent-sink
+    // discipline: a benignly replayed boundary batch re-emits IDENTICAL
+    // verdicts — the fold is deterministic against the committed state
+    // version — so distinct-count is the exact boundary where raw count
+    // would drift under replay)
+    def awaitDistinct(expected: Int,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val deadline = System.nanoTime() + 120000L * 1000000L
+      def distinct(): Int = {
+        val s = new java.util.HashSet[org.apache.spark.sql.Row]()
+        buf.forEach(r => { s.add(r); () })
+        s.size
+      }
+      var n = distinct()
+      while (n < expected) {
+        if (q.exception.isDefined) throw q.exception.get
+        if (System.nanoTime() > deadline) throw new IllegalStateException(
+          s"q352: expected $expected distinct verdicts, still $n")
+        Thread.sleep(50L); n = distinct()
+      }
+      if (n > expected) throw new IllegalStateException(
+        s"q352: expected exactly $expected distinct verdicts, got $n (over-emission)")
+    }
+    val verdicts = withRocksDbStateStore(spark) {
+      val ms = MemoryStream[StreamingOps.ValEvent](spark)
+      def plan = StreamingOps.quotaPerKeyTtl(ms.toDS(), cap = 5L, ttlMs = ttlMs).toDF()
+      val outSchema = plan.schema
+      def start() = plan.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(buf.add); ()
+        }
+        .start()
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = start()
+        ms.addData(bySlice(0)._2)
+        awaitDistinct(bySlice(0)._2.size, q)
+        val t0 = System.nanoTime()
+        q.stop()
+        q = start() // same checkpoint: TTL'd counters must carry over
+        ms.addData(bySlice(1)._2)
+        awaitDistinct(bySlice(0)._2.size + bySlice(1)._2.size, q)
+        val withinMs = (System.nanoTime() - t0) / 1000000L
+        // premise, measured: the survive branch only means something if
+        // slice 1 landed before the slice-0 writes could expire
+        require(withinMs < ttlMs,
+          s"q352 premise: restart+slice-1 took $withinMs ms >= $ttlMs ms TTL " +
+            "— machine too slow for the survive branch; not a verdict")
+        Thread.sleep(ttlMs + 2500L) // every counter's last write expires
+        ms.addData(bySlice(2)._2)
+        awaitDistinct(feed.length, q)
+        q.stop()
+        spark.createDataFrame(
+          new java.util.ArrayList(
+            new java.util.LinkedHashSet(buf)), outSchema)
+      } finally {
+        if (q != null) q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    verdicts
+      .join(sliced.select(col("event_id"), col("slice")), Seq("event_id"))
+      .withColumn("phase", when(col("slice") <= 1L, 0L).otherwise(1L))
+      .groupBy("user_id", "phase")
       .agg(
         count(when(col("admitted"), 1)).as("n_admitted"),
         count(when(!col("admitted"), 1)).as("n_rejected"),
@@ -1951,6 +2187,9 @@ object StreamParityQueries {
     "q347_stream_quota_ttl" -> (q347StreamQuotaTtl _),
     "q348_stream_reservoir" -> (q348StreamReservoir _),
     "q349_stream_weighted_reservoir" -> (q349StreamWeightedReservoir _),
+    "q350_stream_reservoir_recovery" -> (q350StreamReservoirRecovery _),
+    "q351_stream_wreservoir_recovery" -> (q351StreamWeightedReservoirRecovery _),
+    "q352_stream_quota_ttl_recovery" -> (q352StreamQuotaTtlRecovery _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2109,36 +2348,18 @@ object StreamParityQueries {
     // the exact batch bottom-20 per source under the same md5 priority
     // coin — what the streamed reservoir must equal under ANY arrival
     // order (the gate feeds a shuffled one)
-    "q348_stream_reservoir" ->
-      """WITH p AS (
-        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pr
-        |  FROM documents),
-        |r AS (
-        |  SELECT source, doc_id, pr,
-        |         row_number() OVER (PARTITION BY source ORDER BY pr, doc_id) AS rn,
-        |         count(*) OVER (PARTITION BY source) AS n
-        |  FROM p)
-        |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
-        |       array_to_string(list(doc_id ORDER BY pr, doc_id), '>') AS sample
-        |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin,
+    "q348_stream_reservoir" -> ReservoirOracle,
     // q138's weighted coin verbatim (u/2^52 then /w, two left-assoc
     // IEEE divisions) — the streamed weighted reservoir must equal the
     // batch bottom-20 under ANY arrival order
-    "q349_stream_weighted_reservoir" ->
-      """WITH p AS (
-        |  SELECT source, doc_id,
-        |         (CAST(('0x' || substr(md5('graft-ws-' || CAST(doc_id AS VARCHAR)), 1, 13))
-        |               AS BIGINT) / 4503599627370496.0)
-        |         / CAST(n_chars AS DOUBLE) AS pri
-        |  FROM documents),
-        |r AS (
-        |  SELECT source, doc_id, pri,
-        |         row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn,
-        |         count(*) OVER (PARTITION BY source) AS n
-        |  FROM p)
-        |SELECT source, CAST(max(n) AS BIGINT) AS n_seen,
-        |       array_to_string(list(doc_id ORDER BY pri, doc_id), '>') AS sample
-        |FROM r WHERE rn <= 20 GROUP BY source""".stripMargin,
+    "q349_stream_weighted_reservoir" -> WReservoirOracle,
+    // the recovery-family convention: same oracle as the in-order gate —
+    // the checkpoint round-trip must be answer-invisible
+    "q350_stream_reservoir_recovery" -> ReservoirOracle,
+    "q351_stream_wreservoir_recovery" -> WReservoirOracle,
+    // phase grain: slices 0-1 one cumulative quota (restart within TTL),
+    // slice 2 fresh (slept past it)
+    "q352_stream_quota_ttl_recovery" -> QuotaTtlRecoveryOracle,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses

@@ -184,9 +184,16 @@ object StreamingOps {
     * carried min stands in for "earliest arrival"; a smaller id
     * arriving AFTER a larger band-mate would leave the pair unflagged,
     * so the fold FAILS FAST — the per-bucket max-seen id makes the
-    * violation detectable — rather than silently under-reporting. For
-    * arrival-order-free ingest use [[nearDupOnIngestUnordered]], which
-    * assigns its own anchors and needs no id contract.
+    * violation detectable — rather than silently under-reporting.
+    *
+    * WHICH FORM TO USE: unless you OWN the ingest sequencing (a single
+    * door stamping ids in arrival order), start with
+    * [[nearDupOnIngestUnordered]] — it assigns its own anchors, needs
+    * no id contract, accepts any delivery order (multi-door ingest,
+    * replays, repartitioned feeds), and carries the same bounded
+    * evicting state. This ordered form buys one thing for the
+    * contract's price: verdicts name the MINIMUM-id band-mate instead
+    * of the first-arrived one.
     */
   def nearDupOnIngest(
       docs: DataFrame, textCol: String, idCol: String,
