@@ -1177,6 +1177,84 @@ object StreamParityQueries {
           .as("admitted_checksum"))
   }
 
+  /** q353: the forecast family's RETENTION knob, driver-verified —
+    * [[StreamingOps.ewmaPerKeyEvicting]], the q342-closure pattern
+    * applied to the fold family's last `NoTimeout` holdouts (q267's
+    * EWMA; Round13Spec carries the Holt/Holt-Winters micro twins over
+    * the shared eviction wrapper). The feed re-slices each user's
+    * history into three consecutive slices (q347's arithmetic) on a
+    * SYNTHETIC event-time axis: slice s's events keep their original
+    * intra-slice (ts, event_id) order but live at
+    * base(s) = Epoch0 + s·(span + 4 h), so consecutive slices are
+    * separated by ≥ 4 h of event time against a 1 h retention. Each
+    * slice arrives as ONE micro-batch; between slices two clock-key
+    * barrier batches advance the watermark past every user's
+    * last-seen + retention (the first lifts the watermark, the second
+    * runs the batch the timers fire in — an event-time timer only
+    * fires in a batch its key is silent in, under the watermark the
+    * previous batch committed), so every user's fold state PROVABLY
+    * evicts between slices and each slice re-seeds from its first
+    * event. The oracle is the q267 batch fold re-run inside each
+    * (user, slice): a fold that survives the gap carries (n, ewma)
+    * across slices and fails both count and hash; one that evicts
+    * mid-slice under-counts; and retention-spanning semantics would
+    * collapse to q267's lifetime fold and fail every multi-slice user.
+    * Event-time eviction keeps the whole gate deterministic — no
+    * wall-clock premise, unlike the processing-time TTL gates.
+    */
+  def q353StreamEwmaEvict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q353_ewma_evict"
+    spark.catalog.dropTempView(sink)
+    val retentionMs = 3600L * 1000L
+    val hourUs = 3600L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+    val bounds = ev.agg(min(col("us")), max(col("us"))).head()
+    val (minUs, spanUs) = (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0))
+    val gapUs = spanUs + 4L * hourUs
+    val e0Us = Epoch0 * 1000000L
+    val feed = ev
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("slice", expr("rn div ((n + 2) div 3)"))
+      .withColumn("synth_us",
+        lit(e0Us) + col("slice") * lit(gapUs) + col("us") - lit(minUs))
+      .select(col("user_id"), timestamp_micros(col("synth_us")).as("ts"),
+        col("event_id"), col("value"), col("slice"))
+      .orderBy("slice", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Long)]
+      .collect() // events-table scale, the bounded harness feed
+    val bySlice = feed.groupBy(_._5).toSeq.sortBy(_._1)
+    def clock(us: Long) = StreamingOps.ValEvent(
+      -1L, new java.sql.Timestamp(us / 1000L), -1L, 0.0)
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.ewmaPerKeyEvicting(ms.toDS(), retentionMs)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      bySlice.foreach { case (s, rows) =>
+        ms.addData(rows.map { case (u, ts, eid, v, _) =>
+          StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq)
+        q.processAllAvailable()
+        // barrier 1 sits 1 s past the eviction boundary (slice max
+        // event + 2 h, watermark delay = 1 h), so after its batch the
+        // watermark strictly exceeds every timeout; barrier 2's batch
+        // is where those timers fire
+        val b1 = e0Us + s * gapUs + spanUs + 2L * hourUs + 1000000L
+        Seq(b1, b1 + 60L * 1000000L).foreach { t =>
+          ms.addData(Seq(clock(t)))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("n_events"), col("ewma"))
+  }
+
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
     * tumbling gate extended to overlapping windows
     * ([[StreamingOps.eventSlidingCounts]]: 1-hour windows sliding every
@@ -2190,6 +2268,7 @@ object StreamParityQueries {
     "q350_stream_reservoir_recovery" -> (q350StreamReservoirRecovery _),
     "q351_stream_wreservoir_recovery" -> (q351StreamWeightedReservoirRecovery _),
     "q352_stream_quota_ttl_recovery" -> (q352StreamQuotaTtlRecovery _),
+    "q353_stream_ewma_evict" -> (q353StreamEwmaEvict _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2360,6 +2439,24 @@ object StreamParityQueries {
     // phase grain: slices 0-1 one cumulative quota (restart within TTL),
     // slice 2 fresh (slept past it)
     "q352_stream_quota_ttl_recovery" -> QuotaTtlRecoveryOracle,
+    // the q267 batch fold re-run inside each (user, slice) — what the
+    // evicting EWMA must equal when every inter-slice gap exceeds the
+    // retention (slice column grouped but not selected: the stream
+    // side cannot know which slice an update came from, and the
+    // multiset of (user, n, ewma) rows is already decisive)
+    "q353_stream_ewma_evict" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |             rn // ((n + 2) // 3) AS slice FROM o)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> acc / 2 + x / 2) AS ewma
+        |FROM s GROUP BY user_id, slice""".stripMargin,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses

@@ -672,7 +672,9 @@ object StreamingOps {
     * (eᵢ = xᵢ/2 + eᵢ₋₁/2 is computed step-for-step identically —
     * parity asserted in StreamingSpec). The per-batch sort is bounded
     * by one key's batch arrivals, the mapGroupsWithState analog of
-    * q143's per-user sorted array.
+    * q143's per-user sorted array. State is O(1) per key but LIFETIME
+    * (`NoTimeout`); on ingest whose key universe grows unboundedly use
+    * [[ewmaPerKeyEvicting]] — the same fold with a retention knob.
     */
   def ewmaPerKey(events: Dataset[ValEvent]): Dataset[EwmaUpdate] = {
     import events.sparkSession.implicits._
@@ -803,7 +805,8 @@ object StreamingOps {
     * the batch `aggregate` over the full history (parity asserted in
     * StreamingSpec). The continuously-maintained one-step forecast is
     * l + b — the state a live anomaly gate reads without ever
-    * recomputing the series.
+    * recomputing the series. Lifetime state; [[holtPerKeyEvicting]]
+    * is the retention-bounded form.
     */
   def holtPerKey(events: Dataset[ValEvent]): Dataset[HoltUpdate] = {
     import events.sparkSession.implicits._
@@ -904,7 +907,8 @@ object StreamingOps {
     * batch answer for in-order delivery (driver-gated, q304 vs q303's
     * oracle). State per key is O(period); index-based seasons keep the
     * recurrence free of calendar parsing — a calendar period is the
-    * same fold keyed by a time slot.
+    * same fold keyed by a time slot. Lifetime state;
+    * [[holtWintersPerKeyEvicting]] is the retention-bounded form.
     */
   def holtWintersPerKey(events: Dataset[ValEvent]): Dataset[HwUpdate] = {
     import events.sparkSession.implicits._
@@ -931,6 +935,111 @@ object StreamingOps {
           HwUpdate(uid, st.n, st.l, st.b,
             st.seas(0), st.seas(1), st.seas(2), st.seas(3))
       }
+  }
+
+  /** Shared RETENTION-evicting wrapper for the in-order per-key folds —
+    * the q342-closure pattern applied to the forecast family's last
+    * `NoTimeout` holdouts: same in-batch (ts, event_id) sort and the
+    * IDENTICAL IEEE fold steps as the unbounded form (passed in as
+    * seed/step, so parity within a retention window is bit-exact by
+    * construction), plus the [[nearDupOnIngest]] eviction machinery —
+    * watermark delay = the retention, an event-time timeout at the
+    * MAX event time the key has EVER seen (carried in state so an
+    * in-watermark straggler cannot pull an already-set timeout
+    * backward) + `retentionMs`, and `state.remove()` when it fires. A
+    * key quiet past the retention loses its fold state and its next
+    * event SEEDS FRESH — the forecaster forgets sources that went
+    * silent, and on unbounded ingest the live state is proportional to
+    * the retention window's active keys, never the key universe's
+    * lifetime. Emits one update per key per batch with data; timeouts
+    * emit nothing (an evicted forecast has no reader).
+    */
+  private def foldPerKeyEvicting[S, O](
+      events: Dataset[ValEvent], retentionMs: Long,
+      seed: ValEvent => S, step: (S, ValEvent) => S, emit: (Long, S) => O)(
+      implicit stEnc: org.apache.spark.sql.Encoder[(S, Long)],
+      outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$retentionMs milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(S, Long), O](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[ValEvent], state: GroupState[(S, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+            val st0 = state.getOption
+            var st = st0.map(_._1)
+            sorted.foreach { e =>
+              st = Some(st.fold(seed(e))(s => step(s, e)))
+            }
+            val lastUs = math.max(
+              st0.map(_._2).getOrElse(Long.MinValue),
+              sorted.iterator.map(e => epochMicros(e.ts)).max)
+            state.update((st.get, lastUs))
+            state.setTimeoutTimestamp(math.max(
+              (lastUs + 999L) / 1000L + retentionMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(emit(uid, st.get))
+          }
+      }
+  }
+
+  /** [[ewmaPerKey]] with the retention knob: identical IEEE fold
+    * (bit-equal within a retention window), state EVICTED once the key
+    * is quiet past `retentionMs` of event time — see
+    * [[foldPerKeyEvicting]]. Driver-gated (q353: per-(user, slice)
+    * batch-fold oracle across eviction-spanning gaps); the eviction
+    * micro twin + unbounded control live in Round13Spec.
+    */
+  def ewmaPerKeyEvicting(
+      events: Dataset[ValEvent], retentionMs: Long): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    foldPerKeyEvicting[EwmaState, EwmaUpdate](events, retentionMs,
+      e => EwmaState(e.value, 1L),
+      (st, e) => EwmaState(st.ewma / 2 + e.value / 2, st.n + 1),
+      (uid, st) => EwmaUpdate(uid, st.n, st.ewma))
+  }
+
+  /** [[holtPerKey]] with the retention knob — the coupled (level,
+    * trend) fold under [[foldPerKeyEvicting]]'s eviction machinery.
+    */
+  def holtPerKeyEvicting(
+      events: Dataset[ValEvent], retentionMs: Long): Dataset[HoltUpdate] = {
+    import events.sparkSession.implicits._
+    foldPerKeyEvicting[HoltState, HoltUpdate](events, retentionMs,
+      e => HoltState(e.value, 0.0, 1L),
+      (st, e) => {
+        val l2 = (e.value + st.l + st.b) / 2
+        HoltState(l2, (l2 - st.l + st.b) / 2, st.n + 1)
+      },
+      (uid, st) => HoltUpdate(uid, st.n, st.l, st.b))
+  }
+
+  /** [[holtWintersPerKey]] with the retention knob — the three-variable
+    * seasonal fold under [[foldPerKeyEvicting]]'s eviction machinery
+    * (the seasonal array re-seeds to 0⃗ with the rest of the state:
+    * a source silent past retention restarts its seasonal profile).
+    */
+  def holtWintersPerKeyEvicting(
+      events: Dataset[ValEvent], retentionMs: Long): Dataset[HwUpdate] = {
+    import events.sparkSession.implicits._
+    foldPerKeyEvicting[HwState, HwUpdate](events, retentionMs,
+      e => HwState(e.value, 0.0, Seq.fill(4)(0.0), 1L),
+      (st, e) => {
+        val k = (st.n % 4).toInt
+        val s = st.seas(k)
+        val l2 = (e.value - s + st.l + st.b) / 2
+        val b2 = (l2 - st.l + st.b) / 2
+        st.copy(l = l2, b = b2,
+          seas = st.seas.updated(k, (e.value - l2 + s) / 2),
+          n = st.n + 1)
+      },
+      (uid, st) => HwUpdate(uid, st.n, st.l, st.b,
+        st.seas(0), st.seas(1), st.seas(2), st.seas(3)))
   }
 
   case class TypedEvent(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
