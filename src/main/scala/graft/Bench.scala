@@ -102,7 +102,11 @@ object Bench {
     // machinery plus the (doc, pos)-later victim rule, a token-grain
     // cut merge and the per-doc rebuild (the operator that actually
     // shrinks the corpus)
-    "q344_substring_dedup_apply")
+    "q344_substring_dedup_apply",
+    // round-13 flagship: the Gopher repetition gate — document-local
+    // exact n-gram character masses in one fused native pass, zero
+    // shuffles (the quality dimension the C4-style funnel misses)
+    "q354_gopher_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

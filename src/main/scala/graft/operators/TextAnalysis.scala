@@ -118,6 +118,28 @@ object TextAnalysis {
             col("stopword_ratio") >= 0.01 && col("punct_ratio") <= 0.3, 1).otherwise(0))
   }
 
+  /** Gopher repetition gate (Rae et al. 2021, appendix A1.1) — the
+    * quality dimension the C4-style funnel misses: a document dominated
+    * by one repeated phrase sails through length/stopword/word-length
+    * gates while being worthless training data. Per document (one fused
+    * native pass, [[graft.functions.GopherRepetition]]; zero shuffles —
+    * the statistic is document-local, embarrassingly parallel at any
+    * corpus size): exact integer character masses of the heaviest
+    * {2,3,4}-gram and of duplicated {5,10}-grams over the cleaned
+    * word stream, plus `pass` — ALL Gopher thresholds met (top2 ≤ 0.20,
+    * top3 ≤ 0.18, top4 ≤ 0.16, dup5 ≤ 0.15, dup10 ≤ 0.10 of the
+    * character mass), evaluated as integer cross-multiplications so the
+    * gate never divides.
+    */
+  def gopherRepetition(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), graft.functions.GopherRepetition(col(textCol)))
+      .withColumn("pass",
+        col("top2") * 5 <= col("denom") &&
+          col("top3") * 50 <= col("denom") * 9 &&
+          col("top4") * 25 <= col("denom") * 4 &&
+          col("dup5") * 20 <= col("denom") * 3 &&
+          col("dup10") * 10 <= col("denom"))
+
   /** Token counts per document: whitespace tokens, alpha runs, digit runs,
     * and a BPE-ish segmentation count (letter runs + digit runs + each
     * non-alnum non-space char).

@@ -1291,6 +1291,11 @@ object TextQueries {
     "q20_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir), "text", "doc_id")),
     "q21_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir), "text", "doc_id")),
     "q22_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "text", "doc_id")),
+    // q354: Gopher repetition gate — exact integer n-gram character
+    // masses per document (Rae et al. 2021 A1.1), the repetition
+    // dimension q238's funnel misses; document-local, zero shuffles.
+    "q354_gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(docs(s, dir), "text", "doc_id")),
     "q23_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")),
     "q24_winnow_pairs" -> (q24WinnowPairs _),
     "q25_lang_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(docs(s, dir), "text", "doc_id")),
@@ -2884,6 +2889,48 @@ object TextQueries {
          |       WHEN s_en > s_de THEN 'en'
          |       ELSE 'de' END AS pred_lang
          |FROM scored""".stripMargin,
+    // q354: the Gopher repetition masses re-derived from scratch — grams
+    // via 1-based list slices per n ∈ {2,3,4,5,10}, exact integer
+    // count·charlen products, thresholds as the same integer
+    // cross-multiplications the operator uses (never a float division)
+    "q354_gopher_repetition" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, w,
+        |         CAST(CASE WHEN len(w) = 0 THEN 0
+        |              ELSE length(array_to_string(w, ' ')) END AS BIGINT) AS denom
+        |  FROM wd),
+        |g AS (
+        |  SELECT doc_id, n,
+        |         unnest(list_transform(range(1, len(w) - n + 2),
+        |                i -> array_to_string(w[i:i+n-1], ' '))) AS gram
+        |  FROM base, (VALUES (2),(3),(4),(5),(10)) AS ns(n)
+        |  WHERE len(w) >= n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
+        |      FROM g GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, n,
+        |             max(c * gl) AS topm,
+        |             coalesce(sum(CASE WHEN c >= 2 THEN c * gl END), 0) AS dupm
+        |      FROM c GROUP BY 1, 2),
+        |p AS (SELECT b.doc_id, b.denom,
+        |             CAST(coalesce(max(CASE WHEN m.n = 2 THEN m.topm END), 0) AS BIGINT) AS top2,
+        |             CAST(coalesce(max(CASE WHEN m.n = 3 THEN m.topm END), 0) AS BIGINT) AS top3,
+        |             CAST(coalesce(max(CASE WHEN m.n = 4 THEN m.topm END), 0) AS BIGINT) AS top4,
+        |             CAST(coalesce(max(CASE WHEN m.n = 5 THEN m.dupm END), 0) AS BIGINT) AS dup5,
+        |             CAST(coalesce(max(CASE WHEN m.n = 10 THEN m.dupm END), 0) AS BIGINT) AS dup10
+        |      FROM base b LEFT JOIN m ON m.doc_id = b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, denom, top2, top3, top4, dup5, dup10,
+        |       (top2 * 5 <= denom AND top3 * 50 <= denom * 9
+        |        AND top4 * 25 <= denom * 4 AND dup5 * 20 <= denom * 3
+        |        AND dup10 * 10 <= denom) AS pass
+        |FROM p""".stripMargin,
     "q21_quality" ->
       s"""$WordsCte
          |SELECT doc_id,

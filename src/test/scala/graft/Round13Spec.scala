@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.KeepTokens
+import graft.streaming.StreamingOps
 
 /** Structural invariants of the round-13 work:
   *   - the q344 rebuild's native merge-walk ([[graft.functions
@@ -16,7 +17,17 @@ import graft.functions.KeepTokens
   *   - `exactSubstringApply` is a FIXED POINT: re-applying it to its own
   *     `text_kept` output cuts nothing (the Lee et al. pipeline's
   *     apply-then-apply idempotence assumption, property-tested at the
-  *     q344 parameter point).
+  *     q344 parameter point);
+  *   - the forecast family's retention knob EVICTS (the q342-closure
+  *     pattern on the last `NoTimeout` holdouts): a key quiet past the
+  *     retention re-seeds its EWMA / Holt / Holt-Winters fold from its
+  *     next event, a retention spanning the feed reproduces the
+  *     lifetime fold bit-exactly (so the difference is the timeout
+  *     firing, not a lost update path), and the within-window steps
+  *     bit-equal the unbounded forms';
+  *   - the Gopher repetition masses (q354) match hand computations on
+  *     the degenerate shapes (empty/NULL text, all-repeated doc, a
+  *     doc shorter than the gram, one duplicated 5-gram).
   */
 class Round13Spec extends AnyFunSuite with SparkTestBase {
 
@@ -379,5 +390,141 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
         s"superseded table must be GC'd, new one live: $t1 -> $t2")
       assert(!fs.exists(loc1), s"superseded table's files must be deleted: $loc1")
     } finally rmTree(dir)
+  }
+
+  // ---- Gopher repetition gate (q354) ----
+
+  test("GopherRepetition: hand-computed masses on edge and repetition fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),                       // heavy top-gram repetition
+      (2L, ""),                              // empty
+      (3L, "one two three four five"),       // all-distinct words
+      (4L, "v w x y z v w x y z a b"),       // one duplicated 5-gram
+      (5L, null.asInstanceOf[String])        // NULL text: row-preserving
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRepetition(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toSeq
+    val expected = Seq(
+      // "a a a a": denom 7; "a a"×3·3=9, "a a a"×2·5=10, "a a a a"×1·7=7;
+      // no 5-grams; top2·5=45 > 7 → fail
+      (1L, 7L, 9L, 10L, 7L, 0L, 0L, false),
+      // empty: all masses 0, 0 ≤ 0 everywhere → pass
+      (2L, 0L, 0L, 0L, 0L, 0L, 0L, true),
+      // distinct words: top2 = the longest 2-gram "three four" (10 chars)
+      // at count 1; the single 5-gram occurs once → dup5 0; denom 23;
+      // top2·5=50 > 23 → fail (short docs fail Gopher's top-gram gates
+      // by construction — the rule is calibrated for web documents)
+      (3L, 23L, 10L, 15L, 19L, 0L, 0L, false),
+      // duplicated "v w x y z" (9 chars) ×2 → dup5 18; denom 23;
+      // dup5·20=360 > 3·23 → fail on the dup5 gate
+      (4L, 23L, 6L, 10L, 14L, 18L, 0L, false),
+      (5L, 0L, 0L, 0L, 0L, 0L, 0L, true))
+    assert(got == expected, s"masses must match the hand computation: $got")
+  }
+
+  // ---- forecast-family retention knob (the last NoTimeout holdouts) ----
+
+  private val E0 = 1704067200L // 2024-01-01T00:00:00Z
+
+  /** Drive a per-key fold over explicit ValEvent micro-batches through a
+    * memory sink; returns every update row for `uid` in emission order.
+    * The feed shape is Round12Spec's eviction harness: key 1 is the
+    * subject, key 2 the watermark clock — two clock-only batches sit
+    * between the subject's slices so the subject's event-time timer has
+    * a batch it is silent in, under a watermark past its timeout.
+    */
+  private def runFold(
+      batches: Seq[Seq[StreamingOps.ValEvent]],
+      op: org.apache.spark.sql.Dataset[StreamingOps.ValEvent] => DataFrame,
+      uid: Long): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val sink = "graft_r13_fold"
+    spark.catalog.dropTempView(sink)
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = op(ms.toDS()).writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(sink).filter(col("user_id") === uid).drop("user_id")
+      .collect().toSeq
+  }
+
+  private def ve(sec: Long, eid: Long, v: Double, uid: Long = 1L) =
+    StreamingOps.ValEvent(uid, ts(sec), eid, v)
+
+  /** Subject: (10, 20) in slice 0, then 30 six hours later; clock
+    * batches 2 h and 2 h + 1 min in. Retention 60 s: the subject's state
+    * must evict between slices. */
+  private val foldBatches = Seq(
+    Seq(ve(E0, 1L, 10.0), ve(E0 + 10, 2L, 20.0)),
+    Seq(ve(E0 + 7200, 91L, 0.0, uid = 2L)),
+    Seq(ve(E0 + 7260, 92L, 0.0, uid = 2L)),
+    Seq(ve(E0 + 21600, 3L, 30.0)))
+  private val Retain60s = 60000L
+  private val RetainYear = 365L * 86400L * 1000L
+
+  test("evicting EWMA: quiet past retention re-seeds; unbounded control carries the fold") {
+    val evicted = runFold(foldBatches,
+      ds => StreamingOps.ewmaPerKeyEvicting(ds, Retain60s).toDF(), 1L)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // slice 0 folds to (2, 15.0) — BIT-equal to the NoTimeout form's
+    // first batch — and the recurrence seeds fresh: (1, 30.0)
+    assert(evicted == Seq((2L, 15.0), (1L, 30.0)),
+      s"retention 60s must re-seed the second slice: $evicted")
+    val kept = runFold(foldBatches,
+      ds => StreamingOps.ewmaPerKeyEvicting(ds, RetainYear).toDF(), 1L)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // control: a retention spanning the feed reproduces the lifetime
+    // fold (15/2 + 30/2 = 22.5) — the difference above IS the timeout
+    assert(kept == Seq((2L, 15.0), (3L, 22.5)),
+      s"unbounded retention must carry the fold: $kept")
+    val lifetime = runFold(foldBatches,
+      ds => StreamingOps.ewmaPerKey(ds).toDF(), 1L)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(lifetime == kept,
+      s"year-retention evicting form must bit-equal the NoTimeout form: $lifetime vs $kept")
+  }
+
+  test("evicting Holt: the coupled (level, trend) state re-seeds past retention") {
+    val evicted = runFold(foldBatches,
+      ds => StreamingOps.holtPerKeyEvicting(ds, Retain60s).toDF(), 1L)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // slice 0: seed (10, 0) then l=(20+10+0)/2=15, b=(15-10+0)/2=2.5
+    assert(evicted == Seq((2L, 15.0, 2.5), (1L, 30.0, 0.0)),
+      s"retention 60s must re-seed (l, b): $evicted")
+    val kept = runFold(foldBatches,
+      ds => StreamingOps.holtPerKeyEvicting(ds, RetainYear).toDF(), 1L)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // carried: l=(30+15+2.5)/2=23.75, b=(23.75-15+2.5)/2=5.625
+    assert(kept == Seq((2L, 15.0, 2.5), (3L, 23.75, 5.625)),
+      s"unbounded retention must carry (l, b): $kept")
+  }
+
+  test("evicting Holt-Winters: the seasonal array re-seeds with the rest of the state") {
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    val evicted = runFold(foldBatches,
+      ds => StreamingOps.holtWintersPerKeyEvicting(ds, Retain60s).toDF(), 1L)
+      .map(row)
+    // slice 0: seed (10, 0, 0⃗) then k=1: l=15, b=2.5, s1=(20-15+0)/2=2.5
+    assert(evicted == Seq(
+      (2L, 15.0, 2.5, 0.0, 2.5, 0.0, 0.0),
+      (1L, 30.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      s"retention 60s must re-seed (l, b, seas): $evicted")
+    val kept = runFold(foldBatches,
+      ds => StreamingOps.holtWintersPerKeyEvicting(ds, RetainYear).toDF(), 1L)
+      .map(row)
+    // carried: k=2, s=0 → l=(30-0+15+2.5)/2=23.75, b=5.625, s2=3.125
+    assert(kept == Seq(
+      (2L, 15.0, 2.5, 0.0, 2.5, 0.0, 0.0),
+      (3L, 23.75, 5.625, 0.0, 2.5, 3.125, 0.0)),
+      s"unbounded retention must carry the seasonal fold: $kept")
   }
 }
