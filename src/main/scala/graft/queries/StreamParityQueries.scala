@@ -290,6 +290,25 @@ object StreamParityQueries {
       |         AS admitted_checksum
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** The q267 batch fold re-run inside each (user, slice) — what the
+    * evicting EWMA must equal when every inter-slice gap exceeds the
+    * retention (q353 in-order, q355 across restarts — the recovery
+    * convention).
+    */
+  private val EwmaEvictOracle =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) - 1 AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id, value,
+      |             rn // ((n + 2) // 3) AS slice FROM o)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       list_reduce(list(value ORDER BY ts, event_id),
+      |                   (acc, x) -> acc / 2 + x / 2) AS ewma
+      |FROM s GROUP BY user_id, slice""".stripMargin
+
   /** The exact batch bottom-20 per source under the md5 priority coin —
     * what the streamed reservoir must equal under ANY arrival order
     * (shared by the in-order q348 and the recovery twin q350).
@@ -1253,6 +1272,90 @@ object StreamParityQueries {
     } finally q.stop()
     spark.table(sink).filter(col("user_id") >= 0L)
       .select(col("user_id"), col("n_events"), col("ewma"))
+  }
+
+  /** q355: the evicting fold ACROSS A QUERY RESTART — q353's recovery
+    * twin (the family convention), aimed at the one surface the
+    * NoTimeout recovery gates (q285/q286/q307) cannot reach: the
+    * REGISTERED EVENT-TIME TIMERS and the committed WATERMARK must
+    * round-trip the checkpoint. The feed is q353's verbatim, but in
+    * every inter-slice gap the query stops and resumes from the same
+    * checkpoint BETWEEN the two barrier batches — at that boundary
+    * every user key holds fold state plus a registered timeout, and
+    * the watermark the first barrier committed is what makes those
+    * timers fire in the second barrier's batch. A recovery that drops
+    * the timers (or resets the watermark) never evicts: the next slice
+    * CONTINUES the fold and every multi-slice user fails the per-slice
+    * oracle; one that replays the boundary re-emits only clock-key
+    * rows (the restart point is chosen so the last committed batch
+    * carries no user data — the rollup filter makes replay invisible
+    * without a distinct pass). Same oracle as q353.
+    */
+  def q355StreamEwmaEvictRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val retentionMs = 3600L * 1000L
+    val hourUs = 3600L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+    val bounds = ev.agg(min(col("us")), max(col("us"))).head()
+    val (minUs, spanUs) = (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0))
+    val gapUs = spanUs + 4L * hourUs
+    val e0Us = Epoch0 * 1000000L
+    val feed = ev
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("slice", expr("rn div ((n + 2) div 3)"))
+      .withColumn("synth_us",
+        lit(e0Us) + col("slice") * lit(gapUs) + col("us") - lit(minUs))
+      .select(col("user_id"), timestamp_micros(col("synth_us")).as("ts"),
+        col("event_id"), col("value"), col("slice"))
+      .orderBy("slice", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Long)]
+      .collect() // events-table scale, the bounded harness feed
+    val bySlice = feed.groupBy(_._5).toSeq.sortBy(_._1)
+    def clock(us: Long) = StreamingOps.ValEvent(
+      -1L, new java.sql.Timestamp(us / 1000L), -1L, 0.0)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q355").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    def plan = StreamingOps.ewmaPerKeyEvicting(ms.toDS(), retentionMs).toDF()
+    val outSchema = plan.schema
+    def start() = plan.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add); ()
+      }
+      .start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = start()
+      bySlice.foreach { case (s, rows) =>
+        ms.addData(rows.map { case (u, ts, eid, v, _) =>
+          StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq)
+        q.processAllAvailable()
+        val b1 = e0Us + s * gapUs + spanUs + 2L * hourUs + 1000000L
+        ms.addData(Seq(clock(b1)))
+        q.processAllAvailable()
+        // the recovery point: fold state + registered timers + the
+        // watermark barrier 1 committed must all reload — barrier 2's
+        // batch is where the recovered timers have to fire
+        q.stop()
+        q = start()
+        ms.addData(Seq(clock(b1 + 60L * 1000000L)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.createDataFrame(new java.util.ArrayList(buf), outSchema)
+        .filter(col("user_id") >= 0L)
+        .select(col("user_id"), col("n_events"), col("ewma"))
+    } finally {
+      if (q != null) q.stop()
+      deleteRecursively(ckpt)
+    }
   }
 
   /** q305: watermarked SLIDING-window parity, driver-verified — q297's
@@ -2269,6 +2372,7 @@ object StreamParityQueries {
     "q351_stream_wreservoir_recovery" -> (q351StreamWeightedReservoirRecovery _),
     "q352_stream_quota_ttl_recovery" -> (q352StreamQuotaTtlRecovery _),
     "q353_stream_ewma_evict" -> (q353StreamEwmaEvict _),
+    "q355_stream_ewma_evict_recovery" -> (q355StreamEwmaEvictRecovery _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2443,20 +2547,10 @@ object StreamParityQueries {
     // evicting EWMA must equal when every inter-slice gap exceeds the
     // retention (slice column grouped but not selected: the stream
     // side cannot know which slice an update came from, and the
-    // multiset of (user, n, ewma) rows is already decisive)
-    "q353_stream_ewma_evict" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts, event_id) - 1 AS rn,
-        |         count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events),
-        |s AS (SELECT user_id, ts, event_id, value,
-        |             rn // ((n + 2) // 3) AS slice FROM o)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |       list_reduce(list(value ORDER BY ts, event_id),
-        |                   (acc, x) -> acc / 2 + x / 2) AS ewma
-        |FROM s GROUP BY user_id, slice""".stripMargin,
+    // multiset of (user, n, ewma) rows is already decisive). Same
+    // oracle for the recovery twin — the family convention.
+    "q353_stream_ewma_evict" -> EwmaEvictOracle,
+    "q355_stream_ewma_evict_recovery" -> EwmaEvictOracle,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses
