@@ -601,7 +601,76 @@ object HygieneQueries {
           |) AS (stat, value)""".stripMargin))
   }
 
+  /** q356: Neyman-allocation stratified sample — the survey-statistics
+    * completion of the sampling family (uniform q138 coin, rebalance
+    * q98, streaming reservoirs q348/q349): a fixed budget of K = 200
+    * documents split across sources PROPORTIONAL TO N_s·σ_s (stratum
+    * size × stratum std-dev of `n_chars`) — the allocation that
+    * minimizes the variance of the stratified estimate of the corpus
+    * mean (Neyman 1934). A zero-variance stratum gets zero allocation:
+    * sampling it teaches the estimator nothing.
+    *
+    * Determinism, end to end: per-source moments are EXACT integer
+    * sums (n, Σx, Σx²); σ_s is one double division of those integers
+    * under one IEEE sqrt (both correctly rounded — engine-identical);
+    * the weight is quantized to floor(n·σ·10⁶) so the allocation
+    * itself runs in EXACT integer arithmetic — largest-remainder
+    * apportionment (k_s = ⌊K·w_s/W⌋ + 1 for the top-(K−Σ⌊⌋) by
+    * (remainder desc, source asc)), the q242 quantize-then-integer
+    * idiom. Membership per stratum is the bottom-k_s under the q138
+    * md5-fraction coin — pure function of the doc id, stable under
+    * re-runs, re-partitioning and appends.
+    *
+    * Scale shape: one corpus scan for the moments (map-side
+    * combinable), the |sources|-row allocation solved on the driver
+    * (the q98 bounded-driver-state convention — NEVER an unpartitioned
+    * window) and broadcast back, one source-partitioned row_number for
+    * membership. No shuffle carries more than the corpus's (source,
+    * doc_id, u) rows. A stratum smaller than its allocation yields all
+    * its rows (the rank cap is the stratum size) — the classical
+    * over-allocation trade, immaterial when strata dwarf K; Round13Spec
+    * pins it alongside the zero-variance-gets-zero property.
+    */
+  def q356NeymanSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 200L
+    val d = docs(spark, dir).select(col("source"), col("doc_id"), col("n_chars"))
+    // exact integer moments; wq = floor(n·σ·1e6) with σ from one double
+    // division + one sqrt — the only float ops before the quantize
+    val moments = d.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("source"), col("n"),
+        floor(col("n").cast("double") *
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * col("n")).cast("double")) * 1e6).cast("long").as("wq"))
+      .collect() // |sources| rows — bounded driver state (q98 convention)
+      .map(r => (r.getString(0), r.getLong(2)))
+      .sortBy(_._1)
+    val w = moments.map(_._2).sum
+    require(w > 0L, "q356: degenerate corpus — every stratum has zero variance")
+    val base = moments.map { case (s, wq) => (s, K * wq / w, K * wq % w) }
+    val extra = (K - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(extra).map(_._1).toSet
+    val alloc = base.map { case (s, kf, _) =>
+      (s, kf + (if (bump(s)) 1L else 0L)) }
+    import spark.implicits._
+    val allocDf = alloc.toSeq.toDF("source", "alloc")
+    val u = conv(
+      substring(md5(concat(lit("graft-ns-"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val win = Window.partitionBy(col("source")).orderBy(col("u").asc, col("doc_id").asc)
+    d.select(col("source"), col("doc_id"), u.as("u"))
+      .join(broadcast(allocDf), Seq("source"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= col("alloc"))
+      .select(col("source"), col("alloc"), col("rank"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_neyman_sample" -> (q356NeymanSample _),
     "q300_corpus_card" -> (q300CorpusCard _),
     "q244_padding_efficiency" -> (q244PaddingEfficiency _),
     "q238_filter_funnel" -> (q238FilterFunnel _),
@@ -686,6 +755,44 @@ object HygieneQueries {
        |  FROM l)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q356: the same exact-integer pipeline from scratch — integer
+    // moments, one double division + sqrt + 1e6 quantize (identical
+    // IEEE op order), largest-remainder apportionment in BIGINTs, the
+    // q138-style md5 coin for membership
+    "q356_neyman_sample" ->
+      """WITH m AS (
+        |  SELECT source, count(*) AS n, sum(n_chars) AS s1,
+        |         sum(n_chars * n_chars) AS s2
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source,
+        |         CAST(floor(CAST(n AS DOUBLE) *
+        |              sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+        |                   CAST(n * n AS DOUBLE))
+        |              * 1000000.0) AS BIGINT) AS wq
+        |  FROM m),
+        |t AS (SELECT sum(wq) AS wt FROM w),
+        |f AS (SELECT source, wq, wt, (200 * wq) // wt AS kf,
+        |             (200 * wq) % wt AS rem
+        |      FROM w, t),
+        |e AS (SELECT sum(kf) AS fl FROM f),
+        |a AS (
+        |  SELECT source,
+        |         kf + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+        |                        <= 200 - fl THEN 1 ELSE 0 END AS alloc
+        |  FROM f, e),
+        |p AS (
+        |  SELECT source, doc_id,
+        |         CAST(('0x' || substr(md5('graft-ns-' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |              AS BIGINT) AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT p.source, a.alloc, p.doc_id,
+        |         row_number() OVER (PARTITION BY p.source ORDER BY p.u, p.doc_id) AS rank
+        |  FROM p JOIN a ON a.source = p.source)
+        |SELECT source, CAST(alloc AS BIGINT) AS alloc,
+        |       CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= alloc""".stripMargin,
     // same alnum token alphabet, same normalized fingerprint, same
     // seven stats stacked long-form
     "q300_corpus_card" ->

@@ -427,6 +427,44 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"masses must match the hand computation: $got")
   }
 
+  // ---- Neyman stratified sample (q356) ----
+
+  test("Neyman allocation: budget lands exactly, zero-variance strata get zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r13-neyman").toString
+    try {
+      // three strata: high-variance (spread lengths), low-variance,
+      // and CONSTANT length — Neyman must allocate the constant one 0
+      // (sampling a zero-variance stratum teaches the estimator nothing)
+      val rows =
+        (1L to 50L).map(i => (i, "x", s"src_hi", 100L + (i % 25) * 40L)) ++
+          (51L to 100L).map(i => (i, "x", s"src_lo", 200L + (i % 3))) ++
+          (101L to 150L).map(i => (i, "x", s"src_const", 300L))
+      rows.toDF("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.HygieneQueries.queries("q356_neyman_sample")(spark, dir)
+      val bySrc = got.groupBy("source")
+        .agg(count(lit(1)).as("k"), max(col("alloc")).as("alloc"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap // name -> (sampled, alloc)
+      assert(!bySrc.contains("src_const"),
+        s"zero-variance stratum must receive zero allocation: $bySrc")
+      // the apportionment lands the BUDGET exactly (Σ alloc = K); the
+      // drawn count then caps at the stratum's size — in this fixture
+      // Neyman demands more of src_hi than its 50 docs, which is the
+      // documented over-allocation trade (a real corpus's strata dwarf K)
+      val totalAlloc = bySrc.values.map(_._2).sum
+      assert(totalAlloc == 200L,
+        s"largest-remainder must land the budget exactly: $bySrc")
+      bySrc.foreach { case (s, (k, a)) =>
+        assert(k == math.min(a, 50L), s"$s sampled $k of alloc $a") }
+      // the high-variance stratum must out-draw the low-variance one
+      assert(bySrc("src_hi")._2 > bySrc("src_lo")._2,
+        s"Neyman weights are N*sigma — src_hi must dominate: $bySrc")
+    } finally rmTree(dir)
+  }
+
   // ---- forecast-family retention knob (the last NoTimeout holdouts) ----
 
   private val E0 = 1704067200L // 2024-01-01T00:00:00Z
