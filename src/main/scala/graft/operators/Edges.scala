@@ -32,8 +32,14 @@ object Edges {
 
   private val matLock = new Object
 
-  /** Name of the [[adamicAdar]] hub-census observe() metric. */
+  /** Name PREFIX of the [[adamicAdar]] hub-census observe() metric —
+    * each call appends a sequence number so two adamicAdar results over
+    * different edge sets can compose in one query (CheckAnalysis
+    * rejects duplicate observed-metric names with different child
+    * plans); the listener matches by prefix.
+    */
   private[graft] val HubCensusMetric = "adamic_adar_hub_census"
+  private val censusSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // sessions that already carry the census listener (weak keys: a
   // stopped session must not be pinned by the census plumbing)
@@ -57,12 +63,14 @@ object Edges {
               funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
-            qe.observedMetrics.get(HubCensusMetric).foreach { row =>
-              val dropped = row.getLong(row.fieldIndex("dropped_centers"))
-              if (dropped > 0)
-                log.warn(s"adamicAdar dropped $dropped hub center(s) over " +
-                  "the cap from pair emission — their wedges are NOT " +
-                  "scored; raise hubCap to include them")
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(HubCensusMetric)) {
+                val dropped = row.getLong(row.fieldIndex("dropped_centers"))
+                if (dropped > 0)
+                  log.warn(s"adamicAdar dropped $dropped hub center(s) over " +
+                    "the cap from pair emission — their wedges are NOT " +
+                    "scored; raise hubCap to include them")
+              }
             }
           override def onFailure(
               funcName: String,
@@ -101,7 +109,7 @@ object Edges {
       // GC superseded fingerprints of THIS dir (same dirHex, different
       // fpHex); other dirs and this fingerprint's other minSupport
       // tables are untouched
-      gcStale = Some((s"graft_copurchase_${tag.take(9)}",
+      gcStale = Some((s"graft_copurchase_${dirPrefix(tag)}",
         s"graft_copurchase_$tag"))) {
       // persisted across the union's two arms: without it the write job
       // evaluates the whole basket-build subtree twice (the arms differ
@@ -113,11 +121,14 @@ object Edges {
     }
   }
 
-  // two-part tag <dirHex>_<fpHex> (8 hex chars each). dirHex is the md5
-  // of the full path — a 32-bit hashCode tag would let two dataset dirs
-  // collide and silently share one graph table — and is STABLE across
-  // regenerations, which is what lets [[materializedTable]] GC the
-  // superseded fingerprints of the same dir. fpHex digests a RECURSIVE
+  // two-part tag <dirHex>_<fpHex> (16 hex chars each — 64 bits). dirHex
+  // is the md5 of the full path and is STABLE across regenerations,
+  // which is what lets [[materializedTable]] GC the superseded
+  // fingerprints of the same dir. 64 bits, not 32: the GC DELETES
+  // whatever matches the dirHex prefix, so a cross-dir collision would
+  // destroy another dataset's live table — at 32 bits two of ~2¹⁶ dirs
+  // collide with even odds (birthday), at 64 bits the same odds need
+  // ~2³² distinct dataset dirs in one warehouse. fpHex digests a RECURSIVE
   // source listing (every file's dataset-relative path, length and
   // mtime — a partitioned/nested layout contributes its leaf files, not
   // the round-12 top-level-only census that saw 0 files; per-file
@@ -130,10 +141,14 @@ object Edges {
   // one warehouse path is out of a tag's reach. So is a regeneration
   // that preserves every name, length AND mtime — below FS timestamp
   // granularity no listing-based fingerprint can see content.)
+  /** First 64 md5 bits as 16 hex chars — the dir half of the table tag
+    * (`private[graft]`: Round13Spec derives the GC prefix from it).
+    */
+  private[graft] def hex16(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+
   private def dirTag(spark: SparkSession, dir: String, tables: Seq[String]): String = {
-    def hex8(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     val fp = tables.map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,8 +164,15 @@ object Edges {
       }
       s"$t=${files.sorted.mkString(",")}"
     }.mkString(";")
-    s"${hex8(dir)}_${hex8(fp)}"
+    s"${hex16(dir)}_${hex16(fp)}"
   }
+
+  /** The GC prefix for a tag: everything through the dir half's `_` —
+    * matches every fingerprint generation of the SAME dir, never
+    * another dir's tables.
+    */
+  private def dirPrefix(tag: String): String =
+    tag.substring(0, tag.indexOf('_') + 1)
 
   /** Write-once-per-session bucketed materialization: builds `build` on
     * first use, lands it as a bucketed+sorted catalog table on
@@ -262,7 +284,7 @@ object Edges {
     materializedTable(spark,
       s"graft_custpart_$tag",
       "c",
-      gcStale = Some((s"graft_custpart_${tag.take(9)}",
+      gcStale = Some((s"graft_custpart_${dirPrefix(tag)}",
         s"graft_custpart_$tag"))) {
       val o = spark.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"))
@@ -509,7 +531,7 @@ object Edges {
     // longer runs as its own job, so the neighbor agg has exactly one
     // downstream consumer — the pair explode)
     val nbr = nbrAll
-      .observe(HubCensusMetric,
+      .observe(s"${HubCensusMetric}_${censusSeq.incrementAndGet()}",
         sum(when(size(col("ns")) > hubCap, 1L).otherwise(0L))
           .as("dropped_centers"))
       .filter(size(col("ns")) <= hubCap)

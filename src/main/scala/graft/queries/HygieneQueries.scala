@@ -611,8 +611,15 @@ object HygieneQueries {
     * sampling it teaches the estimator nothing.
     *
     * Determinism, end to end: per-source moments are EXACT integer
-    * sums (n, Σx, Σx²); σ_s is one double division of those integers
-    * under one IEEE sqrt (both correctly rounded — engine-identical);
+    * sums (n, Σx, Σx² — accumulated as DECIMAL(38,0), never LongType:
+    * Σx² overflows 2⁶³ near 10⁹ docs of 10⁵ chars, exactly the scale
+    * this engine targets, while DuckDB's BIGINT sum promotes to
+    * HUGEINT — decimal keeps both engines exact to 10³⁸); σ_s is
+    * σ² = Σx²/n − (Σx/n)² evaluated as double DIVISIONS of the exact
+    * sums (division-first: the products stay ≤ the sums' magnitude, so
+    * no intermediate ever outgrows a double's range; both engines run
+    * the identical IEEE sequence, clamped at 0 against cancellation)
+    * under one IEEE sqrt (correctly rounded — engine-identical);
     * the weight is quantized to floor(n·σ·10⁶) so the allocation
     * itself runs in EXACT integer arithmetic — largest-remainder
     * apportionment (k_s = ⌊K·w_s/W⌋ + 1 for the top-(K−Σ⌊⌋) by
@@ -639,12 +646,15 @@ object HygieneQueries {
     // division + one sqrt — the only float ops before the quantize
     val moments = d.groupBy("source").agg(
         count(lit(1)).as("n"),
-        sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
+        sum(col("n_chars").cast("decimal(38,0)")).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("s2"))
       .select(col("source"), col("n"),
         floor(col("n").cast("double") *
-          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("n") * col("n")).cast("double")) * 1e6).cast("long").as("wq"))
+          sqrt(greatest(lit(0.0),
+            col("s2").cast("double") / col("n").cast("double") -
+              (col("s1").cast("double") / col("n").cast("double")) *
+              (col("s1").cast("double") / col("n").cast("double")))) *
+          1e6).cast("long").as("wq"))
       .collect() // |sources| rows — bounded driver state (q98 convention)
       .map(r => (r.getString(0), r.getLong(2)))
       .sortBy(_._1)
@@ -755,10 +765,11 @@ object HygieneQueries {
        |  FROM l)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // q356: the same exact-integer pipeline from scratch — integer
-    // moments, one double division + sqrt + 1e6 quantize (identical
-    // IEEE op order), largest-remainder apportionment in BIGINTs, the
-    // q138-style md5 coin for membership
+    // q356: the same exact-integer pipeline from scratch — exact sums
+    // (DuckDB's HUGEINT mirrors the Spark side's DECIMAL(38,0): no 2⁶³
+    // overflow at any stratum size), the division-first variance as the
+    // identical IEEE sequence, sqrt + 1e6 quantize, largest-remainder
+    // apportionment in BIGINTs, the q138-style md5 coin for membership
     "q356_neyman_sample" ->
       """WITH m AS (
         |  SELECT source, count(*) AS n, sum(n_chars) AS s1,
@@ -767,8 +778,10 @@ object HygieneQueries {
         |w AS (
         |  SELECT source,
         |         CAST(floor(CAST(n AS DOUBLE) *
-        |              sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
-        |                   CAST(n * n AS DOUBLE))
+        |              sqrt(greatest(0.0,
+        |                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
         |              * 1000000.0) AS BIGINT) AS wq
         |  FROM m),
         |t AS (SELECT sum(wq) AS wt FROM w),

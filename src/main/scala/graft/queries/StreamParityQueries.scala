@@ -1221,12 +1221,33 @@ object StreamParityQueries {
     * Event-time eviction keeps the whole gate deterministic — no
     * wall-clock premise, unlike the processing-time TTL gates.
     */
-  def q353StreamEwmaEvict(spark: SparkSession, dir: String): DataFrame = {
+  /** q353/q355's shared harness constants and synthetic-axis feed —
+    * ONE definition of the slice arithmetic, the synthetic event-time
+    * layout, and the barrier clock both gates (and their shared
+    * [[EwmaEvictOracle]]) depend on, so a one-sided edit can never
+    * desynchronize the recovery twin from its in-order gate.
+    */
+  private val EvictRetentionMs = 3600L * 1000L
+  private val HourUs = 3600L * 1000000L
+
+  private case class EvictFeed(
+      bySlice: Seq[(Long, IndexedSeq[StreamingOps.ValEvent])],
+      spanUs: Long, gapUs: Long, e0Us: Long) {
+    /** Barrier 1 sits 1 s past the eviction boundary (slice max event
+      * + 2 h, watermark delay = 1 h), so after its batch the watermark
+      * strictly exceeds every timeout; barrier 2 (60 s later) runs the
+      * batch those timers fire in.
+      */
+    def barriers(slice: Long): Seq[Long] = {
+      val b1 = e0Us + slice * gapUs + spanUs + 2L * HourUs + 1000000L
+      Seq(b1, b1 + 60L * 1000000L)
+    }
+    def clock(us: Long): StreamingOps.ValEvent = StreamingOps.ValEvent(
+      -1L, new java.sql.Timestamp(us / 1000L), -1L, 0.0)
+  }
+
+  private def ewmaEvictFeed(spark: SparkSession, dir: String): EvictFeed = {
     import spark.implicits._
-    val sink = "graft_q353_ewma_evict"
-    spark.catalog.dropTempView(sink)
-    val retentionMs = 3600L * 1000L
-    val hourUs = 3600L * 1000000L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
@@ -1235,7 +1256,7 @@ object StreamParityQueries {
       .withColumn("us", unix_micros(col("ts")))
     val bounds = ev.agg(min(col("us")), max(col("us"))).head()
     val (minUs, spanUs) = (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0))
-    val gapUs = spanUs + 4L * hourUs
+    val gapUs = spanUs + 4L * HourUs
     val e0Us = Epoch0 * 1000000L
     val feed = ev
       .withColumn("rn", row_number().over(w).cast("long") - 1L)
@@ -1248,24 +1269,27 @@ object StreamParityQueries {
       .orderBy("slice", "ts", "event_id")
       .as[(Long, java.sql.Timestamp, Long, Double, Long)]
       .collect() // events-table scale, the bounded harness feed
-    val bySlice = feed.groupBy(_._5).toSeq.sortBy(_._1)
-    def clock(us: Long) = StreamingOps.ValEvent(
-      -1L, new java.sql.Timestamp(us / 1000L), -1L, 0.0)
+    EvictFeed(
+      feed.groupBy(_._5).toSeq.sortBy(_._1).map { case (s, rows) =>
+        s -> rows.map { case (u, ts, eid, v, _) =>
+          StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq },
+      spanUs, gapUs, e0Us)
+  }
+
+  def q353StreamEwmaEvict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q353_ewma_evict"
+    spark.catalog.dropTempView(sink)
+    val f = ewmaEvictFeed(spark, dir)
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
-    val q = StreamingOps.ewmaPerKeyEvicting(ms.toDS(), retentionMs)
+    val q = StreamingOps.ewmaPerKeyEvicting(ms.toDS(), EvictRetentionMs)
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
     try {
-      bySlice.foreach { case (s, rows) =>
-        ms.addData(rows.map { case (u, ts, eid, v, _) =>
-          StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq)
+      f.bySlice.foreach { case (s, rows) =>
+        ms.addData(rows)
         q.processAllAvailable()
-        // barrier 1 sits 1 s past the eviction boundary (slice max
-        // event + 2 h, watermark delay = 1 h), so after its batch the
-        // watermark strictly exceeds every timeout; barrier 2's batch
-        // is where those timers fire
-        val b1 = e0Us + s * gapUs + spanUs + 2L * hourUs + 1000000L
-        Seq(b1, b1 + 60L * 1000000L).foreach { t =>
-          ms.addData(Seq(clock(t)))
+        f.barriers(s).foreach { t =>
+          ms.addData(Seq(f.clock(t)))
           q.processAllAvailable()
         }
       }
@@ -1293,36 +1317,11 @@ object StreamParityQueries {
     */
   def q355StreamEwmaEvictRecovery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val retentionMs = 3600L * 1000L
-    val hourUs = 3600L * 1000000L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id") // user-grain, never global
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    val ev = RelationalQueries.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("us", unix_micros(col("ts")))
-    val bounds = ev.agg(min(col("us")), max(col("us"))).head()
-    val (minUs, spanUs) = (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0))
-    val gapUs = spanUs + 4L * hourUs
-    val e0Us = Epoch0 * 1000000L
-    val feed = ev
-      .withColumn("rn", row_number().over(w).cast("long") - 1L)
-      .withColumn("n", count(lit(1)).over(wc))
-      .withColumn("slice", expr("rn div ((n + 2) div 3)"))
-      .withColumn("synth_us",
-        lit(e0Us) + col("slice") * lit(gapUs) + col("us") - lit(minUs))
-      .select(col("user_id"), timestamp_micros(col("synth_us")).as("ts"),
-        col("event_id"), col("value"), col("slice"))
-      .orderBy("slice", "ts", "event_id")
-      .as[(Long, java.sql.Timestamp, Long, Double, Long)]
-      .collect() // events-table scale, the bounded harness feed
-    val bySlice = feed.groupBy(_._5).toSeq.sortBy(_._1)
-    def clock(us: Long) = StreamingOps.ValEvent(
-      -1L, new java.sql.Timestamp(us / 1000L), -1L, 0.0)
+    val f = ewmaEvictFeed(spark, dir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q355").toString
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
     val ms = MemoryStream[StreamingOps.ValEvent](spark)
-    def plan = StreamingOps.ewmaPerKeyEvicting(ms.toDS(), retentionMs).toDF()
+    def plan = StreamingOps.ewmaPerKeyEvicting(ms.toDS(), EvictRetentionMs).toDF()
     val outSchema = plan.schema
     def start() = plan.writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
@@ -1333,19 +1332,18 @@ object StreamParityQueries {
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       q = start()
-      bySlice.foreach { case (s, rows) =>
-        ms.addData(rows.map { case (u, ts, eid, v, _) =>
-          StreamingOps.ValEvent(u, ts, eid, v) }.toIndexedSeq)
+      f.bySlice.foreach { case (s, rows) =>
+        ms.addData(rows)
         q.processAllAvailable()
-        val b1 = e0Us + s * gapUs + spanUs + 2L * hourUs + 1000000L
-        ms.addData(Seq(clock(b1)))
+        val Seq(b1, b2) = f.barriers(s)
+        ms.addData(Seq(f.clock(b1)))
         q.processAllAvailable()
         // the recovery point: fold state + registered timers + the
         // watermark barrier 1 committed must all reload — barrier 2's
         // batch is where the recovered timers have to fire
         q.stop()
         q = start()
-        ms.addData(Seq(clock(b1 + 60L * 1000000L)))
+        ms.addData(Seq(f.clock(b2)))
         q.processAllAvailable()
       }
       q.stop()

@@ -15,14 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object CutRebuildBench {
 
+  // the shared reference formulation — see KeepTokens.hofRebuild
   private def hofRebuild(w: Column, cs: Column): Column =
-    array_join(
-      transform(
-        filter(
-          transform(w, (x, i) => struct(x.as("tk"), (i + 1).as("p"))),
-          s => !array_contains(cs, s.getField("p"))),
-        s => s.getField("tk")),
-      " ")
+    graft.functions.KeepTokens.hofRebuild(w, cs)
 
   def main(args: Array[String]): Unit = {
     val nTokens = if (args.length > 0) args(0).toInt else 50000

@@ -31,17 +31,12 @@ import graft.streaming.StreamingOps
   */
 class Round13Spec extends AnyFunSuite with SparkTestBase {
 
-  /** The round-12 formulation, verbatim — kept here as the executable
-    * reference the native expression is differenced against.
+  /** The round-12 formulation — the SHARED executable reference
+    * ([[KeepTokens.hofRebuild]], one definition serving this parity pin
+    * and tools.CutRebuildBench's baseline).
     */
   private def hofRebuild(w: Column, cs: Column): Column =
-    array_join(
-      transform(
-        filter(
-          transform(w, (x, i) => struct(x.as("tk"), (i + 1).as("p"))),
-          s => !array_contains(cs, s.getField("p"))),
-        s => s.getField("tk")),
-      " ")
+    KeepTokens.hofRebuild(w, cs)
 
   test("KeepTokens ≡ HOF rebuild on random and edge-case cut sets") {
     import spark.implicits._
@@ -325,9 +320,9 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  private def hex8(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+  // the dir half of the graph-table tag — Edges' own digest, so the
+  // spec can never drift from the operator's naming
+  private def hex16(s: String): String = graft.operators.Edges.hex16(s)
 
   test("graph materialization: a regenerated PARTITIONED dataset invalidates (recursive fingerprint)") {
     import spark.implicits._
@@ -359,7 +354,7 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
   test("graph materialization GC: a regeneration drops the superseded table AND its files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-r13-gc").toString
-    val prefix = s"graft_copurchase_${hex8(dir)}_"
+    val prefix = s"graft_copurchase_${hex16(dir)}_"
     def liveTables(): Seq[String] = spark.catalog.listTables().collect()
       .filter(t => !t.isTemporary && t.name.startsWith(prefix)).map(_.name).toSeq
     try {
