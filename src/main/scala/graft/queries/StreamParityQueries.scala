@@ -502,6 +502,88 @@ object StreamParityQueries {
           outputMode = "append")
       }.distinct())
 
+  /** q357: the RocksDB checkpoint-format MIGRATION gate — q336 proves
+    * state survives a restart under ONE format; Round12Spec proves the
+    * two formats give identical answers on FRESH checkpoints; this
+    * gate proves the production upgrade path BETWEEN them on one
+    * LIVE checkpoint: the quota runs its history in three phases with
+    * the changelog knob flipped at each restart — snapshot → changelog
+    * (the upgrade: the resumed query loads the snapshot and starts
+    * writing per-batch deltas) → snapshot again (the rollback: delta
+    * replay reconstructs the store, full snapshots resume). Every
+    * phase's counters must continue the previous phase's committed
+    * values across BOTH flips — a migration that loses or re-bases
+    * state over-admits (cap resets) and fails q335's per-user
+    * admitted checksum; one that replays from the wrong version
+    * under-admits. Verdict rows dedupe before the rollup (the q336
+    * idempotent-sink discipline for benign boundary replays). Same
+    * oracle as q335/q336 — the format, like the restart, must be
+    * answer-invisible.
+    */
+  def q357StreamQuotaFormatMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = valEvents(spark, dir).collect() // events-table scale feed
+    val chunk = math.max(1, (feed.length + 5) / 6)
+    val chunks = feed.grouped(chunk).toIndexedSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q357").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    def plan = StreamingOps.quotaPerKey(ms.toDS(), cap = 5L).toDF()
+    val outSchema = plan.schema
+    def start() = plan.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add); ()
+      }
+      .start()
+    // the migration premise, executable (the q345 discipline): the
+    // on-disk checkpoint must actually change format phase-to-phase,
+    // or a silently ignored knob would pass the oracle with nothing
+    // migrated — count RocksDB .changelog files under state/
+    def changelogFiles(): Long = {
+      val st = java.nio.file.Paths.get(ckpt, "state")
+      if (!java.nio.file.Files.isDirectory(st)) 0L
+      else {
+        val walk = java.nio.file.Files.walk(st)
+        try walk.filter(p => p.toString.endsWith(".changelog")).count()
+        finally walk.close()
+      }
+    }
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      var i = 0
+      // snapshot → changelog → snapshot: each phase reads the conf at
+      // query start, so the flip binds exactly at its restart
+      Seq(false, true, false).zipWithIndex.foreach { case (fmt, phase) =>
+        withRocksDbStateStore(spark, changelog = fmt) {
+          q = start()
+          (0 until 2).foreach { _ =>
+            if (i < chunks.length) {
+              ms.addData(chunks(i))
+              q.processAllAvailable()
+              i += 1
+            }
+          }
+          q.stop()
+          val cl = changelogFiles()
+          if (phase == 0)
+            require(cl == 0L,
+              s"q357 premise: snapshot phase wrote $cl changelog file(s)")
+          if (phase == 1)
+            require(cl > 0L,
+              "q357 premise: changelog phase wrote no changelog files — " +
+                "the knob did not bind; nothing was migrated")
+        }
+      }
+      quotaRollup(spark.createDataFrame(
+        new java.util.ArrayList(
+          new java.util.LinkedHashSet(buf)), outSchema))
+    } finally {
+      if (q != null) q.stop()
+      deleteRecursively(ckpt)
+    }
+  }
+
   /** q338: per-user event-type counts on MAP state, driver-verified —
     * [[StreamingOps.typeCountsPerKey]] (the engagement matrix
     * maintained at ingest; MapState bounded by |event types| per user).
@@ -2371,6 +2453,7 @@ object StreamParityQueries {
     "q352_stream_quota_ttl_recovery" -> (q352StreamQuotaTtlRecovery _),
     "q353_stream_ewma_evict" -> (q353StreamEwmaEvict _),
     "q355_stream_ewma_evict_recovery" -> (q355StreamEwmaEvictRecovery _),
+    "q357_stream_quota_format_migration" -> (q357StreamQuotaFormatMigration _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2496,6 +2579,9 @@ object StreamParityQueries {
     // convention)
     "q335_stream_quota" -> QuotaOracle,
     "q336_stream_quota_recovery" -> QuotaOracle,
+    // the checkpoint-format migration must be answer-invisible, so it
+    // shares q335's lifetime-quota oracle (the family convention)
+    "q357_stream_quota_format_migration" -> QuotaOracle,
     // the plain batch engagement matrix the map-state counts must equal
     "q338_stream_type_counts" ->
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
