@@ -277,6 +277,33 @@ object DedupQueries {
     Dedup.connectedComponents(graft.operators.NearDup.exactPairIds(spark, dir))
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
 
+  /** q358: LEAKAGE-SAFE train/val/test split — q71's deterministic md5
+    * split with the coin thrown on the NEAR-DUP CLUSTER, not the
+    * document: a doc's split key is its q37 connected-component label
+    * (min reachable id over the verified-Jaccard pair graph) when
+    * clustered, its own id otherwise, so two near-duplicates can NEVER
+    * straddle train and test — the eval-contamination mode a plain
+    * per-doc split invites (the test set "novel" doc whose near-twin
+    * sits in train). The trade, documented: whole clusters move
+    * together, so split fractions are exact on CLUSTER mass rather
+    * than doc mass (immaterial when clusters are small relative to the
+    * corpus; the property it buys is the one that matters for evals).
+    * Scale shape: q37's CC labels (bounded-round pointer jumping over
+    * the banded pair graph) + one left join + the stateless md5 coin —
+    * nothing beyond what q37/q71 already pay. Round13Spec pins the
+    * zero-straddle property over the full verified pair set.
+    */
+  def q358LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"))
+    val labels =
+      Dedup.connectedComponents(graft.operators.NearDup.exactPairIds(spark, dir))
+        .select(col("id").as("doc_id"), col("comp"))
+    val keyed = d.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("split_key"))
+    graft.operators.Curation.hashSplit(keyed, "split_key",
+      Seq("test" -> "1a", "val" -> "34"), "train")
+  }
+
   /** q38: dedup APPLIED — the corpus with every near-dup cluster reduced
     * to its keeper (min id), non-clustered docs untouched. q37's labels
     * plus the left-anti join ([[Dedup.keepClusterKeepers]]); the oracle
@@ -499,6 +526,7 @@ object DedupQueries {
     "q152_prefix_filter_join" -> (q152PrefixFilterJoin _),
     "q114_cluster_weights" -> (q114ClusterWeights _),
     "q37_dup_clusters" -> (q37DupClusters _),
+    "q358_leakage_safe_split" -> (q358LeakageSafeSplit _),
     "q256_quality_survivorship" -> (q256QualitySurvivorship _),
     "q272_modality_disagreement" -> (q272ModalityDisagreement _),
     "q38_dedup_apply" -> (q38DedupApply _),
@@ -828,6 +856,21 @@ object DedupQueries {
     "q37_dup_clusters" ->
       s"""$ClusterCte
          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    // q358: q37's transitive closure re-derived, the cluster-min label
+    // coalesced with the doc's own id as the split key, then q71's
+    // exact md5 prefix rule on THAT key — the zero-straddle property is
+    // the hash: one doc assigned by its own id instead of its cluster's
+    // changes its split with probability ~0.9 and fails
+    "q358_leakage_safe_split" ->
+      s"""$ClusterCte,
+         |lbl AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+         |SELECT doc_id, split_key,
+         |       CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+         |            WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < '34' THEN 'val'
+         |            ELSE 'train' END AS split
+         |FROM k""".stripMargin,
     // q34's cosine pairs anti-joined against q32's verified-Jaccard
     // pairs on the same ordered key
     "q272_modality_disagreement" ->

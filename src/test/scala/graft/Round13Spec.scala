@@ -422,6 +422,35 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
     assert(got == expected, s"masses must match the hand computation: $got")
   }
 
+  // ---- leakage-safe split (q358) ----
+
+  test("leakage-safe split: no verified near-dup pair straddles splits") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val split = graft.queries.DedupQueries.queries("q358_leakage_safe_split")(spark, dir)
+      .select(col("doc_id"), col("split")).persist()
+    val pairs = graft.operators.NearDup.exactPairIds(spark, dir)
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling == 0L,
+      s"$straddling near-dup pair(s) straddle splits — eval leakage")
+    // the premise has teeth: the corpus actually HAS cross-doc pairs,
+    // and the per-DOC q71 coin would have straddled some of them
+    assert(pairs.count() > 0L, "fixture premise: no verified pairs at all")
+    val docCoinStraddles = pairs
+      .withColumn("sa", substring(md5(col("id_a").cast("string")), 1, 2) < "1a")
+      .withColumn("sb", substring(md5(col("id_b").cast("string")), 1, 2) < "1a")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(docCoinStraddles > 0L,
+      "fixture premise: the per-doc coin straddles nothing — the zero above is vacuous")
+    split.unpersist()
+  }
+
   // ---- Neyman stratified sample (q356) ----
 
   test("Neyman allocation: budget lands exactly, zero-variance strata get zero") {
