@@ -1397,6 +1397,42 @@ object StreamParityQueries {
     * carries no user data — the rollup filter makes replay invisible
     * without a distinct pass). Same oracle as q353.
     */
+  /** q359: the evicting COUPLED fold, driver-verified — q353's gate
+    * over [[StreamingOps.holtPerKeyEvicting]], promoting the Holt
+    * (level, trend) eviction twin from Round13Spec's micro fixture to
+    * a hard driver gate (the fold family's two-variable rung; the
+    * seasonal three-variable rung keeps its spec twin — each new state
+    * SHAPE earns a gate, and the HW array shape is already
+    * driver-gated unbounded via q304 and recovery via q307). Same
+    * synthetic-axis feed and barrier clock as q353 (shared
+    * [[ewmaEvictFeed]] — one definition), oracle = q284's recursive
+    * batch fold re-run inside each (user, slice): a fold surviving the
+    * gap carries (l, b, n) across slices and fails count and hash; the
+    * COUPLED recurrence makes a partially-lost state (level kept,
+    * trend dropped) diverge on every subsequent step.
+    */
+  def q359StreamHoltEvict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q359_holt_evict"
+    spark.catalog.dropTempView(sink)
+    val f = ewmaEvictFeed(spark, dir)
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.holtPerKeyEvicting(ms.toDS(), EvictRetentionMs)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      f.bySlice.foreach { case (s, rows) =>
+        ms.addData(rows)
+        q.processAllAvailable()
+        f.barriers(s).foreach { t =>
+          ms.addData(Seq(f.clock(t)))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("n_events"), col("level"), col("trend"))
+  }
+
   def q355StreamEwmaEvictRecovery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = ewmaEvictFeed(spark, dir)
@@ -2454,6 +2490,7 @@ object StreamParityQueries {
     "q353_stream_ewma_evict" -> (q353StreamEwmaEvict _),
     "q355_stream_ewma_evict_recovery" -> (q355StreamEwmaEvictRecovery _),
     "q357_stream_quota_format_migration" -> (q357StreamQuotaFormatMigration _),
+    "q359_stream_holt_evict" -> (q359StreamHoltEvict _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2635,6 +2672,36 @@ object StreamParityQueries {
     // oracle for the recovery twin — the family convention.
     "q353_stream_ewma_evict" -> EwmaEvictOracle,
     "q355_stream_ewma_evict_recovery" -> EwmaEvictOracle,
+    // q284's recursive coupled fold re-run inside each (user, slice) —
+    // the evicting Holt twin's per-slice batch answer
+    "q359_stream_holt_evict" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |             rn // ((cnt + 2) // 3) AS slice FROM o),
+        |ser AS (
+        |  SELECT user_id, slice, list(value ORDER BY ts, event_id) AS xs,
+        |         count(*) AS n
+        |  FROM s GROUP BY user_id, slice),
+        |fold AS (
+        |  SELECT user_id, slice, 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT f.user_id, f.slice, f.i + 1,
+        |         (sr.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2,
+        |         ((sr.xs[CAST(f.i + 1 AS INT)] + f.l + f.b) / 2 - f.l + f.b) / 2
+        |  FROM fold f JOIN ser sr
+        |    ON sr.user_id = f.user_id AND sr.slice = f.slice
+        |  WHERE f.i < sr.n)
+        |SELECT f.user_id, CAST(sr.n AS BIGINT) AS n_events,
+        |       f.l AS level, f.b AS trend
+        |FROM fold f JOIN ser sr
+        |  ON sr.user_id = f.user_id AND sr.slice = f.slice
+        |WHERE f.i = sr.n""".stripMargin,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses
