@@ -351,6 +351,45 @@ class Round13Spec extends AnyFunSuite with SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("graph materialization GC never crosses dataset dirs") {
+    // the review-pass regression pin: the GC deletes by the tag's dir
+    // prefix, so building dir B must leave dir A's live table (and its
+    // files) untouched — under the old 32-bit dirHex a prefix collision
+    // would have DROPPED and deleted A's table here (probabilistically;
+    // this pin catches any future regression to prefix semantics, e.g.
+    // a GC keyed on the table family instead of the dir half)
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-r13-gcA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-r13-gcB").toString
+    def live(d: String): Seq[String] = {
+      val p = s"graft_copurchase_${hex16(d)}_"
+      spark.catalog.listTables().collect()
+        .filter(t => !t.isTemporary && t.name.startsWith(p)).map(_.name).toSeq
+    }
+    try {
+      Seq(dirA, dirB).foreach { d =>
+        Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+          .toDF("l_orderkey", "l_partkey")
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      }
+      graft.operators.Edges.coPurchase(spark, dirA).count()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      val a1 = live(dirA)
+      assert(a1.size == 1, s"dir A must have one live table: $a1")
+      val locA = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graft.Bridge.tableLocation(spark, a1.head))
+      val fs = locA.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.Edges.coPurchase(spark, dirB).count()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+      assert(live(dirA) == a1,
+        s"building dir B must not GC dir A's table: ${live(dirA)} vs $a1")
+      assert(fs.exists(locA), s"dir A's warehouse files must survive: $locA")
+      assert(live(dirB).size == 1, s"dir B must have its own table: ${live(dirB)}")
+    } finally { rmTree(dirA); rmTree(dirB) }
+  }
+
   test("graph materialization GC: a regeneration drops the superseded table AND its files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-r13-gc").toString
