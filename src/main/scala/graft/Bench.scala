@@ -106,7 +106,16 @@ object Bench {
     // round-13 flagship: the Gopher repetition gate — document-local
     // exact n-gram character masses in one fused native pass, zero
     // shuffles (the quality dimension the C4-style funnel misses)
-    "q354_gopher_repetition")
+    "q354_gopher_repetition",
+    // round-14: the leakage-safe split re-runs the full near-dup pair
+    // graph + CC + join (q38-class cost — it must pay its way visibly)
+    // and the Neyman stratified sample (corpus moments + driver
+    // allocation + per-stratum rank); plus the round-14 flagship —
+    // BPE APPLY, the tokenize-everything corpus pass under the learned
+    // merge table
+    "q358_leakage_safe_split",
+    "q356_neyman_sample",
+    "q360_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,6 +191,20 @@ object Bench {
         name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
       }
     }
+    // Drift decidability (round-13 verdict): the min alone cannot
+    // separate one-JVM sweep drift from a plan regression — a +71%
+    // mover with an unchanged plan stayed a "watch item" because the
+    // artifact held no variance information. Emit each query's MAX
+    // across the interleaved passes alongside the min: a wide
+    // (max ≫ min) band says the mover's worst samples were contention
+    // or GC-pressure windows (drift); a tight band that still moved
+    // versus the previous round is a real regression. Extra top-level
+    // key — the driver's "queries" parse is untouched.
+    val spreads = Headline.flatMap { name =>
+      samples.get(name).map { secs =>
+        name -> (if (secs.exists(_ < 0)) -1.0 else secs.max)
+      }
+    }
     // apples-to-apples vs BASELINE.md: end-to-end index build of the
     // reference's own 355-doc corpus (its checker budget is 200 s).
     // min-of-2 for the same contention-window reason as the query sweep.
@@ -202,8 +225,10 @@ object Bench {
     val all = results ++ refResults
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val mx = spreads.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"max":$mx,"sf":"$sfDir"}""")
     System.out.flush() // forked-JVM stdout is pipe-buffered; the JSON line must land
     spark.stop()
   }

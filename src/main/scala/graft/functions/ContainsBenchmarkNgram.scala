@@ -16,21 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is the STREAMING-SAFE form of decontamination: a stateless
   * per-row predicate (no generate → regroup, so no aggregation state),
   * usable in any output mode — and in batch it is the predicate-pushdown
-  * form of q93's per-doc count. The sketch bytes ride in the plan like
-  * q42's seed matrix (a ~3.4 byte/item constant at 1e-6 fpp); each task's
-  * expression instance deserializes them ONCE (transient lazy), then rows
-  * stream through bit tests. False positives can only DROP extra docs —
-  * the conservative direction for pre-training hygiene.
+  * form of q93's per-doc count. The sketch rides in the plan like q42's
+  * seed matrix (a ~3.6 byte/item constant at ~1e-6 fpp — the
+  * [[Md5BloomSketch]] md5-position form, so decisions stay
+  * oracle-replayable); rows stream through bit tests. False positives
+  * can only DROP extra docs — the conservative direction for
+  * pre-training hygiene.
   */
 case class ContainsBenchmarkNgram(
-    child: Expression, bloomBytes: Array[Byte], n: Int)
+    child: Expression, bloom: Md5BloomSketch, n: Int)
     extends UnaryExpression {
 
   require(n >= 1)
-
-  @transient private lazy val bloom =
-    org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "contains_benchmark_ngram"
@@ -52,7 +49,7 @@ case class ContainsBenchmarkNgram(
   def compute(line: UTF8String): Boolean =
     WordNgrams
       .ngramIterator(WordNgrams.cleanWords(line.getBytes), n, shortDocFallback = true)
-      .exists(bloom.mightContainString)
+      .exists(bloom.mightContain)
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -71,24 +68,19 @@ case class ContainsBenchmarkNgram(
 }
 
 object ContainsBenchmarkNgram {
-  def apply(c: Column, bloomBytes: Array[Byte], n: Int): Column =
-    Bridge.column(ContainsBenchmarkNgram(Bridge.expression(c), bloomBytes, n))
+  def apply(c: Column, bloom: Md5BloomSketch, n: Int): Column =
+    Bridge.column(ContainsBenchmarkNgram(Bridge.expression(c), bloom, n))
 }
 
 /** Bloom-membership predicate over an ALREADY-shingled string column —
-  * the expression form of `bloom.mightContainString`, for plans that have
+  * the expression form of `bloom.mightContain`, for plans that have
   * the shingle table in hand (q93's per-doc counts). Keeps the filter
   * inside the Tungsten row pipeline: no typed-Dataset deserialization, no
-  * broadcast plumbing — the sketch rides as a plan constant and each task
-  * instance deserializes it once (transient lazy), like
-  * [[ContainsBenchmarkNgram]].
+  * broadcast plumbing — the [[Md5BloomSketch]] rides as a plan constant,
+  * like [[ContainsBenchmarkNgram]].
   */
-case class MightContainString(child: Expression, bloomBytes: Array[Byte])
+case class MightContainString(child: Expression, bloom: Md5BloomSketch)
     extends UnaryExpression {
-
-  @transient private lazy val bloom =
-    org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "might_contain_string"
@@ -102,7 +94,7 @@ case class MightContainString(child: Expression, bloomBytes: Array[Byte])
     * [[ContainsBenchmarkNgram.compute]]).
     */
   def compute(s: UTF8String): Boolean =
-    bloom.mightContainString(s.toString)
+    bloom.mightContain(s.toString)
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -117,8 +109,8 @@ case class MightContainString(child: Expression, bloomBytes: Array[Byte])
 }
 
 object MightContainString {
-  def apply(c: Column, bloomBytes: Array[Byte]): Column =
-    Bridge.column(MightContainString(Bridge.expression(c), bloomBytes))
+  def apply(c: Column, bloom: Md5BloomSketch): Column =
+    Bridge.column(MightContainString(Bridge.expression(c), bloom))
 }
 
 /** Bloom-membership predicate over a LONG key column — the runtime

@@ -124,7 +124,25 @@ object Curation {
     */
   def packSequences(
       df: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, buckets: Int): DataFrame = {
+      seqLen: Int, buckets: Int): DataFrame =
+    packByCount(
+      df.select(
+        col(idCol),
+        // null text = zero tokens: the row still packs (at its bucket's
+        // current position) instead of poisoning the running sum with null
+        coalesce(graft.functions.AlnumWordCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tok")),
+      idCol, seqLen, buckets)
+
+  /** The packing CORE behind [[packSequences]], over a PRECOMPUTED
+    * per-row token count (`n_tok` long) — one definition of the bucket
+    * routing and cut arithmetic, so the q84 word-count form and the
+    * q362 learned-tokenizer form (BPE counts from the q360 APPLY) can
+    * never drift: same md5 bucket coin, same running sum, same integer
+    * DIV/MOD cuts.
+    */
+  def packByCount(
+      df: DataFrame, idCol: String, seqLen: Int, buckets: Int): DataFrame = {
     require(seqLen >= 1, "packSequences requires seqLen >= 1")
     require(buckets >= 1, "packSequences requires buckets >= 1")
     import org.apache.spark.sql.expressions.Window
@@ -135,13 +153,7 @@ object Curation {
       lit(buckets))
     val w = Window.partitionBy(col("bucket")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(
-        col(idCol),
-        bucket.as("bucket"),
-        // null text = zero tokens: the row still packs (at its bucket's
-        // current position) instead of poisoning the running sum with null
-        coalesce(graft.functions.AlnumWordCount(col(textCol)).cast("long"), lit(0L))
-          .as("n_tok"))
+    df.select(col(idCol), bucket.as("bucket"), col("n_tok"))
       .withColumn("__cum", sum(col("n_tok")).over(w))
       .select(
         col(idCol), col("bucket"),

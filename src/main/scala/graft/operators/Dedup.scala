@@ -44,19 +44,35 @@ object Dedup {
   def shinglePairs(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol), graft.functions.WordNgrams(col(textCol), n).as("sh"))
 
-  /** Serialized Bloom sketch of a shingle column — THE sketch parameters
-    * (exact-count sizing, 1e-6 fpp ≈ 3.4 bytes/item) for BOTH batch q93
-    * and streaming decontamination, kept in one place so the two paths
-    * can never drift apart. Two benchmark-sized actions (count + sketch
-    * aggregation); the input is persisted for their duration.
+  /** Bloom sketch of a shingle column — THE sketch parameters
+    * (exact-count integer sizing, 29 bits/item · k=20 ≈ 1e-6 fpp) for
+    * BOTH batch q93 and streaming decontamination, kept in one place so
+    * the two paths can never drift apart. The hash is md5-derived
+    * ([[graft.functions.Md5BloomSketch]]) so every membership DECISION
+    * is replayable by an independent SQL engine — the round-13 Murmur3
+    * sketch was the one sketch whose decisions could not be oracle-
+    * checked. Build: two benchmark-sized actions (count + a
+    * treeAggregate that ORs per-partition bit arrays — the same
+    * distributed shape `stat.bloomFilter` runs internally); the input
+    * is persisted for their duration.
     */
-  def shingleSketch(shingles: DataFrame, colName: String = "sh"): Array[Byte] = {
+  def shingleSketch(shingles: DataFrame, colName: String = "sh")
+      : graft.functions.Md5BloomSketch = {
+    import graft.functions.Md5BloomSketch
     val s = shingles.persist()
     try {
-      val bloom = s.stat.bloomFilter(colName, math.max(s.count(), 1L), 1e-6)
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
+      val m = Md5BloomSketch.mBitsFor(s.count())
+      val k = Md5BloomSketch.K
+      val nBytes = ((m + 7L) / 8L).toInt
+      val bits = s.select(col(colName)).na.drop().rdd
+        .treeAggregate(new Array[Byte](nBytes))(
+          (acc, row) => { Md5BloomSketch.add(acc, row.getString(0), m, k); acc },
+          (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+            a
+          })
+      Md5BloomSketch(bits, m, k)
     } finally { s.unpersist(); () }
   }
 

@@ -108,8 +108,16 @@ object Edges {
       "a",
       // GC superseded fingerprints of THIS dir (same dirHex, different
       // fpHex); other dirs and this fingerprint's other minSupport
-      // tables are untouched
-      gcStale = Some((s"graft_copurchase_${dirPrefix(tag)}",
+      // tables are untouched. The second prefix is the one-time legacy
+      // sweep: pre-round-13 tags used 8-hex halves, so a pre-existing
+      // warehouse holds graft_copurchase_<hex8(dir)>_<hex8fp>_s* tables
+      // the 17-char prefix can never match — those would be stranded
+      // forever (the exact leak gcStale fixes). hex8(dir) is the first
+      // half of hex16(dir), and the legacy name has `_` at offset 8
+      // where the new format has a hex digit, so the legacy prefix
+      // matches ONLY legacy tables of this dir, never the new format.
+      gcStale = Some((Seq(s"graft_copurchase_${dirPrefix(tag)}",
+          s"graft_copurchase_${legacyDirPrefix(tag)}"),
         s"graft_copurchase_$tag"))) {
       // persisted across the union's two arms: without it the write job
       // evaluates the whole basket-build subtree twice (the arms differ
@@ -174,6 +182,16 @@ object Edges {
   private def dirPrefix(tag: String): String =
     tag.substring(0, tag.indexOf('_') + 1)
 
+  /** The PRE-round-13 GC prefix for a tag: 8-hex dir half plus `_` —
+    * matches only legacy-format tables of the same dir (the new format
+    * has a hex digit, not `_`, at offset 8). Used for the one-time
+    * migration sweep of warehouses written before the halves widened
+    * to 16 hex chars; carries the legacy format's own 32-bit cross-dir
+    * collision odds, which is the risk those tables were already under.
+    */
+  private def legacyDirPrefix(tag: String): String =
+    tag.substring(0, 8) + "_"
+
   /** Write-once-per-session bucketed materialization: builds `build` on
     * first use, lands it as a bucketed+sorted catalog table on
     * `bucketCol` (32 buckets; the pre-write hash repartition uses the
@@ -194,7 +212,7 @@ object Edges {
     */
   private def materializedTable(
       spark: SparkSession, tbl: String, bucketCol: String,
-      gcStale: Option[(String, String)] = None)(
+      gcStale: Option[(Seq[String], String)] = None)(
       build: => DataFrame): DataFrame = {
     matLock.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
@@ -206,9 +224,10 @@ object Edges {
         // files, because these are EXTERNAL tables (explicit path):
         // DROP TABLE alone would leave the bytes behind, which is the
         // leak being fixed.
-        gcStale.foreach { case (stalePrefix, keepPrefix) =>
+        gcStale.foreach { case (stalePrefixes, keepPrefix) =>
           spark.catalog.listTables().collect()
-            .filter(t => !t.isTemporary && t.name.startsWith(stalePrefix) &&
+            .filter(t => !t.isTemporary &&
+              stalePrefixes.exists(t.name.startsWith) &&
               !t.name.startsWith(keepPrefix))
             .foreach { t =>
               val loc = new org.apache.hadoop.fs.Path(
@@ -284,7 +303,8 @@ object Edges {
     materializedTable(spark,
       s"graft_custpart_$tag",
       "c",
-      gcStale = Some((s"graft_custpart_${dirPrefix(tag)}",
+      gcStale = Some((Seq(s"graft_custpart_${dirPrefix(tag)}",
+          s"graft_custpart_${legacyDirPrefix(tag)}"),
         s"graft_custpart_$tag"))) {
       val o = spark.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"))

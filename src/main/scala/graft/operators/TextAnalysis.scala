@@ -126,19 +126,34 @@ object TextAnalysis {
     * the statistic is document-local, embarrassingly parallel at any
     * corpus size): exact integer character masses of the heaviest
     * {2,3,4}-gram and of duplicated {5,10}-grams over the cleaned
-    * word stream, plus `pass` — ALL Gopher thresholds met (top2 ≤ 0.20,
-    * top3 ≤ 0.18, top4 ≤ 0.16, dup5 ≤ 0.15, dup10 ≤ 0.10 of the
-    * character mass), evaluated as integer cross-multiplications so the
-    * gate never divides.
+    * word stream, plus `pass` — ALL thresholds met, evaluated as
+    * integer cross-multiplications (mass·1000 ≤ denom·t‰) so the gate
+    * never divides. Thresholds are PARAMETERS in parts-per-mille;
+    * the defaults are Gopher's published cut-offs (top2 ≤ 0.20,
+    * top3 ≤ 0.18, top4 ≤ 0.16, dup5 ≤ 0.15, dup10 ≤ 0.10).
+    *
+    * COMPARABILITY CAVEAT: the underlying statistics deviate from the
+    * paper's in two documented ways ([[graft.functions.GopherRepetition]]
+    * — top-n is max over grams of count·charlen rather than the single
+    * most FREQUENT gram's mass, and dup-n counts duplicated-gram
+    * characters with repetition and overlap rather than deduplicated
+    * character positions), and both deviations only ever measure MORE
+    * repetition mass. Under the paper-calibrated defaults the gate is
+    * therefore systematically STRICTER than Gopher's published filter —
+    * pass-rates are not comparable to the paper's numbers. Recalibrate
+    * via the per-mille parameters when paper-comparable rates matter.
     */
-  def gopherRepetition(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def gopherRepetition(docs: DataFrame, textCol: String, idCol: String,
+      top2PerMille: Long = 200L, top3PerMille: Long = 180L,
+      top4PerMille: Long = 160L, dup5PerMille: Long = 150L,
+      dup10PerMille: Long = 100L): DataFrame =
     docs.select(col(idCol), graft.functions.GopherRepetition(col(textCol)))
       .withColumn("pass",
-        col("top2") * 5 <= col("denom") &&
-          col("top3") * 50 <= col("denom") * 9 &&
-          col("top4") * 25 <= col("denom") * 4 &&
-          col("dup5") * 20 <= col("denom") * 3 &&
-          col("dup10") * 10 <= col("denom"))
+        col("top2") * 1000L <= col("denom") * top2PerMille &&
+          col("top3") * 1000L <= col("denom") * top3PerMille &&
+          col("top4") * 1000L <= col("denom") * top4PerMille &&
+          col("dup5") * 1000L <= col("denom") * dup5PerMille &&
+          col("dup10") * 1000L <= col("denom") * dup10PerMille)
 
   /** Token counts per document: whitespace tokens, alpha runs, digit runs,
     * and a BPE-ish segmentation count (letter runs + digit runs + each

@@ -146,11 +146,15 @@ object DedupQueries {
     * the corpus side STREAMS through a per-partition membership filter —
     * no join, no corpus shuffle before the per-doc count.
     *
-    * The sketch's bit layout is engine-internal, so there is no DuckDB
-    * oracle (driver records the weaker rows-only check, like q7's HLL);
-    * `DedupSpec` pins the semantics instead: flagged docs are a superset
-    * of q78's exact answer, per-doc counts are >= the exact counts, and
-    * the false-positive doc excess is bounded.
+    * ORACLE-CHECKED since round 14: the sketch's hash is md5-derived
+    * ([[graft.functions.Md5BloomSketch]] — pos_j = first-13-hex of
+    * md5(j||'|'||sh) mod m, integer sizing m = n·29 bits, k = 20), so
+    * DuckDB re-derives the k positions per n-gram with its own md5 and
+    * reproduces every membership DECISION (the q113 CMS discipline);
+    * the bit LAYOUT stays out of the contract. `DedupSpec` keeps the
+    * structural pins: flagged docs are a superset of q78's exact
+    * answer, per-doc counts are >= the exact counts, and the
+    * false-positive doc excess is bounded.
     */
   def q93BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
@@ -1107,6 +1111,32 @@ object DedupQueries {
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id >= 20
          |GROUP BY s.doc_id""".stripMargin,
+    // the INDEPENDENT sketch replay (q113's md5-arithmetic discipline):
+    // same integer sizing m = max(|bench|,1)·29, same k = 20 md5
+    // positions per n-gram; a corpus shingle is flagged iff ALL 20 of
+    // its positions land in the benchmark's position SET — membership
+    // decisions reproduced without touching the engine's bit layout
+    "q93_bloom_decontaminate" ->
+      s"""$ShingleCte,
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |pr AS (SELECT greatest(count(*), 1) * 29 AS m FROM bench),
+         |ks AS (SELECT unnest(range(0, 20)) AS j),
+         |bpos AS (
+         |  SELECT DISTINCT
+         |         CAST(('0x' || substr(md5(CAST(ks.j AS VARCHAR) || '|' || b.sh),
+         |                              1, 13)) AS BIGINT) % pr.m AS pos
+         |  FROM bench b CROSS JOIN pr CROSS JOIN ks),
+         |hit AS (
+         |  SELECT c.doc_id, c.sh
+         |  FROM sh c CROSS JOIN pr CROSS JOIN ks
+         |  LEFT JOIN bpos ON bpos.pos =
+         |    CAST(('0x' || substr(md5(CAST(ks.j AS VARCHAR) || '|' || c.sh),
+         |                         1, 13)) AS BIGINT) % pr.m
+         |  WHERE c.doc_id >= 20
+         |  GROUP BY c.doc_id, c.sh
+         |  HAVING count(bpos.pos) = 20)
+         |SELECT doc_id, count(*) AS n_flagged
+         |FROM hit GROUP BY doc_id""".stripMargin,
     "q79_repetition" ->
       s"""$ShingleCte,
          |tot AS (

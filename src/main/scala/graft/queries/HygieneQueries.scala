@@ -620,11 +620,20 @@ object HygieneQueries {
     * no intermediate ever outgrows a double's range; both engines run
     * the identical IEEE sequence, clamped at 0 against cancellation)
     * under one IEEE sqrt (correctly rounded — engine-identical);
-    * the weight is quantized to floor(n·σ·10⁶) so the allocation
-    * itself runs in EXACT integer arithmetic — largest-remainder
-    * apportionment (k_s = ⌊K·w_s/W⌋ + 1 for the top-(K−Σ⌊⌋) by
+    * the weight is NORMALIZED by the run's max raw weight before
+    * quantizing — wq = floor(n·σ / max(n·σ) · 10⁶) — so wq ∈ [0, 10⁶]
+    * and every downstream product (K·wq ≤ 2·10⁸, W ≤ |sources|·10⁶)
+    * stays far inside Int64 REGARDLESS of corpus scale (the
+    * unnormalized floor(n·σ·10⁶) breaches 2⁶³ near 10⁹ docs of 10⁵
+    * chars — Spark would saturate while DuckDB raises, the one place
+    * the engines could diverge); the allocation then runs in EXACT
+    * integer arithmetic — largest-remainder apportionment
+    * (k_s = ⌊K·w_s/W⌋ + 1 for the top-(K−Σ⌊⌋) by
     * (remainder desc, source asc)), the q242 quantize-then-integer
-    * idiom. Membership per stratum is the bottom-k_s under the q138
+    * idiom. Normalizing is allocation-invariant in the reals (Neyman
+    * weights are scale-free) and both engines quantize the identical
+    * IEEE (rw/mx)·10⁶ value, so determinism is preserved.
+    * Membership per stratum is the bottom-k_s under the q138
     * md5-fraction coin — pure function of the doc id, stable under
     * re-runs, re-partitioning and appends.
     *
@@ -642,25 +651,29 @@ object HygieneQueries {
     import org.apache.spark.sql.expressions.Window
     val K = 200L
     val d = docs(spark, dir).select(col("source"), col("doc_id"), col("n_chars"))
-    // exact integer moments; wq = floor(n·σ·1e6) with σ from one double
+    // exact integer moments; raw weight rw = n·σ with σ from one double
     // division + one sqrt — the only float ops before the quantize
     val moments = d.groupBy("source").agg(
         count(lit(1)).as("n"),
         sum(col("n_chars").cast("decimal(38,0)")).as("s1"),
         sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("s2"))
-      .select(col("source"), col("n"),
-        floor(col("n").cast("double") *
+      .select(col("source"),
+        (col("n").cast("double") *
           sqrt(greatest(lit(0.0),
             col("s2").cast("double") / col("n").cast("double") -
               (col("s1").cast("double") / col("n").cast("double")) *
-              (col("s1").cast("double") / col("n").cast("double")))) *
-          1e6).cast("long").as("wq"))
+              (col("s1").cast("double") / col("n").cast("double")))))
+          .as("rw"))
       .collect() // |sources| rows — bounded driver state (q98 convention)
-      .map(r => (r.getString(0), r.getLong(2)))
+      .map(r => (r.getString(0), r.getDouble(1)))
       .sortBy(_._1)
-    val w = moments.map(_._2).sum
-    require(w > 0L, "q356: degenerate corpus — every stratum has zero variance")
-    val base = moments.map { case (s, wq) => (s, K * wq / w, K * wq % w) }
+    val mx = moments.map(_._2).max
+    require(mx > 0.0, "q356: degenerate corpus — every stratum has zero variance")
+    // wq = floor(rw/mx · 1e6) ∈ [0, 1e6] — Int64-safe at any scale
+    val quant = moments.map { case (s, rw) =>
+      (s, math.floor(rw / mx * 1e6).toLong) }
+    val w = quant.map(_._2).sum
+    val base = quant.map { case (s, wq) => (s, K * wq / w, K * wq % w) }
     val extra = (K - base.map(_._2).sum).toInt
     val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
       .take(extra).map(_._1).toSet
@@ -775,15 +788,18 @@ object HygieneQueries {
         |  SELECT source, count(*) AS n, sum(n_chars) AS s1,
         |         sum(n_chars * n_chars) AS s2
         |  FROM documents GROUP BY source),
+        |rw AS (
+        |  SELECT source,
+        |         CAST(n AS DOUBLE) *
+        |         sqrt(greatest(0.0,
+        |              CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) AS rw
+        |  FROM m),
         |w AS (
         |  SELECT source,
-        |         CAST(floor(CAST(n AS DOUBLE) *
-        |              sqrt(greatest(0.0,
-        |                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
-        |                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
-        |              * 1000000.0) AS BIGINT) AS wq
-        |  FROM m),
+        |         CAST(floor(rw / (max(rw) OVER ()) * 1000000.0) AS BIGINT) AS wq
+        |  FROM rw),
         |t AS (SELECT sum(wq) AS wt FROM w),
         |f AS (SELECT source, wq, wt, (200 * wq) // wt AS kf,
         |             (200 * wq) % wt AS rem

@@ -1433,6 +1433,43 @@ object StreamParityQueries {
       .select(col("user_id"), col("n_events"), col("level"), col("trend"))
   }
 
+  /** q361: the evicting SEASONAL fold, driver-verified — q359's gate
+    * verbatim over [[StreamingOps.holtWintersPerKeyEvicting]],
+    * promoting the LAST spec-level-only eviction twin (the
+    * (level, trend, seasonal-array) state shape; Round13Spec carries
+    * the micro fixture, q304/q307 the unbounded + recovery gates) to a
+    * hard driver gate. Same synthetic-axis feed and barrier clock as
+    * q353/q359 (shared [[ewmaEvictFeed]] — one definition), oracle =
+    * q303/q304's recursive seasonal batch fold re-run inside each
+    * (user, slice): a fold surviving the gap carries all seven state
+    * variables across slices and fails count and hash; a PARTIAL loss
+    * (say the seasonal array dropped but (l, b) kept) diverges on the
+    * first post-gap step because every seasonal slot feeds back into
+    * the level recurrence.
+    */
+  def q361StreamHwEvict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "graft_q361_hw_evict"
+    spark.catalog.dropTempView(sink)
+    val f = ewmaEvictFeed(spark, dir)
+    val ms = MemoryStream[StreamingOps.ValEvent](spark)
+    val q = StreamingOps.holtWintersPerKeyEvicting(ms.toDS(), EvictRetentionMs)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      f.bySlice.foreach { case (s, rows) =>
+        ms.addData(rows)
+        q.processAllAvailable()
+        f.barriers(s).foreach { t =>
+          ms.addData(Seq(f.clock(t)))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("n_events"), col("level"), col("trend"),
+        col("s0"), col("s1"), col("s2"), col("s3"))
+  }
+
   def q355StreamEwmaEvictRecovery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = ewmaEvictFeed(spark, dir)
@@ -2491,6 +2528,7 @@ object StreamParityQueries {
     "q355_stream_ewma_evict_recovery" -> (q355StreamEwmaEvictRecovery _),
     "q357_stream_quota_format_migration" -> (q357StreamQuotaFormatMigration _),
     "q359_stream_holt_evict" -> (q359StreamHoltEvict _),
+    "q361_stream_hw_evict" -> (q361StreamHwEvict _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2702,6 +2740,66 @@ object StreamParityQueries {
         |FROM fold f JOIN ser sr
         |  ON sr.user_id = f.user_id AND sr.slice = f.slice
         |WHERE f.i = sr.n""".stripMargin,
+    // q303/q304's recursive SEASONAL fold re-run inside each
+    // (user, slice) — the evicting Holt-Winters twin's per-slice batch
+    // answer (the q359 oracle with the four seasonal slots carried
+    // through the recursion; slice grouped but not selected, as above)
+    "q361_stream_hw_evict" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events),
+        |sl AS (SELECT user_id, ts, event_id, value,
+        |              rn // ((cnt + 2) // 3) AS slice FROM o),
+        |ser AS (
+        |  SELECT user_id, slice, list(value ORDER BY ts, event_id) AS xs,
+        |         count(*) AS n
+        |  FROM sl GROUP BY user_id, slice),
+        |fold AS (
+        |  SELECT user_id, slice, 1 AS i, xs[1] AS l, CAST(0 AS DOUBLE) AS b,
+        |         CAST(0 AS DOUBLE) AS s0, CAST(0 AS DOUBLE) AS s1,
+        |         CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT f.user_id, f.slice, f.i + 1,
+        |    (s.xs[CAST(f.i + 1 AS INT)]
+        |     - CASE f.i % 4 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+        |                    WHEN 2 THEN f.s2 ELSE f.s3 END
+        |     + f.l + f.b) / 2,
+        |    ((s.xs[CAST(f.i + 1 AS INT)]
+        |      - CASE f.i % 4 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+        |                     WHEN 2 THEN f.s2 ELSE f.s3 END
+        |      + f.l + f.b) / 2 - f.l + f.b) / 2,
+        |    CASE WHEN f.i % 4 = 0 THEN
+        |      (s.xs[CAST(f.i + 1 AS INT)]
+        |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s0 + f.l + f.b) / 2
+        |       + f.s0) / 2
+        |    ELSE f.s0 END,
+        |    CASE WHEN f.i % 4 = 1 THEN
+        |      (s.xs[CAST(f.i + 1 AS INT)]
+        |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s1 + f.l + f.b) / 2
+        |       + f.s1) / 2
+        |    ELSE f.s1 END,
+        |    CASE WHEN f.i % 4 = 2 THEN
+        |      (s.xs[CAST(f.i + 1 AS INT)]
+        |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s2 + f.l + f.b) / 2
+        |       + f.s2) / 2
+        |    ELSE f.s2 END,
+        |    CASE WHEN f.i % 4 = 3 THEN
+        |      (s.xs[CAST(f.i + 1 AS INT)]
+        |       - (s.xs[CAST(f.i + 1 AS INT)] - f.s3 + f.l + f.b) / 2
+        |       + f.s3) / 2
+        |    ELSE f.s3 END
+        |  FROM fold f JOIN ser s
+        |    ON s.user_id = f.user_id AND s.slice = f.slice
+        |  WHERE f.i < s.n)
+        |SELECT f.user_id, CAST(s.n AS BIGINT) AS n_events,
+        |       f.l AS level, f.b AS trend, f.s0, f.s1, f.s2, f.s3
+        |FROM fold f JOIN ser s
+        |  ON s.user_id = f.user_id AND s.slice = f.slice
+        |WHERE f.i = s.n""".stripMargin,
     // exactly one emission per (user, cluster): the cluster head is
     // re-admitted after eviction, its 3 in-window followers dedup —
     // the same slice arithmetic the gate's feed construction uses

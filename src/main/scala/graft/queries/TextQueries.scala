@@ -133,6 +133,26 @@ object TextQueries {
       : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) =
     bpeRoundsFromWords(bpeSeed(s, dir), rounds)
 
+  /** The q360 BPE-APPLY table — factored out so the q362 capstone runs
+    * the IDENTICAL stage (same helper, byte-identical output), the q86
+    * capstone discipline. See the q360 entry below for the full
+    * semantics/scale discussion.
+    */
+  private[graft] def bpeApplyTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val merges = bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3))
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.BpeEncode(col("w"), merges).as("segs"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_words"),
+        size(flatten(col("segs"))).cast("long").as("n_bpe_tokens"),
+        md5(array_join(
+          transform(col("segs"), a => array_join(a, " ")), "|")).as("seg_fp"))
+  }
+
   private[graft] def bpeRoundsFromWords(words: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) = {
     import org.apache.spark.sql.functions._
@@ -791,6 +811,63 @@ object TextQueries {
       totals.toDF("round", "corpus_tokens")
         .withColumn("compression_ratio",
           round(lit(t0).cast("double") / col("corpus_tokens"), 6))
+    }),
+    // q360: BPE APPLY — encode the whole corpus under q263's LEARNED
+    // merge table: per document, each cleaned word replayed through the
+    // five merges in priority order ([[graft.functions.BpeEncode]] —
+    // the native sequential-replay expression with a per-task word
+    // memo), emitting the per-doc word count, the post-encoding BPE
+    // token count, and an md5 fingerprint of the FULL segmentation
+    // (tokens ' '-joined within a word, words '|'-joined) so the
+    // driver hash pins the entire encoding, not just its volume. This
+    // is the tokenize-everything step a training pipeline runs over
+    // all 100 TB. DETERMINISM: the merge table is q263's (already
+    // hash-proven against the oracle's unrolled chain); the replay
+    // fold is the learner's own per-round recurrence, so a corpus
+    // word encodes to exactly the learner's final symbol table entry.
+    // Scale shape: the learn loop is vocab-grain (q263's analysis);
+    // the APPLY is ONE corpus scan, document-local, zero shuffles —
+    // the merge table ships as a plan literal (vocabulary-sized), and
+    // the per-task memo makes repeated words one hash probe each.
+    // Oracle: the INDEPENDENT replay — DuckDB re-learns the merges
+    // (bpeCte's unrolled chain) and reads each word's segmentation
+    // from the final symbol table s5 (vocab-sized, exact), joins back
+    // to documents, and re-aggregates the same three outputs.
+    "q360_bpe_apply" -> (bpeApplyTable _),
+    // q362: tokenizer ROUND-TRIP capstone (the q86 composition
+    // discipline) — learned tokenizer to packed training batches in one
+    // pipeline: q360's BPE APPLY (the SAME helper, byte-identical
+    // stage output) supplies per-doc learned-token counts, q84's
+    // packing CORE (Curation.packByCount — one definition of the md5
+    // bucket coin and the integer cut arithmetic) assigns every doc a
+    // (bucket, seq_id, tok_offset) under 512-token sequences, and the
+    // q244-style padding readout prices the result: per bucket, the
+    // sequence count, padded token volume (n_seqs · 512 — the last
+    // sequence pads) and waste fraction, joined back to the doc grain
+    // (8 rows, broadcast). This is the batch plan a training run
+    // actually consumes — lengths measured in LEARNED tokens, not raw
+    // words. DETERMINISM: counts are exact integers off the
+    // hash-pinned q360 encoding; cuts are integer DIV/MOD; one rounded
+    // division per bucket. Scale shape: q360's zero-shuffle corpus
+    // pass, one per-bucket running-sum window (8-way parallel,
+    // bucket-partitioned — never global), an 8-row rollup broadcast
+    // back.
+    "q362_tokenizer_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val enc = bpeApplyTable(s, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+      val packed = graft.operators.Curation
+        .packByCount(enc, "doc_id", seqLen = 512, buckets = 8)
+      val perBucket = packed.groupBy("bucket").agg(
+        (max(col("seq_id")) + 1L).as("bucket_seqs"),
+        sum(col("n_tok")).as("bucket_tokens"))
+      packed.join(broadcast(perBucket), Seq("bucket"))
+        .select(col("doc_id"), col("bucket"), col("seq_id"),
+          col("tok_offset"), col("n_tok"), col("bucket_seqs"),
+          (col("bucket_seqs") * 512L).as("bucket_padded_tokens"),
+          round((col("bucket_seqs") * 512L - col("bucket_tokens"))
+            .cast("double") / (col("bucket_seqs") * 512L), 6)
+            .as("bucket_waste_frac"))
     }),
     // q277: autocomplete serving index — per 3-char prefix, the top-3
     // corpus words by frequency (freq desc, word asc): the
@@ -2190,6 +2267,80 @@ object TextQueries {
          |       round(t0 * 1.0 / corpus_tokens, 6) AS compression_ratio
          |FROM tr CROSS JOIN tot0""".stripMargin
     },
+    // the INDEPENDENT replay: re-learn the merges (the same unrolled
+    // chain), read each word's segmentation from the FINAL symbol
+    // table s5, join back to documents, re-aggregate count + md5
+    "q360_bpe_apply" ->
+      s"""${bpeCte(5)},
+         |wd AS (
+         |  SELECT doc_id,
+         |         list_filter(
+         |           list_transform(string_split_regex(lower(text), '\\s+'),
+         |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+         |           x -> length(x) > 0) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+         |         unnest(w) AS word
+         |  FROM wd),
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, s.syms
+         |  FROM tok t JOIN s5 s ON s.word = t.word),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+         |         md5(string_agg(array_to_string(syms, ' '),
+         |                        '|' ORDER BY pos)) AS seg_fp
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+         |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |       COALESCE(a.seg_fp, md5('')) AS seg_fp
+         |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // the capstone replay: the q360 per-word s5 counts, q84's bucket
+    // coin + running-sum cuts, the per-bucket padded rollup
+    "q362_tokenizer_roundtrip" ->
+      s"""${bpeCte(5)},
+         |wd AS (
+         |  SELECT doc_id,
+         |         list_filter(
+         |           list_transform(string_split_regex(lower(text), '\\s+'),
+         |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+         |           x -> length(x) > 0) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(w) AS word FROM wd),
+         |cnt AS (
+         |  SELECT d.doc_id, COALESCE(e.n, 0) AS n_tok FROM wd d
+         |  LEFT JOIN (
+         |    SELECT t.doc_id, CAST(sum(len(s.syms)) AS BIGINT) AS n
+         |    FROM tok t JOIN s5 s ON s.word = t.word
+         |    GROUP BY t.doc_id) e ON e.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS bucket
+         |  FROM cnt),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         CAST(SUM(n_tok) OVER (
+         |           PARTITION BY bucket ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM b),
+         |p AS (
+         |  SELECT doc_id, bucket,
+         |         (cum - n_tok) // 512 AS seq_id,
+         |         (cum - n_tok) % 512 AS tok_offset,
+         |         n_tok
+         |  FROM c),
+         |r AS (
+         |  SELECT bucket, CAST(max(seq_id) + 1 AS BIGINT) AS bucket_seqs,
+         |         CAST(sum(n_tok) AS BIGINT) AS bucket_tokens
+         |  FROM p GROUP BY bucket)
+         |SELECT p.doc_id, p.bucket, p.seq_id, p.tok_offset, p.n_tok,
+         |       r.bucket_seqs,
+         |       r.bucket_seqs * 512 AS bucket_padded_tokens,
+         |       round((r.bucket_seqs * 512 - r.bucket_tokens) * 1.0
+         |             / (r.bucket_seqs * 512), 6) AS bucket_waste_frac
+         |FROM p JOIN r ON r.bucket = p.bucket""".stripMargin,
     // same per-row regex counters (q22's definitions), same integer
     // sums, same zero-guarded single divisions
     "q253_token_fertility" ->

@@ -419,13 +419,14 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
-  /** Serialized benchmark n-gram Bloom sketch from a STATIC benchmark
-    * corpus — built once batch-side (benchmark-sized work), then handed
-    * to [[decontaminateOnIngest]] for the life of the stream. Same
-    * sketch parameters as batch q93.
+  /** Benchmark n-gram Bloom sketch from a STATIC benchmark corpus —
+    * built once batch-side (benchmark-sized work), then handed to
+    * [[decontaminateOnIngest]] for the life of the stream. Same
+    * sketch parameters as batch q93 (the md5-position
+    * [[graft.functions.Md5BloomSketch]], oracle-replayable).
     */
-  def benchmarkSketch(
-      benchmarkDocs: DataFrame, textCol: String, n: Int = 3): Array[Byte] =
+  def benchmarkSketch(benchmarkDocs: DataFrame, textCol: String, n: Int = 3)
+      : graft.functions.Md5BloomSketch =
     graft.operators.Dedup.shingleSketch(
       graft.operators.Dedup
         .shinglePairs(benchmarkDocs.selectExpr(s"$textCol AS __t", "1 AS __id"),
@@ -443,7 +444,7 @@ object StreamingOps {
     */
   def decontaminateOnIngest(
       docs: DataFrame, textCol: String,
-      sketch: Array[Byte], n: Int = 3): DataFrame =
+      sketch: graft.functions.Md5BloomSketch, n: Int = 3): DataFrame =
     // coalesce: a null-text doc has no n-grams, so it cannot be
     // contaminated and must SURVIVE (the predicate null-propagates, and
     // a bare !null filter would silently drop the row)
@@ -953,6 +954,21 @@ object StreamingOps {
     * the retention window's active keys, never the key universe's
     * lifetime. Emits one update per key per batch with data; timeouts
     * emit nothing (an evicted forecast has no reader).
+    *
+    * Eviction is enforced in TWO places: the event-time timer above
+    * (reclaims state for keys that never speak again) AND an in-band
+    * check in the data path — if the carried state's max event time
+    * plus the retention precedes the batch's FIRST event, the gap
+    * already exceeded the retention in event time, so the state is
+    * dropped and the batch seeds fresh. The timer alone only fires in
+    * a trigger where the key is silent and the watermark has passed;
+    * on a sparse or single-key stream (watermark advanced only by the
+    * key's own events, no intervening quiet batch) that trigger may
+    * never occur, and without the in-band check the stale fold would
+    * CONTINUE across an arbitrarily long gap. With it, the retention
+    * contract is event-time-deterministic regardless of trigger
+    * cadence; under the barrier-orchestrated gates (q353/q355/q359)
+    * the check is a no-op because the timer already evicted.
     */
   private def foldPerKeyEvicting[S, O](
       events: Dataset[ValEvent], retentionMs: Long,
@@ -971,7 +987,14 @@ object StreamingOps {
             Iterator.empty
           } else {
             val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+            val firstUs = epochMicros(sorted.head.ts)
+            // In-band eviction: the carried fold is stale if the key's
+            // last-seen event time plus the retention precedes this
+            // batch's first event — drop it and seed fresh (see doc).
             val st0 = state.getOption
+              .filter { case (_, lastUs) =>
+                lastUs + retentionMs * 1000L >= firstUs
+              }
             var st = st0.map(_._1)
             sorted.foreach { e =>
               st = Some(st.fold(seed(e))(s => step(s, e)))

@@ -14,11 +14,12 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("the rows-only set is exactly the documented sketch queries") {
-    // q7: HLL sketch (bounded against exact q2 in spec); q93: Bloom
-    // membership sketch (engine-internal bit layout; pinned in DedupSpec
-    // as a tight superset of q78's exact oracle-checked answer)
+    // q7: HLL sketch (bounded against exact q2 in spec) — the ONLY
+    // rows-only entry left: q93's Bloom moved to md5 positions in
+    // round 14, so its membership decisions are DuckDB-replayable
+    // (q113's CMS discipline) and it carries a full oracle now
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q7_approx_vocab", "q93_bloom_decontaminate"),
+    assert(rowsOnly == Set("q7_approx_vocab"),
       s"every deterministic query must carry an oracle; rows-only = $rowsOnly")
   }
 
