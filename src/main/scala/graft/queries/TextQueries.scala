@@ -138,11 +138,20 @@ object TextQueries {
     * capstone discipline. See the q360 entry below for the full
     * semantics/scale discussion.
     */
-  private[graft] def bpeApplyTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeApplyTable(s: SparkSession, dir: String): DataFrame =
+    bpeApplyProjection(docs(s, dir),
+      bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3)))
+
+  /** The APPLY projection itself, over any (doc_id, text) relation —
+    * STATELESS (document-local, zero shuffles), which is what makes
+    * the same projection streaming-safe in append mode: Round14Spec
+    * pins stream==batch bit-parity by pushing the corpus through a
+    * MemoryStream under this exact definition.
+    */
+  private[graft] def bpeApplyProjection(
+      d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val merges = bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3))
-    docs(s, dir)
-      .select(col("doc_id"),
+    d.select(col("doc_id"),
         graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
       .select(col("doc_id"),
         graft.functions.BpeEncode(col("w"), merges).as("segs"))
@@ -868,6 +877,65 @@ object TextQueries {
           round((col("bucket_seqs") * 512L - col("bucket_tokens"))
             .cast("double") / (col("bucket_seqs") * 512L), 6)
             .as("bucket_waste_frac"))
+    }),
+    // q363: per-language BPE fertility — tokens-per-word under the
+    // LEARNED tokenizer, grouped by language: the multilingual-fairness
+    // readout a tokenizer build ships (a vocabulary learned on a
+    // skewed mix over-segments the minority languages, inflating their
+    // effective sequence lengths and training cost — Ács 2019 /
+    // XLM-R-style fertility audits). Composes q360's APPLY (the same
+    // byte-identical helper) with the doc-grain language column; the
+    // fertility is ONE rounded division per language over exact
+    // integer sums. Scale shape: q360's zero-shuffle encode pass, a
+    // doc-grain equi-join to the language column, one |langs|-row agg.
+    "q363_bpe_fertility" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      bpeApplyTable(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L)), 6).as("fertility"))
+    }),
+    // q364: span-corruption masking plan — the T5-style denoising
+    // objective's data-prep step, made DETERMINISTIC and shuffle-free:
+    // each document's cleaned token stream is cut into fixed blocks of
+    // 20 tokens, and every block long enough (≥ 4 tokens) masks ONE
+    // 3-token span whose offset inside the block is the md5 coin of
+    // (doc_id, block) — ~15% token corruption (3/20), non-overlapping
+    // BY CONSTRUCTION (one span per disjoint block), reproducible
+    // under re-runs/repartitioning/appends (pure function of ids, the
+    // q71/q138 coin discipline; the paper's sequential random-span
+    // walk would need order-dependent state and an engine-specific
+    // RNG). Output: one row per masked span (doc_id, block, span_start
+    // 1-based global, span_len, mask_id = block ordinal — the sentinel
+    // id the target sequence interleaves). Scale shape: document-local
+    // (one generate + one per-row transform), zero shuffles, any
+    // corpus size.
+    "q364_span_corruption" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.wordsArr(col("text")))
+            .cast("long").as("n"))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L),
+            greatest(ceil(col("n").cast("double") / 20.0).cast("long") - 1L,
+              lit(0L)))).as("block"))
+        .withColumn("block_len",
+          least(lit(20L), col("n") - col("block") * 20L))
+        .filter(col("block_len") >= 4L)
+        .withColumn("offset",
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("|"), col("block").cast("string"))), 1, 13), 16, 10)
+            .cast("long"),
+            col("block_len") - 2L))
+        .select(col("doc_id"), col("block"),
+          (col("block") * 20L + col("offset") + 1L).as("span_start"),
+          lit(3L).as("span_len"),
+          col("block").as("mask_id"))
     }),
     // q277: autocomplete serving index — per 3-char prefix, the top-3
     // corpus words by frequency (freq desc, word asc): the
@@ -2296,6 +2364,57 @@ object TextQueries {
          |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
          |       COALESCE(a.seg_fp, md5('')) AS seg_fp
          |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // the same s5 per-word counts rolled up at the language grain
+    "q363_bpe_fertility" ->
+      s"""${bpeCte(5)},
+         |wd AS (
+         |  SELECT doc_id,
+         |         list_filter(
+         |           list_transform(string_split_regex(lower(text), '\\s+'),
+         |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+         |           x -> length(x) > 0) AS w
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |pd AS (
+         |  SELECT t.doc_id, count(*) AS nw,
+         |         CAST(sum(len(s.syms)) AS BIGINT) AS nt
+         |  FROM tok t JOIN s5 s ON s.word = t.word GROUP BY t.doc_id),
+         |ld AS (
+         |  SELECT d.lang, COALESCE(p.nw, 0) AS nw, COALESCE(p.nt, 0) AS nt
+         |  FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id)
+         |SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+         |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(nt) AS BIGINT) * 1.0
+         |             / greatest(CAST(sum(nw) AS BIGINT), 1), 6) AS fertility
+         |FROM ld GROUP BY lang""".stripMargin,
+    // the same block grid, the same md5 offset coin, one span per
+    // eligible block
+    "q364_span_corruption" ->
+      """WITH wd AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(string_split_regex(lower(text), '\s+'),
+        |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |           x -> length(x) > 0) AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM wd),
+        |b AS (
+        |  SELECT doc_id, n,
+        |         unnest(range(0, greatest(CAST(ceil(n / 20.0) AS BIGINT), 1)))
+        |           AS block
+        |  FROM n),
+        |f AS (
+        |  SELECT doc_id, block, least(20, n - block * 20) AS block_len
+        |  FROM b WHERE least(20, n - block * 20) >= 4)
+        |SELECT doc_id, block,
+        |       block * 20
+        |         + (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |                 || CAST(block AS VARCHAR)), 1, 13)) AS BIGINT)
+        |            % (block_len - 2))
+        |         + 1 AS span_start,
+        |       CAST(3 AS BIGINT) AS span_len,
+        |       block AS mask_id
+        |FROM f""".stripMargin,
     // the capstone replay: the q360 per-word s5 counts, q84's bucket
     // coin + running-sum cuts, the per-bucket padded rollup
     "q362_tokenizer_roundtrip" ->

@@ -295,6 +295,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the single exchange must partition on bucket:\n$p")
   }
 
+  test("q360/q364: BPE apply and span corruption plan shuffle-free (document-local)") {
+    // the tokenize-everything pass and the masking plan are both pure
+    // per-document pipelines: the 100 TB shape is scan → project, no
+    // exchange anywhere (the merge table rides as a plan literal)
+    Seq("q360_bpe_apply", "q364_span_corruption").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 0, s"$q must plan zero shuffles:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q needs no join at all:\n$p")
+    }
+  }
+
+  test("q362: the capstone plans the q84 bucket exchange + an 8-row broadcast rollup") {
+    val p = plan("q362_tokenizer_roundtrip")
+    // one hash exchange for the bucket window; the per-bucket padding
+    // rollup (8 rows) must come back as a BROADCAST join, and its agg
+    // adds one more keyed exchange at the bucket grain — nothing at
+    // the document grain beyond the packing window itself
+    assert(p.contains("hashpartitioning(bucket"),
+      s"the packing window must partition on bucket:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 8-row rollup must broadcast back to the doc grain:\n$p")
+    assert(shuffles(p) <= 2, s"doc-grain data must cross at most the window exchange:\n$p")
+  }
+
   test("q83: quantization reads only the embedding columns") {
     val p = plan("q83_quantize_embed")
     assert(!p.contains("label"), s"unused label column must not be read:\n$p")

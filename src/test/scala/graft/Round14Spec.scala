@@ -105,6 +105,52 @@ class Round14Spec extends AnyFunSuite with SparkTestBase {
       s"token totals must be non-increasing: $totals")
   }
 
+  test("q362 capstone stages are byte-identical to their standalone queries") {
+    // stage A: the capstone's n_tok column IS q360's n_bpe_tokens —
+    // same helper, so any drift here means the capstone stopped
+    // composing the verified stage
+    val q360 = TextQueries.bpeApplyTable(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+    val q362 = graft.SparkEntry.queries("q362_tokenizer_roundtrip")(spark, sfDir)
+      .select(col("doc_id"), col("n_tok"))
+    assert(q362.except(q360).isEmpty && q360.except(q362).isEmpty,
+      "capstone token counts must equal the standalone q360 encoding")
+    // stage B: the packing columns equal the packing CORE applied to
+    // the q360 counts (the q84 code path, one definition)
+    val core = graft.operators.Curation.packByCount(q360, "doc_id", 512, 8)
+      .select("doc_id", "bucket", "seq_id", "tok_offset", "n_tok")
+    val packed = graft.SparkEntry.queries("q362_tokenizer_roundtrip")(spark, sfDir)
+      .select("doc_id", "bucket", "seq_id", "tok_offset", "n_tok")
+    assert(packed.except(core).isEmpty && core.except(packed).isEmpty,
+      "capstone packing must equal packByCount over the q360 counts")
+  }
+
+  test("streaming BPE apply: the stateless encode pass is stream==batch bit-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val merges = TextQueries.bpeRounds(spark, sfDir, 5)._1.map(m => (m._2, m._3))
+    val batch = TextQueries
+      .bpeApplyProjection(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
+        merges)
+      .collect().map(_.toString).sorted
+    val sink = "graft_r14_bpe_stream"
+    spark.catalog.dropTempView(sink)
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = TextQueries
+      .bpeApplyProjection(ms.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append") // stateless: no agg, no watermark needed
+      .start()
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    try rows.grouped(64).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table(sink).collect().map(_.toString).sorted
+    assert(streamed.toSeq == batch.toSeq,
+      "the encode projection must be delivery-invariant: stream == batch")
+  }
+
   // ---- in-band eviction (ADVICE r13: sparse single-key stream) ----
 
   private val E0 = 1704067200L // 2024-01-01T00:00:00Z
