@@ -103,6 +103,36 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q365: contamination PROVENANCE — q78 tells you THAT a corpus doc
+    * shares n-grams with the benchmark set; this tells you WITH WHICH
+    * benchmark item and HOW MUCH of it: one row per contaminated
+    * (corpus doc, benchmark doc) pair with the shared distinct-shingle
+    * count and the CONTAINMENT of the benchmark item (n_shared /
+    * |bench doc's shingles| — the severity a release report ranks by:
+    * containment ≈ 1 means the eval item is embedded verbatim). The
+    * per-benchmark attribution is what lets a team drop the right
+    * EVAL items (or prove a flagged doc is benign boilerplate) instead
+    * of blind-dropping corpus docs. Scale shape: the benchmark side is
+    * benchmark-sized and BROADCASTS with its ids; the corpus side
+    * streams through the shingle equi-join — no corpus shuffle before
+    * the (doc, bench) pair agg, and pair fanout is bounded by actual
+    * contamination (an uncontaminated corpus emits nothing).
+    */
+  def q365ContaminationProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
+    val bench = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val bsz = bench.groupBy("bench_id").agg(count(lit(1)).as("n_bench"))
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_bench"), 6)
+          .as("containment"))
+  }
+
   /** q159: train/eval split-leakage removal — assign the q71 md5-prefix
     * split, then drop every val/test document whose 3-token-shingle
     * CONTAINMENT in the train split is >= 1/2 (more than half of the
@@ -542,6 +572,7 @@ object DedupQueries {
     "q36_simhash_pairs" -> (q36SimhashPairs _),
     "q77_simhash64_pairs" -> (q77Simhash64Pairs _),
     "q78_decontaminate" -> (q78Decontaminate _),
+    "q365_contamination_provenance" -> (q365ContaminationProvenance _),
     "q159_split_leakage" -> (q159SplitLeakage _),
     "q79_repetition" -> (q79Repetition _),
     "q93_bloom_decontaminate" -> (q93BloomDecontaminate _),
@@ -1111,6 +1142,20 @@ object DedupQueries {
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id >= 20
          |GROUP BY s.doc_id""".stripMargin,
+    // the benchmark side keyed by its ids; same distinct-shingle join,
+    // pair-grain counts, per-bench-doc containment
+    "q365_contamination_provenance" ->
+      s"""$ShingleCte,
+         |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 20),
+         |bsz AS (SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY 1),
+         |j AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         |  FROM sh c JOIN bench b ON b.sh = c.sh
+         |  WHERE c.doc_id >= 20
+         |  GROUP BY 1, 2)
+         |SELECT j.doc_id, j.bench_id, CAST(j.n_shared AS BIGINT) AS n_shared,
+         |       round(j.n_shared * 1.0 / z.n_bench, 6) AS containment
+         |FROM j JOIN bsz z ON z.bench_id = j.bench_id""".stripMargin,
     // the INDEPENDENT sketch replay (q113's md5-arithmetic discipline):
     // same integer sizing m = max(|bench|,1)·29, same k = 20 md5
     // positions per n-gram; a corpus shingle is flagged iff ALL 20 of

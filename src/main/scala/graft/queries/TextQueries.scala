@@ -937,6 +937,37 @@ object TextQueries {
           lit(3L).as("span_len"),
           col("block").as("mask_id"))
     }),
+    // q366: curriculum data ordering — easy-to-hard training order
+    // (Bengio et al. 2009) from signals the engine already verifies:
+    // documents deciled by q88's unigram quality score (decile 1 =
+    // highest mean log-prob = "easiest"), then SHUFFLED within each
+    // decile by the md5 coin (a curriculum orders difficulty tiers,
+    // not documents — within a tier the order must be unbiased and
+    // reproducible, the q90 seeded-permutation discipline). Output:
+    // (doc_id, decile, position, mean_logprob) — the read order a
+    // training loop consumes tier by tier. Grain = q88's (docs with
+    // ≥1 token; an empty doc has no difficulty signal). DETERMINISM:
+    // deciles via Quantiles.ntileExact (exact SQL-ntile closed form,
+    // no single-partition sort); position is a row_number inside each
+    // decile over (md5 coin, doc_id). Scale shape: q88's two hash
+    // aggs, one range exchange for the decile ranks, one 10-partition
+    // window (corpus/10 rows per partition — the q84 bucket-window
+    // class, never a global sort).
+    "q366_curriculum_order" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val deciled = graft.operators.Quantiles.ntileExact(
+        logprobScores(s, dir), 10,
+        Seq(col("mean_logprob").desc, col("doc_id").asc), "decile")
+      val u = conv(substring(md5(concat(lit("graft-cur-"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      val w = Window.partitionBy(col("decile"))
+        .orderBy(col("u").asc, col("doc_id").asc)
+      deciled.withColumn("u", u)
+        .withColumn("position", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("decile"), col("position"),
+          col("mean_logprob"))
+    }),
     // q277: autocomplete serving index — per 3-char prefix, the top-3
     // corpus words by frequency (freq desc, word asc): the
     // type-ahead result table a search box reads, built beside the
@@ -2364,6 +2395,38 @@ object TextQueries {
          |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
          |       COALESCE(a.seg_fp, md5('')) AS seg_fp
          |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // q88's chain → DuckDB's own ntile (the exact-semantics twin of
+    // Quantiles.ntileExact, the q244 precedent) → the same md5 coin
+    // row_number inside each decile
+    "q366_curriculum_order" ->
+      s"""$WordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS word FROM wd),
+         |freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         |                    * 1000000) AS BIGINT) AS lp
+         |  FROM tok t JOIN freq f USING (word) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id,
+         |         round(CAST(sum(lp) AS DOUBLE) / count(*) / 1000000.0, 6)
+         |           AS mean_logprob
+         |  FROM lp GROUP BY doc_id),
+         |d AS (
+         |  SELECT doc_id, mean_logprob,
+         |         ntile(10) OVER (ORDER BY mean_logprob DESC, doc_id) AS decile
+         |  FROM sc),
+         |c AS (
+         |  SELECT doc_id, decile, mean_logprob,
+         |         CAST(('0x' || substr(md5('graft-cur-' || CAST(doc_id AS VARCHAR)),
+         |                              1, 13)) AS BIGINT) AS u
+         |  FROM d)
+         |SELECT doc_id, decile,
+         |       CAST(row_number() OVER (PARTITION BY decile ORDER BY u, doc_id)
+         |            AS BIGINT) AS position,
+         |       mean_logprob
+         |FROM c""".stripMargin,
     // the same s5 per-word counts rolled up at the language grain
     "q363_bpe_fertility" ->
       s"""${bpeCte(5)},

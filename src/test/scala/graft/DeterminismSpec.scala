@@ -140,7 +140,15 @@ class DeterminismSpec extends AnyFunSuite with SparkTestBase {
     "q341_spell_correct",
     // round 12: the substring APPLY — the deterministic (doc, pos)
     // victim rule over q334's pair set, order-free cut-position sets
-    "q344_substring_dedup_apply")
+    "q344_substring_dedup_apply",
+    // round 14: the BPE apply family (merge replay is a pure function
+    // of the learned table; the learn loop's winner picks carry total
+    // tie-breaks), the packing capstone's bucket windows, the span
+    // grid's md5 offsets, the provenance pair agg, and the curriculum's
+    // exact ntile + in-decile coin ordering
+    "q360_bpe_apply", "q362_tokenizer_roundtrip", "q363_bpe_fertility",
+    "q364_span_corruption", "q365_contamination_provenance",
+    "q366_curriculum_order")
 
   test("query results are identical across shuffle-partition counts") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -319,6 +319,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles(p) <= 2, s"doc-grain data must cross at most the window exchange:\n$p")
   }
 
+  test("q365: the benchmark side (with ids and sizes) broadcasts; no cartesian") {
+    val p = plan("q365_contamination_provenance")
+    assert(p.contains("BroadcastExchange"),
+      s"the benchmark-sized sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"provenance pairing must stay an equality join:\n$p")
+  }
+
   test("q83: quantization reads only the embedding columns") {
     val p = plan("q83_quantize_embed")
     assert(!p.contains("label"), s"unused label column must not be read:\n$p")
