@@ -20,8 +20,11 @@ import java.security.MessageDigest
   * within rounding the optimal pair for ~1e-6 false-positive rate
   * ((1 − e^(−20/29))^20 ≈ 1.1e-6), the same budget the previous
   * Murmur3 sketch targeted. 13 hex chars = 52 bits, so positions stay
-  * exact in an IEEE-safe integer range on every engine; m < 2⁵² holds
-  * to ~1.5×10¹⁴ benchmark items.
+  * exact in an IEEE-safe integer range on every engine; the PRACTICAL
+  * cap is the single JVM byte[] holding the bits — ~1.7×10¹⁰ bits ≈
+  * 590M items (Dedup.shingleSketch guards it with a require; shard
+  * the benchmark into multiple sketches beyond that), well below the
+  * 52-bit position range itself.
   *
   * No false negatives, by construction — the superset/monotone gates
   * (DedupSpec) hold for any Bloom; false positives only ever FLAG

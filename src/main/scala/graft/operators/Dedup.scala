@@ -61,8 +61,18 @@ object Dedup {
     import graft.functions.Md5BloomSketch
     val s = shingles.persist()
     try {
+      // Callers pass the DISTINCT shingle set: the modulus m = 29·n is
+      // part of the cross-engine contract (the oracle re-derives it
+      // from count(DISTINCT sh)), so a duplicate-bearing count would
+      // hand the engines different moduli.
       val m = Md5BloomSketch.mBitsFor(s.count())
       val k = Md5BloomSketch.K
+      // The bit array is one JVM byte[]: the real cap is ~1.7e10 bits
+      // (~590M items at 29 bits each), far below the 52-bit position
+      // range — fail loudly instead of wrapping the Int cast. Beyond
+      // this, shard the benchmark into multiple sketches.
+      require(m <= 8L * (Int.MaxValue - 8L),
+        s"shingleSketch: $m bits exceeds one JVM array (~590M items); shard the benchmark")
       val nBytes = ((m + 7L) / 8L).toInt
       val bits = s.select(col(colName)).na.drop().rdd
         .treeAggregate(new Array[Byte](nBytes))(

@@ -191,7 +191,12 @@ object DedupQueries {
     // benchmark-sized sketch build (the q78 analog of collecting the
     // benchmark set, but ~3.4 bytes/item instead of the string payload);
     // parameters live in ONE place, shared with the streaming path
-    val sketch = Dedup.shingleSketch(sh.filter(col("doc_id") < 20).select("sh"))
+    // DISTINCT before sizing: the sketch's modulus is m = 29·n and the
+    // oracle derives n from the distinct benchmark shingle set — a
+    // (doc, sh)-pair count would give the engines different moduli
+    // (same recall, but the ~1e-6 false-positive sets would diverge)
+    val sketch = Dedup.shingleSketch(
+      sh.filter(col("doc_id") < 20).select("sh").distinct())
     // the corpus side stays in the Tungsten row pipeline: the sketch is
     // a plan constant inside a native predicate (deserialized once per
     // task), not a typed mapPartitions detour

@@ -867,15 +867,22 @@ object TextQueries {
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
       val packed = graft.operators.Curation
         .packByCount(enc, "doc_id", seqLen = 512, buckets = 8)
+      // sequences the bucket OCCUPIES = ceil(tokens/512): the packed
+      // stream is contiguous from offset 0, so this is exact — and it
+      // is NOT max(seq_id)+1, which counts only the last doc's START
+      // sequence and undercounts (negative "waste") whenever that doc
+      // crosses a 512 boundary. A zero-token bucket occupies zero
+      // sequences; its waste is 0 by the greatest() guard.
       val perBucket = packed.groupBy("bucket").agg(
-        (max(col("seq_id")) + 1L).as("bucket_seqs"),
         sum(col("n_tok")).as("bucket_tokens"))
+        .withColumn("bucket_seqs", expr("(bucket_tokens + 511) DIV 512L"))
       packed.join(broadcast(perBucket), Seq("bucket"))
         .select(col("doc_id"), col("bucket"), col("seq_id"),
           col("tok_offset"), col("n_tok"), col("bucket_seqs"),
           (col("bucket_seqs") * 512L).as("bucket_padded_tokens"),
           round((col("bucket_seqs") * 512L - col("bucket_tokens"))
-            .cast("double") / (col("bucket_seqs") * 512L), 6)
+            .cast("double") /
+            greatest(col("bucket_seqs") * 512L, lit(1L)), 6)
             .as("bucket_waste_frac"))
     }),
     // q363: per-language BPE fertility — tokens-per-word under the
@@ -2514,14 +2521,15 @@ object TextQueries {
          |         n_tok
          |  FROM c),
          |r AS (
-         |  SELECT bucket, CAST(max(seq_id) + 1 AS BIGINT) AS bucket_seqs,
+         |  SELECT bucket,
+         |         (CAST(sum(n_tok) AS BIGINT) + 511) // 512 AS bucket_seqs,
          |         CAST(sum(n_tok) AS BIGINT) AS bucket_tokens
          |  FROM p GROUP BY bucket)
          |SELECT p.doc_id, p.bucket, p.seq_id, p.tok_offset, p.n_tok,
          |       r.bucket_seqs,
          |       r.bucket_seqs * 512 AS bucket_padded_tokens,
          |       round((r.bucket_seqs * 512 - r.bucket_tokens) * 1.0
-         |             / (r.bucket_seqs * 512), 6) AS bucket_waste_frac
+         |             / greatest(r.bucket_seqs * 512, 1), 6) AS bucket_waste_frac
          |FROM p JOIN r ON r.bucket = p.bucket""".stripMargin,
     // same per-row regex counters (q22's definitions), same integer
     // sums, same zero-guarded single divisions

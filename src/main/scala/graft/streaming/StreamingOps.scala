@@ -427,11 +427,13 @@ object StreamingOps {
     */
   def benchmarkSketch(benchmarkDocs: DataFrame, textCol: String, n: Int = 3)
       : graft.functions.Md5BloomSketch =
+    // distinct for the same reason as batch q93: the modulus m = 29·n
+    // must be derived from the DISTINCT shingle set on every path
     graft.operators.Dedup.shingleSketch(
       graft.operators.Dedup
         .shinglePairs(benchmarkDocs.selectExpr(s"$textCol AS __t", "1 AS __id"),
           "__t", "__id", n)
-        .select("sh"))
+        .select("sh").distinct())
 
   /** Benchmark decontamination ON INGEST: drop every arriving document
     * that shares a word n-gram with the benchmark sketch — the streaming
@@ -965,10 +967,20 @@ object StreamingOps {
     * on a sparse or single-key stream (watermark advanced only by the
     * key's own events, no intervening quiet batch) that trigger may
     * never occur, and without the in-band check the stale fold would
-    * CONTINUE across an arbitrarily long gap. With it, the retention
-    * contract is event-time-deterministic regardless of trigger
-    * cadence; under the barrier-orchestrated gates (q353/q355/q359)
-    * the check is a no-op because the timer already evicted.
+    * CONTINUE across an arbitrarily long gap. Under the
+    * barrier-orchestrated gates (q353/q355/q359/q361) the check is a
+    * no-op because the timer already evicted.
+    *
+    * GRANULARITY CONTRACT: eviction — timer and in-band check alike —
+    * applies at TRIGGER boundaries only. Events that arrive inside one
+    * micro-batch fold as one unit in event-time order, even across an
+    * internal gap longer than the retention (the q353-family gates
+    * depend on this: a slice delivered as one batch folds whole, and
+    * its per-(user, slice) batch oracle assumes no intra-slice
+    * eviction). "Quiet past the retention" therefore means quiet
+    * ACROSS A TRIGGER — the only notion of quiet a micro-batch engine
+    * can observe; a caller that needs sub-batch gap splitting should
+    * sessionize upstream rather than rely on delivery batching.
     */
   private def foldPerKeyEvicting[S, O](
       events: Dataset[ValEvent], retentionMs: Long,
@@ -988,9 +1000,14 @@ object StreamingOps {
           } else {
             val sorted = batch.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
             val firstUs = epochMicros(sorted.head.ts)
-            // In-band eviction: the carried fold is stale if the key's
-            // last-seen event time plus the retention precedes this
-            // batch's first event — drop it and seed fresh (see doc).
+            // In-band eviction at the TRIGGER boundary: the carried
+            // fold is stale if the key's last-seen event time plus the
+            // retention precedes this batch's first event — drop it
+            // and seed fresh. Deliberately NOT applied between events
+            // inside one batch: the operator's eviction granularity is
+            // the trigger (matching the timer it complements), so a
+            // batch folds its events in event-time order as one unit —
+            // see the class doc's granularity contract.
             val st0 = state.getOption
               .filter { case (_, lastUs) =>
                 lastUs + retentionMs * 1000L >= firstUs

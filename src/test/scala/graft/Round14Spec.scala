@@ -209,6 +209,36 @@ class Round14Spec extends AnyFunSuite with SparkTestBase {
       s"(l, b) must re-seed in-band: $evicted")
   }
 
+  test("in-band eviction granularity: a gap INSIDE one batch folds through (trigger-boundary contract)") {
+    // the same three events as sparseBatches delivered in a SINGLE
+    // batch: eviction applies at trigger boundaries only (the class
+    // doc's granularity contract — the q353-family gates fold whole
+    // slices delivered as one batch), so the 6 h internal gap does
+    // NOT re-seed here, while the two-batch delivery above does
+    val oneBatch = Seq(sparseBatches.flatten)
+    val folded = runFold(oneBatch,
+      ds => StreamingOps.ewmaPerKeyEvicting(ds, Retain60s).toDF(), 1L)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(folded == Seq((3L, 22.5)),
+      s"one batch folds as one unit across its internal gap: $folded")
+  }
+
+  test("q362: padding waste is a fraction in [0, 1) and padded volume covers the tokens") {
+    // regression pin for the sequence count: max(seq_id)+1 undercounted
+    // whenever a bucket's LAST doc crossed a 512-token boundary,
+    // producing negative waste; ceil(tokens/512) cannot
+    val q362 = graft.SparkEntry.queries("q362_tokenizer_roundtrip")(spark, sfDir)
+    val bad = q362.filter(col("bucket_waste_frac") < 0.0 ||
+      col("bucket_waste_frac") >= 1.0).count()
+    assert(bad == 0L, s"waste must be a fraction: $bad rows out of range")
+    val uncovered = q362.groupBy("bucket")
+      .agg(max(col("bucket_padded_tokens")).as("p"),
+        org.apache.spark.sql.functions.sum(col("n_tok")).as("t"))
+      .filter(col("p") < col("t")).count()
+    assert(uncovered == 0L,
+      "each bucket's padded volume must cover its token mass")
+  }
+
   test("in-band eviction: an in-watermark straggler does NOT evict (lastUs is the max, not the last)") {
     // second batch: a straggler 5 s after E0 (within the year watermark)
     // arrives long after the stored max event time — retention must be
