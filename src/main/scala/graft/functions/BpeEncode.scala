@@ -39,8 +39,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * collapses to one hash probe for all but first occurrences. The memo
   * is capacity-capped (2²⁰ distinct words per task) so a pathological
   * vocabulary cannot grow driver-of-OOM state; past the cap the encode
-  * still runs, just un-memoized. Codegen'd via a reference object —
-  * one virtual call per row, no interpreted HOF layers.
+  * still runs, just un-memoized. The expression itself is codegen'd
+  * via a reference object (one virtual call per row). NOTE on the hot
+  * path's plan shape: q360's fingerprint projection wraps the result
+  * in `transform`/`array_join`/`md5` — Spark's higher-order functions
+  * are CodegenFallback, so the enclosing Project evaluates interpreted
+  * even though this kernel is codegen-capable. Measured, the replay
+  * kernel + memo dominate (the apply adds ~0.5 s per 10× at sf1) and
+  * the plan stays a zero-shuffle single scan; if the glue ever shows
+  * up in a profile, the DocStats/GopherRepetition discipline applies:
+  * fuse (n_words, n_bpe_tokens, seg_fp) into one native
+  * struct-emitting pass and drop the intermediate nested array.
   *
   * Null contract: NULL words array → NULL; a NULL element encodes to a
   * NULL inner array (callers feed [[TextFunctions.wordsArr]], which
