@@ -72,14 +72,76 @@ object ReferenceQueries {
         count(lit(1)).as("tokens"),
         countDistinct(col("word")).as("uniques"))
 
-  /** Q7: sketched vocabulary — HyperLogLog++ distinct-word estimate, the
-    * constant-memory alternative to Q2 at corpus scale (rows-only check:
-    * sketch estimates are implementation-specific across engines; the
-    * spec asserts the estimate lands within the configured error of Q2).
+  /** Q7: sketched vocabulary — an md5-derived HyperLogLog distinct-word
+    * estimate, the constant-memory alternative to Q2 at corpus scale,
+    * rebuilt on the q93/q113 sketch discipline so the estimate is fully
+    * oracle-checkable (it was the last rows-only entry: Spark's
+    * `approx_count_distinct` seeds engine-internal xxHash64, which no
+    * other engine can replay).
+    *
+    * Flajolet HLL with m = 4096 registers (p = 12, ~1.6% standard
+    * error): per token, register j = first 3 md5 hex digits, and the
+    * rank is the leading-zero count of the next 13 hex digits (52 bits)
+    * plus one — `53 − length(bin(w))`, CAPPED at 50 so the harmonic
+    * terms quantize exactly (see below; P(rank > 50) = 2⁻⁵⁰ — the cap
+    * is the totality guard, not a live path). The harmonic sum is kept
+    * EXACT: Σ 2^(−M[j]) is computed as the integer Σ 2^(50 − M[j])
+    * (empty registers contribute 2⁵⁰ each; max total 4096·2⁵⁰ = 2⁶²,
+    * Int64-safe), so the only floating-point ops are the final
+    * α·m²·2⁵⁰/S division — multiplications by powers of two, exact in
+    * IEEE — and the small-range branch's one `ln` (linear counting
+    * E = m·ln(m/V) when E_raw ≤ 2.5m and V > 0, Flajolet §4), both
+    * reproduced verbatim in the DuckDB oracle and 4dp-rounded.
+    *
+    * Scale shape: ONE narrow token projection → ONE 4096-group hash
+    * aggregation (map-side partial max — duplicate words fold away
+    * before the exchange; no vocabulary-grain DISTINCT shuffle) → a
+    * 1-row fold. Constant memory at any corpus size — the HLL promise,
+    * now with the estimate itself in the driver-gate contract.
     */
   def q7ApproxVocabulary(spark: SparkSession, dir: String): DataFrame =
-    docWords(spark, dir).agg(
-      approx_count_distinct(col("word"), rsd = 0.02).as("approx_vocab"))
+    md5Hll(tokens(spark, dir).select("word"))
+
+  /** The md5-HLL core over any single-`word`-column relation — factored
+    * so the spec can drive the harmonic (raw-estimate) branch at a
+    * cardinality far above q7's 31-word fixture vocabulary, where the
+    * linear-counting branch is the live one.
+    */
+  private[graft] def md5Hll(values: DataFrame): DataFrame = {
+    val m = 4096
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val pow250 = lit(1125899906842624.0) // 2^50, exact in IEEE
+    val h = md5(col("word"))
+    val regs = values
+      .select(
+        conv(substring(h, 1, 3), 16, 10).cast("int").as("j"),
+        conv(substring(h, 4, 13), 16, 10).cast("long").as("w"))
+      .groupBy("j")
+      .agg(max(when(col("w") === 0L, lit(50))
+        .otherwise(least(lit(53) - length(bin(col("w"))), lit(50)))).as("m_j"))
+    regs
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(expr("shiftleft(1L, 50 - m_j)")).as("s_occ"))
+      .select(
+        col("n_registers"),
+        (lit(m.toLong) - col("n_registers")).as("v_empty"),
+        (col("s_occ") + (lit(m.toLong) - col("n_registers")) *
+          pow250.cast("long")).as("s_quant"))
+      .select(
+        // rounded corrected estimate FIRST: the spec drift pin and the
+        // tolerance specs read the estimate positionally as getLong(0)
+        round(when(
+          alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
+            col("s_quant").cast("double") <= lit(2.5 * m) &&
+            col("v_empty") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+          .otherwise(alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
+            col("s_quant").cast("double"))).cast("long").as("approx_vocab"),
+        round(alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
+          col("s_quant").cast("double"), 4).as("est_raw"),
+        col("n_registers"), col("v_empty"), col("s_quant"))
+  }
 
   /** Q73: KMV (k-minimum-values) vocabulary estimate — the DETERMINISTIC
     * cardinality sketch next to Q7's HLL: take the k smallest md5(word)
@@ -188,6 +250,47 @@ object ReferenceQueries {
          |SELECT letter, n_words, n_postings,
          |       round(n_postings * 1.0 / tot.tot, 6) AS share
          |FROM pl CROSS JOIN tot""".stripMargin,
+    // the INDEPENDENT HLL replay (q93/q113's md5-arithmetic discipline):
+    // same register index (first 3 md5 hex), same capped leading-zero
+    // rank off the next 13 hex, same exact integer harmonic sum
+    // (Σ 2^(50−M[j]), empty registers at 2^50), same α·m²·2^50/S raw
+    // estimate and m·ln(m/V) linear-counting branch — every float op
+    // double-typed explicitly (DuckDB parses bare decimal literals as
+    // DECIMAL, whose division semantics differ from Spark's doubles)
+    "q7_approx_vocab" ->
+      s"""$TokCte,
+         |hh AS (
+         |  SELECT CAST(('0x' || substr(md5(word), 1, 3)) AS BIGINT) AS j,
+         |         CAST(('0x' || substr(md5(word), 4, 13)) AS BIGINT) AS w
+         |  FROM toks),
+         |regs AS (
+         |  SELECT j, max(CASE WHEN w = 0 THEN 50
+         |                     ELSE least(53 - length(bin(w)), 50) END) AS m_j
+         |  FROM hh GROUP BY j),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - m_j AS INT)) AS BIGINT)
+         |           AS s_occ
+         |  FROM regs),
+         |qn AS (
+         |  SELECT n_registers, 4096 - n_registers AS v_empty,
+         |         s_occ + (4096 - n_registers) * CAST(1125899906842624 AS BIGINT)
+         |           AS s_quant
+         |  FROM st),
+         |e AS (
+         |  SELECT n_registers, v_empty, s_quant,
+         |         (CAST(0.7213 AS DOUBLE) /
+         |            (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+         |           * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |           * CAST(1125899906842624.0 AS DOUBLE) / CAST(s_quant AS DOUBLE) AS raw
+         |  FROM qn)
+         |SELECT CAST(round(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v_empty > 0
+         |                       THEN CAST(4096.0 AS DOUBLE) *
+         |                            ln(CAST(4096.0 AS DOUBLE) / CAST(v_empty AS DOUBLE))
+         |                       ELSE raw END) AS BIGINT) AS approx_vocab,
+         |       round(raw, 4) AS est_raw,
+         |       n_registers, v_empty, s_quant
+         |FROM e""".stripMargin,
     "q73_kmv_vocab" ->
       s"""$TokCte,
          |kmv AS (

@@ -67,6 +67,26 @@ object StreamParityQueries {
       .select(md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n_emitted"))
 
+  /** q367: BPE APPLY on ingest, driver-verified — q360's stateless
+    * encode projection (the SAME `TextQueries.bpeApplyProjection`
+    * helper, byte-identical merge table learned in BATCH — the
+    * tokenizer ships as a plan literal; learning is not a streaming
+    * concern) over the corpus arriving in doc_id-sorted micro-batch
+    * chunks. Round14Spec pinned stream==batch at the spec level; per
+    * the q267/q284 promotion discipline the contract belongs in the
+    * driver gate: the streamed rows must reproduce q360's oracle
+    * (DuckDB's independent merge replay) rows+schema+hash — proving
+    * delivery-invariance of the projection AND the encoding itself
+    * through an engine that never saw the stream. Stateless append
+    * (no watermark, no state store); the scale contract is q360's —
+    * zero shuffles, per-task memo, vocabulary-sized plan literal.
+    */
+  def q367StreamBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = TextQueries.bpeRounds(spark, dir, 5)._1.map(m => (m._2, m._3))
+    runChunked(spark, dir, "graft_q367_bpe",
+      df => TextQueries.bpeApplyProjection(df, merges))
+  }
+
   /** The (user_id, ts, event_id, value) feed every ValEvent gate reads,
     * in global (ts, event_id) order — through the nanos-variant-adapting
     * `RelationalQueries.events` reader, so a TIMESTAMP(NANOS) events
@@ -2529,6 +2549,7 @@ object StreamParityQueries {
     "q357_stream_quota_format_migration" -> (q357StreamQuotaFormatMigration _),
     "q359_stream_holt_evict" -> (q359StreamHoltEvict _),
     "q361_stream_hw_evict" -> (q361StreamHwEvict _),
+    "q367_stream_bpe_apply" -> (q367StreamBpeApply _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2553,6 +2574,9 @@ object StreamParityQueries {
     "q287_stream_dedup_recovery" -> (q287StreamDedupRecovery _))
 
   val oracleSql: Map[String, String] = Map(
+    // q360's independent merge replay VERBATIM: the stream must land
+    // exactly the batch encoding (the q267/q284 same-oracle convention)
+    "q367_stream_bpe_apply" -> TextQueries.oracleSql("q360_bpe_apply"),
     // batch q111 verbatim: the two-sided watermarked join must emit
     // exactly the batch pair set, once each
     "q310_stream_interval_join" -> RelationalQueries.ClickAttributionOracle,

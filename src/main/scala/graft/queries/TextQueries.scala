@@ -23,7 +23,7 @@ object TextQueries {
     * the per-doc regroup is one more hash agg. No driver state, no
     * window.
     */
-  private def logprobScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def logprobScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val words = docs(s, dir)
       .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
@@ -146,15 +146,24 @@ object TextQueries {
     * STATELESS (document-local, zero shuffles), which is what makes
     * the same projection streaming-safe in append mode: Round14Spec
     * pins stream==batch bit-parity by pushing the corpus through a
-    * MemoryStream under this exact definition.
+    * MemoryStream under this exact definition. `ranked = true` swaps
+    * the sequential-replay kernel for the rank-priority-queue encoder
+    * ([[graft.functions.BpeEncodeRanked]] — O(len²) per first-seen
+    * word instead of O(|merges|·len), the production shape at a 32k
+    * vocabulary); the q368 driver gate proves the two encode the whole
+    * corpus identically through q360's independent DuckDB replay.
     */
   private[graft] def bpeApplyProjection(
-      d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+      d: DataFrame, merges: Seq[(String, String)],
+      ranked: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
+    val enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (ranked) graft.functions.BpeEncodeRanked(_, merges)
+      else graft.functions.BpeEncode(_, merges)
     d.select(col("doc_id"),
         graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
       .select(col("doc_id"),
-        graft.functions.BpeEncode(col("w"), merges).as("segs"))
+        enc(col("w")).as("segs"))
       .select(col("doc_id"),
         size(col("segs")).cast("long").as("n_words"),
         size(flatten(col("segs"))).cast("long").as("n_bpe_tokens"),
@@ -843,6 +852,17 @@ object TextQueries {
     // from the final symbol table s5 (vocab-sized, exact), joins back
     // to documents, and re-aggregates the same three outputs.
     "q360_bpe_apply" -> (bpeApplyTable _),
+    // q368: the SAME apply under the rank-priority encoder
+    // (BpeEncodeRanked — O(len²) per first-seen word, |merges|-
+    // independent: the production kernel at a 32k vocabulary, where
+    // q360's sequential replay pays |merges| array passes per distinct
+    // word). Oracle = q360's independent DuckDB merge replay VERBATIM,
+    // so the driver's hash row IS the ranked ≡ replay equivalence
+    // proof at corpus grain (Round15Spec carries the per-word pins,
+    // including adversarial overlap/self-merge/unseen fixtures).
+    "q368_bpe_apply_ranked" -> ((s, dir) =>
+      bpeApplyProjection(docs(s, dir),
+        bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3)), ranked = true)),
     // q362: tokenizer ROUND-TRIP capstone (the q86 composition
     // discipline) — learned tokenizer to packed training batches in one
     // pipeline: q360's BPE APPLY (the SAME helper, byte-identical
@@ -865,8 +885,14 @@ object TextQueries {
       import org.apache.spark.sql.functions._
       val enc = bpeApplyTable(s, dir)
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+      // persisted: referenced TWICE below (the per-bucket rollup and the
+      // doc-grain join) — without the cache the scan + BpeEncode replay
+      // + running-sum window subtree would execute once per reference
+      // (exchange reuse is not guaranteed across the two jobs); the
+      // query runner owns the cache lifecycle (ADVICE r14)
       val packed = graft.operators.Curation
         .packByCount(enc, "doc_id", seqLen = 512, buckets = 8)
+        .persist()
       // sequences the bucket OCCUPIES = ceil(tokens/512): the packed
       // stream is contiguous from offset 0, so this is exact — and it
       // is NOT max(seq_id)+1, which counts only the last doc's START
@@ -955,24 +981,31 @@ object TextQueries {
     // training loop consumes tier by tier. Grain = q88's (docs with
     // ≥1 token; an empty doc has no difficulty signal). DETERMINISM:
     // deciles via Quantiles.ntileExact (exact SQL-ntile closed form,
-    // no single-partition sort); position is a row_number inside each
-    // decile over (md5 coin, doc_id). Scale shape: q88's two hash
-    // aggs, one range exchange for the decile ranks, one 10-partition
-    // window (corpus/10 rows per partition — the q84 bucket-window
-    // class, never a global sort).
+    // no single-partition sort); position inside each decile over
+    // (md5 coin, doc_id). Scale shape: q88's two hash aggs, then the
+    // per-decile position through Quantiles.withGlobalRank over
+    // (decile, u, doc_id) — within a decile the global ranks are
+    // contiguous in (u, doc_id) order, so position = global rank −
+    // the decile's min rank + 1 (a 10-row broadcast join). A decile-
+    // PARTITIONED window would be a corpus-grain sort whose
+    // parallelism is semantically capped at 10 (the round-14 `weak`);
+    // the range exchange + pid window runs at full parallelism.
     "q366_curriculum_order" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       val deciled = graft.operators.Quantiles.ntileExact(
         logprobScores(s, dir), 10,
         Seq(col("mean_logprob").desc, col("doc_id").asc), "decile")
       val u = conv(substring(md5(concat(lit("graft-cur-"),
         col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
-      val w = Window.partitionBy(col("decile"))
-        .orderBy(col("u").asc, col("doc_id").asc)
-      deciled.withColumn("u", u)
-        .withColumn("position", row_number().over(w).cast("long"))
-        .select(col("doc_id"), col("decile"), col("position"),
+      val ranked = graft.operators.Quantiles.withGlobalRank(
+        deciled.withColumn("u", u),
+        Seq(col("decile").asc, col("u").asc, col("doc_id").asc), "grank")
+      // min global rank per decile: 10 rows, recomputed off the rank
+      // pass's internally persisted range partitioning — broadcast back
+      val offs = ranked.groupBy("decile").agg(min(col("grank")).as("d0"))
+      ranked.join(broadcast(offs), Seq("decile"))
+        .select(col("doc_id"), col("decile"),
+          (col("grank") - col("d0") + 1L).as("position"),
           col("mean_logprob"))
     }),
     // q277: autocomplete serving index — per 3-char prefix, the top-3
@@ -2067,6 +2100,40 @@ object TextQueries {
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** The BPE-APPLY oracle shared VERBATIM by q360 (sequential replay),
+    * q367 (the same projection streamed) and q368 (rank-priority
+    * encoder): DuckDB re-learns the merges (bpeCte's unrolled chain)
+    * and reads each word's segmentation from the final symbol table s5
+    * — one independent ground truth, three engine paths that must all
+    * hash-equal it.
+    */
+  private lazy val BpeApplyOracle: String =
+    s"""${bpeCte(5)},
+       |wd AS (
+       |  SELECT doc_id,
+       |         list_filter(
+       |           list_transform(string_split_regex(lower(text), '\\s+'),
+       |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+       |           x -> length(x) > 0) AS w
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+       |         unnest(w) AS word
+       |  FROM wd),
+       |enc AS (
+       |  SELECT t.doc_id, t.pos, s.syms
+       |  FROM tok t JOIN s5 s ON s.word = t.word),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       |         md5(string_agg(array_to_string(syms, ' '),
+       |                        '|' ORDER BY pos)) AS seg_fp
+       |  FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |       COALESCE(a.seg_fp, md5('')) AS seg_fp
+       |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same position-shift pairs, same 1e6-quantized c^0.75 cumulative
     // weights over the word order, same md5-mod draws, same one-interval
@@ -2373,35 +2440,13 @@ object TextQueries {
          |       round(t0 * 1.0 / corpus_tokens, 6) AS compression_ratio
          |FROM tr CROSS JOIN tot0""".stripMargin
     },
+    // q360's oracle verbatim under the ranked encoder: the hash row is
+    // the corpus-grain ranked ≡ replay equivalence proof
+    "q368_bpe_apply_ranked" -> BpeApplyOracle,
     // the INDEPENDENT replay: re-learn the merges (the same unrolled
     // chain), read each word's segmentation from the FINAL symbol
     // table s5, join back to documents, re-aggregate count + md5
-    "q360_bpe_apply" ->
-      s"""${bpeCte(5)},
-         |wd AS (
-         |  SELECT doc_id,
-         |         list_filter(
-         |           list_transform(string_split_regex(lower(text), '\\s+'),
-         |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
-         |           x -> length(x) > 0) AS w
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
-         |         unnest(w) AS word
-         |  FROM wd),
-         |enc AS (
-         |  SELECT t.doc_id, t.pos, s.syms
-         |  FROM tok t JOIN s5 s ON s.word = t.word),
-         |agg AS (
-         |  SELECT doc_id,
-         |         CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
-         |         md5(string_agg(array_to_string(syms, ' '),
-         |                        '|' ORDER BY pos)) AS seg_fp
-         |  FROM enc GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
-         |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
-         |       COALESCE(a.seg_fp, md5('')) AS seg_fp
-         |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    "q360_bpe_apply" -> BpeApplyOracle,
     // q88's chain → DuckDB's own ntile (the exact-semantics twin of
     // Quantiles.ntileExact, the q244 precedent) → the same md5 coin
     // row_number inside each decile

@@ -13,13 +13,13 @@ class ContractSpec extends AnyFunSuite with SparkTestBase {
     assert(dead.isEmpty, s"oracle SQL with no query: $dead")
   }
 
-  test("the rows-only set is exactly the documented sketch queries") {
-    // q7: HLL sketch (bounded against exact q2 in spec) — the ONLY
-    // rows-only entry left: q93's Bloom moved to md5 positions in
-    // round 14, so its membership decisions are DuckDB-replayable
-    // (q113's CMS discipline) and it carries a full oracle now
+  test("the rows-only set is empty: every query carries a full oracle") {
+    // round 15 closed the last gap: q7's HLL moved from Spark's
+    // engine-internal approx_count_distinct to md5-derived registers
+    // (the q93/q113 sketch discipline), so the estimate itself is
+    // DuckDB-replayable — zero rows-only entries remain
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q7_approx_vocab"),
+    assert(rowsOnly == Set.empty[String],
       s"every deterministic query must carry an oracle; rows-only = $rowsOnly")
   }
 

@@ -311,12 +311,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // one hash exchange for the bucket window; the per-bucket padding
     // rollup (8 rows) must come back as a BROADCAST join, and its agg
     // adds one more keyed exchange at the bucket grain — nothing at
-    // the document grain beyond the packing window itself
+    // the document grain beyond the packing window itself. Count
+    // DISTINCT exchange plan_ids, not textual occurrences: the packed
+    // stage is persisted (r14 ADVICE — it feeds both the rollup and
+    // the doc-grain join), and the one cached window exchange renders
+    // under BOTH InMemoryTableScan leaves while executing once.
     assert(p.contains("hashpartitioning(bucket"),
       s"the packing window must partition on bucket:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the 8-row rollup must broadcast back to the doc grain:\n$p")
-    assert(shuffles(p) <= 2, s"doc-grain data must cross at most the window exchange:\n$p")
+    val distinctShuffles =
+      "(?<!Broadcast)(?<!Reused)Exchange hashpartitioning[^\n]*plan_id=(\\d+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(distinctShuffles <= 2,
+      s"doc-grain data must cross at most the window exchange:\n$p")
   }
 
   test("q365: the benchmark side (with ids and sizes) broadcasts; no cartesian") {
@@ -510,6 +518,47 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
     org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
     assert(bad.isEmpty, "q290 must not plan a single-partition window")
+  }
+
+  test("q366: curriculum position plans no constant-bounded window") {
+    // the round-14 weak: position via Window.partitionBy("decile") is a
+    // corpus-grain sort whose parallelism is semantically capped at 10.
+    // The fix routes the per-decile position through
+    // Quantiles.withGlobalRank — a range exchange + a window partitioned
+    // ONLY by spark_partition_id (full parallelism) + a 10-row broadcast
+    // offset join. Guard both properties: a range exchange exists, and
+    // every window (through persist boundaries) partitions on a pid
+    // column, never on the data-bounded decile.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q366_curriculum_order")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case pp => pp
+    }
+    // traverse THROUGH persist boundaries (withGlobalRank persists its
+    // range-partitioned base, so both the windows and the range
+    // exchange live under InMemoryTableScanExec leaves)
+    def subPlans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.collect {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          subPlans(im.relation.cachedPlan match {
+            case a: AdaptiveSparkPlanExec => a.inputPlan
+            case cp => cp
+          })
+      }.flatten
+    val plans = subPlans(phys)
+    val ws = plans.flatMap(_.collect { case w: WindowExec => w })
+    val badPart = ws.filterNot(_.partitionSpec.forall(
+      _.references.forall(_.name.endsWith("_pid"))))
+    assert(badPart.isEmpty,
+      s"q366 windows must partition on pid columns only:\n${badPart.mkString("\n")}")
+    val hasRange = plans.map(_.toString).mkString
+      .toLowerCase.contains("rangepartitioning")
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(hasRange, "q366 must rank through a range exchange")
   }
 
   test("q255: the eval set is the broadcast side of the decontamination scan") {

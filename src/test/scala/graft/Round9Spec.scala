@@ -79,16 +79,15 @@ class Round9Spec extends AnyFunSuite with SparkTestBase {
       "out-of-order EWMA with mid-feed checkpoint restart")
   }
 
-  // Drift pins for the two no_oracle sketch queries: both are
-  // DETERMINISTIC given their input (HLL++ has no random seed and
-  // merges commutatively; the Bloom layout is fixed by count + fpp), and
-  // at fixture scale both happen to coincide EXACTLY with their exact
-  // twins — q7's 31-word reference vocabulary is far below any HLL
-  // estimation error, and fpp=1e-6 yields zero false positives over
-  // sf0.01's shingle volume. Pinning that exact coincidence (not just
-  // the existing tolerance specs) means ANY change to sketch
-  // parameters, hashing or plumbing surfaces here instead of hiding
-  // behind the driver's no_oracle row.
+  // Drift pins for the sketch queries (both fully oracle-checked since
+  // rounds 14/15 — q93 via md5 Bloom positions, q7 via md5 HLL
+  // registers): at fixture scale both coincide EXACTLY with their exact
+  // twins — q7's 31-word reference vocabulary sits in the
+  // linear-counting branch (round(4096·ln(4096/4065)) = 31), and the
+  // Bloom's ~1e-6 false-positive rate yields zero false positives over
+  // sf0.01's shingle volume. Pinning that exact coincidence (on top of
+  // the driver's hash rows) means ANY change to sketch parameters,
+  // hashing or plumbing surfaces here with a readable diff.
   test("q7 drift pin: the HLL estimate coincides with exact q2 at fixture scale") {
     val approx = SparkEntry.queries("q7_approx_vocab")(spark, sfDir)
       .collect().head.getLong(0)
