@@ -6,7 +6,20 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ReferenceQueries.q1InvertedIndex(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CACHE LIFECYCLE CONTRACT (registry-wide, ADVICE r14): query
+    * builders may `persist()` intermediates they reference more than
+    * once (q93/q96/q365's shingle tables, the Quantiles range bases,
+    * q362's packed stage) and must NOT unpersist them — the DataFrame
+    * is returned lazily, so an unpersist before the caller's action
+    * would defeat the cache. The RUNNER owns release: after each
+    * query's terminal action, call `spark.catalog.clearCache()` plus
+    * `Bridge.freeAllPersistedRdds(spark)` (the latter reaches
+    * localCheckpoint blocks clearCache cannot). Verify, Bench, BenchOne
+    * and the plan/round specs all do; any new runner must too, or
+    * executor storage pins grow with every query run.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++

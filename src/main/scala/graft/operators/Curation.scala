@@ -121,10 +121,12 @@ object Curation {
     * the packing itself is a running-sum window. Buckets bound each
     * task's sort at corpus_tokens/buckets; size `buckets` to the cluster
     * (each stream is an independent shard of the packed dataset).
+    * `buckets <= 0` defaults to `spark.sql.shuffle.partitions` — see
+    * [[packByCount]] for why the knob is part of the SEMANTICS.
     */
   def packSequences(
       df: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, buckets: Int): DataFrame =
+      seqLen: Int, buckets: Int = 0): DataFrame =
     packByCount(
       df.select(
         col(idCol),
@@ -140,17 +142,31 @@ object Curation {
     * q362 learned-tokenizer form (BPE counts from the q360 APPLY) can
     * never drift: same md5 bucket coin, same running sum, same integer
     * DIV/MOD cuts.
+    *
+    * `buckets` is a SEMANTIC parameter, not just a tuning knob: the
+    * bucket coin decides which documents share a packed stream, so two
+    * runs with different bucket counts produce different (seq_id,
+    * tok_offset) assignments BY DESIGN — and parallelism = buckets,
+    * because each stream's running sum is inherently sequential. Size
+    * it to the cluster: `buckets <= 0` (the default) resolves to
+    * `spark.sql.shuffle.partitions`, the session's notion of "one task
+    * per core across the cluster". The driver-verified q84/q362 rows
+    * pin buckets = 8 explicitly — fixture-scale values chosen so the
+    * DuckDB oracle replays the identical assignment, not a statement
+    * about production parallelism.
     */
   def packByCount(
-      df: DataFrame, idCol: String, seqLen: Int, buckets: Int): DataFrame = {
+      df: DataFrame, idCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
     require(seqLen >= 1, "packSequences requires seqLen >= 1")
-    require(buckets >= 1, "packSequences requires buckets >= 1")
+    val b =
+      if (buckets >= 1) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     import org.apache.spark.sql.expressions.Window
     // first 4 md5 hex digits as an int: plenty of entropy for bucket
     // routing, cheap to mirror in SQL (parse-as-hex % buckets)
     val bucket = pmod(
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int"),
-      lit(buckets))
+      lit(b))
     val w = Window.partitionBy(col("bucket")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), bucket.as("bucket"), col("n_tok"))

@@ -59,12 +59,16 @@ object Dedup {
   def shingleSketch(shingles: DataFrame, colName: String = "sh")
       : graft.functions.Md5BloomSketch = {
     import graft.functions.Md5BloomSketch
-    val s = shingles.persist()
+    // Distinct ENFORCED here, not assumed of callers (ADVICE r14): the
+    // modulus m = 29·n is part of the cross-engine contract (the oracle
+    // re-derives it from count(DISTINCT sh)), so a duplicate-bearing
+    // count would silently hand the engines different moduli — same
+    // recall, divergent ~1e-6 false-positive sets, and the streaming
+    // benchmarkSketch path has no oracle to catch it. For an
+    // already-distinct input the extra dropDuplicates is one
+    // benchmark-sized exchange folded into the build's two actions.
+    val s = shingles.select(col(colName)).dropDuplicates(colName).persist()
     try {
-      // Callers pass the DISTINCT shingle set: the modulus m = 29·n is
-      // part of the cross-engine contract (the oracle re-derives it
-      // from count(DISTINCT sh)), so a duplicate-bearing count would
-      // hand the engines different moduli.
       val m = Md5BloomSketch.mBitsFor(s.count())
       val k = Md5BloomSketch.K
       // The bit array is one JVM byte[]: the real cap is ~1.7e10 bits

@@ -232,6 +232,12 @@ object Edges {
             .foreach { t =>
               val loc = new org.apache.hadoop.fs.Path(
                 org.apache.spark.sql.graft.Bridge.tableLocation(spark, t.name))
+              // log BEFORE acting (ADVICE r14): the sweep deletes table
+              // AND bytes, and the legacy 8-hex tag leaves a ~2⁻³²
+              // cross-dir collision window — if a collision ever fires,
+              // this line is the post-hoc diagnosis trail
+              org.slf4j.LoggerFactory.getLogger(Edges.getClass).info(
+                s"GC sweeping superseded graph table ${t.name} at $loc")
               spark.sql(s"DROP TABLE IF EXISTS `${t.name}`")
               loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
                 .delete(loc, true)

@@ -190,13 +190,11 @@ object DedupQueries {
     val sh = Dedup.shinglePairs(docs(spark, dir), "text", "doc_id").persist()
     // benchmark-sized sketch build (the q78 analog of collecting the
     // benchmark set, but ~3.4 bytes/item instead of the string payload);
-    // parameters live in ONE place, shared with the streaming path
-    // DISTINCT before sizing: the sketch's modulus is m = 29·n and the
-    // oracle derives n from the distinct benchmark shingle set — a
-    // (doc, sh)-pair count would give the engines different moduli
-    // (same recall, but the ~1e-6 false-positive sets would diverge)
+    // parameters live in ONE place, shared with the streaming path —
+    // including the DISTINCT-before-sizing contract (m = 29·n over the
+    // distinct shingle set), enforced inside shingleSketch since r15
     val sketch = Dedup.shingleSketch(
-      sh.filter(col("doc_id") < 20).select("sh").distinct())
+      sh.filter(col("doc_id") < 20).select("sh"))
     // the corpus side stays in the Tungsten row pipeline: the sketch is
     // a plan constant inside a native predicate (deserialized once per
     // task), not a typed mapPartitions detour

@@ -427,13 +427,14 @@ object StreamingOps {
     */
   def benchmarkSketch(benchmarkDocs: DataFrame, textCol: String, n: Int = 3)
       : graft.functions.Md5BloomSketch =
-    // distinct for the same reason as batch q93: the modulus m = 29·n
-    // must be derived from the DISTINCT shingle set on every path
+    // the DISTINCT-before-sizing contract (modulus m = 29·n over the
+    // distinct shingle set) is enforced INSIDE shingleSketch since
+    // round 15 — no call-site discipline required
     graft.operators.Dedup.shingleSketch(
       graft.operators.Dedup
         .shinglePairs(benchmarkDocs.selectExpr(s"$textCol AS __t", "1 AS __id"),
           "__t", "__id", n)
-        .select("sh").distinct())
+        .select("sh"))
 
   /** Benchmark decontamination ON INGEST: drop every arriving document
     * that shares a word n-gram with the benchmark sketch — the streaming
