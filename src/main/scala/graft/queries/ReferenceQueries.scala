@@ -105,42 +105,88 @@ object ReferenceQueries {
   /** The md5-HLL core over any single-`word`-column relation — factored
     * so the spec can drive the harmonic (raw-estimate) branch at a
     * cardinality far above q7's 31-word fixture vocabulary, where the
-    * linear-counting branch is the live one.
+    * linear-counting branch is the live one. Split into the REGISTER
+    * stage and the ESTIMATE fold so the grouped (q369) and streaming
+    * (q370) forms share the exact arithmetic: q369 runs `hllRanks` +
+    * the same max-agg with a group key prepended; q370 runs the
+    * register agg as a complete-mode streaming aggregation and
+    * `hllFold` over the sink.
     */
-  private[graft] def md5Hll(values: DataFrame): DataFrame = {
+  private[graft] def md5Hll(values: DataFrame): DataFrame =
+    hllFold(hllRanks(values)
+      .groupBy("j").agg(max(col("rank")).as("m_j")))
+
+  /** Per-token (register index, capped leading-zero rank): j = first 3
+    * md5 hex digits (m = 4096), rank = 53 − length(bin(next 13 hex)),
+    * capped at 50 so the harmonic terms quantize exactly (Int64 2⁶²
+    * bound; P(rank > 50) = 2⁻⁵⁰ — totality, not a live path).
+    * Extra columns (e.g. a group key) pass through.
+    */
+  private[graft] def hllRanks(values: DataFrame): DataFrame = {
+    val h = md5(col("word"))
+    val w = conv(substring(h, 4, 13), 16, 10).cast("long")
+    values
+      .withColumn("j", conv(substring(h, 1, 3), 16, 10).cast("int"))
+      .withColumn("rank", when(w === 0L, lit(50))
+        .otherwise(least(lit(53) - length(bin(w)), lit(50))))
+      .drop("word")
+  }
+
+  /** The estimate fold over a `(j, m_j)` register relation (one row per
+    * NON-EMPTY register): exact Int64 harmonic sum with empty registers
+    * at 2⁵⁰, α·m²·2⁵⁰/S raw estimate, m·ln(m/V) linear-counting branch.
+    * `keys` non-empty folds per group (the q369 per-language form);
+    * empty folds globally (q7). Group keys lead the output columns.
+    */
+  private[graft] def hllFold(regs: DataFrame, keys: Seq[String] = Nil): DataFrame = {
     val m = 4096
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val pow250 = lit(1125899906842624.0) // 2^50, exact in IEEE
-    val h = md5(col("word"))
-    val regs = values
-      .select(
-        conv(substring(h, 1, 3), 16, 10).cast("int").as("j"),
-        conv(substring(h, 4, 13), 16, 10).cast("long").as("w"))
-      .groupBy("j")
-      .agg(max(when(col("w") === 0L, lit(50))
-        .otherwise(least(lit(53) - length(bin(col("w"))), lit(50)))).as("m_j"))
-    regs
-      .agg(
-        count(lit(1)).as("n_registers"),
-        sum(expr("shiftleft(1L, 50 - m_j)")).as("s_occ"))
-      .select(
+    val nReg = count(lit(1)).as("n_registers")
+    val sOcc = sum(expr("shiftleft(1L, 50 - m_j)")).as("s_occ")
+    val agged =
+      if (keys.isEmpty) regs.agg(nReg, sOcc)
+      else regs.groupBy(keys.map(col): _*).agg(nReg, sOcc)
+    val kc = keys.map(col)
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
+      col("s_quant").cast("double")
+    agged
+      .select(kc ++ Seq(
         col("n_registers"),
         (lit(m.toLong) - col("n_registers")).as("v_empty"),
         (col("s_occ") + (lit(m.toLong) - col("n_registers")) *
-          pow250.cast("long")).as("s_quant"))
-      .select(
-        // rounded corrected estimate FIRST: the spec drift pin and the
-        // tolerance specs read the estimate positionally as getLong(0)
-        round(when(
-          alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
-            col("s_quant").cast("double") <= lit(2.5 * m) &&
-            col("v_empty") > 0L,
+          pow250.cast("long")).as("s_quant")): _*)
+      .select(kc ++ Seq(
+        // rounded corrected estimate FIRST after the keys: the spec
+        // drift pin and the tolerance specs read q7's estimate
+        // positionally as getLong(0)
+        round(when(raw <= lit(2.5 * m) && col("v_empty") > 0L,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
-          .otherwise(alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
-            col("s_quant").cast("double"))).cast("long").as("approx_vocab"),
-        round(alpha * lit(m.toDouble) * lit(m.toDouble) * pow250 /
-          col("s_quant").cast("double"), 4).as("est_raw"),
-        col("n_registers"), col("v_empty"), col("s_quant"))
+          .otherwise(raw)).cast("long").as("approx_vocab"),
+        round(raw, 4).as("est_raw"),
+        col("n_registers"), col("v_empty"), col("s_quant")): _*)
+  }
+
+  /** Q369: per-language vocabulary HLL — q7's md5 sketch at the GROUP
+    * grain: one cardinality estimate per language shard, the
+    * multilingual audit beside q363's fertility (a vocabulary budget
+    * is allocated per language; the estimate is what the allocation
+    * reads at corpus scale, where per-language exact DISTINCT is a
+    * vocabulary-sized shuffle per shard). Same register/rank/fold
+    * arithmetic as q7 — `hllRanks` + the max-agg with the group key
+    * prepended + the keyed `hllFold` — so the grouped form can never
+    * drift from the verified global one. Scale shape: one doc-grain
+    * equi-join for the language column, ONE (lang, j) hash agg
+    * (≤ |langs|·4096 rows, map-side partial max), a |langs|-row fold.
+    */
+  def q369HllPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val lang = documents(spark, dir).select(col("doc_id"), col("lang"))
+    val ranks = hllRanks(
+      tokens(spark, dir).join(lang, Seq("doc_id"))
+        .select(col("lang"), col("word")))
+    hllFold(
+      ranks.groupBy("lang", "j").agg(max(col("rank")).as("m_j")),
+      keys = Seq("lang"))
   }
 
   /** Q73: KMV (k-minimum-values) vocabulary estimate — the DETERMINISTIC
@@ -204,6 +250,7 @@ object ReferenceQueries {
     "q235_postings_histogram" -> q235PostingsHistogram _,
     "q236_shard_balance" -> q236ShardBalance _,
     "q7_approx_vocab" -> q7ApproxVocabulary _,
+    "q369_hll_per_lang" -> q369HllPerLang _,
     "q73_kmv_vocab" -> q73KmvVocab _,
     "q1_inverted_index" -> q1InvertedIndex _,
     "q2_vocabulary" -> q2Vocabulary _,
@@ -285,6 +332,45 @@ object ReferenceQueries {
          |           * CAST(1125899906842624.0 AS DOUBLE) / CAST(s_quant AS DOUBLE) AS raw
          |  FROM qn)
          |SELECT CAST(round(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v_empty > 0
+         |                       THEN CAST(4096.0 AS DOUBLE) *
+         |                            ln(CAST(4096.0 AS DOUBLE) / CAST(v_empty AS DOUBLE))
+         |                       ELSE raw END) AS BIGINT) AS approx_vocab,
+         |       round(raw, 4) AS est_raw,
+         |       n_registers, v_empty, s_quant
+         |FROM e""".stripMargin,
+    // q7's replay with the language key threaded through every stage
+    "q369_hll_per_lang" ->
+      s"""$TokCte,
+         |lt AS (
+         |  SELECT d.lang, t.word FROM toks t JOIN documents d USING (doc_id)),
+         |hh AS (
+         |  SELECT lang,
+         |         CAST(('0x' || substr(md5(word), 1, 3)) AS BIGINT) AS j,
+         |         CAST(('0x' || substr(md5(word), 4, 13)) AS BIGINT) AS w
+         |  FROM lt),
+         |regs AS (
+         |  SELECT lang, j, max(CASE WHEN w = 0 THEN 50
+         |                           ELSE least(53 - length(bin(w)), 50) END) AS m_j
+         |  FROM hh GROUP BY lang, j),
+         |st AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - m_j AS INT)) AS BIGINT)
+         |           AS s_occ
+         |  FROM regs GROUP BY lang),
+         |qn AS (
+         |  SELECT lang, n_registers, 4096 - n_registers AS v_empty,
+         |         s_occ + (4096 - n_registers) * CAST(1125899906842624 AS BIGINT)
+         |           AS s_quant
+         |  FROM st),
+         |e AS (
+         |  SELECT lang, n_registers, v_empty, s_quant,
+         |         (CAST(0.7213 AS DOUBLE) /
+         |            (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+         |           * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |           * CAST(1125899906842624.0 AS DOUBLE) / CAST(s_quant AS DOUBLE) AS raw
+         |  FROM qn)
+         |SELECT lang,
+         |       CAST(round(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v_empty > 0
          |                       THEN CAST(4096.0 AS DOUBLE) *
          |                            ln(CAST(4096.0 AS DOUBLE) / CAST(v_empty AS DOUBLE))
          |                       ELSE raw END) AS BIGINT) AS approx_vocab,

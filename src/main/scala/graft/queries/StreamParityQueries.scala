@@ -87,6 +87,30 @@ object StreamParityQueries {
       df => TextQueries.bpeApplyProjection(df, merges))
   }
 
+  /** q370: vocabulary HLL on ingest, driver-verified — q7's md5 sketch
+    * maintained as STREAMING STATE: the register table (groupBy j, max
+    * rank — at most 4096 rows of state, the HLL bound) runs as a
+    * complete-mode streaming aggregation over the arriving corpus, and
+    * the estimate fold reads the final register table. Oracle = q7's
+    * verbatim (the q267/q284 same-oracle convention): the stream's
+    * final estimate must BE the batch estimate, bit for bit, because
+    * max-of-ranks is order- and batching-invariant — which is exactly
+    * the property that makes HLL mergeable across shards/streams, here
+    * driver-proven rather than asserted. The decontamination sketch
+    * (q93/streaming ingest) covers membership; this closes cardinality,
+    * the other sketch a streaming ingest pipeline keeps.
+    */
+  def q370StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.max
+    val regs = runChunked(spark, dir, "graft_q370_hll",
+      df => ReferenceQueries.hllRanks(
+        graft.operators.Tokenizer.tokens(df, "text", Seq("doc_id"))
+          .select("word"))
+        .groupBy("j").agg(max(col("rank")).as("m_j")),
+      mode = "complete")
+    ReferenceQueries.hllFold(regs)
+  }
+
   /** The (user_id, ts, event_id, value) feed every ValEvent gate reads,
     * in global (ts, event_id) order — through the nanos-variant-adapting
     * `RelationalQueries.events` reader, so a TIMESTAMP(NANOS) events
@@ -2550,6 +2574,7 @@ object StreamParityQueries {
     "q359_stream_holt_evict" -> (q359StreamHoltEvict _),
     "q361_stream_hw_evict" -> (q361StreamHwEvict _),
     "q367_stream_bpe_apply" -> (q367StreamBpeApply _),
+    "q370_stream_hll" -> (q370StreamHll _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2577,6 +2602,9 @@ object StreamParityQueries {
     // q360's independent merge replay VERBATIM: the stream must land
     // exactly the batch encoding (the q267/q284 same-oracle convention)
     "q367_stream_bpe_apply" -> TextQueries.oracleSql("q360_bpe_apply"),
+    // q7's register/fold replay VERBATIM: the streamed sketch's final
+    // estimate must be the batch estimate
+    "q370_stream_hll" -> ReferenceQueries.oracleSql("q7_approx_vocab"),
     // batch q111 verbatim: the two-sided watermarked join must emit
     // exactly the batch pair set, once each
     "q310_stream_interval_join" -> RelationalQueries.ClickAttributionOracle,

@@ -2021,6 +2021,41 @@ object TextQueries {
           when(col("n_seqs") > 0,
             round(col("total_tokens").cast("double") / (col("n_seqs") * 512), 6))
             .otherwise(lit(0.0)).as("fill_ratio"))
+    }),
+    // q371: packed-sequence MANIFEST — per (bucket, seq_id), the
+    // documents that training sequence actually reads: doc count,
+    // first/last doc, and the exact token count the sequence takes
+    // from them (< 512 only in a bucket's final, padded sequence).
+    // This is the sequence→documents index a data loader consumes
+    // (q84 answers "where does doc d land"; this is the transpose a
+    // trainer needs — "what does step k read") and the provenance
+    // record that attributes any training sequence back to source
+    // documents. A document straddling sequence boundaries appears
+    // once per sequence it overlaps, with its per-sequence token
+    // share; shares per sequence sum to 512 except the bucket tail.
+    // DETERMINISM: pure integer interval arithmetic over q84's
+    // verified packing. Scale shape: the q84 packing (one bucket
+    // exchange + running-sum window), a generate of ≤
+    // ⌈n_tok/512⌉+1 rows per doc, one (bucket, seq) hash agg.
+    "q371_pack_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spans = graft.operators.Curation
+        .packSequences(docs(s, dir), "text", "doc_id", seqLen = 512, buckets = 8)
+        .filter(col("n_tok") >= 1L)
+        .withColumn("cum_start", col("seq_id") * 512L + col("tok_offset"))
+        .withColumn("cum_end", col("cum_start") + col("n_tok"))
+        .withColumn("last_seq", expr("(cum_end - 1) DIV 512L"))
+      spans
+        .select(col("doc_id"), col("bucket"), col("cum_start"), col("cum_end"),
+          explode(sequence(col("seq_id"), col("last_seq"))).as("seq"))
+        .groupBy("bucket", "seq")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(least(col("cum_end"), (col("seq") + 1L) * 512L) -
+            greatest(col("cum_start"), col("seq") * 512L)).as("n_tokens"))
+        .select(col("bucket"), col("seq").as("seq_id"), col("n_docs"),
+          col("first_doc"), col("last_doc"), col("n_tokens"))
     }))
 
   /** DuckDB twin of Curation.curate as composable CTEs (follows
@@ -3488,5 +3523,35 @@ object TextQueries {
          |       (cum - n_tok) // 512 AS seq_id,
          |       (cum - n_tok) % 512 AS tok_offset,
          |       n_tok
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+    // q84's packing replay + the interval transpose: per sequence, the
+    // docs it overlaps and the exact token shares (integer interval
+    // intersection)
+    "q371_pack_manifest" ->
+      s"""$WordsCte,
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS bucket,
+         |         CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM wd),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tok,
+         |         CAST(SUM(n_tok) OVER (
+         |           PARTITION BY bucket ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, bucket, cum - n_tok AS cum_start, cum AS cum_end,
+         |         (cum - n_tok) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+         |  FROM c WHERE n_tok >= 1),
+         |x AS (
+         |  SELECT doc_id, bucket, cum_start, cum_end,
+         |         unnest(range(first_seq, last_seq + 1)) AS seq
+         |  FROM p)
+         |SELECT bucket, seq AS seq_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |       CAST(sum(least(cum_end, (seq + 1) * 512) -
+         |                greatest(cum_start, seq * 512)) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY bucket, seq""".stripMargin)
 }

@@ -42,9 +42,10 @@ object BpeCurve {
     t.min
   }
 
-  /** Valid filler ladders: for seed (c1, c2) the chain
-    * (c1,c2)→s, (s,s)→s², (s²,s²)→s⁴ … — every pair's symbols exist
-    * when the pair is learned.
+  /** Valid filler ladders: for seed (c1, c2) the LINEAR chain
+    * (c1,c2)→s, (s,s)→ss, (ss,s)→sss … — every pair's symbols exist
+    * when the pair is learned, and symbols grow 2 chars per rung (a
+    * doubling chain would produce 2^depth-char plan literals).
     */
   private def ladders(n: Int): Seq[(String, String)] = {
     val seeds = for (a <- 'a' to 'z'; d <- '0' to '9') yield (a.toString, d.toString)
@@ -53,12 +54,13 @@ object BpeCurve {
     val it = seeds.iterator
     while (out.size < n && it.hasNext) {
       val (a, d) = it.next()
-      var sym = a + d
+      val s = a + d
+      var sym = s
       out += ((a, d))
       var k = 0
       while (out.size < n && k < depth) {
-        out += ((sym, sym))
-        sym = sym + sym
+        out += ((sym, s))
+        sym = sym + s
         k += 1
       }
     }
@@ -115,7 +117,14 @@ object BpeCurve {
       val n = sizes.max
       if (n <= learned.size) learned.take(n) else learned ++ ladders(n - learned.size)
     }
+    // ~20k rows regardless of SF: the memo-miss cell measures PER-WORD
+    // first-encode cost (every word distinct), not scan throughput — a
+    // full 1.5M-row stream at 32k replay merges would take hours and
+    // tell the same story
+    val hexN = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val hexEvery = math.max(1L, hexN / 20000L)
     val hexDocs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(hexEvery)) === 0L)
       .select(col("o_orderkey").as("doc_id"),
         substring(md5(col("o_orderkey").cast("string")), 1, 16).as("text"))
     def hexApply(ranked: Boolean): Unit = {

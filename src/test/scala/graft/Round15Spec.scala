@@ -117,6 +117,54 @@ class Round15Spec extends AnyFunSuite with SparkTestBase {
     assert(segs(1) == null, "NULL element must encode to NULL inner array")
   }
 
+  test("q369 per-language estimates coincide with exact per-language vocab at fixture scale") {
+    // every language's fixture vocabulary is far below the
+    // linear-counting error floor (the q7 drift-pin argument, per
+    // group): round(4096·ln(4096/V)) must equal the exact count
+    val est = SparkEntry.queries("q369_hll_per_lang")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.queries.ReferenceQueries.docWords(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select("lang", "word").distinct()
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((l, n) <- exact)
+      assert(est(l) == n, s"lang $l: estimate ${est(l)} vs exact $n")
+  }
+
+  test("q371 manifest invariants: non-tail sequences read exactly 512 tokens; bucket totals conserve") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q371_pack_manifest")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    assert(rows.nonEmpty)
+    val lastSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for ((b, s, _, toks) <- rows) {
+      if (s < lastSeq(b))
+        assert(toks == 512L, s"bucket $b seq $s reads $toks tokens (must be 512)")
+      else
+        assert(toks >= 1L && toks <= 512L, s"tail of bucket $b reads $toks")
+    }
+    // conservation: the manifest's token mass per bucket equals the
+    // packed corpus token mass per bucket (no token lost or doubled
+    // by the interval transpose)
+    val manifestMass = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val packedMass = graft.operators.Curation
+      .packSequences(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id", seqLen = 512, buckets = 8)
+      .groupBy("bucket").agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
+    for ((b, t) <- packedMass if t > 0)
+      assert(manifestMass(b) == t, s"bucket $b: manifest $manifestMass vs packed $t")
+  }
+
   test("q366 rewrite is row-identical to the decile-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
