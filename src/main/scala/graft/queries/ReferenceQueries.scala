@@ -175,14 +175,16 @@ object ReferenceQueries {
     * vocabulary-sized shuffle per shard). Same register/rank/fold
     * arithmetic as q7 — `hllRanks` + the max-agg with the group key
     * prepended + the keyed `hllFold` — so the grouped form can never
-    * drift from the verified global one. Scale shape: one doc-grain
-    * equi-join for the language column, ONE (lang, j) hash agg
-    * (≤ |langs|·4096 rows, map-side partial max), a |langs|-row fold.
+    * drift from the verified global one. Scale shape: the language
+    * column rides THROUGH tokenization (document-local — at corpus
+    * scale a doc_id join of the token stream back to the doc-grain
+    * language table would shuffle every token), then ONE (lang, j)
+    * hash agg (≤ |langs|·4096 rows, map-side partial max), a
+    * |langs|-row fold. Zero joins.
     */
   def q369HllPerLang(spark: SparkSession, dir: String): DataFrame = {
-    val lang = documents(spark, dir).select(col("doc_id"), col("lang"))
     val ranks = hllRanks(
-      tokens(spark, dir).join(lang, Seq("doc_id"))
+      Tokenizer.tokens(documents(spark, dir), "text", Seq("lang"))
         .select(col("lang"), col("word")))
     hllFold(
       ranks.groupBy("lang", "j").agg(max(col("rank")).as("m_j")),

@@ -2022,6 +2022,43 @@ object TextQueries {
             round(col("total_tokens").cast("double") / (col("n_seqs") * 512), 6))
             .otherwise(lit(0.0)).as("fill_ratio"))
     }),
+    // q372: fill-in-the-middle transform plan — the FIM data prep of
+    // code/infilling models (Bavarian et al. 2022: split each selected
+    // document into prefix|middle|suffix and train on
+    // prefix+suffix→middle), made DETERMINISTIC and document-local
+    // like its q364 span-corruption sibling: a 50% md5 coin selects
+    // docs (the paper's recommended FIM rate), and the two split
+    // points are md5-derived offsets over the token count with all
+    // three parts ≥ 1 token (a ∈ [1, n−2], b ∈ [a+1, n−1]); docs with
+    // < 3 tokens or an unselected coin pass through as plain
+    // autoregressive rows (fim = false, the whole doc is the
+    // "prefix"). Pure function of ids — reproducible under re-runs,
+    // repartitioning and appends (the q71/q138 coin discipline; the
+    // paper's RNG split would be engine-specific). Scale shape: one
+    // narrow projection, zero shuffles, any corpus size.
+    "q372_fim_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val n = size(graft.functions.TextFunctions.wordsArr(col("text")))
+        .cast("long")
+      val coin = substring(md5(concat(lit("graft-fim-"),
+        col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7")
+      val u1 = conv(substring(md5(concat(lit("graft-fim-a-"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      val u2 = conv(substring(md5(concat(lit("graft-fim-b-"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      docs(s, dir).select(col("doc_id"), n.as("n_tokens"))
+        .withColumn("fim", coin && col("n_tokens") >= 3L)
+        .withColumn("a",
+          when(col("fim"), pmod(u1, col("n_tokens") - 2L) + 1L))
+        .withColumn("b",
+          when(col("fim"),
+            pmod(u2, col("n_tokens") - col("a") - 1L) + col("a") + 1L))
+        .select(col("doc_id"), col("n_tokens"), col("fim"),
+          when(col("fim"), col("a")).otherwise(col("n_tokens")).as("p_len"),
+          when(col("fim"), col("b") - col("a")).otherwise(0L).as("m_len"),
+          when(col("fim"), col("n_tokens") - col("b")).otherwise(0L).as("s_len"))
+    }),
     // q371: packed-sequence MANIFEST — per (bucket, seq_id), the
     // documents that training sequence actually reads: doc count,
     // first/last doc, and the exact token count the sequence takes
@@ -3524,6 +3561,32 @@ object TextQueries {
          |       (cum - n_tok) % 512 AS tok_offset,
          |       n_tok
          |FROM c""".stripMargin,
+    // the same md5 coin + modular split points, re-derived end to end
+    "q372_fim_plan" ->
+      s"""$WordsCte,
+         |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM wd),
+         |c AS (
+         |  SELECT doc_id, n,
+         |         (substr(md5('graft-fim-' || CAST(doc_id AS VARCHAR)), 1, 1)
+         |            BETWEEN '0' AND '7') AND n >= 3 AS fim,
+         |         CAST(('0x' || substr(md5('graft-fim-a-' || CAST(doc_id AS VARCHAR)),
+         |                              1, 13)) AS BIGINT) AS u1,
+         |         CAST(('0x' || substr(md5('graft-fim-b-' || CAST(doc_id AS VARCHAR)),
+         |                              1, 13)) AS BIGINT) AS u2
+         |  FROM t),
+         |d AS (
+         |  SELECT doc_id, n, fim, u2,
+         |         CASE WHEN fim THEN u1 % (n - 2) + 1 END AS a
+         |  FROM c),
+         |e AS (
+         |  SELECT doc_id, n, fim, a,
+         |         CASE WHEN fim THEN u2 % (n - a - 1) + a + 1 END AS b
+         |  FROM d)
+         |SELECT doc_id, n AS n_tokens, fim,
+         |       CASE WHEN fim THEN a ELSE n END AS p_len,
+         |       CASE WHEN fim THEN b - a ELSE 0 END AS m_len,
+         |       CASE WHEN fim THEN n - b ELSE 0 END AS s_len
+         |FROM e""".stripMargin,
     // q84's packing replay + the interval transpose: per sequence, the
     // docs it overlaps and the exact token shares (integer interval
     // intersection)

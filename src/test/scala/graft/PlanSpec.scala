@@ -561,6 +561,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(hasRange, "q366 must rank through a range exchange")
   }
 
+  test("q369/q372: language HLL and FIM plan join-free; FIM shuffle-free") {
+    // q369 must carry the language column THROUGH tokenization — a
+    // doc_id join of the token stream back to the doc-grain language
+    // table would shuffle every token at corpus scale
+    val p369 = plan("q369_hll_per_lang")
+    assert(!p369.contains("Join"), s"q369 must not join:\n$p369")
+    assert(shuffles(p369) <= 2, s"q369: (lang,j) agg + lang fold only:\n$p369")
+    val p372 = plan("q372_fim_plan")
+    assert(!p372.contains("Join") && shuffles(p372) == 0,
+      s"q372 must be one document-local projection:\n$p372")
+  }
+
   test("q255: the eval set is the broadcast side of the decontamination scan") {
     val p = plan("q255_embed_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

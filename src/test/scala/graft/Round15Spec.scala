@@ -165,6 +165,26 @@ class Round15Spec extends AnyFunSuite with SparkTestBase {
       assert(manifestMass(b) == t, s"bucket $b: manifest $manifestMass vs packed $t")
   }
 
+  test("q372 FIM invariants: selected rows split into three ≥1-token parts summing to n") {
+    val rows = SparkEntry.queries("q372_fim_plan")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val (sel, rest) = rows.partition(_._2)
+    assert(sel.nonEmpty && rest.nonEmpty, "the 50% coin must select both ways")
+    for ((n, _, p, m, s) <- sel) {
+      assert(p >= 1 && m >= 1 && s >= 1, s"FIM parts must be non-empty: $p $m $s")
+      assert(p + m + s == n, s"parts must partition the doc: $p+$m+$s != $n")
+    }
+    for ((n, _, p, m, s) <- rest)
+      assert(p == n && m == 0 && s == 0, "unselected docs pass through whole")
+    // coin rate sanity: md5's first hex digit is uniform, so the
+    // selected share among eligible (n >= 3) docs concentrates near 1/2
+    val eligible = rows.filter(_._1 >= 3)
+    val rate = sel.length.toDouble / eligible.length
+    assert(rate > 0.4 && rate < 0.6, s"FIM rate $rate drifted from 1/2")
+  }
+
   test("q366 rewrite is row-identical to the decile-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
