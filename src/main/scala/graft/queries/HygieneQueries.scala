@@ -692,7 +692,94 @@ object HygieneQueries {
       .select(col("source"), col("alloc"), col("rank"), col("doc_id"))
   }
 
+  /** q373: md5 bottom-k quantile SKETCH — the quantile member of the
+    * deterministic sketch family (cardinality q7/q73, membership q93,
+    * frequency q113): estimate the p50/p90/p99 of the per-document
+    * token-count distribution (the statistic a pipeline sizes its
+    * seqLen/packing by) from the k = 256 documents with the SMALLEST
+    * md5(doc_id) — a uniform sample without replacement whose
+    * membership is a pure function of ids (reproducible, mergeable:
+    * the bottom-k of a union is the k smallest of the per-shard
+    * bottom-k's — the KMV property, reused for order statistics).
+    * Estimate = the type-1 sample quantile, index ⌊p·(k−1)⌋+1 over
+    * the (value, u, doc_id) total order — integer once the one
+    * p·(k−1) double product is taken, identical in any IEEE engine.
+    * The selection key is (u = first-13-hex of md5 as a 52-bit
+    * integer, doc_id) — ONE key contract shared by the batch, grouped
+    * (q374) and streaming (q375) forms, chosen because 52 bits is
+    * exactly representable as the Double score the streaming form's
+    * bounded TopKAgg orders by. Scale shape: a narrow projection, a
+    * TakeOrdered-class bottom-k (k per partition, driver-bounded
+    * merge), a ≤k-row rank + a 3-row join; the corpus is never
+    * sorted. Round15Spec holds the accuracy envelope against the
+    * exact quantiles.
+    */
+  def q373QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val s = docs(spark, dir).select(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("u"),
+        col("doc_id"),
+        coalesce(graft.functions.AlnumWordCount(col("text")).cast("long"),
+          lit(0L)).as("v"))
+      .orderBy(col("u").asc, col("doc_id").asc).limit(k)
+    // post-limit window: ≤ k rows, the adjudicated bounded class
+    val w = Window.orderBy(col("v").asc, col("u").asc, col("doc_id").asc)
+    val r = s.withColumn("rn", row_number().over(w).cast("long"))
+    val px = r.agg(count(lit(1)).as("k_actual"))
+      .select(col("k_actual"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .withColumn("idx",
+        floor(col("p") * (col("k_actual") - 1L).cast("double")).cast("long") + 1L)
+    r.join(broadcast(px), col("rn") === col("idx"))
+      .select(col("p"), col("v").as("est"), col("k_actual"))
+  }
+
+  /** q374: the GROUPED quantile sketch — q373 per source (the
+    * per-domain length profile a mixture design reads), with the
+    * bottom-k per group through the bounded [[graft.functions.TopKAgg]]
+    * (map-side combinable, ≤ k rows per group per partition cross the
+    * shuffle) instead of a source-partitioned window over the full
+    * corpus, whose parallelism would be capped at |sources| — the q366
+    * lesson applied at design time. The 13-hex md5 prefix (52 bits) is
+    * exactly representable as the Double score TopKAgg orders by, so
+    * the selection is bit-deterministic; values re-join on the
+    * (source, doc_id) winner set (|sources|·k rows, broadcast), and
+    * the final rank runs on that bounded set only.
+    */
+  def q374QuantileSketchBySource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val topk = udaf(graft.functions.TopKAgg(k))
+    val base = docs(spark, dir).select(
+      col("source"), col("doc_id"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("u"),
+      coalesce(graft.functions.AlnumWordCount(col("text")).cast("long"),
+        lit(0L)).as("v"))
+    val winners = base
+      .groupBy("source")
+      .agg(topk((-col("u")).cast("double"), col("doc_id")).as("tops"))
+      .select(col("source"), explode(col("tops")).as("t"))
+      .select(col("source"), col("t._2").as("doc_id"))
+    val sample = base.join(broadcast(winners), Seq("source", "doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("v").asc, col("u").asc, col("doc_id").asc)
+    val r = sample.withColumn("rn", row_number().over(w).cast("long"))
+    val px = r.groupBy("source").agg(count(lit(1)).as("k_actual"))
+      .select(col("source"), col("k_actual"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .withColumn("idx",
+        floor(col("p") * (col("k_actual") - 1L).cast("double")).cast("long") + 1L)
+    r.join(broadcast(px), Seq("source"))
+      .filter(col("rn") === col("idx"))
+      .select(col("source"), col("p"), col("v").as("est"), col("k_actual"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_quantile_sketch" -> (q373QuantileSketch _),
+    "q374_quantile_sketch_by_source" -> (q374QuantileSketchBySource _),
     "q356_neyman_sample" -> (q356NeymanSample _),
     "q300_corpus_card" -> (q300CorpusCard _),
     "q244_padding_efficiency" -> (q244PaddingEfficiency _),
@@ -778,6 +865,67 @@ object HygieneQueries {
        |  FROM l)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the same bottom-256-by-(u, doc_id) sample, the same type-1 index
+    "q373_quantile_sketch" ->
+      s"""$WordsCte,
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+         |              AS BIGINT) AS u,
+         |         CAST(len(w) AS BIGINT) AS v
+         |  FROM wd),
+         |s AS (SELECT u, doc_id, v FROM t ORDER BY u ASC, doc_id ASC LIMIT 256),
+         |r AS (
+         |  SELECT v, CAST(row_number() OVER (ORDER BY v ASC, u ASC, doc_id ASC)
+         |              AS BIGINT) AS rn
+         |  FROM s),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS k_actual FROM s),
+         |px AS (
+         |  SELECT k_actual,
+         |         unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |                 CAST(0.99 AS DOUBLE)]) AS p
+         |  FROM ka),
+         |pi AS (
+         |  SELECT p, k_actual,
+         |         CAST(floor(p * CAST(k_actual - 1 AS DOUBLE)) AS BIGINT) + 1 AS idx
+         |  FROM px)
+         |SELECT pi.p, r.v AS est, pi.k_actual
+         |FROM pi JOIN r ON r.rn = pi.idx""".stripMargin,
+    // per-source bottom-128 by the same 13-hex md5 prefix, same rank
+    "q374_quantile_sketch_by_source" ->
+      s"""$WordsCte,
+         |t AS (
+         |  SELECT d.source, d.doc_id,
+         |         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))
+         |              AS BIGINT) AS u,
+         |         CAST(len(wd.w) AS BIGINT) AS v
+         |  FROM documents d JOIN wd ON wd.doc_id = d.doc_id),
+         |s AS (
+         |  SELECT source, doc_id, u, v,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY u ASC, doc_id ASC) AS srn
+         |  FROM t),
+         |b AS (SELECT source, doc_id, u, v FROM s WHERE srn <= 128),
+         |r AS (
+         |  SELECT source, v,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |                                 ORDER BY v ASC, u ASC, doc_id ASC)
+         |              AS BIGINT) AS rn
+         |  FROM b),
+         |ka AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS k_actual
+         |  FROM b GROUP BY source),
+         |px AS (
+         |  SELECT source, k_actual,
+         |         unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |                 CAST(0.99 AS DOUBLE)]) AS p
+         |  FROM ka),
+         |pi AS (
+         |  SELECT source, k_actual, p,
+         |         CAST(floor(p * CAST(k_actual - 1 AS DOUBLE)) AS BIGINT) + 1 AS idx
+         |  FROM px)
+         |SELECT pi.source, pi.p, r.v AS est, pi.k_actual
+         |FROM pi JOIN r ON r.source = pi.source AND r.rn = pi.idx""".stripMargin,
     // q356: the same exact-integer pipeline from scratch — exact sums
     // (DuckDB's HUGEINT mirrors the Spark side's DECIMAL(38,0): no 2⁶³
     // overflow at any stratum size), the division-first variance as the

@@ -111,6 +111,50 @@ object StreamParityQueries {
     ReferenceQueries.hllFold(regs)
   }
 
+  /** q375: quantile sketch on ingest, driver-verified — q373's md5
+    * bottom-k sample maintained as STREAMING STATE: the k = 256
+    * smallest md5(doc_id) rows (with their token counts) held by the
+    * bounded [[graft.functions.TopKAgg]] as a complete-mode streaming
+    * aggregation (≤ k rows of state — the KMV property: the bottom-k
+    * of a union is the k smallest of the incremental bottom-k's), the
+    * type-1 quantile read off the final sample. Oracle = q373's
+    * verbatim: the stream's estimates must BE the batch estimates.
+    * TopKAgg's buffer dedups by a unique Long id, so the doc_id rides
+    * in the id slot and the (u, v) columns are deterministically
+    * recomputed over the ≤k winner ids after the stream ends — batch
+    * post-processing, the q259 fold convention. The (u, doc_id)
+    * selection key and the (v, u, doc_id) rank key are q373's exactly
+    * (see its scaladoc for why the key is the 52-bit md5 prefix).
+    */
+  def q375StreamQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    val k = 256
+    val topk = udaf(graft.functions.TopKAgg(k))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val winners = runChunked(spark, dir, "graft_q375_qsketch",
+      df => df.select(col("doc_id"), u.as("u"))
+        .agg(topk((-col("u")).cast("double"), col("doc_id")).as("tops")),
+      mode = "complete")
+      .select(explode(col("tops")).as("t"))
+      .select(col("t._2").as("doc_id"))
+    val s = spark.read.parquet(s"$dir/documents.parquet")
+      .join(broadcast(winners), Seq("doc_id"))
+      .select(u.as("u"), col("doc_id"),
+        coalesce(graft.functions.AlnumWordCount(col("text")).cast("long"),
+          lit(0L)).as("v"))
+    val w = Window.orderBy(col("v").asc, col("u").asc, col("doc_id").asc)
+    val r = s.withColumn("rn", row_number().over(w).cast("long"))
+    val px = r.agg(count(lit(1)).as("k_actual"))
+      .select(col("k_actual"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .withColumn("idx",
+        ffloor(col("p") * (col("k_actual") - 1L).cast("double")).cast("long") + 1L)
+    r.join(broadcast(px), col("rn") === col("idx"))
+      .select(col("p"), col("v").as("est"), col("k_actual"))
+  }
+
   /** The (user_id, ts, event_id, value) feed every ValEvent gate reads,
     * in global (ts, event_id) order — through the nanos-variant-adapting
     * `RelationalQueries.events` reader, so a TIMESTAMP(NANOS) events
@@ -2575,6 +2619,7 @@ object StreamParityQueries {
     "q361_stream_hw_evict" -> (q361StreamHwEvict _),
     "q367_stream_bpe_apply" -> (q367StreamBpeApply _),
     "q370_stream_hll" -> (q370StreamHll _),
+    "q375_stream_quantile_sketch" -> (q375StreamQuantileSketch _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
     "q317_stream_interval_join_ooo_recovery" -> (q317StreamIntervalJoinOooRecovery _),
     "q313_stream_interval_join_recovery" -> (q313StreamIntervalJoinRecovery _),
@@ -2605,6 +2650,10 @@ object StreamParityQueries {
     // q7's register/fold replay VERBATIM: the streamed sketch's final
     // estimate must be the batch estimate
     "q370_stream_hll" -> ReferenceQueries.oracleSql("q7_approx_vocab"),
+    // q373's sample/rank replay VERBATIM: the streamed bottom-k's
+    // quantiles must be the batch quantiles
+    "q375_stream_quantile_sketch" ->
+      HygieneQueries.oracleSql("q373_quantile_sketch"),
     // batch q111 verbatim: the two-sided watermarked join must emit
     // exactly the batch pair set, once each
     "q310_stream_interval_join" -> RelationalQueries.ClickAttributionOracle,

@@ -185,6 +185,45 @@ class Round15Spec extends AnyFunSuite with SparkTestBase {
     assert(rate > 0.4 && rate < 0.6, s"FIM rate $rate drifted from 1/2")
   }
 
+  test("q373 accuracy: sketch quantiles sit inside the exact ±0.1-quantile envelope") {
+    val dir = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("q373_quantile_sketch")(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set(0.5, 0.9, 0.99))
+    // exact distribution: every per-doc token count, sorted
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(coalesce(
+        graft.functions.AlnumWordCount(col("text")).cast("long"), lit(0L)).as("v"))
+      .collect().map(_.getLong(0)).sorted
+    def exactQ(p: Double): Long =
+      exact(math.min(exact.length - 1, math.max(0, (p * (exact.length - 1)).toInt)))
+    for ((p, e) <- est) {
+      val lo = exactQ(math.max(0.0, p - 0.1))
+      val hi = exactQ(math.min(1.0, p + 0.1))
+      assert(e >= lo && e <= hi,
+        s"p=$p est=$e outside exact envelope [$lo, $hi] (k=256 of n=${exact.length})")
+    }
+  }
+
+  test("q374 grouped sketch: monotone quantiles and exact per-source sample sizes") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q374_quantile_sketch_by_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == counts.keySet)
+    for ((src, rs) <- bySrc) {
+      val byP = rs.map(t => t._2 -> t._3).toMap
+      assert(byP(0.5) <= byP(0.9) && byP(0.9) <= byP(0.99),
+        s"$src: quantiles must be monotone: $byP")
+      val ka = rs.head._4
+      assert(ka == math.min(128L, counts(src)),
+        s"$src: k_actual $ka != min(128, ${counts(src)})")
+    }
+  }
+
   test("q366 rewrite is row-identical to the decile-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
