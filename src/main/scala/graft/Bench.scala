@@ -258,16 +258,18 @@ object Bench {
       // explicit UTF-8: the forked JVM's default charset is ASCII in
       // this container, and a strict-decode failure on any non-ASCII
       // comment byte would silently zero the movers map
-      try scala.io.Source.fromFile("bench/prev_mins.txt")(scala.io.Codec.UTF8)
-        .getLines()
-        .filterNot(l => l.startsWith("#") || l.startsWith("round=") || l.isEmpty)
-        .flatMap { l =>
-          l.split("=", 2) match {
-            case Array(k, v) => v.toDoubleOption.map(k -> _)
-            case _ => None
-          }
-        }.toMap
-      catch { case scala.util.control.NonFatal(_) => Map.empty }
+      try {
+        val src = scala.io.Source.fromFile("bench/prev_mins.txt")(scala.io.Codec.UTF8)
+        try src.getLines()
+          .filterNot(l => l.startsWith("#") || l.startsWith("round=") || l.isEmpty)
+          .flatMap { l =>
+            l.split("=", 2) match {
+              case Array(k, v) => v.toDoubleOption.map(k -> _)
+              case _ => None
+            }
+          }.toMap
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val movers = all
       .flatMap { case (k, v) =>
         prevMins.get(k).collect {

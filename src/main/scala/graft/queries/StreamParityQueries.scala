@@ -101,7 +101,6 @@ object StreamParityQueries {
     * the other sketch a streaming ingest pipeline keeps.
     */
   def q370StreamHll(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.max
     val regs = runChunked(spark, dir, "graft_q370_hll",
       df => ReferenceQueries.hllRanks(
         graft.operators.Tokenizer.tokens(df, "text", Seq("doc_id"))
@@ -128,7 +127,6 @@ object StreamParityQueries {
     */
   def q375StreamQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{floor => ffloor}
     val k = 256
     val topk = udaf(graft.functions.TopKAgg(k))
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
@@ -150,7 +148,7 @@ object StreamParityQueries {
       .select(col("k_actual"),
         explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
       .withColumn("idx",
-        ffloor(col("p") * (col("k_actual") - 1L).cast("double")).cast("long") + 1L)
+        floor(col("p") * (col("k_actual") - 1L).cast("double")).cast("long") + 1L)
     r.join(broadcast(px), col("rn") === col("idx"))
       .select(col("p"), col("v").as("est"), col("k_actual"))
   }
