@@ -245,8 +245,15 @@ object Bench {
     // previous round's recorded minima (bench/prev_mins.txt, rewritten
     // from bench/full_latest.json after each round's canonical sweep)
     // — sized to survive the capture window whole.
+    // The committed path is reserved for the CANONICAL sweep (the default
+    // sf0.1 dataset): an ad-hoc run on /tmp/sf1 etc. would otherwise
+    // silently clobber the round's record and skew the prev_mins movers
+    // comparison. Non-canonical runs default to a /tmp path instead;
+    // SPARK_GRAFT_BENCH_FULL still overrides both.
+    val canonicalSf = sfDir == "/root/testdata/sf0.1"
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "bench/full_latest.json")
+      if (canonicalSf) "bench/full_latest.json"
+      else "/tmp/graft_bench_full_noncanonical.json")
     try {
       val p = java.nio.file.Paths.get(fullPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

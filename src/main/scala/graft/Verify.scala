@@ -17,12 +17,17 @@ object Verify {
     // never sets it → the full surface always runs in the gate.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    var dumped = 0
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() shared intermediates; the runner owns the cache
@@ -47,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Compact LAST stdout line (the Bench.scala discipline, round-15
+    // verdict item 1): CORRECTNESS_r15.json arrived empty driver-side and
+    // the round's 361/361 was only recoverable by re-running the gate.
+    // This line fits any tail-capture window whole, so "did Verify dump
+    // the full surface" is decidable from the raw driver log alone.
+    println(s"""{"queries_dumped":$dumped,"failed":$failed,"oracles":${SparkEntry.oracleSql.size},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -72,8 +72,13 @@ object BpeEncodeRanked {
     * capacity-capped ConcurrentHashMap).
     */
   final class Encoder(merges: Seq[(String, String)]) extends Serializable {
-    // pair -> learned rank; '|' keys are unambiguous because merge
-    // symbols come from the alnum tokenizer (no '|' in any symbol)
+    // pair -> learned rank; '|' keys are unambiguous ONLY because merge
+    // symbols contain no '|' (true for the alnum tokenizer's output) —
+    // fail fast here rather than silently mis-matching pairs for a
+    // future caller whose symbols carry the separator
+    require(merges.forall { case (a, b) =>
+      !a.contains("|") && !b.contains("|")
+    }, "bpe_encode_ranked: merge symbols must not contain '|'")
     private val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       merges.zipWithIndex.foreach { case ((a, b), i) =>

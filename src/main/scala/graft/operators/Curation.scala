@@ -121,12 +121,12 @@ object Curation {
     * the packing itself is a running-sum window. Buckets bound each
     * task's sort at corpus_tokens/buckets; size `buckets` to the cluster
     * (each stream is an independent shard of the packed dataset).
-    * `buckets <= 0` defaults to `spark.sql.shuffle.partitions` — see
-    * [[packByCount]] for why the knob is part of the SEMANTICS.
+    * `buckets` is REQUIRED — see [[packByCount]] for why the knob is
+    * part of the SEMANTICS and must not float with session config.
     */
   def packSequences(
       df: DataFrame, textCol: String, idCol: String,
-      seqLen: Int, buckets: Int = 0): DataFrame =
+      seqLen: Int, buckets: Int): DataFrame =
     packByCount(
       df.select(
         col(idCol),
@@ -147,20 +147,22 @@ object Curation {
     * bucket coin decides which documents share a packed stream, so two
     * runs with different bucket counts produce different (seq_id,
     * tok_offset) assignments BY DESIGN — and parallelism = buckets,
-    * because each stream's running sum is inherently sequential. Size
-    * it to the cluster: `buckets <= 0` (the default) resolves to
-    * `spark.sql.shuffle.partitions`, the session's notion of "one task
-    * per core across the cluster". The driver-verified q84/q362 rows
-    * pin buckets = 8 explicitly — fixture-scale values chosen so the
-    * DuckDB oracle replays the identical assignment, not a statement
-    * about production parallelism.
+    * because each stream's running sum is inherently sequential. It is
+    * REQUIRED and must be >= 1: a conf-derived default (the pre-round-16
+    * behavior) made persisted output silently vary with session config
+    * across runs/clusters, which contradicts the framework's determinism
+    * discipline. Size it to the cluster. The driver-verified q84/q362
+    * rows pin buckets = 8 — fixture-scale values chosen so the DuckDB
+    * oracle replays the identical assignment, not a statement about
+    * production parallelism.
     */
   def packByCount(
-      df: DataFrame, idCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+      df: DataFrame, idCol: String, seqLen: Int, buckets: Int): DataFrame = {
     require(seqLen >= 1, "packSequences requires seqLen >= 1")
-    val b =
-      if (buckets >= 1) buckets
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+    require(buckets >= 1,
+      "packByCount requires an explicit buckets >= 1: bucket routing is " +
+      "part of the output's semantics and must not float with session conf")
+    val b = buckets
     import org.apache.spark.sql.expressions.Window
     // first 4 md5 hex digits as an int: plenty of entropy for bucket
     // routing, cheap to mirror in SQL (parse-as-hex % buckets)
