@@ -248,11 +248,36 @@ object ReferenceQueries {
         round(col("n_postings").cast("double") / col("tot"), 6).as("share"))
   }
 
+  /** Q376: HLL register-algebra MERGE — the mergeability a sharded
+    * deployment actually relies on, driver-proven: take q369's
+    * per-language register tables (language = an arbitrary disjoint
+    * sharding of the token stream — any executor/shard partition has
+    * the same algebra) and fold them into ONE sketch by the register
+    * max, `M[j] = max over shards of M_shard[j]`, then run q7's
+    * estimate fold. Because per-shard registers are themselves maxes
+    * over their shard's tokens, the merged table IS the whole-corpus
+    * register table — so this query's oracle is q7's SQL over the
+    * unioned corpus VERBATIM: the driver hash row is the proof that
+    * merged shard sketches EQUAL the global sketch (the q213 KMV
+    * `__merged` / q250 set-algebra discipline applied to HLL).
+    * Scale shape: the shard registers are ≤ |shards|·4096 rows; the
+    * merge is a 4096-group agg over that bounded table — shard
+    * locally, merge centrally, never re-scan the corpus.
+    */
+  def q376HllMergeShards(spark: SparkSession, dir: String): DataFrame = {
+    val shardRegs = hllRanks(
+      Tokenizer.tokens(documents(spark, dir), "text", Seq("lang"))
+        .select(col("lang"), col("word")))
+      .groupBy("lang", "j").agg(max(col("rank")).as("m_j"))
+    hllFold(shardRegs.groupBy("j").agg(max(col("m_j")).as("m_j")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_postings_histogram" -> q235PostingsHistogram _,
     "q236_shard_balance" -> q236ShardBalance _,
     "q7_approx_vocab" -> q7ApproxVocabulary _,
     "q369_hll_per_lang" -> q369HllPerLang _,
+    "q376_hll_merge_shards" -> q376HllMergeShards _,
     "q73_kmv_vocab" -> q73KmvVocab _,
     "q1_inverted_index" -> q1InvertedIndex _,
     "q2_vocabulary" -> q2Vocabulary _,
@@ -275,6 +300,45 @@ object ReferenceQueries {
       |), dw AS (
       |  SELECT DISTINCT doc_id, word FROM toks
       |)""".stripMargin
+
+  /** q7's full whole-corpus HLL replay — factored because it is the
+    * oracle for BOTH q7 (the global sketch) and q376 (the shard-merged
+    * sketch, which must hash-equal it).
+    */
+  private val Q7HllSql =
+    s"""$TokCte,
+       |hh AS (
+       |  SELECT CAST(('0x' || substr(md5(word), 1, 3)) AS BIGINT) AS j,
+       |         CAST(('0x' || substr(md5(word), 4, 13)) AS BIGINT) AS w
+       |  FROM toks),
+       |regs AS (
+       |  SELECT j, max(CASE WHEN w = 0 THEN 50
+       |                     ELSE least(53 - length(bin(w)), 50) END) AS m_j
+       |  FROM hh GROUP BY j),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - m_j AS INT)) AS BIGINT)
+       |           AS s_occ
+       |  FROM regs),
+       |qn AS (
+       |  SELECT n_registers, 4096 - n_registers AS v_empty,
+       |         s_occ + (4096 - n_registers) * CAST(1125899906842624 AS BIGINT)
+       |           AS s_quant
+       |  FROM st),
+       |e AS (
+       |  SELECT n_registers, v_empty, s_quant,
+       |         (CAST(0.7213 AS DOUBLE) /
+       |            (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+       |           * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+       |           * CAST(1125899906842624.0 AS DOUBLE) / CAST(s_quant AS DOUBLE) AS raw
+       |  FROM qn)
+       |SELECT CAST(round(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v_empty > 0
+       |                       THEN CAST(4096.0 AS DOUBLE) *
+       |                            ln(CAST(4096.0 AS DOUBLE) / CAST(v_empty AS DOUBLE))
+       |                       ELSE raw END) AS BIGINT) AS approx_vocab,
+       |       round(raw, 4) AS est_raw,
+       |       n_registers, v_empty, s_quant
+       |FROM e""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // same length(bin(df))-1 integer bucket, same 2^bucket lower bound
@@ -306,40 +370,10 @@ object ReferenceQueries {
     // estimate and m·ln(m/V) linear-counting branch — every float op
     // double-typed explicitly (DuckDB parses bare decimal literals as
     // DECIMAL, whose division semantics differ from Spark's doubles)
-    "q7_approx_vocab" ->
-      s"""$TokCte,
-         |hh AS (
-         |  SELECT CAST(('0x' || substr(md5(word), 1, 3)) AS BIGINT) AS j,
-         |         CAST(('0x' || substr(md5(word), 4, 13)) AS BIGINT) AS w
-         |  FROM toks),
-         |regs AS (
-         |  SELECT j, max(CASE WHEN w = 0 THEN 50
-         |                     ELSE least(53 - length(bin(w)), 50) END) AS m_j
-         |  FROM hh GROUP BY j),
-         |st AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_registers,
-         |         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - m_j AS INT)) AS BIGINT)
-         |           AS s_occ
-         |  FROM regs),
-         |qn AS (
-         |  SELECT n_registers, 4096 - n_registers AS v_empty,
-         |         s_occ + (4096 - n_registers) * CAST(1125899906842624 AS BIGINT)
-         |           AS s_quant
-         |  FROM st),
-         |e AS (
-         |  SELECT n_registers, v_empty, s_quant,
-         |         (CAST(0.7213 AS DOUBLE) /
-         |            (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
-         |           * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
-         |           * CAST(1125899906842624.0 AS DOUBLE) / CAST(s_quant AS DOUBLE) AS raw
-         |  FROM qn)
-         |SELECT CAST(round(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v_empty > 0
-         |                       THEN CAST(4096.0 AS DOUBLE) *
-         |                            ln(CAST(4096.0 AS DOUBLE) / CAST(v_empty AS DOUBLE))
-         |                       ELSE raw END) AS BIGINT) AS approx_vocab,
-         |       round(raw, 4) AS est_raw,
-         |       n_registers, v_empty, s_quant
-         |FROM e""".stripMargin,
+    "q7_approx_vocab" -> Q7HllSql,
+    // q376's oracle IS q7's whole-corpus SQL: the shard-merged sketch
+    // must hash-equal the global sketch — the mergeability proof
+    "q376_hll_merge_shards" -> Q7HllSql,
     // q7's replay with the language key threaded through every stage
     "q369_hll_per_lang" ->
       s"""$TokCte,

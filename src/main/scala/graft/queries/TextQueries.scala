@@ -211,6 +211,94 @@ object TextQueries {
     (merges.toSeq, totals.toSeq)
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer: q377 learn / q378 apply
+
+  /** Shared constants of the q377/q378 unigram family — literals in BOTH
+    * the Spark loop and the DuckDB oracle emitters below; change in
+    * lockstep or not at all.
+    */
+  private val UnigramMaxLen = 4    // seed substring + Viterbi scan bound
+  private val UnigramSeedTop = 200 // multi-char seed pieces kept
+  private val UnigramRounds = 2    // hard-EM refinement rounds
+
+  /** round(x·1e9) with DuckDB's half-away-from-zero tie rule (java
+    * math.round is floor(x+0.5) — wrong side for negative halves).
+    * BigDecimal.valueOf goes through the double's shortest decimal
+    * form, which preserves ordering against the exactly-representable
+    * .5 boundaries, so this IS round() on the binary double.
+    */
+  private def quantLn1e9(num: Long, den: Long): Long =
+    java.math.BigDecimal.valueOf(math.log(num.toDouble / den.toDouble) * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  private[graft] def unigramVocab(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] =
+    unigramVocabFromWords(bpeSeed(s, dir))
+
+  /** The unigram-LM LEARNER over a (word, freq) table — hard (Viterbi)
+    * EM, every quantity fixed-point so the DuckDB oracle replays it
+    * bit-for-bit:
+    *
+    *  1. SEED: count every substring of length 1..[[UnigramMaxLen]]
+    *     of every word type, freq-weighted; keep ALL single chars (the
+    *     alphabet — segmentation totality) plus the top
+    *     [[UnigramSeedTop]] multi-char pieces by (cnt desc, piece asc).
+    *     Piece log-prob = round(ln(cnt/Σcnt)·1e9) as a long.
+    *  2. E-step: Viterbi-segment each word type under the current
+    *     quantized model ([[graft.functions.UnigramEncode]] — the SAME
+    *     kernel q378 ships, so learn and apply cannot drift); count
+    *     piece uses freq-weighted.
+    *  3. M-step: multi-char pieces keep their use count (dropped at 0 —
+    *     the prune), single chars keep max(count, 1) (alphabet
+    *     retention); renormalize; requantize. Repeat [[UnigramRounds]]
+    *     times.
+    *
+    * Scale shape (the q263 bounded-driver-round pattern): everything is
+    * VOCABULARY-grain — the seed is one substring explode + hash agg
+    * over word TYPES (≤ |vocab|·len·maxLen rows), each EM round is one
+    * zero-shuffle Viterbi projection + one ≤|pieces|-group agg, and
+    * driver state per round is the ≤(|alphabet| + SeedTop)-row piece
+    * table that ships back as the next round's plan literal. Corpus
+    * row count prices only the initial word-frequency agg.
+    */
+  private[graft] def unigramVocabFromWords(words: DataFrame)
+      : Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val seed = words.select(
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), i ->
+             |  transform(sequence(i, least(i + ${UnigramMaxLen - 1}, length(word))), e ->
+             |    substring(word, i, e - i + 1))))""".stripMargin)).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .persist()
+    val singles = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = seed.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(UnigramSeedTop)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    seed.unpersist()
+    def quantize(sel: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val t = sel.map(_._2).sum
+      sel.map { case (p, c) => (p, c, quantLn1e9(c, t)) }
+    }
+    var vocab = quantize((singles ++ multi).toSeq)
+    for (_ <- 1 to UnigramRounds) {
+      val lpTable = vocab.map { case (p, _, l) => (p, l) }
+      val cnts = words.select(col("freq"),
+          explode(element_at(
+            graft.functions.UnigramEncode(array(col("word")), lpTable), 1))
+            .as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vocab = quantize(vocab.flatMap { case (p, _, _) =>
+        if (p.length == 1) Some(p -> math.max(cnts.getOrElse(p, 0L), 1L))
+        else cnts.get(p).filter(_ > 0).map(p -> _)
+      })
+    }
+    vocab
+  }
+
   /** BATCHED BPE learning: [[bpeRounds]]'s loop with up to `maxBatch`
     * merges accepted per super-round, PROVABLY equal to the sequential
     * learner (q288's driver oracle is literally q263's sequential SQL).
@@ -863,6 +951,44 @@ object TextQueries {
     "q368_bpe_apply_ranked" -> ((s, dir) =>
       bpeApplyProjection(docs(s, dir),
         bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3)), ranked = true)),
+    // q377: unigram-LM (SentencePiece-style) tokenizer LEARN — the
+    // OTHER production tokenizer family beside BPE (q263/q288): a
+    // substring seed vocabulary refined by hard (Viterbi) EM, all
+    // arithmetic fixed-point (see [[unigramVocabFromWords]]). The
+    // E-step runs the SAME native Viterbi kernel q378 ships
+    // ([[graft.functions.UnigramEncode]]), so learn and apply cannot
+    // drift. Oracle: DuckDB re-derives the seed, unrolls both EM
+    // rounds, and replays the per-word Viterbi DP as a recursive CTE
+    // carrying the (best, backpointer) arrays — exact integer argmax,
+    // ties to the smallest split (both engines scan j ascending with
+    // strict >), so the learned table matches bit-for-bit.
+    "q377_unigram_learn" -> ((s, dir) => {
+      import s.implicits._
+      unigramVocab(s, dir).toDF("piece", "piece_count", "logp_q")
+    }),
+    // q378: unigram-LM APPLY — Viterbi-encode the whole corpus under
+    // q377's learned piece table (q360's output shape: per-doc word
+    // count, piece count, md5 fingerprint of the full segmentation).
+    // Scale shape: the learn loop is vocab-grain (q377's analysis);
+    // the apply is ONE corpus scan, document-local, zero shuffles —
+    // the ≤(alphabet+200)-piece table ships as a plan literal, the
+    // per-task memo makes repeated words one hash probe each, and the
+    // kernel is O(len · maxPieceLen) hash probes per first-seen word,
+    // |vocab|-independent (the q368 scale argument).
+    "q378_unigram_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lpTable = unigramVocab(s, dir).map { case (p, _, l) => (p, l) }
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+        .select(col("doc_id"),
+          graft.functions.UnigramEncode(col("w"), lpTable).as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).cast("long").as("n_words"),
+          size(flatten(col("segs"))).cast("long").as("n_pieces"),
+          md5(array_join(
+            transform(col("segs"), a => array_join(a, " ")), "|")).as("seg_fp"))
+    }),
     // q362: tokenizer ROUND-TRIP capstone (the q86 composition
     // discipline) — learned tokenizer to packed training batches in one
     // pipeline: q360's BPE APPLY (the SAME helper, byte-identical
@@ -2206,7 +2332,139 @@ object TextQueries {
        |       COALESCE(a.seg_fp, md5('')) AS seg_fp
        |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
+  /** The q377/q378 Viterbi replay over the word-type table `wt` under
+    * vocabulary CTE `vname` (piece, lp): a recursive CTE walks the DP
+    * positions left to right, carrying the full (best, backpointer)
+    * arrays as lists — the vocabulary is probed through a scalar MAP
+    * (m[piece][1] → lp or NULL; OOV single chars score the fixed
+    * −100·10⁹ UNK penalty, [[graft.functions.UnigramEncode.UnkLp]]),
+    * and the per-position argmax is min over struct(−score, j), i.e.
+    * max score with ties to the SMALLEST split j — the kernel's exact
+    * tie rule. A second recursive CTE backtracks the pointers into the
+    * piece list. Emits CTEs vm/dp/bt/seg suffixed with `tag`.
+    */
+  private def unigramViterbiCte(vname: String, tag: String): String =
+    s"""vm$tag AS (SELECT map(list(piece), list(lp)) AS m FROM $vname),
+       |dp$tag AS (
+       |  SELECT word, freq, length(word) AS n, 0 AS i,
+       |         [CAST(0 AS BIGINT)] AS bests, [0] AS bps
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT word, freq, n, i + 1,
+       |         list_append(bests, -(pk.ns)), list_append(bps, pk.j)
+       |  FROM (
+       |    SELECT word, freq, n, i, bests, bps,
+       |           list_aggregate(list_filter(list_transform(
+       |             range(greatest(0, i + 1 - $UnigramMaxLen), CAST(i + 1 AS BIGINT)),
+       |             j -> struct_pack(
+       |               ns := -(bests[CAST(j AS INT) + 1] +
+       |                 coalesce(
+       |                   m[substr(word, CAST(j AS INT) + 1, i + 1 - CAST(j AS INT))][1],
+       |                   CASE WHEN i + 1 - CAST(j AS INT) = 1
+       |                        THEN CAST(-100000000000 AS BIGINT) END)),
+       |               j := CAST(j AS INT))),
+       |             s -> s.ns IS NOT NULL), 'min') AS pk
+       |    FROM dp$tag, vm$tag WHERE i < n)),
+       |bt$tag AS (
+       |  SELECT word, freq, CAST(n AS INT) AS i, bps,
+       |         CAST([] AS VARCHAR[]) AS pieces
+       |  FROM dp$tag WHERE i = n
+       |  UNION ALL
+       |  SELECT word, freq, bps[i + 1] AS i, bps,
+       |         list_prepend(substr(word, bps[i + 1] + 1, i - bps[i + 1]), pieces)
+       |  FROM bt$tag WHERE i > 0),
+       |seg$tag AS (SELECT word, freq, pieces FROM bt$tag WHERE i = 0)""".stripMargin
+
+  /** One unrolled hard-EM round: Viterbi under v(r−1) → freq-weighted
+    * piece counts → the select/retain rule (multi-char drop at 0,
+    * single chars floor at 1) → renormalize + requantize into v(r).
+    */
+  private def unigramEmRoundCte(r: Int): String =
+    s"""${unigramViterbiCte(s"v${r - 1}", r.toString)},
+       |cnt$r AS (
+       |  SELECT p AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(pieces) AS p FROM seg$r) GROUP BY 1),
+       |sel$r AS (
+       |  SELECT v.piece,
+       |         CASE WHEN length(v.piece) = 1 THEN greatest(coalesce(c.cnt, 0), 1)
+       |              ELSE c.cnt END AS cnt
+       |  FROM v${r - 1} v LEFT JOIN cnt$r c ON c.piece = v.piece
+       |  WHERE length(v.piece) = 1 OR coalesce(c.cnt, 0) > 0),
+       |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sel$r),
+       |v$r AS (
+       |  SELECT piece, cnt,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE))
+       |                    * CAST(1e9 AS DOUBLE)) AS BIGINT) AS lp
+       |  FROM sel$r CROSS JOIN t$r t)""".stripMargin
+
+  /** Shared base of the q377/q378 oracles: word types → substring seed
+    * → v0 → [[UnigramRounds]] unrolled EM rounds ending at
+    * v[[UnigramRounds]]. SQL twin of [[unigramVocabFromWords]].
+    */
+  private lazy val UnigramCte: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT unnest(list_filter(
+       |    list_transform(string_split_regex(lower(text), '\\s+'),
+       |                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+       |    x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |wt AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+       |seed AS (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |         CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wt, unnest(range(1, length(word) + 1)) AS u(i),
+       |       unnest(range(1, $UnigramMaxLen + 1)) AS v(l)
+       |  WHERE i + l - 1 <= length(word)
+       |  GROUP BY 1),
+       |sel0 AS (
+       |  SELECT piece, cnt FROM seed WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM seed WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece ASC LIMIT $UnigramSeedTop)),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sel0),
+       |v0 AS (
+       |  SELECT piece, cnt,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE))
+       |                    * CAST(1e9 AS DOUBLE)) AS BIGINT) AS lp
+       |  FROM sel0 CROSS JOIN t0 t),
+       |${(1 to UnigramRounds).map(unigramEmRoundCte).mkString(",\n")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // the whole learner unrolled: seed → v0 → EM rounds → the final
+    // piece table, every count an exact integer and every log-prob
+    // quantized BEFORE use (the q88/q322 fixed-point discipline)
+    "q377_unigram_learn" ->
+      s"""$UnigramCte
+         |SELECT piece, cnt AS piece_count, lp AS logp_q FROM v${UnigramRounds}""".stripMargin,
+    // re-learn the table, Viterbi-segment the word types ONCE under
+    // the final model (tagA), join back to documents in word order,
+    // and re-aggregate q360's three outputs (the BpeApplyOracle shape)
+    "q378_unigram_apply" ->
+      s"""$UnigramCte,
+         |${unigramViterbiCte(s"v$UnigramRounds", "A")},
+         |wd AS (
+         |  SELECT doc_id,
+         |         list_filter(
+         |           list_transform(string_split_regex(lower(text), '\\s+'),
+         |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+         |           x -> length(x) > 0) AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS word
+         |  FROM wd),
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, s.pieces
+         |  FROM tok t JOIN segA s ON s.word = t.word),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+         |         md5(string_agg(array_to_string(pieces, ' '), '|' ORDER BY pos)) AS seg_fp
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+         |       COALESCE(a.n_pieces, 0) AS n_pieces,
+         |       COALESCE(a.seg_fp, md5('')) AS seg_fp
+         |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     // same position-shift pairs, same 1e6-quantized c^0.75 cumulative
     // weights over the word order, same md5-mod draws, same one-interval
     // range lookup (the oracle keeps the plain range join the bucketed
