@@ -299,6 +299,48 @@ object TextQueries {
     vocab
   }
 
+  /** The q372/q379 shared FIM columns over a (doc_id, text) relation —
+    * ONE definition of the 50% md5 coin and the two modular split
+    * points, so the plan (q372) and the applied render (q379) cannot
+    * drift: w (cleaned words), n_tokens, fim, and the 1-based split
+    * offsets a < b (null when fim = false). All parts ≥ 1 token by
+    * construction: a ∈ [1, n−2], b ∈ [a+1, n−1]. Document-local, zero
+    * shuffles.
+    */
+  private[graft] def fimBase(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val coin = substring(md5(concat(lit("graft-fim-"),
+      col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val u1 = conv(substring(md5(concat(lit("graft-fim-a-"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val u2 = conv(substring(md5(concat(lit("graft-fim-b-"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    d.select(col("doc_id"),
+        graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("fim", coin && col("n_tokens") >= 3L)
+      .withColumn("a",
+        when(col("fim"), pmod(u1, col("n_tokens") - 2L) + 1L))
+      .withColumn("b",
+        when(col("fim"),
+          pmod(u2, col("n_tokens") - col("a") - 1L) + col("a") + 1L))
+  }
+
+  /** The q364/q380 shared span-offset coin: the masked span's 0-based
+    * offset inside its 20-token block — md5(doc_id|block) mod
+    * (block_len − 2), so the 3-token span always fits. ONE definition
+    * for the plan (q364) and the applied render (q380).
+    */
+  private def spanOffsetCol(docId: org.apache.spark.sql.Column,
+      block: org.apache.spark.sql.Column,
+      blockLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(conv(substring(md5(concat(docId.cast("string"),
+      lit("|"), block.cast("string"))), 1, 13), 16, 10).cast("long"),
+      blockLen - 2L)
+  }
+
   /** BATCHED BPE learning: [[bpeRounds]]'s loop with up to `maxBatch`
     * merges accepted per super-round, PROVABLY equal to the sequential
     * learner (q288's driver oracle is literally q263's sequential SQL).
@@ -1087,14 +1129,62 @@ object TextQueries {
           least(lit(20L), col("n") - col("block") * 20L))
         .filter(col("block_len") >= 4L)
         .withColumn("offset",
-          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit("|"), col("block").cast("string"))), 1, 13), 16, 10)
-            .cast("long"),
-            col("block_len") - 2L))
+          spanOffsetCol(col("doc_id"), col("block"), col("block_len")))
         .select(col("doc_id"), col("block"),
           (col("block") * 20L + col("offset") + 1L).as("span_start"),
           lit(3L).as("span_len"),
           col("block").as("mask_id"))
+    }),
+    // q380: span-corruption APPLY — the composed render of q364's plan
+    // (the q379 discipline on the T5 side): the corrupted INPUT stream
+    // (each masked 3-token span replaced by its block's sentinel
+    // <extra_id_k>) and the TARGET stream (sentinel + the masked
+    // tokens, block order) a denoising trainer actually consumes.
+    // Only a doc's LAST block can be shorter than 20 tokens, so the
+    // eligible-block ordinal IS the block number — the sentinel ids
+    // match q364's mask_id exactly, and the same [[spanOffsetCol]]
+    // coin places the span (one definition, plan ≡ render). Emits the
+    // stream md5 fingerprints + exact token counts (the q360 seg_fp
+    // discipline: the hash pins the entire render, the counts pin the
+    // mass balance n_corrupted = n − 2·masks, n_target = 4·masks).
+    // Scale shape: document-local array algebra inside ONE projection
+    // — zero shuffles, no explode/regroup round trip — any corpus size.
+    "q380_span_corruption_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      def blockLen(k: org.apache.spark.sql.Column) =
+        least(lit(20L), col("n_tokens") - k * 20L)
+      def off(k: org.apache.spark.sql.Column) =
+        spanOffsetCol(col("doc_id"), k, blockLen(k))
+      def sentinel(k: org.apache.spark.sql.Column) =
+        concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("blocks", sequence(lit(0L),
+          greatest(ceil(col("n_tokens").cast("double") / 20.0).cast("long") - 1L,
+            lit(0L))))
+      base.select(col("doc_id"), col("n_tokens"),
+          size(filter(col("blocks"), k => blockLen(k) >= 4L)).cast("long")
+            .as("n_masks"),
+          flatten(transform(col("blocks"), k =>
+            when(blockLen(k) >= 4L,
+              concat(
+                slice(col("w"), (k * 20L + 1L).cast("int"), off(k).cast("int")),
+                array(sentinel(k)),
+                slice(col("w"), (k * 20L + off(k) + 4L).cast("int"),
+                  (blockLen(k) - off(k) - 3L).cast("int"))))
+              .otherwise(slice(col("w"), (k * 20L + 1L).cast("int"),
+                greatest(blockLen(k), lit(0L)).cast("int"))))).as("corrupted"),
+          flatten(transform(filter(col("blocks"), k => blockLen(k) >= 4L), k =>
+            concat(array(sentinel(k)),
+              slice(col("w"), (k * 20L + off(k) + 1L).cast("int"), lit(3)))))
+            .as("target"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masks"),
+          size(col("corrupted")).cast("long").as("n_corrupted"),
+          size(col("target")).cast("long").as("n_target"),
+          md5(array_join(col("corrupted"), " ")).as("corrupted_fp"),
+          md5(array_join(col("target"), " ")).as("target_fp"))
     }),
     // q366: curriculum data ordering — easy-to-hard training order
     // (Bengio et al. 2009) from signals the engine already verifies:
@@ -2164,26 +2254,35 @@ object TextQueries {
     // narrow projection, zero shuffles, any corpus size.
     "q372_fim_plan" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val n = size(graft.functions.TextFunctions.wordsArr(col("text")))
-        .cast("long")
-      val coin = substring(md5(concat(lit("graft-fim-"),
-        col("doc_id").cast("string"))), 1, 1)
-        .isin("0", "1", "2", "3", "4", "5", "6", "7")
-      val u1 = conv(substring(md5(concat(lit("graft-fim-a-"),
-        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
-      val u2 = conv(substring(md5(concat(lit("graft-fim-b-"),
-        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
-      docs(s, dir).select(col("doc_id"), n.as("n_tokens"))
-        .withColumn("fim", coin && col("n_tokens") >= 3L)
-        .withColumn("a",
-          when(col("fim"), pmod(u1, col("n_tokens") - 2L) + 1L))
-        .withColumn("b",
-          when(col("fim"),
-            pmod(u2, col("n_tokens") - col("a") - 1L) + col("a") + 1L))
-        .select(col("doc_id"), col("n_tokens"), col("fim"),
-          when(col("fim"), col("a")).otherwise(col("n_tokens")).as("p_len"),
-          when(col("fim"), col("b") - col("a")).otherwise(0L).as("m_len"),
-          when(col("fim"), col("n_tokens") - col("b")).otherwise(0L).as("s_len"))
+      fimBase(docs(s, dir)).select(
+        col("doc_id"), col("n_tokens"), col("fim"),
+        when(col("fim"), col("a")).otherwise(col("n_tokens")).as("p_len"),
+        when(col("fim"), col("b") - col("a")).otherwise(0L).as("m_len"),
+        when(col("fim"), col("n_tokens") - col("b")).otherwise(0L).as("s_len"))
+    }),
+    // q379: FIM APPLY — the composed render of q372's plan (round-15
+    // verdict: "transform plans stop at the plan"): the actual
+    // prefix/middle/suffix TEXTS a training run consumes, cut from the
+    // cleaned token stream at the plan's verified split points (the
+    // SAME [[fimBase]] columns — one definition, so plan and render
+    // cannot drift). Unselected / short docs pass through whole as the
+    // prefix with empty middle/suffix (the plain autoregressive row).
+    // Scale shape: one narrow projection, zero shuffles — the render
+    // is three array slices + joins per document.
+    "q379_fim_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      fimBase(docs(s, dir)).select(
+        col("doc_id"), col("n_tokens"), col("fim"),
+        array_join(slice(col("w"), lit(1),
+          when(col("fim"), col("a")).otherwise(col("n_tokens")).cast("int")),
+          " ").as("prefix"),
+        when(col("fim"), array_join(slice(col("w"),
+          (col("a") + 1L).cast("int"), (col("b") - col("a")).cast("int")), " "))
+          .otherwise(lit("")).as("middle"),
+        when(col("fim"), array_join(slice(col("w"),
+          (col("b") + 1L).cast("int"),
+          (col("n_tokens") - col("b")).cast("int")), " "))
+          .otherwise(lit("")).as("suffix"))
     }),
     // q371: packed-sequence MANIFEST — per (bucket, seq_id), the
     // documents that training sequence actually reads: doc count,
@@ -2331,6 +2430,31 @@ object TextQueries {
        |       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
        |       COALESCE(a.seg_fp, md5('')) AS seg_fp
        |FROM wd d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
+  /** The q372/q379 shared plan CTEs (SQL twin of [[fimBase]]): words,
+    * token count, the 50% md5 coin, and the two modular split points —
+    * ending at CTE `e` (doc_id, w, n, fim, a, b).
+    */
+  private lazy val FimPlanCte: String =
+    s"""$WordsCte,
+       |t AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM wd),
+       |c AS (
+       |  SELECT doc_id, w, n,
+       |         (substr(md5('graft-fim-' || CAST(doc_id AS VARCHAR)), 1, 1)
+       |            BETWEEN '0' AND '7') AND n >= 3 AS fim,
+       |         CAST(('0x' || substr(md5('graft-fim-a-' || CAST(doc_id AS VARCHAR)),
+       |                              1, 13)) AS BIGINT) AS u1,
+       |         CAST(('0x' || substr(md5('graft-fim-b-' || CAST(doc_id AS VARCHAR)),
+       |                              1, 13)) AS BIGINT) AS u2
+       |  FROM t),
+       |d AS (
+       |  SELECT doc_id, w, n, fim, u2,
+       |         CASE WHEN fim THEN u1 % (n - 2) + 1 END AS a
+       |  FROM c),
+       |e AS (
+       |  SELECT doc_id, w, n, fim, a,
+       |         CASE WHEN fim THEN u2 % (n - a - 1) + a + 1 END AS b
+       |  FROM d)""".stripMargin
 
   /** The q377/q378 Viterbi replay over the word-type table `wt` under
     * vocabulary CTE `vname` (piece, lp): a recursive CTE walks the DP
@@ -3821,30 +3945,65 @@ object TextQueries {
          |FROM c""".stripMargin,
     // the same md5 coin + modular split points, re-derived end to end
     "q372_fim_plan" ->
-      s"""$WordsCte,
-         |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM wd),
-         |c AS (
-         |  SELECT doc_id, n,
-         |         (substr(md5('graft-fim-' || CAST(doc_id AS VARCHAR)), 1, 1)
-         |            BETWEEN '0' AND '7') AND n >= 3 AS fim,
-         |         CAST(('0x' || substr(md5('graft-fim-a-' || CAST(doc_id AS VARCHAR)),
-         |                              1, 13)) AS BIGINT) AS u1,
-         |         CAST(('0x' || substr(md5('graft-fim-b-' || CAST(doc_id AS VARCHAR)),
-         |                              1, 13)) AS BIGINT) AS u2
-         |  FROM t),
-         |d AS (
-         |  SELECT doc_id, n, fim, u2,
-         |         CASE WHEN fim THEN u1 % (n - 2) + 1 END AS a
-         |  FROM c),
-         |e AS (
-         |  SELECT doc_id, n, fim, a,
-         |         CASE WHEN fim THEN u2 % (n - a - 1) + a + 1 END AS b
-         |  FROM d)
+      s"""$FimPlanCte
          |SELECT doc_id, n AS n_tokens, fim,
          |       CASE WHEN fim THEN a ELSE n END AS p_len,
          |       CASE WHEN fim THEN b - a ELSE 0 END AS m_len,
          |       CASE WHEN fim THEN n - b ELSE 0 END AS s_len
          |FROM e""".stripMargin,
+    // the same plan CTEs, then the render: three inclusive list slices
+    // at the verified split points, ' '-joined
+    "q379_fim_apply" ->
+      s"""$FimPlanCte
+         |SELECT doc_id, n AS n_tokens, fim,
+         |       array_to_string(
+         |         w[1 : CAST(CASE WHEN fim THEN a ELSE n END AS INT)], ' ')
+         |         AS prefix,
+         |       CASE WHEN fim
+         |            THEN array_to_string(w[CAST(a + 1 AS INT) : CAST(b AS INT)], ' ')
+         |            ELSE '' END AS middle,
+         |       CASE WHEN fim
+         |            THEN array_to_string(w[CAST(b + 1 AS INT) : CAST(n AS INT)], ' ')
+         |            ELSE '' END AS suffix
+         |FROM e""".stripMargin,
+    // q364's block grid + offset coin re-derived per block, then the
+    // corrupted/target streams rebuilt by pure list algebra and
+    // fingerprinted — the independent re-render of the whole transform
+    "q380_span_corruption_apply" ->
+      s"""$WordsCte,
+         |nb AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM wd),
+         |bl AS (
+         |  SELECT doc_id, w, n,
+         |         list_transform(range(0, greatest(CAST(ceil(n / 20.0) AS BIGINT), 1)),
+         |           k -> struct_pack(
+         |             k := k,
+         |             bl := least(20, n - k * 20),
+         |             off := CASE WHEN least(20, n - k * 20) >= 4
+         |                    THEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+         |                              || CAST(k AS VARCHAR)), 1, 13)) AS BIGINT)
+         |                         % (least(20, n - k * 20) - 2) END)) AS blocks
+         |  FROM nb),
+         |r AS (
+         |  SELECT doc_id, n,
+         |         flatten(list_transform(blocks, s -> CASE WHEN s.off IS NOT NULL
+         |           THEN list_concat(list_concat(
+         |                  w[CAST(s.k * 20 + 1 AS INT) : CAST(s.k * 20 + s.off AS INT)],
+         |                  ['<extra_id_' || CAST(s.k AS VARCHAR) || '>']),
+         |                  w[CAST(s.k * 20 + s.off + 4 AS INT) : CAST(s.k * 20 + s.bl AS INT)])
+         |           ELSE w[CAST(s.k * 20 + 1 AS INT) : CAST(s.k * 20 + s.bl AS INT)] END))
+         |           AS corrupted,
+         |         flatten(list_transform(list_filter(blocks, s -> s.off IS NOT NULL), s ->
+         |           list_concat(['<extra_id_' || CAST(s.k AS VARCHAR) || '>'],
+         |             w[CAST(s.k * 20 + s.off + 1 AS INT) : CAST(s.k * 20 + s.off + 3 AS INT)])))
+         |           AS target,
+         |         CAST(len(list_filter(blocks, s -> s.off IS NOT NULL)) AS BIGINT) AS n_masks
+         |  FROM bl)
+         |SELECT doc_id, n AS n_tokens, n_masks,
+         |       CAST(len(corrupted) AS BIGINT) AS n_corrupted,
+         |       CAST(len(target) AS BIGINT) AS n_target,
+         |       md5(array_to_string(corrupted, ' ')) AS corrupted_fp,
+         |       md5(array_to_string(target, ' ')) AS target_fp
+         |FROM r""".stripMargin,
     // q84's packing replay + the interval transpose: per sequence, the
     // docs it overlaps and the exact token shares (integer interval
     // intersection)

@@ -88,6 +88,54 @@ class Round16Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- q379/q380: plan -> apply composition ----
+
+  test("q379 render parts carry exactly the plan's p/m/s token counts and rebuild the stream") {
+    val plan = graft.queries.TextQueries.queries("q372_fim_plan")(spark, sfDir)
+      .select("doc_id", "p_len", "m_len", "s_len")
+    val render = graft.queries.TextQueries.queries("q379_fim_apply")(spark, sfDir)
+    def nTok(c: String) = // tokens in a ' '-joined render ('' = 0)
+      when(col(c) === "", 0L)
+        .otherwise(size(split(col(c), " ")).cast("long"))
+    val joined = render.join(plan, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        nTok("prefix").as("np"), nTok("middle").as("nm"), nTok("suffix").as("ns"),
+        col("p_len"), col("m_len"), col("s_len"),
+        concat_ws(" ",
+          when(col("prefix") === "", null).otherwise(col("prefix")),
+          when(col("middle") === "", null).otherwise(col("middle")),
+          when(col("suffix") === "", null).otherwise(col("suffix"))).as("rebuilt"))
+    val bad = joined.filter(
+      col("np") =!= col("p_len") || col("nm") =!= col("m_len") ||
+      col("ns") =!= col("s_len") ||
+      col("np") + col("nm") + col("ns") =!= col("n_tokens"))
+    assert(bad.isEmpty, s"part-length mismatch: ${bad.collect().take(3).mkString}")
+    // the three parts concatenate back to the original cleaned stream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.functions.TextFunctions.wordsArr(col("text"))).as("orig"))
+    val drift = joined.join(orig, Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("orig"))
+    assert(drift.isEmpty,
+      s"render does not rebuild the stream: ${drift.select("doc_id").collect().take(3).mkString}")
+  }
+
+  test("q380 mass balance: n_corrupted = n - 2*masks, n_target = 4*masks, sentinels match q364") {
+    val r = graft.queries.TextQueries
+      .queries("q380_span_corruption_apply")(spark, sfDir)
+    val bad = r.filter(
+      col("n_corrupted") =!= col("n_tokens") - col("n_masks") * 2L ||
+      col("n_target") =!= col("n_masks") * 4L)
+    assert(bad.isEmpty, s"mass balance broken: ${bad.collect().take(3).mkString}")
+    // mask count per doc equals the q364 plan's span count (zero for
+    // docs the plan skips entirely)
+    val plan = graft.queries.TextQueries.queries("q364_span_corruption")(spark, sfDir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val drift = r.join(plan, Seq("doc_id"), "left")
+      .filter(col("n_masks") =!= coalesce(col("n_spans"), lit(0L)))
+    assert(drift.isEmpty, s"q364/q380 span-count drift: ${drift.collect().take(3).mkString}")
+  }
+
   test("Viterbi tie-break: equal-score split goes to the smallest j (longest final piece)") {
     // "abc": [ab, c] and [a, bc] both score -30; j=1 (split after 'a')
     // beats j=2, so the kernel must return [a, bc]
