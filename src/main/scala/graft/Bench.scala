@@ -119,7 +119,14 @@ object Bench {
     // round-15: the rank-priority BPE encoder — the |merges|-independent
     // production kernel beside q360's sequential replay; the pair in one
     // sweep keeps the kernels' relative cost visible per round
-    "q368_bpe_apply_ranked")
+    "q368_bpe_apply_ranked",
+    // round-16: the unigram-LM (SentencePiece-style) tokenizer corpus
+    // pass — seed + 2 EM rounds + Viterbi apply — and the DoReMi
+    // mixture-reweighting trajectory (one corpus-grain NLL agg + 5
+    // driver EG rounds): the second production tokenizer family and
+    // the data-mixing optimizer, priced beside the BPE pair
+    "q378_unigram_apply",
+    "q381_doremi_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

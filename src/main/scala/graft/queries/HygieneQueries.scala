@@ -528,6 +528,148 @@ object HygieneQueries {
           * col("st").cast("double") / col("n_tokens"), 6).as("epochs"))
   }
 
+  /** Shared constants of the q381 DoReMi family — literals in BOTH the
+    * Spark loop and the DuckDB oracle emitter below; change in lockstep
+    * or not at all. Weights live in 1e9 fixed point; per-token
+    * log-probs in q88's 1e6 fixed point; eta is the exponentiated-
+    * gradient step; smoothing mixes 10% uniform back in each round
+    * (the DoReMi paper's u-smoothing, which also keeps every source's
+    * weight strictly positive so no round can zero a domain out).
+    */
+  private val DoremiRounds = 5
+  private val DoremiEta = 0.1
+
+  /** round(x) with DuckDB's half-away-from-zero tie rule on the binary
+    * double (q377's quantLn1e9 argument: BigDecimal.valueOf goes
+    * through the double's shortest decimal form, which preserves
+    * ordering against the exactly-representable .5 boundaries).
+    */
+  private def halfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  /** q381: DoReMi-style iterative mixture reweighting — the data-mixing
+    * optimizer a training run consumes (Xie et al. 2023,
+    * arXiv:2305.10429, simplified to a fixed reference model): per
+    * source, an excess-loss proxy (the source's mean NLL under the
+    * corpus unigram LM — q88's quantized log-prob chain re-grained to
+    * source) drives [[DoremiRounds]] exponentiated-gradient rounds
+    *   w ← normalize(w · exp(η·max(ℓ_s − ⟨ℓ⟩_w, 0))) with 10% uniform
+    * smoothing, emitting (round, source, excess_q, weight_q) for the
+    * whole trajectory. Sources whose loss exceeds the current
+    * mixture-weighted mean gain weight — the "hard domains get more
+    * data" update.
+    *
+    * DETERMINISM: per-token log-probs are quantized to 1e6 fixed point
+    * BEFORE the per-source integer sum (q88's idiom — partition-order
+    * invariant); weights/excesses are 1e9/1e6-fixed-point longs with
+    * every double op a single division-or-exp per |sources|-grain
+    * value, half-up-quantized immediately ([[halfUp]] = DuckDB round).
+    * All cross-row sums in the rounds are exact integer arithmetic.
+    *
+    * Scale shape: corpus row count prices exactly ONE token scan →
+    * vocabulary-grain freq join → map-side-combinable source-grain agg
+    * (the q88 plan at coarser grain); the EG rounds are driver
+    * arithmetic over the collected ≤|sources| NLL table (the q263
+    * bounded-driver-round pattern — 20 rows here, never corpus data),
+    * and the result is the (T+1)·|sources|-row trajectory built as a
+    * local relation. At 100 TB the only heavy stage is the token agg,
+    * which is the already-proven q88 shape.
+    */
+  def q381DoremiMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(doremiTrajectory(spark, dir)).toDF(
+      "round", "source", "excess_q", "weight_q")
+  }
+
+  /** q381's trajectory rows (round, source, excess_q, weight_q) —
+    * factored so q384 can consume the learned final-round weights
+    * through the IDENTICAL computation (one definition of the NLL
+    * chain and the EG rounds; the q372/q379 shared-columns
+    * discipline at driver grain).
+    */
+  private[graft] def doremiTrajectory(spark: SparkSession, dir: String)
+      : Seq[(Int, String, Long, Long)] = {
+    val words = docs(spark, dir)
+      .select(col("source"), graft.functions.AlnumTokens(col("text")))
+      .select("source", "word")
+    val freq = words.groupBy("word").agg(count(lit(1)).as("cnt")).persist()
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val nllRows = words.join(freq, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        round(log(col("cnt").cast("double") / col("total").cast("double"))
+          * 1e6).cast("long").as("lp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("lp")).as("slp"))
+      .select(col("source"),
+        round((-col("slp")).cast("double") / col("n")).cast("long")
+          .as("nll_q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val srcs = nllRows.map(_._1)
+    val nll = nllRows.toMap
+    val k = srcs.length
+    val out = Seq.newBuilder[(Int, String, Long, Long)]
+    var w: Map[String, Long] = srcs.map(_ -> halfUp(1e9 / k)).toMap
+    srcs.foreach(s => out += ((0, s, 0L, w(s))))
+    for (t <- 1 to DoremiRounds) {
+      val lbar = halfUp(srcs.map(s => w(s) * nll(s)).sum.toDouble / 1e9)
+      val ex = srcs.map(s => s -> math.max(nll(s) - lbar, 0L)).toMap
+      val u = srcs.map(s =>
+        s -> w(s) * halfUp(math.exp(DoremiEta * ex(s).toDouble / 1e6) * 1e6))
+        .toMap
+      val su = srcs.map(u).sum
+      w = srcs.map(s =>
+        s -> halfUp(u(s).toDouble / su * 9e8 + 1e8 / k)).toMap
+      srcs.foreach(s => out += ((t, s, ex(s), w(s))))
+    }
+    out.result()
+  }
+
+  /** q384: the DoReMi weights CONSUMED — the deterministic resample
+    * plan a training run feeds its data loader: reshape the SAME
+    * corpus volume (N = total docs) to q381's learned final-round
+    * mixture by largest-remainder apportionment (q356's exact-integer
+    * discipline: base = ⌊N·w_s/ΣW⌋, the N − Σbase leftovers to the
+    * largest remainders, ties by source), plus the implied epochs per
+    * source in 1e6 fixed point (target/n_s — epochs > 1 ⇒ the source
+    * repeats, the oversampling readout q242 prints for temperature
+    * mixing, here under the OPTIMIZED mixture). Closes the q379/q380
+    * plan→consumption loop for the mixture optimizer: q381 learns,
+    * q384 emits the executable allocation.
+    *
+    * DETERMINISM: the weights are [[doremiTrajectory]]'s (one
+    * definition); apportionment is BigInt arithmetic (N·w_s can pass
+    * 2⁶³ on a large corpus — the oracle mirrors with HUGEINT); the
+    * only double op is the final epochs quantize. Scale shape: the
+    * corpus prices the q381 token scan + one doc-count agg; the plan
+    * itself is |sources|-grain driver arithmetic.
+    */
+  def q384DoremiResamplePlan(spark: SparkSession, dir: String): DataFrame = {
+    val traj = doremiTrajectory(spark, dir)
+    val w5 = traj.filter(_._1 == DoremiRounds).map(t => t._2 -> t._4).toMap
+    val nd = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val srcs = nd.map(_._1)
+    val ndMap = nd.toMap
+    val n = nd.map(_._2).sum
+    val tw = srcs.map(w5).sum
+    val base = srcs.map { s =>
+      (s, BigInt(n) * w5(s) / tw, BigInt(n) * w5(s) % tw) }
+    val extra = (BigInt(n) - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(extra).map(_._1).toSet
+    val rows = base.map { case (s, b, _) =>
+      val target = (b + (if (bump(s)) 1 else 0)).toLong
+      (s, ndMap(s), w5(s), target,
+        halfUp(target.toDouble * 1e6 / ndMap(s)))
+    }
+    import spark.implicits._
+    spark.createDataset(rows).toDF(
+      "source", "n_docs", "weight_q", "target_docs", "epochs_q")
+  }
+
   /** q244: length-bucketed batch padding efficiency — the batch-shaping
     * decision a training pipeline makes before fixing its bucketing: for
     * B ∈ {1, 2, 4, 8} equal-count length buckets (exact SQL-ntile
@@ -785,6 +927,8 @@ object HygieneQueries {
     "q244_padding_efficiency" -> (q244PaddingEfficiency _),
     "q238_filter_funnel" -> (q238FilterFunnel _),
     "q242_mix_temperature" -> (q242MixTemperature _),
+    "q381_doremi_mixture" -> (q381DoremiMixture _),
+    "q384_doremi_resample_plan" -> (q384DoremiResamplePlan _),
     "q154_k_anonymity" -> (q154KAnonymity _),
     "q258_dp_counts" -> (q258DpCounts _),
     "q269_quantile_normalize" -> (q269QuantileNormalize _),
@@ -815,6 +959,100 @@ object HygieneQueries {
       |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
       |           x -> length(x) > 0) AS w
       |  FROM documents)""".stripMargin
+
+  /** q381's oracle — the corpus-grain NLL table (q88's chain at source
+    * grain), then the EG rounds replayed as chained per-round CTEs.
+    * Every CTE is `AS MATERIALIZED`: DuckDB otherwise INLINES each
+    * round's references to the previous round (~12 copies per round),
+    * so the unrolled plan grows exponentially in [[DoremiRounds]] and
+    * never finishes even at sf0.001 (measured; materialized, the whole
+    * trajectory runs in ~0.06 s at sf0.01).
+    */
+  private def doremiOracle: String = {
+    val tail = (1 to DoremiRounds)
+      .map(r => s"UNION ALL SELECT $r, source, ex, w FROM w$r")
+      .mkString("\n")
+    s"""$doremiCtes
+       |SELECT 0 AS round, source, CAST(0 AS BIGINT) AS excess_q, w AS weight_q FROM w0
+       |$tail""".stripMargin
+  }
+
+  /** q384's oracle: [[doremiCtes]]' final-round weights, then the
+    * largest-remainder apportionment in exact integers (HUGEINT for
+    * the N·w products — the Spark side uses BigInt) and the one
+    * epochs quantize.
+    */
+  private def doremiResampleOracle: String =
+    s"""$doremiCtes,
+       |nd AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY source),
+       |tn AS MATERIALIZED (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM nd),
+       |tw AS MATERIALIZED (
+       |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM w$DoremiRounds),
+       |bs AS MATERIALIZED (
+       |  SELECT wf.source, nd.n_docs, wf.w AS weight_q,
+       |         CAST(CAST(tn.n AS HUGEINT) * wf.w // tw.tw AS BIGINT) AS base,
+       |         CAST(CAST(tn.n AS HUGEINT) * wf.w % tw.tw AS BIGINT) AS rem
+       |  FROM w$DoremiRounds wf JOIN nd USING (source)
+       |  CROSS JOIN tn CROSS JOIN tw),
+       |exr AS MATERIALIZED (
+       |  SELECT CAST(tn.n - (SELECT sum(base) FROM bs) AS BIGINT) AS extra
+       |  FROM tn),
+       |rk AS MATERIALIZED (
+       |  SELECT source, n_docs, weight_q, base, rem,
+       |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+       |  FROM bs)
+       |SELECT source, n_docs, weight_q,
+       |       base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS target_docs,
+       |       CAST(round(CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END
+       |                       AS DOUBLE) * 1e6 / n_docs) AS BIGINT) AS epochs_q
+       |FROM rk CROSS JOIN exr""".stripMargin
+
+  private def doremiCtes: String = {
+    val rounds = (1 to DoremiRounds).map { r =>
+      s"""lbar$r AS MATERIALIZED (
+         |  SELECT CAST(round(CAST(sum(w * nll_q) AS DOUBLE) / 1e9) AS BIGINT) AS lbar
+         |  FROM w${r - 1}),
+         |ex$r AS MATERIALIZED (
+         |  SELECT source, nll_q, w, greatest(nll_q - lbar, CAST(0 AS BIGINT)) AS ex
+         |  FROM w${r - 1} CROSS JOIN lbar$r),
+         |u$r AS MATERIALIZED (
+         |  SELECT source, nll_q, ex,
+         |         w * CAST(round(exp($DoremiEta * CAST(ex AS DOUBLE) / 1e6) * 1e6)
+         |                  AS BIGINT) AS u
+         |  FROM ex$r),
+         |su$r AS MATERIALIZED (SELECT CAST(sum(u) AS BIGINT) AS su FROM u$r),
+         |w$r AS MATERIALIZED (
+         |  SELECT source, nll_q, ex,
+         |         CAST(round(CAST(u AS DOUBLE) / su * 9e8 + 1e8 / k) AS BIGINT) AS w
+         |  FROM u$r CROSS JOIN su$r CROSS JOIN ns)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_filter(
+       |           list_transform(string_split_regex(lower(text), '\\s+'),
+       |                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+       |           x -> length(x) > 0) AS w
+       |  FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM wd),
+       |freq AS MATERIALIZED (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+       |tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+       |pl AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+       |                    * 1000000) AS BIGINT) AS lp
+       |  FROM tok t JOIN freq f USING (word) CROSS JOIN tot),
+       |ps AS MATERIALIZED (
+       |  SELECT d.source,
+       |         CAST(round(-CAST(sum(t.lp) AS DOUBLE) / count(*)) AS BIGINT) AS nll_q
+       |  FROM pl t JOIN documents d USING (doc_id) GROUP BY 1),
+       |ns AS MATERIALIZED (SELECT count(*) AS k FROM ps),
+       |w0 AS MATERIALIZED (
+       |  SELECT source, nll_q, CAST(round(1e9 / k) AS BIGINT) AS w
+       |  FROM ps CROSS JOIN ns),
+       |$rounds""".stripMargin
+  }
 
   // same 5-gram anchors (raw strings where the engine uses their
   // md5 — identical grouping), same 2..256 occurrence band, same
@@ -1160,6 +1398,13 @@ object HygieneQueries {
          |       round(CAST(a.a_fp AS DOUBLE) / tot.sa
          |             * CAST(tot.st AS DOUBLE) / a.n_tokens, 6) AS epochs
          |FROM a CROSS JOIN tot""".stripMargin,
+    // the full EG trajectory replayed round-by-round (doremiOracle —
+    // chained MATERIALIZED CTEs; same 1e6/1e9 fixed points, same
+    // half-away-from-zero rounds, exact-integer cross-row sums)
+    "q381_doremi_mixture" -> doremiOracle,
+    // the same EG rounds, then largest-remainder apportionment of the
+    // corpus volume under the final weights (exact integers end-to-end)
+    "q384_doremi_resample_plan" -> doremiResampleOracle,
     // same two-level QI lattice; DuckDB's GROUPING SETS + grouping()
     "q154_k_anonymity" ->
       """WITH d AS (

@@ -272,12 +272,52 @@ object ReferenceQueries {
     hllFold(shardRegs.groupBy("j").agg(max(col("m_j")).as("m_j")))
   }
 
+  /** q383: HLL INTERSECTION via register algebra — the set-operation
+    * member of the sketch family (q376 proves union-by-max; this
+    * composes it): estimated shared vocabulary between the 'en' and
+    * 'de' shards by inclusion–exclusion, |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), plus the implied Jaccard in 1e6 fixed point — the
+    * cheap cross-shard overlap readout (which crawls/languages share
+    * vocabulary, is a shard worth deduping against another) that
+    * needs only the ≤4096-row register tables, never the corpora.
+    * est(A∪B) comes from max-merged registers (q376's algebra), so
+    * all three estimates derive from ONE register build over the
+    * filtered token stream. The intersection estimate may be negative
+    * at tiny overlaps (standard inclusion–exclusion sketch error —
+    * kept raw, deterministically). Scale shape: one token scan with
+    * the lang key riding through (q369's join-free analysis), three
+    * ≤4096-row folds; the combine is three 1-row broadcasts.
+    */
+  def q383HllIntersectLangs(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllRanks(
+      Tokenizer.tokens(
+        documents(spark, dir).filter(col("lang").isin("en", "de")),
+        "text", Seq("lang"))
+        .select(col("lang"), col("word")))
+      .groupBy("lang", "j").agg(max(col("rank")).as("m_j"))
+      .persist() // three folds read it; runner releases (SparkEntry contract)
+    val ab = hllFold(regs, keys = Seq("lang"))
+      .select(col("lang"), col("approx_vocab"))
+    val a = ab.filter(col("lang") === "en")
+      .select(col("approx_vocab").as("est_en"))
+    val b = ab.filter(col("lang") === "de")
+      .select(col("approx_vocab").as("est_de"))
+    val u = hllFold(regs.groupBy("j").agg(max(col("m_j")).as("m_j")))
+      .select(col("approx_vocab").as("est_union"))
+    a.crossJoin(b).crossJoin(u)
+      .select(col("est_en"), col("est_de"), col("est_union"),
+        (col("est_en") + col("est_de") - col("est_union")).as("est_intersect"),
+        round((col("est_en") + col("est_de") - col("est_union")).cast("double")
+          / col("est_union") * 1e6).cast("long").as("jaccard_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_postings_histogram" -> q235PostingsHistogram _,
     "q236_shard_balance" -> q236ShardBalance _,
     "q7_approx_vocab" -> q7ApproxVocabulary _,
     "q369_hll_per_lang" -> q369HllPerLang _,
     "q376_hll_merge_shards" -> q376HllMergeShards _,
+    "q383_hll_intersect_langs" -> q383HllIntersectLangs _,
     "q73_kmv_vocab" -> q73KmvVocab _,
     "q1_inverted_index" -> q1InvertedIndex _,
     "q2_vocabulary" -> q2Vocabulary _,
@@ -413,6 +453,62 @@ object ReferenceQueries {
          |       round(raw, 4) AS est_raw,
          |       n_registers, v_empty, s_quant
          |FROM e""".stripMargin,
+    // q383: the keyed register build of q369 restricted to the two
+    // shards, the q376 max-merge for the union row, q7's estimate
+    // arithmetic on all three, inclusion–exclusion at the end
+    "q383_hll_intersect_langs" ->
+      s"""$TokCte,
+         |lt AS (
+         |  SELECT d.lang, t.word FROM toks t JOIN documents d USING (doc_id)
+         |  WHERE d.lang IN ('en', 'de')),
+         |hh AS (
+         |  SELECT lang,
+         |         CAST(('0x' || substr(md5(word), 1, 3)) AS BIGINT) AS j,
+         |         CAST(('0x' || substr(md5(word), 4, 13)) AS BIGINT) AS w
+         |  FROM lt),
+         |regs AS (
+         |  SELECT lang, j, max(CASE WHEN w = 0 THEN 50
+         |                           ELSE least(53 - length(bin(w)), 50) END) AS m_j
+         |  FROM hh GROUP BY lang, j),
+         |ru AS (SELECT j, max(m_j) AS m_j FROM regs GROUP BY j),
+         |stl AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - m_j AS INT)) AS BIGINT)
+         |           AS s_occ
+         |  FROM regs GROUP BY lang
+         |  UNION ALL
+         |  SELECT '__union', CAST(count(*) AS BIGINT),
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - m_j AS INT)) AS BIGINT)
+         |  FROM ru),
+         |qn AS (
+         |  SELECT lang, n_registers, 4096 - n_registers AS v_empty,
+         |         s_occ + (4096 - n_registers) * CAST(1125899906842624 AS BIGINT)
+         |           AS s_quant
+         |  FROM stl),
+         |e AS (
+         |  SELECT lang, v_empty,
+         |         (CAST(0.7213 AS DOUBLE) /
+         |            (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+         |           * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |           * CAST(1125899906842624.0 AS DOUBLE) / CAST(s_quant AS DOUBLE) AS raw
+         |  FROM qn),
+         |est AS (
+         |  SELECT lang,
+         |         CAST(round(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v_empty > 0
+         |                         THEN CAST(4096.0 AS DOUBLE) *
+         |                              ln(CAST(4096.0 AS DOUBLE) / CAST(v_empty AS DOUBLE))
+         |                         ELSE raw END) AS BIGINT) AS est
+         |  FROM e),
+         |pv AS (
+         |  SELECT max(CASE WHEN lang = 'en' THEN est END) AS est_en,
+         |         max(CASE WHEN lang = 'de' THEN est END) AS est_de,
+         |         max(CASE WHEN lang = '__union' THEN est END) AS est_union
+         |  FROM est)
+         |SELECT est_en, est_de, est_union,
+         |       est_en + est_de - est_union AS est_intersect,
+         |       CAST(round(CAST(est_en + est_de - est_union AS DOUBLE)
+         |                  / est_union * 1e6) AS BIGINT) AS jaccard_q
+         |FROM pv""".stripMargin,
     "q73_kmv_vocab" ->
       s"""$TokCte,
          |kmv AS (

@@ -87,6 +87,25 @@ object StreamParityQueries {
       df => TextQueries.bpeApplyProjection(df, merges))
   }
 
+  /** q382: unigram-LM APPLY on ingest, driver-verified — q367's
+    * discipline for the SECOND tokenizer family: q378's stateless
+    * Viterbi projection (the SAME `TextQueries.unigramApplyProjection`
+    * helper, piece table learned in BATCH — like q367's merge table,
+    * the tokenizer ships as a plan literal; learning is not a
+    * streaming concern) over the corpus arriving in doc_id-sorted
+    * micro-batch chunks. Oracle = q378's recursive-CTE Viterbi replay
+    * VERBATIM, proving delivery-invariance of the projection AND the
+    * segmentation itself through an engine that never saw the stream.
+    * Stateless append (no watermark, no state store); the scale
+    * contract is q378's — zero shuffles, per-task memo,
+    * ≤(alphabet+200)-piece plan literal.
+    */
+  def q382StreamUnigramApply(spark: SparkSession, dir: String): DataFrame = {
+    val lp = TextQueries.unigramVocab(spark, dir).map { case (p, _, l) => (p, l) }
+    runChunked(spark, dir, "graft_q382_unigram",
+      df => TextQueries.unigramApplyProjection(df, lp))
+  }
+
   /** q370: vocabulary HLL on ingest, driver-verified — q7's md5 sketch
     * maintained as STREAMING STATE: the register table (groupBy j, max
     * rank — at most 4096 rows of state, the HLL bound) runs as a
@@ -2616,6 +2635,7 @@ object StreamParityQueries {
     "q359_stream_holt_evict" -> (q359StreamHoltEvict _),
     "q361_stream_hw_evict" -> (q361StreamHwEvict _),
     "q367_stream_bpe_apply" -> (q367StreamBpeApply _),
+    "q382_stream_unigram_apply" -> (q382StreamUnigramApply _),
     "q370_stream_hll" -> (q370StreamHll _),
     "q375_stream_quantile_sketch" -> (q375StreamQuantileSketch _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
@@ -2645,6 +2665,9 @@ object StreamParityQueries {
     // q360's independent merge replay VERBATIM: the stream must land
     // exactly the batch encoding (the q267/q284 same-oracle convention)
     "q367_stream_bpe_apply" -> TextQueries.oracleSql("q360_bpe_apply"),
+    // q378's recursive-CTE Viterbi replay verbatim (the q367/q370
+    // same-oracle convention): stream segmentation == batch == DuckDB
+    "q382_stream_unigram_apply" -> TextQueries.oracleSql("q378_unigram_apply"),
     // q7's register/fold replay VERBATIM: the streamed sketch's final
     // estimate must be the batch estimate
     "q370_stream_hll" -> ReferenceQueries.oracleSql("q7_approx_vocab"),

@@ -299,6 +299,29 @@ object TextQueries {
     vocab
   }
 
+  /** The q378 APPLY projection over any (doc_id, text) relation —
+    * STATELESS (document-local, zero shuffles), factored like
+    * [[bpeApplyProjection]] so the batch query (q378), the streaming
+    * ingest gate (q382) and the split-timing tool run the IDENTICAL
+    * stage: Viterbi-encode each cleaned word under the quantized
+    * piece table (plan literal, per-task memo), emit per-doc word
+    * count, piece count and the md5 fingerprint of the full
+    * segmentation (q360's output shape).
+    */
+  private[graft] def unigramApplyProjection(
+      d: DataFrame, lpTable: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    d.select(col("doc_id"),
+        graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.UnigramEncode(col("w"), lpTable).as("segs"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_words"),
+        size(flatten(col("segs"))).cast("long").as("n_pieces"),
+        md5(array_join(
+          transform(col("segs"), a => array_join(a, " ")), "|")).as("seg_fp"))
+  }
+
   /** The q372/q379 shared FIM columns over a (doc_id, text) relation —
     * ONE definition of the 50% md5 coin and the two modular split
     * points, so the plan (q372) and the applied render (q379) cannot
@@ -1017,20 +1040,9 @@ object TextQueries {
     // per-task memo makes repeated words one hash probe each, and the
     // kernel is O(len · maxPieceLen) hash probes per first-seen word,
     // |vocab|-independent (the q368 scale argument).
-    "q378_unigram_apply" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val lpTable = unigramVocab(s, dir).map { case (p, _, l) => (p, l) }
-      docs(s, dir)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
-        .select(col("doc_id"),
-          graft.functions.UnigramEncode(col("w"), lpTable).as("segs"))
-        .select(col("doc_id"),
-          size(col("segs")).cast("long").as("n_words"),
-          size(flatten(col("segs"))).cast("long").as("n_pieces"),
-          md5(array_join(
-            transform(col("segs"), a => array_join(a, " ")), "|")).as("seg_fp"))
-    }),
+    "q378_unigram_apply" -> ((s, dir) =>
+      unigramApplyProjection(docs(s, dir),
+        unigramVocab(s, dir).map { case (p, _, l) => (p, l) })),
     // q362: tokenizer ROUND-TRIP capstone (the q86 composition
     // discipline) — learned tokenizer to packed training batches in one
     // pipeline: q360's BPE APPLY (the SAME helper, byte-identical

@@ -15,7 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *     deterministic on ties (smallest split j — the longest final
   *     piece);
   *   - the q377 learner retains the full alphabet at count ≥ 1 and
-  *     never emits a zero-count or overlong piece.
+  *     never emits a zero-count or overlong piece;
+  *   - q381's EG trajectory is a complete grid with uniform zero-excess
+  *     start, conserves the 1e9 weight mass each round up to
+  *     quantization, and moves weight TOWARD higher-excess sources
+  *     (the DoReMi update direction, pinned independently of the
+  *     oracle's value replay).
   */
 class Round16Spec extends AnyFunSuite with SparkTestBase {
 
@@ -150,6 +155,91 @@ class Round16Spec extends AnyFunSuite with SparkTestBase {
     assert(encode("aaxx", vocab) == Seq("aa", "x", "x"))
     // wholly-OOV word: every char takes the UNK path
     assert(encode("zq", vocab) == Seq("z", "q"))
+  }
+
+  // ---- q383: HLL inclusion–exclusion ----
+
+  test("q383 algebra: constructed 100-word overlap recovered by inclusion-exclusion") {
+    // the corpus fixture's en/de vocabularies coincide under the
+    // reference letter-only tokenizer (complete overlap — the driver
+    // gate proves the arithmetic but not the geometry), so the
+    // partial-overlap behavior is pinned on a constructed pair:
+    // |A| = 200, |B| = 400, |A∩B| = 100 — linear-counting regime,
+    // estimates near-exact
+    import spark.implicits._
+    val a = (1 to 100).map(i => ("A", s"common$i")) ++
+      (1 to 100).map(i => ("A", s"onlya$i"))
+    val b = (1 to 100).map(i => ("B", s"common$i")) ++
+      (1 to 300).map(i => ("B", s"onlyb$i"))
+    val regs = graft.queries.ReferenceQueries
+      .hllRanks((a ++ b).toDF("lang", "word"))
+      .groupBy("lang", "j").agg(max(col("rank")).as("m_j")).persist()
+    val ab = graft.queries.ReferenceQueries
+      .hllFold(regs, keys = Seq("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u = graft.queries.ReferenceQueries
+      .hllFold(regs.groupBy("j").agg(max(col("m_j")).as("m_j")))
+      .collect().head.getLong(0)
+    val inter = ab("A") + ab("B") - u
+    assert(u >= math.max(ab("A"), ab("B")),
+      s"union $u below a shard (${ab("A")}, ${ab("B")})")
+    assert(math.abs(inter - 100L) <= 15L,
+      s"intersection estimate $inter too far from exact 100 " +
+        s"(A=${ab("A")}, B=${ab("B")}, U=$u)")
+  }
+
+  // ---- q384: DoReMi resample plan ----
+
+  test("q384: apportionment conserves corpus volume exactly, targets within 1 of quota") {
+    val rows = graft.queries.HygieneQueries
+      .q384DoremiResamplePlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.map(_._2).sum
+    assert(rows.map(_._4).sum == n,
+      "largest-remainder apportionment must redistribute EXACTLY the corpus volume")
+    val tw = rows.map(_._3).sum.toDouble
+    rows.foreach { case (s, _, w, t) =>
+      assert(t >= 0L, s"$s negative target")
+      val quota = n.toDouble * w / tw
+      assert(math.abs(t - quota) < 1.0 + 1e-9,
+        s"$s target $t vs quota $quota — outside the Hare-quota band")
+    }
+  }
+
+  // ---- q381: DoReMi mixture reweighting ----
+
+  test("q381 trajectory: complete grid, uniform start, 1e9 mass, EG monotone in excess") {
+    val rows = graft.queries.HygieneQueries.q381DoremiMixture(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val srcs = rows.map(_._2).distinct.sorted
+    val k = srcs.length
+    assert(k >= 2, "fixture must have several sources")
+    assert(rows.length == 6 * k &&
+      rows.map(t => (t._1, t._2)).toSet.size == 6 * k,
+      "trajectory must be the complete (round x source) grid")
+    val r0 = rows.filter(_._1 == 0)
+    assert(r0.forall(_._3 == 0L) && r0.map(_._4).distinct.length == 1,
+      "round 0 must be zero-excess uniform")
+    for (t <- 0 to 5) {
+      val rt = rows.filter(_._1 == t)
+      val mass = rt.map(_._4).sum
+      // each weight is one half-up round (±0.5 each) → drift ≤ ⌈k/2⌉+1
+      assert(math.abs(mass - 1000000000L) <= k / 2 + 2,
+        s"round $t mass $mass drifts beyond quantization slack")
+      if (t >= 1) {
+        // the EG update direction: a strictly larger excess never maps
+        // to a smaller weight (beyond the ≤1-per-round quantization
+        // slack accumulated through w_{t-1}) — hard domains gain data
+        val byEx = rt.sortBy(r => (r._3, r._4))
+        byEx.sliding(2).foreach { pair =>
+          if (pair.length == 2 && pair(1)._3 > pair(0)._3)
+            assert(pair(1)._4 >= pair(0)._4 - 5L,
+              s"round $t: excess ${pair(1)._3} weight ${pair(1)._4} " +
+                s"below excess ${pair(0)._3} weight ${pair(0)._4}")
+        }
+      }
+    }
   }
 
   test("q377 learner: full alphabet retained at count >= 1, no zero-count or overlong piece") {
