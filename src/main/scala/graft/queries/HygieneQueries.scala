@@ -606,6 +606,16 @@ object HygieneQueries {
         round((-col("slp")).cast("double") / col("n")).cast("long")
           .as("nll_q"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    doremiRoundsFromNll(nllRows)
+  }
+
+  /** The EG rounds alone, from a per-source quantized-NLL table — the
+    * driver-arithmetic half of [[doremiTrajectory]], factored so the
+    * streaming gate (q385) can run the IDENTICAL update from its
+    * complete-mode NLL state.
+    */
+  private[graft] def doremiRoundsFromNll(nllRows: Seq[(String, Long)])
+      : Seq[(Int, String, Long, Long)] = {
     val srcs = nllRows.map(_._1)
     val nll = nllRows.toMap
     val k = srcs.length

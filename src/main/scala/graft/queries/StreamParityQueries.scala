@@ -106,6 +106,59 @@ object StreamParityQueries {
       df => TextQueries.unigramApplyProjection(df, lp))
   }
 
+  /** q385: the DoReMi mixture optimizer ON INGEST, driver-verified —
+    * the per-source NLL sufficient statistic (token count + quantized
+    * log-prob sum, q381's exact-integer pair) maintained as ≤|sources|
+    * rows of complete-mode streaming aggregation state while the
+    * corpus arrives in (source, doc_id, text) micro-batch chunks; the
+    * EG rounds then run from the FINAL state through the IDENTICAL
+    * driver arithmetic ([[HygieneQueries.doremiRoundsFromNll]] — one
+    * definition). The reference unigram LM (vocabulary freq + exact
+    * total) is learned in BATCH and ships as a stream-static join
+    * side (q367's "learning is not a streaming concern" convention;
+    * the join is stateless per micro-batch). Oracle = q381's
+    * full-trajectory replay VERBATIM: because every per-token quantity
+    * is integer BEFORE the aggregation, the state is order- and
+    * batching-invariant — the property that lets 1000 executors
+    * accumulate (n, Σlp) shards and the driver reweight from the fold.
+    */
+  def q385StreamDoremiMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sink = "graft_q385_doremi"
+    spark.catalog.dropTempView(sink)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val freq = d.select(graft.functions.AlnumTokens(col("text")))
+      .groupBy("word").agg(count(lit(1)).as("cnt")).persist()
+    val total = freq.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val feed = d.select(col("source"), col("doc_id"), col("text"))
+      .sort("doc_id").as[(String, Long, String)]
+    val ms = MemoryStream[(String, Long, String)](spark)
+    val state = ms.toDF.toDF("source", "doc_id", "text")
+      .select(col("source"), graft.functions.AlnumTokens(col("text")))
+      .join(freq, Seq("word"))
+      .select(col("source"),
+        round(log(col("cnt").cast("double") / lit(total).cast("double"))
+          * 1e6).cast("long").as("lp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("lp")).as("slp"))
+    val q = state.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      feed.toLocalIterator().asScala.grouped(1024).foreach { batch =>
+        ms.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val nll = spark.table(sink)
+      .select(col("source"),
+        round((-col("slp")).cast("double") / col("n")).cast("long")
+          .as("nll_q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    spark.createDataset(HygieneQueries.doremiRoundsFromNll(nll.toSeq))
+      .toDF("round", "source", "excess_q", "weight_q")
+  }
+
   /** q370: vocabulary HLL on ingest, driver-verified — q7's md5 sketch
     * maintained as STREAMING STATE: the register table (groupBy j, max
     * rank — at most 4096 rows of state, the HLL bound) runs as a
@@ -2636,6 +2689,7 @@ object StreamParityQueries {
     "q361_stream_hw_evict" -> (q361StreamHwEvict _),
     "q367_stream_bpe_apply" -> (q367StreamBpeApply _),
     "q382_stream_unigram_apply" -> (q382StreamUnigramApply _),
+    "q385_stream_doremi_mixture" -> (q385StreamDoremiMixture _),
     "q370_stream_hll" -> (q370StreamHll _),
     "q375_stream_quantile_sketch" -> (q375StreamQuantileSketch _),
     "q316_stream_interval_join_ooo" -> (q316StreamIntervalJoinOutOfOrder _),
@@ -2668,6 +2722,9 @@ object StreamParityQueries {
     // q378's recursive-CTE Viterbi replay verbatim (the q367/q370
     // same-oracle convention): stream segmentation == batch == DuckDB
     "q382_stream_unigram_apply" -> TextQueries.oracleSql("q378_unigram_apply"),
+    // q381's full-trajectory EG replay verbatim: stream state == batch
+    // NLL == DuckDB, then one shared driver arithmetic
+    "q385_stream_doremi_mixture" -> HygieneQueries.oracleSql("q381_doremi_mixture"),
     // q7's register/fold replay VERBATIM: the streamed sketch's final
     // estimate must be the batch estimate
     "q370_stream_hll" -> ReferenceQueries.oracleSql("q7_approx_vocab"),
