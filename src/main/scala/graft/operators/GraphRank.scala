@@ -76,8 +76,14 @@ object GraphRank {
     val ed = bi
       .union(bi.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist() // vocabulary-edge-sized; reused every round (runner clears)
+      .persist() // vocabulary-edge-sized; read by deg and edd builds
     val deg = ed.groupBy(col("a").as("word")).agg(count(lit(1)).as("d")).persist()
+    // out-degree folded into the persisted edge table ONCE (the q289
+    // discipline): the loop previously paid an edges ⋈ (ranks ⋈ deg)
+    // double join per round for a degree that never changes — one
+    // vocab-grain join per round removed, `r div d` values unchanged
+    val edd = ed.join(deg, ed("a") === deg("word"))
+      .select(col("a"), col("b"), col("d")).persist()
 
     // N is a vocabulary-sized count — the one driver-side scalar (the
     // q80 ⌈√N⌉ pattern); r0/base are exact Long constants both engines
@@ -89,8 +95,8 @@ object GraphRank {
 
     var r = deg.select(col("word"), lit(r0).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ed
-        .join(r.join(deg, Seq("word")), ed("a") === col("word"))
+      val contrib = edd
+        .join(r, edd("a") === r("word"))
         .select(col("b").as("word"), expr("r div d").as("c"))
       r = contrib
         .groupBy("word")

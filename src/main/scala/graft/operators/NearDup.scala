@@ -27,7 +27,10 @@ object NearDup {
   val NumHashes = 8
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    // the shingle generator above this scan is the near-dup family's
+    // dominant narrow stage; see ScanSpread
+    graft.sources.ScanSpread.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Persisted distinct (doc_id, sh) long-format shingle table — the
     * input both candidate generators and the exact verifier read.

@@ -84,6 +84,16 @@ object Ranking {
     */
   def bm25(
       docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromTokens(tokens(docs, textCol, idCol), idCol, terms, k1, b)
+
+  /** [[bm25]] over a PRE-BUILT (id, word) token stream — the overload a
+    * multi-stage retrieval query (q326) passes its one persisted
+    * tokenization into, instead of re-tokenizing the corpus per stage.
+    * Same aggregations, same scores.
+    */
+  def bm25FromTokens(
+      toks: DataFrame, idCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct.size == terms.size,
@@ -92,7 +102,7 @@ object Ranking {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("word") === t, 1L).otherwise(0L)).as(s"_tf$i")
     }
-    val perDoc = tokens(docs, textCol, idCol)
+    val perDoc = toks
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfCols: _*)
       .persist()
@@ -125,9 +135,17 @@ object Ranking {
     */
   def bm25TopK(
       docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    bm25TopKFromTokens(tokens(docs, textCol, idCol), idCol, terms, k)
+
+  /** [[bm25TopK]] over a pre-built (id, word) token stream — see
+    * [[bm25FromTokens]].
+    */
+  def bm25TopKFromTokens(
+      toks: DataFrame, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     val topk = udaf(graft.functions.TopKAgg(k))
-    bm25(docs, textCol, idCol, terms)
+    bm25FromTokens(toks, idCol, terms)
       .groupBy("word")
       .agg(topk(col("bm25"), col(idCol)).as("tops"))
       .select(col("word"), posexplode(col("tops")).as(Seq("pos", "t")))
@@ -151,8 +169,15 @@ object Ranking {
     */
   def bm25Dynamic(
       docs: DataFrame, textCol: String, idCol: String,
+      terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25DynamicFromTokens(tokens(docs, textCol, idCol), idCol, terms, k1, b)
+
+  /** [[bm25Dynamic]] over a pre-built (id, word) token stream — see
+    * [[bm25FromTokens]].
+    */
+  def bm25DynamicFromTokens(
+      toks: DataFrame, idCol: String,
       terms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokens(docs, textCol, idCol)
     // dl feeds stats AND the final join; tf feeds dfx AND the final
     // join — persist both (the static bm25's perDoc discipline;
     // without it Catalyst prunes each branch into a structurally

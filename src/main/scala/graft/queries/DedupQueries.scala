@@ -12,7 +12,9 @@ import graft.operators.Dedup
 object DedupQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    // heavy per-document pipelines sit above this scan; see ScanSpread
+    graft.sources.ScanSpread.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** q31: MinHash (8 hashes) + LSH (4 bands × 2 rows) candidates, verified
     * with exact Jaccard over the shingle sets. Two-row bands make the

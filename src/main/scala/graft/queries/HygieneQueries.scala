@@ -15,7 +15,9 @@ import graft.operators.{Curation, Dedup, TextAnalysis}
 object HygieneQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    // heavy per-document pipelines sit above this scan; see ScanSpread
+    graft.sources.ScanSpread.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Source number: the fixture's `source` column is `src<N>`; the
     * "old corpus" is N < 10, the "new increment" N >= 10.

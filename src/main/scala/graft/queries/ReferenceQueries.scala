@@ -14,7 +14,10 @@ import graft.operators.Tokenizer
 object ReferenceQueries {
 
   private def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    // the tokenizer/HLL register builds above this scan are per-row
+    // heavy; see ScanSpread
+    graft.sources.ScanSpread.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Raw (doc_id, word) token stream — reference O3-O5. */
   def tokens(spark: SparkSession, dir: String): DataFrame =

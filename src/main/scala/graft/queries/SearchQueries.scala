@@ -14,7 +14,9 @@ import graft.operators.Ranking
 object SearchQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    // heavy per-document pipelines sit above this scan; see ScanSpread
+    graft.sources.ScanSpread.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** BM25 query terms — high-df corpus words chosen so every sf matches. */
   private val Bm25Terms = Seq("hash", "join", "scan")
@@ -119,9 +121,13 @@ object SearchQueries {
     import org.apache.spark.sql.functions._
     val d = docs(spark, dir)
     val seed = "hash"
-    val r5 = Ranking.bm25TopK(d, "text", "doc_id", Seq(seed), 5)
-      .select(col("doc_id")).persist()
+    // ONE persisted tokenization feeds all four stages (seed retrieval,
+    // corpus df, expansion counts, dynamic re-scoring) — the previous
+    // shape re-tokenized the corpus inside bm25TopK and twice inside
+    // bm25Dynamic (r16 optimization; scores unchanged, same aggs)
     val toks = Ranking.tokensWithPos(d, "text", "doc_id").drop("pos").persist()
+    val r5 = Ranking.bm25TopKFromTokens(toks, "doc_id", Seq(seed), 5)
+      .select(col("doc_id")).persist()
     val nd = d.agg(count(lit(1)).as("n_all"))
     val dfAll = toks.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("dfx"))
@@ -135,7 +141,7 @@ object SearchQueries {
       .select("word")
     val terms = expansion.unionByName(
       spark.range(1).select(lit(seed).as("word")))
-    val perDoc = Ranking.bm25Dynamic(d, "text", "doc_id", terms)
+    val perDoc = Ranking.bm25DynamicFromTokens(toks, "doc_id", terms)
       .select(col("doc_id"),
         round(col("bm25") * 1e6).cast("long").as("fp"))
       .groupBy("doc_id")

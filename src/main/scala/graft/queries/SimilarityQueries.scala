@@ -13,8 +13,11 @@ import graft.operators.Similarity
 object SimilarityQueries {
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
+    // vector scoring (seed cosines, candidate dots) is per-row heavy;
+    // see ScanSpread
     Similarity.prepared(
-      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      graft.sources.ScanSpread.spread(
+        spark.read.parquet(s"$dir/embeddings.parquet")), "vec_id", "embedding")
 
   /** q34: embedding near-dup — unordered pairs with 6dp cosine >= 0.30. */
   def q34EmbedPairs(spark: SparkSession, dir: String): DataFrame = {

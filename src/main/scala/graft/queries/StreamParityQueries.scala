@@ -82,7 +82,8 @@ object StreamParityQueries {
     * zero shuffles, per-task memo, vocabulary-sized plan literal.
     */
   def q367StreamBpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val merges = TextQueries.bpeRounds(spark, dir, 5)._1.map(m => (m._2, m._3))
+    val merges = TextQueries.bpeRounds(spark, dir, 5, needTotals = false)._1
+      .map(m => (m._2, m._3))
     runChunked(spark, dir, "graft_q367_bpe",
       df => TextQueries.bpeApplyProjection(df, merges))
   }

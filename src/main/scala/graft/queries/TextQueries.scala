@@ -10,7 +10,9 @@ import graft.operators.TextAnalysis
 object TextQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    // heavy per-document pipelines sit above this scan; see ScanSpread
+    graft.sources.ScanSpread.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   /** q88's unigram-LM quality score, shared with q121: per-doc token
     * count and mean log-probability under the corpus unigram model.
@@ -129,9 +131,10 @@ object TextQueries {
       .groupBy("word").agg(count(lit(1)).as("freq"))
   }
 
-  private[graft] def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+  private[graft] def bpeRounds(
+      s: SparkSession, dir: String, rounds: Int, needTotals: Boolean = true)
       : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) =
-    bpeRoundsFromWords(bpeSeed(s, dir), rounds)
+    bpeRoundsFromWords(bpeSeed(s, dir), rounds, needTotals)
 
   /** The q360 BPE-APPLY table — factored out so the q362 capstone runs
     * the IDENTICAL stage (same helper, byte-identical output), the q86
@@ -140,7 +143,7 @@ object TextQueries {
     */
   private[graft] def bpeApplyTable(s: SparkSession, dir: String): DataFrame =
     bpeApplyProjection(docs(s, dir),
-      bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3)))
+      bpeRounds(s, dir, 5, needTotals = false)._1.map(m => (m._2, m._3)))
 
   /** The APPLY projection itself, over any (doc_id, text) relation —
     * STATELESS (document-local, zero shuffles), which is what makes
@@ -171,7 +174,20 @@ object TextQueries {
           transform(col("segs"), a => array_join(a, " ")), "|")).as("seg_fp"))
   }
 
-  private[graft] def bpeRoundsFromWords(words: DataFrame, rounds: Int)
+  /** `needTotals = false` (the learn-only callers: q263, the q360/q368
+    * apply pair, the streaming gate, q362) skips the per-round corpus
+    * token total — HALVING the learn loop's action count (rounds + 1
+    * vocab-grain jobs removed; the totals exist for q264's compression
+    * curve only). The totals action doubled as the
+    * materialize-before-release step, so the no-totals path defers each
+    * round's `unpersist` by one round instead: round r's top-pair
+    * aggregation (the one remaining action) materializes syms(r-1)
+    * through the still-cached syms(r-2), after which syms(r-2) is
+    * released — same single-fold evaluation per round, same merge log
+    * (the pair aggregation is unchanged), one action per round.
+    */
+  private[graft] def bpeRoundsFromWords(
+      words: DataFrame, rounds: Int, needTotals: Boolean = true)
       : (Seq[(Int, String, String, Long, String)], Seq[(Int, Long)]) = {
     import org.apache.spark.sql.functions._
     var syms = words
@@ -181,7 +197,11 @@ object TextQueries {
     def total(df: DataFrame): Long =
       df.agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
     val merges = collection.mutable.Buffer.empty[(Int, String, String, Long, String)]
-    val totals = collection.mutable.Buffer((0, total(syms)))
+    val totals = collection.mutable.Buffer.empty[(Int, Long)]
+    if (needTotals) totals += ((0, total(syms)))
+    // the round- (r-2) state: cached and materialized, released once
+    // round r's action has materialized syms(r-1) through it
+    var grandparent: DataFrame = null
     for (r <- 1 to rounds) {
       val top = syms.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -193,6 +213,7 @@ object TextQueries {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()(0)
+      if (grandparent != null) { grandparent.unpersist(); grandparent = null }
       val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, a, b, cnt, a + b))
       val merged = syms.withColumn("syms", expr(
@@ -203,10 +224,13 @@ object TextQueries {
            |                   array('$a' || '$b'))
            |       ELSE concat(acc, array(x)) END)""".stripMargin))
         .persist()
-      totals += ((r, total(merged))) // also materializes before release
-      syms.unpersist()
+      if (needTotals) {
+        totals += ((r, total(merged))) // also materializes before release
+        syms.unpersist()
+      } else grandparent = syms // released after the next round's action
       syms = merged
     }
+    if (grandparent != null) grandparent.unpersist()
     syms.unpersist()
     (merges.toSeq, totals.toSeq)
   }
@@ -550,10 +574,15 @@ object TextQueries {
     */
   private def backoffSplitDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // persisted: q319/q333 read this table 4× (three model-count aggs +
+    // the scored trigram stream) and each read re-ran the interpreted
+    // wordsArr tokenization over the corpus — ONE tokenization pass now
+    // (r16 optimization; the runner's sweep frees the cache)
     graft.operators.Curation.hashSplit(
       docs(s, dir)
         .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
       "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
+      .persist()
   }
 
   /** Positional trigram stream of a (doc_id, w) table. Size guard:
@@ -676,10 +705,14 @@ object TextQueries {
     */
   def q322KneserNeyLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // persisted: the train bigram counts, the vocab count and the test
+    // bigram stream all read this table — one tokenization pass, not
+    // three (r16 optimization; the runner's sweep frees the cache)
     val wd = graft.operators.Curation.hashSplit(
       docs(s, dir)
         .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
       "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
+      .persist()
     def bis(df: DataFrame) = df.filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - 1),
@@ -738,17 +771,15 @@ object TextQueries {
     */
   def q323ImportanceResampling(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val wd = docs(s, dir)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.TextFunctions.wordsArr(col("text")).as("w"))
-    val uni = wd.filter(size(col("w")) >= 1)
-      .select(col("doc_id"), col("lang"), explode(col("w")).as("g"))
-    val big = wd.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ",
-            element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
-    val grams = uni.unionByName(big)
+    // occurrence-mode native n-gram generators (one byte pass each, no
+    // intermediate word array): the previous wordsArr-HOF + explode
+    // chains re-ran the interpreted tokenizer per branch. Occurrence
+    // mode emits nothing for docs shorter than n — exactly the old
+    // size(w) >= n filters. Same gram multiset, same buckets.
+    val d = docs(s, dir)
+    def grams1(n: Int) = d.select(col("doc_id"), col("lang"),
+      graft.functions.WordNgrams(col("text"), n, distinct = false).as("g"))
+    val grams = grams1(1).unionByName(grams1(2))
       .withColumn("bkt",
         conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % 1024)
     // lang is doc-functional, so carrying it through the (doc, bucket)
@@ -953,7 +984,7 @@ object TextQueries {
     // narrow fold projection. Rounds are a constant (5).
     "q263_bpe_learn" -> ((s, dir) => {
       import s.implicits._
-      bpeRounds(s, dir, 5)._1
+      bpeRounds(s, dir, 5, needTotals = false)._1
         .toDF("round", "lhs", "rhs", "pair_freq", "merged_token")
     }),
     // q288: the BATCHED BPE learner (up to 3 merges accepted per
@@ -1015,7 +1046,8 @@ object TextQueries {
     // including adversarial overlap/self-merge/unseen fixtures).
     "q368_bpe_apply_ranked" -> ((s, dir) =>
       bpeApplyProjection(docs(s, dir),
-        bpeRounds(s, dir, 5)._1.map(m => (m._2, m._3)), ranked = true)),
+        bpeRounds(s, dir, 5, needTotals = false)._1.map(m => (m._2, m._3)),
+        ranked = true)),
     // q377: unigram-LM (SentencePiece-style) tokenizer LEARN — the
     // OTHER production tokenizer family beside BPE (q263/q288): a
     // substring seed vocabulary refined by hard (Viterbi) EM, all
