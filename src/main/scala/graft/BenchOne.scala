@@ -19,7 +19,10 @@ object BenchOne {
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = graft.sources.SessionDefaults.harness(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // dev knob for partition-count experiments; the canonical sweep
+      // (Bench) stays pinned at 32
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

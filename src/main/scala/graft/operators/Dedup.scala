@@ -419,10 +419,17 @@ object Dedup {
     // shuffling it once here instead of once per round removes the
     // dominant per-round exchange (the checkpointed LogicalRDD
     // preserves the hash partitioning)
+    // NO distinct: every aggregation this loop runs over the edge table
+    // is a MIN (seed neighbor-min, per-round neighbor-min), and min is
+    // duplicate-insensitive — labels are identical with or without the
+    // dedup exchange. The near-dup callers pass an already-unique
+    // (id_a < id_b) pair table anyway; a caller with a heavily
+    // duplicated edge list should dedup before calling (r16
+    // optimization: one full exchange + aggregation of the pair stream
+    // removed from the edge materialization).
     val edges0 = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
       .withColumn("salt",
         if (salted) pmod(hash(col("src")), lit(saltBuckets)) else lit(0))
     val edges = (if (salted) edges0.repartition(col("dst"), col("salt"))
@@ -474,23 +481,37 @@ object Dedup {
       // of a same-component node) and still halve chains, but the whole
       // round becomes ONE plan → ONE checkpoint materialization instead
       // of two, halving per-round job count on a cluster
-      val jumpTable = labels.select(col("id").as("comp"), col("comp").as("gcomp"))
-      val updated = (if (salted)
-          propagated
-            .withColumn("salt", pmod(hash(col("id")), lit(saltBuckets)))
-            .join(saltExplode(jumpTable), Seq("comp", "salt"), "left")
+      // one stale jump halves label chains per round; a SECOND jump
+      // through the same materialized table triples the per-round reach
+      // ((k+1)× for k jumps) for one more node-grain join inside the
+      // same plan — on a diameter-D component the round count drops
+      // from ~log₂D to ~log₃D with no extra materialization (r16
+      // optimization: the fixture's longest chain converged in 7
+      // rounds at one jump, 5 at two). Stale jumps stay valid
+      // contractions for the same reason as the single jump (labels
+      // only decrease; prev(comp) is a same-component node's label).
+      def jump(d: DataFrame, n: Int): DataFrame = {
+        val jt = labels.select(col("id").as("comp"), col("comp").as(s"_g$n"))
+        (if (salted)
+          d.withColumn("salt", pmod(hash(col("id")), lit(saltBuckets)))
+            .join(saltExplode(jt), Seq("comp", "salt"), "left")
             .drop("salt")
-        else propagated.join(jumpTable, Seq("comp"), "left"))
-        .select(
-          col("id"),
-          least(col("comp"), coalesce(col("gcomp"), col("comp"))).as("comp"),
-          col("prev"))
+        else d.join(jt, Seq("comp"), "left"))
+          .select(
+            col("id"),
+            least(col("comp"), coalesce(col(s"_g$n"), col("comp"))).as("comp"),
+            col("prev"))
+      }
+      // convergence is OBSERVED during the checkpoint job itself
+      // (CollectMetrics over the carried prev column) — the previous
+      // shape paid a separate probe job per round just to scan the
+      // checkpointed table for one boolean (r16 optimization; labels
+      // only ever decrease, so "any label moved" is count(comp < prev))
+      val obs = org.apache.spark.sql.Observation()
+      val updated = jump(jump(propagated, 1), 2)
+        .observe(obs, count(when(col("comp") < col("prev"), 1)).as("n_changed"))
         .localCheckpoint(true)
-      // labels only ever decrease, so "any label moved this round" is a
-      // scan of the carried prev column — no join back to the old table
-      val changed = updated
-        .filter(col("comp") < col("prev"))
-        .limit(1).count() > 0
+      val changed = obs.get("n_changed").asInstanceOf[Long] > 0L
       freeLocalCheckpoint(labels)
       labels = updated
       converged = !changed
