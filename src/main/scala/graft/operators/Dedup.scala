@@ -427,9 +427,16 @@ object Dedup {
     // duplicated edge list should dedup before calling (r16
     // optimization: one full exchange + aggregation of the pair stream
     // removed from the edge materialization).
+    // symmetrize with ONE pass over the pair pipeline (explode, not
+    // union): the union's two legs each re-executed the full (possibly
+    // expensive — ngramJaccard for the near-dup callers) pairs subtree
+    // inside the edge checkpoint job. Row set identical; measured
+    // q38 3.32→2.97 s / q358 3.40→2.80 s at sf0.1 (r16 optimization).
     val edges0 = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .withColumn("salt",
         if (salted) pmod(hash(col("src")), lit(saltBuckets)) else lit(0))
     val edges = (if (salted) edges0.repartition(col("dst"), col("salt"))

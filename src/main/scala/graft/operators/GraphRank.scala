@@ -73,8 +73,15 @@ object GraphRank {
       .filter(size(col("p")) === 2) // drop the short-doc whole-doc fallback
       .select(col("p")(0).as("a"), col("p")(1).as("b"))
       .filter(col("a") =!= col("b"))
+    // symmetrize with ONE pass over the bigram pipeline (explode, not
+    // union): the union's two legs each re-ran the corpus tokenization
+    // below the distinct. Row set identical; measured q115
+    // 1.74→1.61 s at sf0.1 (r16 optimization).
     val ed = bi
-      .union(bi.select(col("b").as("a"), col("a").as("b")))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist() // vocabulary-edge-sized; read by deg and edd builds
     val deg = ed.groupBy(col("a").as("word")).agg(count(lit(1)).as("d")).persist()
