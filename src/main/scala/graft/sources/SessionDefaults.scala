@@ -25,4 +25,17 @@ object SessionDefaults {
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // AQE partition-coalescing floor (default 1m): with
+      // parallelismFirst on, AQE still refuses to split below
+      // minPartitionSize, so a CPU-DENSE multi-MB shuffle (scored
+      // trigrams, shingle-join output) coalesces to a handful of tasks
+      // and runs serially on an otherwise idle cluster slice. 128k lets
+      // parallelismFirst actually reach defaultParallelism for those
+      // stages. Scale-safe by construction: production shuffles size
+      // partitions by advisoryPartitionSizeInBytes (64m default),
+      // orders of magnitude above either floor, so this knob only
+      // matters exactly where it should — small-byte, high-CPU stages.
+      // Env-overridable for experiments / cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PART_SIZE", "128k"))
 }

@@ -30,6 +30,9 @@ object ProfileOne {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // experiment knob (dev tool only): AQE coalesce floor
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PART_SIZE", "1m"))
       ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
