@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.operators.Ranking
 
 /** Search/ranking query pack over `documents` (q8/q9/q26/q27/q29): the
@@ -121,37 +121,104 @@ object SearchQueries {
     import org.apache.spark.sql.functions._
     val d = docs(spark, dir)
     val seed = "hash"
-    // ONE persisted tokenization feeds all four stages (seed retrieval,
-    // corpus df, expansion counts, dynamic re-scoring) — the previous
-    // shape re-tokenized the corpus inside bm25TopK and twice inside
-    // bm25Dynamic (r16 optimization; scores unchanged, same aggs)
-    val toks = Ranking.tokensWithPos(d, "text", "doc_id").drop("pos").persist()
-    val r5 = Ranking.bm25TopKFromTokens(toks, "doc_id", Seq(seed), 5)
+    val k1 = 1.2; val b = 0.75
+    // ONE token-grain pass for the whole query (r17 optimization): the
+    // corpus is collapsed to the (doc, word, tf) term-frequency table
+    // once, and every stage — seed retrieval, per-doc length, corpus
+    // df, expansion counts, dynamic re-scoring — is a (doc, word)-grain
+    // aggregation of it. The r16 shape persisted the raw TOKEN stream
+    // and re-aggregated it per stage (ProfileOne: 4-5 concurrent ~5 s
+    // rebuilds of the tokenization under the raced lazy cache, 42
+    // stages); the tf table additionally removes the separate
+    // distinct-(doc, word) pass that fed corpus df (a (doc, word, tf)
+    // row IS distinct). Guide §2.3/§2.4. Scores identical: every
+    // downstream quantity is an integer count re-derivable from tf
+    // (dl = Σ tf, seed tf = tf[word=seed], df = row count per word,
+    // in-R occurrences = Σ tf over R), and the BM25 arithmetic below is
+    // Ranking.bm25FromTokens'/bm25DynamicFromTokens' verbatim.
+    val tfTab = Ranking.tokensWithPos(d, "text", "doc_id").drop("pos")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .persist()
+    // per-doc lengths + seed tf: the ONE doc-grain table both retrieval
+    // passes read (the r16 shape built dl twice — once inside bm25TopK's
+    // perDoc, once inside bm25Dynamic)
+    val perDocLen = tfTab.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"),
+        sum(when(col("word") === seed, col("tf")).otherwise(0L)).as("tf0"))
+      .persist()
+    // ONE fused scalar broadcast carries n_docs, Σdl AND the seed's df
+    // (count of tf0 > 0 docs — identical to bm25FromTokens' per-term df
+    // for the single seed term): a separate dfSeed broadcast raced this
+    // one on the cold tfTab/perDocLen caches (both subtrees are
+    // independent AQE leaf stages at action start — the r16 duplicate-
+    // build pathology), so the whole shared build now has exactly one
+    // t=0 owner and every later stage reads warm caches
+    val stats = perDocLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+      count(when(col("tf0") > 0, 1)).as("df_seed"))
+    def idf(dfCol: Column): Column =
+      log((col("n_docs") - dfCol + 0.5) / (dfCol + 0.5) + 1.0)
+    def norm(tfCol: Column): Column =
+      tfCol + lit(k1) * (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))
+    // pass 1: seed BM25 top-5 (bm25FromTokens' formula on the shared
+    // perDocLen; single term, so df is the 1-row count of seed docs)
+    val seedRows = perDocLen.filter(col("tf0") > 0)
+    // top-5 via TakeOrderedAndProject — ONE stage; identical rows to the
+    // TopKAgg/bm25TopKFromTokens form (same (bm25 desc, doc_id) total
+    // order; doc_id is unique here so the aggregator's id-dedup is a
+    // no-op) without the agg + posexplode stage pair
+    val r5 = seedRows
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf(col("df_seed")) * col("tf0") * (k1 + 1) / norm(col("tf0")), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(5)
       .select(col("doc_id")).persist()
     val nd = d.agg(count(lit(1)).as("n_all"))
-    val dfAll = toks.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("dfx"))
-    val expansion = toks.join(broadcast(r5), Seq("doc_id"))
+    // corpus df per word: ONE agg over the tf table — a (doc, word, tf)
+    // row IS distinct, so the r16 distinct-(doc, word) exchange is gone.
+    // Deliberately NOT gated behind the r5 chain: this vocab-grain agg
+    // is the expansion stage's only heavy input, and as an independent
+    // leaf it overlaps the seed-retrieval chain on idle cores (measured:
+    // the fully-serialized candidate-restricted variant lost ~1 s of
+    // wall to broadcast-chain latency; the overlap costs at most one
+    // extra concurrent build of the tf cache)
+    val dfAll = tfTab.groupBy("word").agg(count(lit(1)).as("dfx"))
+    // expansion: in-R occurrence counts (Σ tf over the 5 seed docs)
+    val cr = tfTab.join(broadcast(r5), Seq("doc_id"))
       .filter(col("word") =!= seed)
-      .groupBy("word").agg(count(lit(1)).as("c_r"))
-      .join(dfAll, Seq("word"))
+      .groupBy("word").agg(sum(col("tf")).as("c_r"))
+    val expansion = cr.join(dfAll, Seq("word"))
       .crossJoin(broadcast(nd))
       .filter(col("dfx") * 10 <= col("n_all"))
       .orderBy(col("c_r").desc, col("word").asc).limit(3)
       .select("word")
     val terms = expansion.unionByName(
       spark.range(1).select(lit(seed).as("word")))
-    val perDoc = Ranking.bm25DynamicFromTokens(toks, "doc_id", terms)
+    // pass 2: bm25DynamicFromTokens' plan over the tf table — the
+    // (doc, word) agg it would run over the token stream is tfTab itself
+    val tfq = tfTab.join(broadcast(terms.select("word").distinct()), Seq("word"))
+      .persist()
+    val dfx = tfq.groupBy("word").agg(count(lit(1)).as("df"))
+    val perDoc = tfq
+      .join(broadcast(dfx), "word")
+      .join(perDocLen.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(col("bm25") * 1e6).cast("long").as("fp"))
+        round(round(idf(col("df")) * col("tf") * (k1 + 1) / norm(col("tf")), 6)
+          * 1e6).cast("long").as("fp"))
       .groupBy("doc_id")
       .agg(sum(col("fp")).as("score_fp"), count(lit(1)).as("n_terms_hit"))
-      .persist()
-    val topk10 = udaf(graft.functions.TopKAgg(10))
-    perDoc.agg(topk10(col("score_fp").cast("double"), col("doc_id")).as("tops"))
-      .select(posexplode(col("tops")).as(Seq("pos", "t")))
-      .select((col("pos") + 1).cast("int").as("rank"), col("t._2").as("doc_id"))
-      .join(perDoc, Seq("doc_id"))
+    // top-10 via TakeOrderedAndProject carrying ALL columns (rank is the
+    // position in the same (score_fp desc, doc_id) total order TopKAgg
+    // used; the 10-row window is a single in-memory partition) — the
+    // r16 shape paid an agg + posexplode + a join BACK to perDoc just to
+    // recover score_fp/n_terms_hit it had dropped
+    val top10 = perDoc
+      .orderBy(col("score_fp").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_fp").desc, col("doc_id").asc)).cast("int"))
+    top10
       .join(r5.withColumn("in_seed_top5", lit(1)), Seq("doc_id"), "left")
       .na.fill(0, Seq("in_seed_top5"))
       .select(col("rank"), col("doc_id"),
