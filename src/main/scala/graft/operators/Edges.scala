@@ -345,8 +345,15 @@ object Edges {
     var dist = seeds.select(col("node"), col("dist")).persist()
     var frontier = dist
     for (_ <- 1 to rounds) {
+      // SHUFFLE_HASH on the frontier side (r17, the q289 discipline):
+      // the edge side reads its bucketed/persisted layout with no
+      // per-round exchange and no sort; only the node-grain frontier
+      // shuffles and builds the per-partition hash. Without the hint
+      // the planner broadcast or sort-merged the EDGE side whenever its
+      // cached stats looked small.
       val relax = e
-        .join(frontier.select(col("node").as("a"), col("dist").as("da")), Seq("a"))
+        .join(frontier.select(col("node").as("a"), col("dist").as("da"))
+          .hint("shuffle_hash"), Seq("a"))
         .groupBy(col("b").as("node"))
         .agg(min(col("da") + col("w")).as("cand"))
       val merged = dist.join(relax, Seq("node"), "full")

@@ -102,8 +102,14 @@ object GraphRank {
 
     var r = deg.select(col("word"), lit(r0).as("r"))
     for (_ <- 1 to iters) {
+      // SHUFFLE_HASH on the rank side (r17, the q289 discipline): the
+      // planner was free to broadcast the persisted edge table into the
+      // round joins (known small stats at fixture scale) or sort-merge
+      // both sides; the hint pins the scale shape — edges stream over
+      // the persisted layout, only the vocab-grain rank side shuffles
+      // and builds the per-partition hash. No sort of the edge table.
       val contrib = edd
-        .join(r, edd("a") === r("word"))
+        .join(r.hint("shuffle_hash"), edd("a") === r("word"))
         .select(col("b").as("word"), expr("r div d").as("c"))
       r = contrib
         .groupBy("word")

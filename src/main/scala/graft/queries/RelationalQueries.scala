@@ -2737,25 +2737,42 @@ object RelationalQueries {
   def q254Hits(spark: SparkSession, dir: String, saltBuckets: Int): DataFrame = {
     import graft.operators.Edges.saltedPropagate
     // shared bipartite build (Edges.customerPart), persisted across the
-    // three half-steps
+    // three half-steps. The catalog table is bucketed on c — the
+    // half-step-3 join key; the p-keyed half (the a1 aggregation and
+    // the half-step-2 join) reads a SECOND view pre-partitioned on p
+    // (VERDICT r16 item 3): one in-query edge exchange, after which no
+    // half-step moves edge-grain data at all.
     val edges = graft.operators.Edges.customerPart(spark, dir).persist()
+    val edgesByP = edges.repartition(col("p")).persist()
     // half-step 1: auth <- Σ hub0 (hub0 = 1e9 for every customer).
     // Each score table feeds both its own max (the renorm scalar) and
     // the next join — persist so the aggregation runs once, not twice.
-    val a1 = edges.groupBy("p")
+    val a1 = edgesByP.groupBy("p")
       .agg((count(lit(1)) * lit(1000000000L)).as("a")).persist()
     val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("am"))))
       .select(col("p"),
         expr("(CAST(a AS DECIMAL(38,0)) * 1000000000) div am").as("a"))
-    // half-step 2: hub <- Σ auth over the customer's parts
-    val h1 = saltedPropagate(edges, a1n, "p", col("c"), saltBuckets)
+    // half-step 2: hub <- Σ auth over the customer's parts. SHUFFLE_HASH
+    // on the NODE-grain score side (the q289 discipline): without the
+    // hint the planner broadcast the EDGE table into both propagation
+    // joins (the cached edge relation has known stats under the 10 MB
+    // threshold while the aggregated score side has none — guide §3.1's
+    // "estimates are often badly wrong after aggregation"; measured:
+    // two 500k-row hash relations built + probed at 10-12 s CPU each).
+    // The edge side streams over its pre-partitioned layout — zero
+    // exchange, no sort — and only the score side shuffles; at 100 TB
+    // neither node table fits the broadcast cap, so this is also the
+    // only shape that scales.
+    val h1 = saltedPropagate(edgesByP, a1n.hint("shuffle_hash"), "p", col("c"), saltBuckets)
       .groupBy("c").agg(sum(col("a")).as("h"))
       .persist()
     val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("hm"))))
       .select(col("c"),
         expr("(CAST(h AS DECIMAL(38,0)) * 1000000000) div hm").as("h"))
-    // half-step 3: auth round 2 from the renormalized hubs
-    val a2 = saltedPropagate(edges, h1n, "c", col("p"), saltBuckets)
+    // half-step 3: auth round 2 from the renormalized hubs (same
+    // node-grain SHUFFLE_HASH shape; the bucketed-on-c scan is the
+    // pre-partitioned edge side here)
+    val a2 = saltedPropagate(edges, h1n.hint("shuffle_hash"), "c", col("p"), saltBuckets)
       .groupBy("p")
       .agg(sum(col("h")).as("a2"), count(lit(1)).as("n_buyers")).persist()
     a2.crossJoin(broadcast(a2.agg(max(col("a2")).as("am2"))))
@@ -2979,8 +2996,20 @@ object RelationalQueries {
       // S-way salted join, routed by dst so a hub's edge rows split
       // across S tasks — the 3-row seed half rides along, and one
       // node-keyed agg sums the two halves
+      // SHUFFLE_HASH on the score side (r17): the static planner was
+      // broadcasting the persisted EDGE relation (known ~MB stats at
+      // fixture scale) into every round's join — three 1M-row hash
+      // relations built per run, and the src pre-partitioning this
+      // build exists for went unused. The hint pins the scale-correct
+      // shape: edges stream over their persisted hash(src) layout with
+      // ZERO per-round exchange, only the node-grain score side
+      // shuffles, and the per-partition hash build is score-sized.
+      // (broadcast(scores) would also fix the inversion locally but is
+      // wrong at 100 TB, where node-grain tables exceed the broadcast
+      // cap; guide §3.1's "pick the strategy deliberately".)
       val inflow = graft.operators.Edges
-        .saltedPropagate(edges, r.withColumnRenamed("node", "src"), "src",
+        .saltedPropagate(edges,
+          r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src",
           col("dst"), saltBuckets)
         .select(col("dst").as("node"), expr("score div d").as("m"))
         .groupBy("node").agg(expr("sum(m) div 2").as("half"))
