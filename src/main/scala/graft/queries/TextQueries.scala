@@ -569,36 +569,35 @@ object TextQueries {
       backoffTris(wd.filter(col("split") === "test")))
   }
 
-  /** The (doc_id, w, split) table behind q319/q333: word arrays under
-    * the q71 md5 split.
+  /** The (doc_id, text, split) table behind q319/q333: raw docs under
+    * the q71 md5 split (the coin is doc-keyed, so it needs no
+    * tokenization). The heavy tokenization moved into the native
+    * [[graft.functions.WordNgrams]] generators below (r17, the q323
+    * precedent): one byte pass per consumer replaces the interpreted
+    * wordsArr HOF + persisted word-array cache whose trigram transform
+    * was the profile's hottest stage (13.7 s CPU at sf0.1).
+    * Tokenization parity: cleanWords ≡ wordsArr on ASCII corpora (the
+    * fixtures and the oracle's alphabet; byte-wise ASCII lower vs
+    * Unicode lower is the known WordNgrams-wide trade, see ADVICE r16).
     */
   private def backoffSplitDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // persisted: q319/q333 read this table 4× (three model-count aggs +
-    // the scored trigram stream) and each read re-ran the interpreted
-    // wordsArr tokenization over the corpus — ONE tokenization pass now
-    // (r16 optimization; the runner's sweep frees the cache)
     graft.operators.Curation.hashSplit(
-      docs(s, dir)
-        .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
+      docs(s, dir).select(col("doc_id"), col("text")),
       "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
       .persist()
   }
 
-  /** Positional trigram stream of a (doc_id, w) table. Size guard:
-    * Spark's sequence(1, n) runs DESCENDING when n < 1, so short docs
-    * must be filtered before the position transform.
+  /** Trigram stream of a (doc_id, text) table as space-joined gram
+    * STRINGS (occurrence mode: every position, nothing for docs < 3
+    * words — exactly the old size(w) >= 3 filter). Words are [a-z0-9]+
+    * so " "-joined grams are bijective with (w1, w2, w3) triples; the
+    * single-string key also makes every model join one-column.
     */
   private def backoffTris(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - 2),
-          i => struct(
-            element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2"),
-            element_at(col("w"), i + 2).as("w3")))).as("g"))
-      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+    df.select(col("doc_id"),
+      graft.functions.WordNgrams(col("text"), 3, distinct = false).as("g"))
   }
 
   /** The shared stupid-backoff model build + scorer behind q319 (test
@@ -611,17 +610,23 @@ object TextQueries {
   private def backoffScore(train: DataFrame, scoreTris: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val alpha = 0.4
-    val c3 = backoffTris(train).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-    val c2 = train.filter(size(col("w")) >= 2).select(
-      explode(transform(sequence(lit(1), size(col("w")) - 1),
-        i => struct(
-          element_at(col("w"), i).as("u"),
-          element_at(col("w"), i + 1).as("v")))).as("g"))
-      .select(col("g.u"), col("g.v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("c2"))
-    val c1 = train.select(explode(col("w")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("c1"))
+    // model counts from the native occurrence-mode generators (one byte
+    // pass each; grams < n emit nothing ≡ the old size(w) >= n filters);
+    // single-string gram keys replace the 2/3-column composites
+    def grams(n: Int) = train.select(
+      graft.functions.WordNgrams(col("text"), n, distinct = false).as("g"))
+    val c3 = grams(3).groupBy("g").agg(count(lit(1)).as("c3"))
+    val c2 = grams(2).groupBy("g").agg(count(lit(1)).as("c2")).persist()
+    val c1 = grams(1).groupBy("g").agg(count(lit(1)).as("c1")).persist()
     val n = c1.agg(sum(col("c1")).as("n_total"))
+    // Same five keyed model joins as before, but every key is ONE
+    // string column sliced from the gram (substring_index is codegen'd;
+    // words are [a-z0-9]+ so the slices are exact) instead of 2/3-column
+    // string composites. (An attach-the-denominators-at-model-grain
+    // variant — 3 stream joins + 2 model-grain joins — measured SLOWER
+    // here: the trigram-TYPE model side is as large as the scored
+    // stream, so the saved stream exchanges cost more as model
+    // exchanges; recorded in OPTIMIZATION_r17.md.)
     val score =
       when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
         .otherwise(when(col("c2_23").isNotNull,
@@ -629,13 +634,15 @@ object TextQueries {
           .otherwise(lit(alpha * alpha) *
             coalesce(col("c1_w3"), lit(1L)).cast("double") / col("n_total")))
     scoreTris
-      .join(c3, Seq("w1", "w2", "w3"), "left")
-      .join(c2.select(col("u").as("w1"), col("v").as("w2"), col("c2").as("c2ctx")),
-        Seq("w1", "w2"), "left")
-      .join(c2.select(col("u").as("w2"), col("v").as("w3"), col("c2").as("c2_23")),
-        Seq("w2", "w3"), "left")
-      .join(c1.select(col("word").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
-      .join(c1.select(col("word").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
+      .withColumn("g12", substring_index(col("g"), " ", 2))
+      .withColumn("g23", substring_index(col("g"), " ", -2))
+      .withColumn("w2", substring_index(col("g23"), " ", 1))
+      .withColumn("w3", substring_index(col("g"), " ", -1))
+      .join(c3, Seq("g"), "left")
+      .join(c2.select(col("g").as("g12"), col("c2").as("c2ctx")), Seq("g12"), "left")
+      .join(c2.select(col("g").as("g23"), col("c2").as("c2_23")), Seq("g23"), "left")
+      .join(c1.select(col("g").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .join(c1.select(col("g").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), round(-log(score) * 1e9).cast("long").as("lq"))
       .groupBy("doc_id")
@@ -705,30 +712,34 @@ object TextQueries {
     */
   def q322KneserNeyLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // persisted: the train bigram counts, the vocab count and the test
-    // bigram stream all read this table — one tokenization pass, not
-    // three (r16 optimization; the runner's sweep frees the cache)
+    // (doc_id, text, split) — the md5 coin is doc-keyed; tokenization
+    // happens in the native occurrence-mode WordNgrams generators below
+    // (r17, the q319/q323 treatment: one byte pass per consumer, no
+    // interpreted wordsArr HOF chains; emits nothing for docs < n ≡ the
+    // old size(w) >= n filters; ASCII-equivalent tokenization, see
+    // backoffSplitDocs). Bigrams are space-joined gram STRINGS — words
+    // are [a-z0-9]+ so "u v" ↔ (u, v) bijectively, and the context /
+    // continuation keys are codegen'd substring_index slices.
     val wd = graft.operators.Curation.hashSplit(
-      docs(s, dir)
-        .select(col("doc_id"), graft.functions.TextFunctions.wordsArr(col("text")).as("w")),
+      docs(s, dir).select(col("doc_id"), col("text")),
       "doc_id", Seq("test" -> "1a", "val" -> "34"), "train")
       .persist()
-    def bis(df: DataFrame) = df.filter(size(col("w")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(
-            element_at(col("w"), i).as("u"),
-            element_at(col("w"), i + 1).as("v")))).as("g"))
-      .select(col("doc_id"), col("g.u"), col("g.v"))
+    def bis(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.WordNgrams(col("text"), 2, distinct = false).as("g"))
     val train = wd.filter(col("split") === "train")
-    val c2 = bis(train).groupBy("u", "v").agg(count(lit(1)).as("c2")).persist()
-    val ctx = c2.groupBy("u")
+    val c2 = bis(train).groupBy("g").agg(count(lit(1)).as("c2")).persist()
+    val ctx = c2.groupBy(substring_index(col("g"), " ", 1).as("u"))
       .agg(sum(col("c2")).as("cctx"), count(lit(1)).as("n1f"))
-    val np = c2.groupBy("v").agg(count(lit(1)).as("n1p"))
+    val np = c2.groupBy(substring_index(col("g"), " ", -1).as("v"))
+      .agg(count(lit(1)).as("n1p"))
     val bt = c2.agg(count(lit(1)).as("btypes"))
-    val vc = train.select(explode(col("w")).as("word")).distinct()
+    val vc = train
+      .select(graft.functions.WordNgrams(col("text"), 1, distinct = false).as("word"))
+      .distinct()
       .agg(count(lit(1)).as("v_sz"))
     val test = bis(wd.filter(col("split") === "test"))
+      .withColumn("u", substring_index(col("g"), " ", 1))
+      .withColumn("v", substring_index(col("g"), " ", -1))
     // fixed-order IEEE ops, mirrored verbatim in the oracle SQL
     val pcont = (coalesce(col("n1p"), lit(0L)) + 1).cast("double") /
       (col("btypes") + col("v_sz") + 1)
@@ -737,7 +748,7 @@ object TextQueries {
         + lit(0.75) * col("n1f").cast("double") * pcont) / col("cctx").cast("double"))
       .otherwise(pcont)
     test
-      .join(c2, Seq("u", "v"), "left")
+      .join(c2, Seq("g"), "left")
       .join(ctx, Seq("u"), "left")
       .join(np, Seq("v"), "left")
       .crossJoin(broadcast(bt))
