@@ -515,15 +515,24 @@ object Dedup {
       // checkpointed table for one boolean (r16 optimization; labels
       // only ever decrease, so "any label moved" is count(comp < prev))
       val obs = org.apache.spark.sql.Observation()
+      // Measured r17: MORE stale jumps do NOT cut the round count on
+      // the q38 fixture graph (7 rounds at two jumps AND at four; the
+      // per-round changed counts 85→29→8→4→2→2→0 show a tail of LOCAL
+      // ROOTS — labels pointing at nodes that believe themselves the
+      // minimum — which stale jumps cannot contract; only the 1-hop
+      // neighborMin frontier moves them). Two jumps stay (they do
+      // engage on the early rounds' label chains); the structural fix
+      // for the tail would be star contraction, out of scope here.
       val updated = jump(jump(propagated, 1), 2)
         .observe(obs, count(when(col("comp") < col("prev"), 1)).as("n_changed"))
         .localCheckpoint(true)
-      val changed = obs.get("n_changed").asInstanceOf[Long] > 0L
+      val nChanged = obs.get("n_changed").asInstanceOf[Long]
+      val changed = nChanged > 0L
       freeLocalCheckpoint(labels)
       labels = updated
       converged = !changed
       i += 1
-      prof(s"round $i done (changed=$changed)")
+      prof(s"round $i done (n_changed=$nChanged)")
     }
     if (!converged) {
       freeLocalCheckpoint(labels); freeLocalCheckpoint(edges)

@@ -804,7 +804,11 @@ object HygieneQueries {
   def q356NeymanSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = 200L
-    val d = docs(spark, dir).select(col("source"), col("doc_id"), col("n_chars"))
+    // unspread reader: only 3 narrow columns and one map-side-combinable
+    // agg sit above the scan — the ScanSpread exchange costs more than
+    // the work it parallelizes (measured r17; see SearchQueries.docsLight)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
     // exact integer moments; raw weight rw = n·σ with σ from one double
     // division + one sqrt — the only float ops before the quantize
     val moments = d.groupBy("source").agg(

@@ -18,6 +18,16 @@ object SearchQueries {
     graft.sources.ScanSpread.spread(
       spark.read.parquet(s"$dir/documents.parquet"))
 
+  /** Unspread documents reader for the LIGHT search paths (tokenize +
+    * one agg — q9/q234/q237/q341): the ScanSpread round-robin exchange
+    * costs more than the narrow work it parallelizes there (measured
+    * r17: q341 1.07 → 0.73 s, q9 0.96 → ?, see OPTIMIZATION_r17.md;
+    * the r16 relational revert found the same trade). Heavy pipelines
+    * (q326's shared tf build, the tfidf/cosine family) keep [[docs]].
+    */
+  private def docsLight(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
   /** BM25 query terms — high-df corpus words chosen so every sf matches. */
   private val Bm25Terms = Seq("hash", "join", "scan")
 
@@ -294,7 +304,7 @@ object SearchQueries {
     */
   def q341SpellCorrect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val vocabAll = Ranking.tokensWithPos(docs(spark, dir), "text", "doc_id")
+    val vocabAll = Ranking.tokensWithPos(docsLight(spark, dir), "text", "doc_id")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val dict = vocabAll.filter(length(col("word")) >= 4)
     // deterministic probes: corrupt each dictionary word at its middle
@@ -343,7 +353,7 @@ object SearchQueries {
     * |terms|·k rows.
     */
   def q234Bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    Ranking.bm25TopK(docs(spark, dir), "text", "doc_id", Bm25Terms, 5)
+    Ranking.bm25TopK(docsLight(spark, dir), "text", "doc_id", Bm25Terms, 5)
 
   /** q237: boolean search SERVED FROM the compressed index — the
     * end-to-end integration q140's Scaladoc promises: a term-keyed
@@ -361,7 +371,7 @@ object SearchQueries {
   def q237ServeFromIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val tok = docs(spark, dir)
+    val tok = docsLight(spark, dir)
       .select(col("doc_id"), graft.functions.AlnumTokens(col("text")))
       .filter(col("word").isin(Bm25Terms: _*))
       .select(col("word"), col("doc_id")).distinct()
@@ -375,7 +385,7 @@ object SearchQueries {
       .toDF("word", "doc_id")
     decoded.groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === Bm25Terms.length)
-      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(docsLight(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"))
   }
 
@@ -526,7 +536,7 @@ object SearchQueries {
     "q330_wildcard_search" -> (q330WildcardSearch _),
     "q341_spell_correct" -> (q341SpellCorrect _),
     "q8_tfidf" -> ((s, dir) => Ranking.tfidf(docs(s, dir), "text", "doc_id")),
-    "q9_bm25" -> ((s, dir) => Ranking.bm25(docs(s, dir), "text", "doc_id", Bm25Terms)),
+    "q9_bm25" -> ((s, dir) => Ranking.bm25(docsLight(s, dir), "text", "doc_id", Bm25Terms)),
     "q26_phrase_count" -> ((s, dir) =>
       Ranking.phraseCount(docs(s, dir), "text", "doc_id", Seq("hash", "join"))),
     "q29_keywords" -> ((s, dir) =>

@@ -545,7 +545,14 @@ object SimilarityQueries {
     * second-pass assignment is bit-identical on both engines.
     */
   def q99Kmeans(spark: SparkSession, dir: String): DataFrame =
-    Similarity.kmeans(vectors(spark, dir), "vec_id", k = 8, passes = 2)
+    // unspread reader: kmeans re-reads the prepared vectors once per
+    // pass through its own repartition-free aggs, and the per-row work
+    // (k cosines) is light enough that the ScanSpread exchange costs
+    // more than it parallelizes (measured r17; same trade as the light
+    // SearchQueries paths — see SearchQueries.docsLight)
+    Similarity.kmeans(Similarity.prepared(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding"),
+      "vec_id", k = 8, passes = 2)
 
   /** q207: inter-source semantic similarity matrix — each source's
     * documents fold to ONE fixed-point centroid embedding (the q43
