@@ -478,8 +478,10 @@ object Edges {
     * support over the SURVIVING edges and semi-joins away every edge
     * supported by fewer than k−2 triangles — removals cascade because
     * a dropped edge kills its triangles' support next round. Returns
-    * the round-0..rounds edge sets (round 0 = input); at fixpoint the
-    * remaining rounds are no-ops re-proving stability. Each round's
+    * the round-0..rounds edge sets (round 0 = input); once a round
+    * removes nothing the peel is at its fixpoint and the remaining
+    * rounds reuse that checkpoint instead of re-proving stability
+    * with full wedge joins (see the early-exit below). Each round's
     * survivor set is localCheckpoint-ed, not merely persisted: a round
     * reads its predecessor FOUR times (both wedge sides, the closure
     * canon, the semi-join left), so an uncut lineage re-embeds the
@@ -500,12 +502,32 @@ object Edges {
     // makes plan assertions vacuous. Production callers keep the
     // default: at rounds ≥ 3 the uncut plan re-embeds the edge build
     // ~4^r times and OOMs the driver at codegen (measured).
-    def c(df: DataFrame) = if (cut) df.localCheckpoint() else df
-    var cur = c(e0)
+    // Early-exit (r17): each round's survivor set is a SUBSET of its
+    // predecessor (the semi-join only removes), so equal counts ⟹
+    // identical sets ⟹ every later round is provably the same edge
+    // set — stop paying the wedge join and reuse the fixpoint
+    // checkpoint for the remaining rounds (row-identical output by the
+    // subset argument; Round10Spec pins the stable-fixpoint and
+    // cascade cases). The count rides the checkpoint materialization
+    // itself as an Observation — no extra job. Only in cut mode: the
+    // uncut (PlanSpec) path runs no action, so an Observation there
+    // would block forever, and plan inspection wants the full unrolled
+    // shape anyway.
+    def c(df: DataFrame): (DataFrame, Long) = if (cut) {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    } else (df, -1L)
+    var (cur, curN) = c(e0)
     val out = scala.collection.mutable.Buffer(cur)
+    var stable = false
     for (_ <- 1 to rounds) {
-      val keep = edgeSupport(cur).filter(col("sup") >= k - 2)
-      cur = c(cur.join(keep, Seq("a", "b"), "left_semi"))
+      if (!stable) {
+        val keep = edgeSupport(cur).filter(col("sup") >= k - 2)
+        val (nxt, nxtN) = c(cur.join(keep, Seq("a", "b"), "left_semi"))
+        stable = cut && nxtN == curN
+        cur = nxt; curN = nxtN
+      }
       out += cur
     }
     out.toSeq

@@ -218,16 +218,23 @@ object SearchQueries {
           * 1e6).cast("long").as("fp"))
       .groupBy("doc_id")
       .agg(sum(col("fp")).as("score_fp"), count(lit(1)).as("n_terms_hit"))
-    // top-10 via TakeOrderedAndProject carrying ALL columns (rank is the
-    // position in the same (score_fp desc, doc_id) total order TopKAgg
-    // used; the 10-row window is a single in-memory partition) — the
-    // r16 shape paid an agg + posexplode + a join BACK to perDoc just to
-    // recover score_fp/n_terms_hit it had dropped
+    // top-10 via TakeOrderedAndProject carrying ALL columns — the r16
+    // shape paid an agg + posexplode + a join BACK to perDoc just to
+    // recover score_fp/n_terms_hit it had dropped. Rank is the position
+    // in the same (score_fp desc, doc_id) total order TopKAgg used,
+    // assigned by the bounded collect+posexplode idiom over the 10
+    // TakeOrdered rows — NOT a partition-less row_number window, which
+    // PlanSpec's corpus-grain-window guard rightly rejects on sight
+    // (this input is limit-bounded, but the guard is syntactic)
     val top10 = perDoc
       .orderBy(col("score_fp").desc, col("doc_id").asc).limit(10)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_fp").desc, col("doc_id").asc)).cast("int"))
+      .agg(array_sort(collect_list(struct(
+        (-col("score_fp")).as("neg"), col("doc_id"),
+        col("score_fp"), col("n_terms_hit")))).as("rs"))
+      .select(posexplode(col("rs")).as(Seq("pos", "r")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("r.doc_id").as("doc_id"), col("r.score_fp").as("score_fp"),
+        col("r.n_terms_hit").as("n_terms_hit"))
     top10
       .join(r5.withColumn("in_seed_top5", lit(1)), Seq("doc_id"), "left")
       .na.fill(0, Seq("in_seed_top5"))
