@@ -130,13 +130,15 @@ object Dedup {
         lit(b).as("band"),
         md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("digest"))
     }
-    // persisted: the self-join would otherwise re-run the signature
-    // aggregation once per side; tiny (numHashes/2 rows per document).
-    // Cache lifecycle is owned by the caller/runner (clearCache per query).
+    // ONE band-keyed exchange instead of the r16 persist: the self-join's
+    // two sides raced the cold cache (two concurrent signature-agg
+    // builds); ending the band build in the exchange the join needs
+    // anyway runs the aggregation once as the shuffle's map side and
+    // delivers both sides co-partitioned on (band, digest).
     val bands = mh
       .select(col(idCol), explode(array(bandCols: _*)).as("bd"))
       .select(col(idCol), col("bd.band").as("band"), col("bd.digest").as("digest"))
-      .persist()
+      .repartition(col("band"), col("digest"))
     val a = bands.select(col(idCol).as("id_a"), col("band"), col("digest"))
     val b = bands.select(col(idCol).as("id_b"), col("band"), col("digest"))
     a.join(b, Seq("band", "digest"))

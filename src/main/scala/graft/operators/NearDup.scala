@@ -32,11 +32,20 @@ object NearDup {
     graft.sources.ScanSpread.spread(
       spark.read.parquet(s"$dir/documents.parquet"))
 
-  /** Persisted distinct (doc_id, sh) long-format shingle table — the
-    * input both candidate generators and the exact verifier read.
+  /** Distinct (doc_id, sh) long-format shingle table, materialized
+    * through ONE doc-keyed exchange — the input both candidate
+    * generators and the exact verifier read. The r16 persist here was
+    * read by up to four leaf stages (signature agg, size agg, both
+    * verify join sides) that raced the cold cache at action start,
+    * each re-running the whole shingle generator (the raced-lazy-cache
+    * pathology); ending the build in an exchange makes the generator
+    * run once as the shuffle's map side, every consumer reads the
+    * reused shuffle, and the doc-keyed aggregations (minhash
+    * signatures, set sizes) arrive co-partitioned.
     */
   def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Dedup.shinglePairs(docs(spark, dir), "text", "doc_id", ShingleN).persist()
+    Dedup.shinglePairs(docs(spark, dir), "text", "doc_id", ShingleN)
+      .repartition(col("doc_id"))
 
   /** EXACT shared-shingle Jaccard pairs at [[Threshold]] with their
     * scores — the all-pairs ground truth (shared-shingle equi-join,
