@@ -798,18 +798,20 @@ object TextQueries {
     // instead of re-tokenizing the corpus once each
     val docBkt = grams.groupBy(col("doc_id"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("n")).persist()
-    val raw = docBkt.groupBy("bkt").agg(sum(col("n")).as("cr"))
-    val tgt = docBkt.filter(col("lang") === "en")
-      .groupBy("bkt").agg(sum(col("n")).as("ct"))
-    val tots = raw.agg(sum(col("cr")).as("nr"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
-    // every gram bucket appears in raw (target docs ⊆ pool), so the
-    // left join's null side is only ever the target count
-    val lqTab = raw.join(tgt, Seq("bkt"), "left")
+    // ONE conditional-sum agg produces BOTH the pool and the target
+    // bucket counts (r17, guide §2.4): the previous raw/tgt pair was
+    // two separate aggregations over docBkt joined back on bkt — one
+    // full cache read, one exchange and one join more than needed.
+    // ct = 0 where no target grams hit the bucket ≡ the old left
+    // join's coalesce(ct, 0); values identical.
+    val bktTab = docBkt.groupBy("bkt").agg(sum(col("n")).as("cr"),
+      sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("ct"))
+    val tots = bktTab.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lqTab = bktTab
       .crossJoin(broadcast(tots))
       .select(col("bkt"),
         round(log(
-          ((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+          ((col("ct") + 1).cast("double")
             * (col("nr") + 1024).cast("double"))
             / ((col("cr") + 1).cast("double")
               * (col("nt") + 1024).cast("double"))) * 1e9)
