@@ -102,14 +102,18 @@ object GraphRank {
 
     var r = deg.select(col("word"), lit(r0).as("r"))
     for (_ <- 1 to iters) {
-      // SHUFFLE_HASH on the rank side (r17, the q289 discipline): the
-      // planner was free to broadcast the persisted edge table into the
-      // round joins (known small stats at fixture scale) or sort-merge
-      // both sides; the hint pins the scale shape — edges stream over
-      // the persisted layout, only the vocab-grain rank side shuffles
-      // and builds the per-partition hash. No sort of the edge table.
+      // Join strategy left ADAPTIVE (r17): the shuffle_hash pin tried
+      // here (the q289 discipline) measured a consistent ~55% local
+      // regression in sweep context (q115 1.34 → 2.08 s BenchOne list,
+      // 1.8 → 2.8 s canonical sweep) — this loop is vocab-grain on BOTH
+      // sides (rank table AND co-occurrence edges are vocabulary-sized,
+      // not corpus-sized), so the fixture-scale broadcast of the edge
+      // table is not the corpus-grain inversion q254/q289 had, and at
+      // catalog scale the planner's stats push the same join to
+      // SMJ/SHJ on their own (AQE converts to shuffled-hash when the
+      // build side fits — no pin needed).
       val contrib = edd
-        .join(r.hint("shuffle_hash"), edd("a") === r("word"))
+        .join(r, edd("a") === r("word"))
         .select(col("b").as("word"), expr("r div d").as("c"))
       r = contrib
         .groupBy("word")
