@@ -404,6 +404,15 @@ object Dedup {
     * (`Bridge.freeLocalCheckpoint(labels)`) or via the runner-level
     * `Bridge.freeAllPersistedRdds` that Verify/Bench/BenchOne call after
     * every query — `clearCache()` alone cannot reach checkpoint blocks.
+    *
+    * INPUT CONTRACT: pass a DEDUPED pair table. Labels are identical
+    * either way (every aggregation in the loop is a duplicate-
+    * insensitive MIN), but the edges are NOT re-deduped here (r16
+    * optimization — one full pair-stream exchange removed), so the
+    * eagerly materialized edge checkpoint and every per-round join
+    * scale with the input's duplicate multiplicity. All in-repo
+    * callers pass unique (id_a < id_b) pairs; an external caller with
+    * a duplicate-heavy pair stream should `.distinct()` it first.
     */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 50, saltBuckets: Int = 1): DataFrame = {
@@ -541,7 +550,13 @@ object Dedup {
       val updated = jump(jump(propagated, 1), 2)
         .observe(obs, count(when(col("comp") < col("prev"), 1)).as("n_changed"))
         .localCheckpoint(true)
-      val nChanged = obs.get("n_changed").asInstanceOf[Long]
+      // bounded wait + exact fallback probe (ADVICE r16: get() alone
+      // could hang on a metrics-delivery regression). A stage-retry
+      // over-count is harmless here: labels only decrease, so a
+      // spurious nonzero just forces one extra idempotent round.
+      val nChanged = Observed.long(obs, "n_changed") {
+        updated.filter(col("comp") < col("prev")).limit(1).count()
+      }
       val changed = nChanged > 0L
       freeLocalCheckpoint(labels)
       labels = updated

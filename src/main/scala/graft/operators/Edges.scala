@@ -516,7 +516,8 @@ object Edges {
     def c(df: DataFrame): (DataFrame, Long) = if (cut) {
       val obs = org.apache.spark.sql.Observation()
       val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
-      (ck, obs.get("n").asInstanceOf[Long])
+      // bounded wait + exact fallback (ADVICE r16 — see Observed)
+      (ck, Observed.long(obs, "n")(ck.count()))
     } else (df, -1L)
     var (cur, curN) = c(e0)
     val out = scala.collection.mutable.Buffer(cur)
@@ -525,7 +526,12 @@ object Edges {
       if (!stable) {
         val keep = edgeSupport(cur).filter(col("sup") >= k - 2)
         val (nxt, nxtN) = c(cur.join(keep, Seq("a", "b"), "left_semi"))
-        stable = cut && nxtN == curN
+        // observed counts can over-count under stage retries, and a
+        // spurious equality here would reuse a NON-fixpoint edge set —
+        // so equality of the riding metrics is only the trigger, and
+        // the early exit is CONFIRMED by exact counts over the two
+        // materialized checkpoints (runs once, at the fixpoint round)
+        stable = cut && nxtN == curN && nxt.count() == cur.count()
         cur = nxt; curN = nxtN
       }
       out += cur

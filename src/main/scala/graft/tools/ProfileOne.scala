@@ -58,13 +58,22 @@ object ProfileOne {
     })
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { i =>
-      if (i == reps) stages.clear() // keep only the final rep's stages
+      if (i == reps) {
+        // drain late-arriving completions from the previous rep before
+        // clearing, so the final-rep table is neither missing its own
+        // stages nor polluted by foreign ones (listener events are
+        // delivered asynchronously; ADVICE r16)
+        org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark)
+        stages.clear() // keep only the final rep's stages
+      }
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
       spark.catalog.clearCache()
       org.apache.spark.sql.graft.Bridge.freeAllPersistedRdds(spark)
     }
+    // final drain before printing (same asynchrony)
+    org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark)
     import scala.jdk.CollectionConverters._
     val all = stages.asScala.toSeq.sortBy(-_.ms)
     println(f"[profile] ${all.size} stages in final rep, " +

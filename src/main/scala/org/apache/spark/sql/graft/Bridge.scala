@@ -13,6 +13,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the SparkListener event bus (delivery is asynchronous) so a
+    * listener-aggregating tool reads a complete view — dev tooling
+    * support (ProfileOne's stage table); `listenerBus` is
+    * `private[spark]`, hence exposed from this bridge package.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Free the storage blocks behind a `localCheckpoint`ed Dataset.
     * Checkpoint blocks are RDD-level caches OUTSIDE the CacheManager, so
     * `spark.catalog.clearCache()` never releases them; iterative
